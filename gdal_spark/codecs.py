@@ -1,0 +1,282 @@
+"""Image codecs in pure numpy (+zlib) — the engine's format "drivers".
+
+The reference dispatches ~110 raster format drivers from GDALOpenEx
+(gcore/gdaldataset.cpp:3642, frmts/gdalallregister.cpp). Here a "driver" is
+a decode/encode function selected by the ``fmt`` column inside an Arrow
+pandas UDF:
+
+- ``png``: real PNG (RFC 2083) — 8/16-bit gray/LA/RGB/RGBA, filters
+  None/Sub/Up/Average/Paeth on decode, Sub on encode (Sub and Up unfilter
+  as modular cumsums, so decode stays vectorized). Reference codec:
+  frmts/png/pngdataset.cpp (filter set also in
+  apps/gdalalg_raster_tile.cpp:481-505).
+- ``raw``: trivial header + row-major pixels (uncompressed baseline).
+- ``jpg``: our own lossy 8x8 block-DCT codec ("GSJ1"), quality-scaled
+  quantization like baseline JPEG (frmts/jpeg/jpgdataset.cpp is the
+  reference behavior); acceptance bar is PSNR >= 40 dB, not byte equality.
+
+All codecs are deterministic bit-for-bit for a given input.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
+_CHANNELS = {0: 1, 4: 2, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """Encode (h,w) or (h,w,c) uint8/uint16 array as PNG with Sub filter."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if arr.dtype == np.uint8:
+        bitdepth, raw = 8, arr
+    elif arr.dtype == np.uint16:
+        bitdepth, raw = 16, arr.astype(">u2").view(np.uint8).reshape(h, w, c * 2)
+    else:
+        raise ValueError(f"PNG supports uint8/uint16, got {arr.dtype}")
+    bpp = c * (bitdepth // 8)
+    lines = raw.reshape(h, w * bpp)
+    # Sub filter: out[x] = cur[x] - cur[x-bpp] (mod 256)
+    filtered = lines.copy()
+    filtered[:, bpp:] = lines[:, bpp:] - lines[:, :-bpp]
+    scan = np.empty((h, 1 + w * bpp), dtype=np.uint8)
+    scan[:, 0] = 1  # filter type Sub
+    scan[:, 1:] = filtered
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, _COLOR_TYPE[c], 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), level)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a, b, c):
+    p = int(a) + int(b) - int(c)
+    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = bitdepth = color = None
+    idat = []
+    n = len(buf)
+    while off < n:
+        (length,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4 : off + 8]
+        data = buf[off + 8 : off + 8 + length]
+        off += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    c = _CHANNELS[color]
+    sample_bytes = bitdepth // 8
+    bpp = c * sample_bytes
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + stride)
+    ftypes = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)  # headroom for modular adds
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = ftypes[y]
+        line = data[y]
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: modular cumsum per byte lane
+            cur = line.reshape(w, bpp).cumsum(axis=0) % 256
+            cur = cur.reshape(stride)
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 3:  # Average
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + _paeth(left, prev[x], ul)) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur
+        prev = cur
+    if bitdepth == 16:
+        arr = out.reshape(h, w, c, 2).astype(np.uint16)
+        arr = (arr[..., 0] << 8) | arr[..., 1]
+    else:
+        arr = out.reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
+# ---------------------------------------------------------------------------
+# RAW
+# ---------------------------------------------------------------------------
+
+_DTYPES = {0: np.uint8, 1: np.uint16, 2: np.int16, 3: np.int32, 4: np.float32, 5: np.float64}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    code = _DTYPE_CODES[arr.dtype]
+    return b"GSRW" + struct.pack("<IIIB", w, h, c, code) + np.ascontiguousarray(arr).tobytes()
+
+
+def decode_raw(buf: bytes) -> np.ndarray:
+    if buf[:4] != b"GSRW":
+        raise ValueError("not a GSRW raw image")
+    w, h, c, code = struct.unpack_from("<IIIB", buf, 4)
+    arr = np.frombuffer(buf, dtype=_DTYPES[code], offset=17).reshape(h, w, c).copy()
+    return arr[:, :, 0] if c == 1 else arr
+
+
+# ---------------------------------------------------------------------------
+# GSJ1 — lossy 8x8 block-DCT codec (our "jpg")
+# ---------------------------------------------------------------------------
+
+# Standard JPEG luminance quantization table (Annex K of ITU T.81) — public.
+_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0) * np.sqrt(2.0 / 8.0)
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+_DCT = _dct_matrix()
+
+
+def _qscale(quality: int) -> np.ndarray:
+    # libjpeg-style quality scaling of the base table
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((_QTABLE * s + 50) / 100.0)
+    return np.clip(q, 1, 255)
+
+
+def encode_gsj(arr: np.ndarray, quality: int = 92) -> bytes:
+    """Lossy encode of an (h,w) or (h,w,c) uint8 array."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("GSJ1 encodes uint8 only")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    q = _qscale(quality)
+    planes = []
+    for ch in range(c):
+        blocks = (
+            pad[:, :, ch]
+            .astype(np.float64)
+            .reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+        ) - 128.0
+        coefs = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
+        qc = np.round(coefs / q).astype(np.int16)
+        planes.append(qc)
+    payload = zlib.compress(np.stack(planes).tobytes(), 6)
+    return b"GSJ1" + struct.pack("<IIIB", w, h, c, quality) + payload
+
+
+def decode_gsj(buf: bytes) -> np.ndarray:
+    if buf[:4] != b"GSJ1":
+        raise ValueError("not a GSJ1 image")
+    w, h, c, quality = struct.unpack_from("<IIIB", buf, 4)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    q = _qscale(quality)
+    qc = np.frombuffer(zlib.decompress(buf[17:]), dtype=np.int16).reshape(
+        c, ph // 8, pw // 8, 8, 8
+    )
+    out = np.empty((h, w, c), dtype=np.uint8)
+    for ch in range(c):
+        coefs = qc[ch].astype(np.float64) * q
+        blocks = np.einsum("ji,bcjk,kl->bcil", _DCT, coefs, _DCT)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+        out[:, :, ch] = np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if c == 1 else out
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def decode_image(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(buf)
+    if fmt == "raw":
+        return decode_raw(buf)
+    if fmt == "jpg":
+        return decode_gsj(buf)
+    raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "raw":
+        return encode_raw(arr)
+    if fmt == "jpg":
+        return encode_gsj(arr)
+    raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))

@@ -1,0 +1,275 @@
+"""WKB/PIP vs brute force; codec round-trips; checksum; cells; fixtures."""
+
+import numpy as np
+import pytest
+
+from gdal_spark import cells, codecs, geom
+from gdal_spark.checksum import gdal_checksum, image_checksums
+from gdal_spark.fixtures import image_record, image_spec, pattern_array, feature_record
+
+
+# ---------------------------------------------------------------- geometry
+
+def brute_pip(px, py, ring):
+    """Independent O(n) crossing-count (different formulation: y-interpolation)."""
+    inside = False
+    n = len(ring)
+    j = n - 2
+    for i in range(n - 1):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return inside
+
+
+def test_wkb_point_roundtrip():
+    g = geom.parse_wkb(geom.wkb_point(3.5, -7.25))
+    assert g.kind == geom.WKB_POINT
+    np.testing.assert_allclose(g.parts, [[3.5, -7.25]])
+
+
+def test_wkb_polygon_roundtrip_and_envelope():
+    ring = np.array([[0, 0], [10, 0], [10, 5], [0, 5]], dtype=float)
+    g = geom.parse_wkb(geom.wkb_polygon([ring]))
+    assert g.kind == geom.WKB_POLYGON
+    assert len(g.parts) == 1 and len(g.parts[0]) == 5  # auto-closed
+    assert g.envelope() == (0.0, 0.0, 10.0, 5.0)
+
+
+def test_wkb_multipolygon():
+    r1 = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    r2 = np.array([[10, 10], [14, 10], [14, 14], [10, 14]], dtype=float)
+    g = geom.parse_wkb(geom.wkb_multipolygon([[r1], [r2]]))
+    assert g.kind == geom.WKB_MULTIPOLYGON
+    assert len(g.polygons()) == 2
+    inside = geom.points_in_geometry(np.array([2.0, 12.0, 7.0]), np.array([2.0, 12.0, 7.0]), g)
+    assert inside.tolist() == [True, True, False]
+
+
+def test_pip_vs_brute_force_random():
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        nv = int(rng.integers(5, 12))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        r = rng.uniform(2, 10, nv)
+        ring = np.stack([5 + r * np.cos(angles), 5 + r * np.sin(angles)], axis=1)
+        ring = np.vstack([ring, ring[0]])
+        px = rng.uniform(-8, 18, 300)
+        py = rng.uniform(-8, 18, 300)
+        got = geom.points_in_ring(px, py, ring)
+        want = np.array([brute_pip(x, y, ring) for x, y in zip(px, py)])
+        assert np.array_equal(got, want)
+
+
+def test_pip_degenerate_ring_rejected():
+    # <4 points: never matches (ogr/ogrlinearring.cpp:480-481)
+    ring = np.array([[0, 0], [10, 0], [0, 0]], dtype=float)
+    assert not geom.points_in_ring(np.array([1.0]), np.array([0.5]), ring).any()
+
+
+def test_polygon_with_hole():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], dtype=float)
+    g = geom.parse_wkb(geom.wkb_polygon([outer, hole]))
+    px = np.array([5.0, 2.0, 11.0])
+    py = np.array([5.0, 2.0, 5.0])
+    inside = geom.points_on_surface(px, py, g.parts)
+    assert inside.tolist() == [False, True, False]
+
+
+def test_point_to_polygon_distance():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    d = geom.points_to_polygon_dist(np.array([5.0, 15.0, 5.0]), np.array([5.0, 5.0, -3.0]), [ring])
+    np.testing.assert_allclose(d, [0.0, 5.0, 3.0])
+
+
+def test_ring_area_centroid():
+    ring = np.array([[0, 0], [4, 0], [4, 2], [0, 2], [0, 0]], dtype=float)
+    a, (cx, cy) = geom.ring_area_centroid(ring)
+    assert a == pytest.approx(8.0)
+    assert (cx, cy) == (pytest.approx(2.0), pytest.approx(1.0))
+
+
+# ---------------------------------------------------------------- codecs
+
+def test_png_roundtrip_rgb():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(57, 83, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(arr)), arr)
+
+
+def test_png_roundtrip_gray_and_rgba_and_16bit():
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, size=(20, 20), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(g)), g)
+    rgba = rng.integers(0, 256, size=(31, 19, 4), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+    u16 = rng.integers(0, 65536, size=(16, 24), dtype=np.uint16)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(u16)), u16)
+
+
+def test_png_decode_all_filters():
+    """Hand-build a PNG using every filter type; decode must invert each."""
+    import struct
+    import zlib as _z
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    bpp = c
+    lines = arr.reshape(h, w * c).astype(np.int64)
+    scans = []
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = lines[y]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - left) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - (left + prev) // 2) % 256
+        else:
+            enc = np.empty_like(cur)
+            for x in range(w * c):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - codecs._paeth(a, b, cc)) % 256
+        scans.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", _z.compress(b"".join(scans)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), arr)
+
+
+def test_raw_roundtrip():
+    rng = np.random.default_rng(6)
+    f32 = rng.normal(size=(9, 11, 2)).astype(np.float32)
+    assert np.array_equal(codecs.decode_raw(codecs.encode_raw(f32)), f32)
+
+
+def test_gsj_psnr_gate():
+    # smooth-ish natural pattern: PSNR must clear the 40 dB bar
+    spec = image_spec(123)
+    spec.update(w=128, h=96, c=3)
+    arr = pattern_array(spec)
+    dec = codecs.decode_gsj(codecs.encode_gsj(arr))
+    assert dec.shape == arr.shape
+    assert codecs.psnr(arr, dec) >= 40.0
+
+
+def test_gsj_odd_sizes():
+    rng = np.random.default_rng(8)
+    arr = (rng.uniform(0, 40, size=(13, 21)) + 100).astype(np.uint8)
+    dec = codecs.decode_gsj(codecs.encode_gsj(arr))
+    assert dec.shape == arr.shape
+
+
+# ---------------------------------------------------------------- checksum
+
+def test_checksum_constant_band():
+    # all-ones 20x20: sum(1 % p) = 400 (1 mod any prime is 1)
+    assert gdal_checksum(np.ones((20, 20), dtype=np.uint8)) == 400
+
+
+def test_checksum_known_small():
+    # manual: pixel (y,x) value v contributes v % primes[(y*w+x)%11]
+    band = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    primes = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+    want = sum(int(v) % primes[i % 11] for i, v in enumerate(band.ravel())) & 0xFFFF
+    assert gdal_checksum(band) == want
+
+
+def test_checksum_float_and_negative():
+    band = np.array([[-3.6, 2.4], [np.nan, 1e10]], dtype=np.float64)
+    # IntFromDouble: -3.6+0.5=-3.1 -> floor -> -4; 2.4+0.5 -> 2;
+    # nan -> INT_MIN; 1e10 -> clamp 2147483647
+    primes = [7, 11, 13, 17]
+    vals = [-4, 2, -(2**31), 2147483647]
+    want = sum(int(np.fmod(v, p)) for v, p in zip(vals, primes)) & 0xFFFF
+    assert gdal_checksum(band) == want
+
+
+def test_checksum_multiband():
+    arr = np.dstack([np.ones((4, 4), np.uint8) * 5, np.ones((4, 4), np.uint8) * 9])
+    cs = image_checksums(arr)
+    assert len(cs) == 2 and cs[0] != cs[1]
+
+
+# ---------------------------------------------------------------- cells
+
+def test_cell_pack_unpack():
+    z, x, y = cells.unpack(cells.pack(7, 100, 27))
+    assert (int(z), int(x), int(y)) == (7, 100, 27)
+
+
+def test_cell_parent_children():
+    c = cells.pack(5, 10, 20)
+    assert int(cells.parent(c)) == int(cells.pack(4, 5, 10))
+    kids = cells.children(c).ravel()
+    assert sorted(int(v) for v in kids) == sorted(
+        int(cells.pack(6, 10 * 2 + dx, 20 * 2 + dy)) for dx in (0, 1) for dy in (0, 1)
+    )
+    assert all(int(cells.parent(k)) == int(c) for k in kids)
+
+
+def test_ring_offsets_counts():
+    assert len(cells.ring_offsets(0)) == 1
+    assert len(cells.ring_offsets(1)) == 8
+    assert len(cells.ring_offsets(3)) == 24
+    assert len(cells.disk_offsets(2)) == 25
+
+
+def test_neighbors_wrap_and_clamp():
+    c = cells.pack(3, 0, 0)  # corner tile at z3 (8x8 grid)
+    n, valid = cells.neighbors(np.array([c]), cells.ring_offsets(1))
+    zs, xs, ys = cells.unpack(n[0][valid[0]])
+    # x wraps to 7, y<0 dropped
+    assert set(xs.tolist()) <= {0, 1, 7}
+    assert (ys >= 0).all()
+
+
+# ---------------------------------------------------------------- fixtures
+
+def test_image_record_deterministic_and_decodable():
+    r1 = image_record(5)
+    r2 = image_record(5)
+    assert r1["bytes"] == r2["bytes"]
+    assert r1["phash"] == r2["phash"]
+    arr = codecs.decode_image(r1["bytes"], r1["fmt"])
+    spec = image_spec(5)
+    want = pattern_array(spec)
+    if r1["fmt"] == "jpg":
+        assert codecs.psnr(want, arr) >= 40.0
+    else:
+        assert np.array_equal(arr, want)
+    assert "ünïcodé" in r1["caption"]
+
+
+def test_world_image_row():
+    r = image_record(0)
+    assert (r["w"], r["h"], r["srid"]) == (400, 200, 4326)
+    assert (r["gt0"], r["gt1"], r["gt3"], r["gt5"]) == (-180.0, 0.9, 90.0, -0.9)
+    # global footprint in meters
+    assert r["minx"] == pytest.approx(-20037508.342789244, rel=1e-9)
+    assert r["maxx"] == pytest.approx(20037508.342789244, rel=1e-9)
+
+
+def test_feature_records():
+    recs = [feature_record(f) for f in range(8)]
+    assert recs[0]["kind"] == "admin"
+    g = geom.parse_wkb(recs[1]["wkb"])
+    assert len(g.parts) == 2  # has a hole
+    g2 = geom.parse_wkb(recs[2]["wkb"])
+    assert len(g2.parts[0]) < 4 or np.array_equal(g2.parts[0][0], g2.parts[0][-1])
