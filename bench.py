@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "images_per_sec": ...}
+
+Scaling mode (--scaling): run the identical tile-cut job at local[8] and
+local[32] on identical input (fresh JVM each, via subprocess), report
+throughput at both plus efficiency = T32 / (4 * T8) into BENCH/BASELINE.md
+— the sandbox evidence for the north rule's N->4N criterion (a real
+cluster swaps master URLs, nothing else).
+
+Internal single-job mode (--job tile --master local[N]) prints one JSON
+line with the job's wall time; used by --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "1024"))
+
+
+def _spark(master: str | None = None):
+    from gdal_spark.session import get_spark
+
+    return get_spark(master=master or f"local[{CPUS}]", app_name="gdal_spark_bench")
+
+
+def tile_job(spark, n_images: int):
+    """The headline workload: deterministic image table -> native-zoom
+    base-tile cut -> one overview reduce -> count tiles."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.tile import cut_base_tiles, overview_tiles
+
+    imgs = fixtures.images_df(spark, n_images, tier="bench", partitions=max(CPUS, 8))
+    base = cut_base_tiles(imgs, zoom=7, resampling="bilinear")
+    ov = overview_tiles(base.persist(), 256)
+    n = base.count() + ov.count()
+    base.unpersist()
+    return n
+
+
+def headline_queries():
+    """(name, fn(spark, sf_dir)) pairs drawn from __spark_entry__."""
+    import __spark_entry__ as entrymod
+
+    picks = [
+        "tile_assign_z8",
+        "cell_pack_z10",
+        "envelope_join",
+        "pip_pentagon",
+        "knn",
+        "summary_aggregates",
+        "groupby_agg",
+        "first_match_left_join",
+        "ngram_jaccard",
+        "cosine_topk",
+        "exact_dup_groups",
+        "events_window",
+    ]
+    qs = entrymod.queries()
+    return [(k, qs[k]) for k in picks]
+
+
+def run_default(quick: bool = False):
+    global N_BENCH_IMAGES
+    if quick:
+        N_BENCH_IMAGES = min(N_BENCH_IMAGES, 64)
+    spark = _spark()
+    timings = {}
+    t_all = time.perf_counter()
+
+    # spatial-join + tile-cut throughput (the north-rule metric)
+    t0 = time.perf_counter()
+    n_tiles = tile_job(spark, N_BENCH_IMAGES)
+    tile_sec = time.perf_counter() - t0
+    timings["tile_pyramid"] = round(tile_sec, 3)
+
+    qlist = headline_queries()
+    if quick:
+        qlist = qlist[:4]
+    for name, fn in qlist:
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - t_all
+    out = {
+        "metric": "spatial-join + tile-cut + headline query wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "images_per_sec": round(N_BENCH_IMAGES / tile_sec, 2),
+        "n_tiles": n_tiles,
+        "n_bench_images": N_BENCH_IMAGES,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def run_job(job: str, master: str):
+    os.environ["SPARK_GRAFT_MASTER"] = master
+    spark = _spark(master)
+    t0 = time.perf_counter()
+    if job == "tile":
+        n = tile_job(spark, N_BENCH_IMAGES)
+    else:
+        raise SystemExit(f"unknown job {job}")
+    sec = time.perf_counter() - t0
+    print(json.dumps({"job": job, "master": master, "sec": round(sec, 3), "n": n}))
+    spark.stop()
+
+
+def run_scaling():
+    """Same job, two parallelism levels, fresh JVM each -> efficiency."""
+    results = {}
+    for master in ("local[8]", "local[32]"):
+        cmd = [sys.executable, __file__, "--job", "tile", "--master", master]
+        env = dict(os.environ)
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[master] = json.loads(line)
+        print(f"# {master}: {results[master]['sec']}s", file=sys.stderr)
+
+    t8 = results["local[8]"]["sec"]
+    t32 = results["local[32]"]["sec"]
+    thr8 = N_BENCH_IMAGES / t8
+    thr32 = N_BENCH_IMAGES / t32
+    eff = thr32 / (4.0 * thr8)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-parallelism scaling evidence\n\n"
+            "Identical tile-cut job (deterministic synthetic images, "
+            f"n={N_BENCH_IMAGES}, native z7 base cut + one overview reduce) "
+            "at two parallelism levels on the same machine, fresh JVM each "
+            "(the sandbox stand-in for N vs 4N executors per the north "
+            "rule).\n\n"
+            "| master | wall sec | images/sec |\n|---|---|---|\n"
+            f"| local[8] | {t8:.2f} | {thr8:.2f} |\n"
+            f"| local[32] | {t32:.2f} | {thr32:.2f} |\n\n"
+            f"**Scaling efficiency** = thr32 / (4 x thr8) = **{eff:.3f}** "
+            "(target >= 0.8)\n"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency local[8]->local[32]",
+                "value": round(eff, 4),
+                "unit": "ratio",
+                "throughput_8": round(thr8, 2),
+                "throughput_32": round(thr32, 2),
+                "sec_8": t8,
+                "sec_32": t32,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--job")
+    ap.add_argument("--master")
+    args = ap.parse_args()
+    if args.scaling:
+        run_scaling()
+    elif args.job:
+        run_job(args.job, args.master or f"local[{CPUS}]")
+    else:
+        run_default(quick=args.quick)

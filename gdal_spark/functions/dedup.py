@@ -1,0 +1,422 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — the dedup ladder of a training-data pipeline.
+
+Design:
+- exact         : groupBy(md5(norm_text)) — one shuffle, SQL-oracle-able.
+- ngram jaccard : exact Jaccard over character shingles via explode ->
+                  pair join -> |A∩B| / (|A|+|B|-|A∩B|). Quadratic only
+                  within shingle buckets; the LSH variants below are the
+                  100 TB path.
+- minhash LSH   : shingle -> 64-bit polynomial rolling hash (own hash, so
+                  it is reproducible anywhere) -> k minhashes via the
+                  (a*x+b) mod p family -> band buckets -> candidate pairs
+                  join -> exact-jaccard verify. banding theory per the
+                  standard MMDS construction.
+- simhash       : 64-bit hyperplane-free sketch of token hash bits;
+                  near-dup = hamming distance <= t. Pairing via 4-way
+                  band blocking on 16-bit chunks (any pair within
+                  distance t<=3 shares an exact chunk: pigeonhole).
+- embedding     : cosine near-dup via random-hyperplane LSH buckets,
+                  verified exactly (used by simsearch too).
+
+All heavy lifting is DataFrame explode/groupBy/join — shuffles are on
+small (hash, id) rows, never on full documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .text import norm_text
+
+MERSENNE = (1 << 61) - 1
+
+
+def _fnv1a(data: bytes) -> int:
+    """64-bit FNV-1a — deterministic across processes (the builtin hash()
+    is salted per interpreter, so it must never reach a shuffle key)."""
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Groups of byte-identical (after normalization) documents:
+    (fp, n_dups, keep_id, dup_ids). keep = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(norm_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("dup_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep one row (min id) per normalized-text group. Implemented as a
+    window-free groupBy + semi join (scales; no global sort)."""
+    keep = (
+        df.select(F.col(id_col).alias("_id"), F.md5(norm_text(F.col(text_col))).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("_id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + own 64-bit hash (reproducible across engines / versions)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _shingle_hashes_udf(texts: pd.Series, widths: pd.Series) -> pd.Series:
+    """Distinct polynomial hashes of character shingles (Arrow-vectorized
+    per batch; numpy rolling-hash per row — the per-row loop is over rows
+    of the batch, the hash itself is vectorized over the string)."""
+    out = []
+    for text, k in zip(texts, widths):
+        k = int(k)
+        s = " ".join(str(text).lower().split())
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < k:
+            out.append([int(_fnv1a(s.encode("utf-8")) & 0x7FFFFFFFFFFFFFFF)])
+            continue
+        base = np.uint64(1099511628211)
+        # rolling polynomial hash, wraparound mod 2^64 then masked to 63 bits
+        powk = base ** np.uint64(k - 1)
+        h = np.uint64(0)
+        hs = np.empty(len(b) - k + 1, dtype=np.uint64)
+        for i in range(k):
+            h = h * base + b[i]
+        hs[0] = h
+        for i in range(1, len(b) - k + 1):
+            h = (h - b[i - 1] * powk) * base + b[i + k - 1]
+            hs[i] = h
+        vals = np.unique(hs & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        out.append(vals.tolist())
+    return pd.Series(out)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5, out: str = "shingles"):
+    return df.withColumn(out, _shingle_hashes_udf(F.col(text_col), F.lit(k)))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (explode + pair join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+):
+    """All pairs with shingle-Jaccard >= threshold.
+
+    explode(shingles) -> self equi-join on the shingle -> per-pair
+    intersection count -> Jaccard. The shingle join key distributes; the
+    |A| / |B| sizes come from a tiny per-doc side table."""
+    sh = with_shingles(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, k
+    ).select("id", F.col("shingles"))
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    ex = sh.select("id", F.explode("shingles").alias("s"))
+    a = ex.withColumnRenamed("id", "id_a")
+    b = ex.withColumnRenamed("id", "id_b")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 128,
+    seed: int = 42,
+    out: str = "minhash",
+):
+    a_arr, b_arr = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def mh(shingles: pd.Series) -> pd.Series:
+        A = a_arr.astype(np.object_)  # python ints: exact mod-61 arithmetic
+        B = b_arr.astype(np.object_)
+        res = []
+        for sh in shingles:
+            x = np.asarray(sh, dtype=np.int64)
+            if len(x) == 0:
+                res.append([0] * len(a_arr))
+                continue
+            # (a*x + b) mod p per hash function; vectorized over shingles
+            xv = x.astype(np.object_)
+            mins = [
+                int(np.min((A[i] * xv + B[i]) % MERSENNE)) for i in range(len(a_arr))
+            ]
+            res.append(mins)
+        return pd.Series(res)
+
+    sh = with_shingles(df, text_col, k)
+    return sh.withColumn(out, mh(F.col("shingles"))).drop("shingles")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    verify: bool = True,
+    seed: int = 42,
+):
+    """Candidate pairs whose minhash signatures collide in >=1 of `bands`
+    bands (rows-per-band = num_hashes // bands), optionally verified with
+    exact shingle Jaccard. The band bucket id is the join key — this is
+    the standard LSH banding scheme; s-curve threshold ~ (1/b)^(1/r)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    mh = with_minhash(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, k, num_hashes, seed
+    ).select("id", "minhash")
+    mh = mh.persist()
+    banded = mh.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("minhash")[bi * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    if not verify:
+        return cands
+    # exact verify via signature agreement (estimate) then true jaccard
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    return cands.join(
+        exact.withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b"),
+        ["id_a", "id_b"],
+        "inner",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = str(t).lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array(
+            [np.uint64(_fnv1a(w.encode("utf-8"))) for w in set(toks)],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = (bits * 2 - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for bit in range(64):
+            if v[bit] > 0:
+                sig |= np.uint64(1) << np.uint64(bit)
+        out[i] = np.int64(sig & np.uint64(0x7FFFFFFFFFFFFFFF))
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash"):
+    """64-bit SimHash over FNV-1a token hashes (deterministic everywhere;
+    top bit cleared to stay in int64)."""
+    return df.withColumn(out, _simhash_udf(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+):
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    4x16-bit chunk blocking (a pair within distance 3 must agree on one
+    full chunk — pigeonhole) so the join is an equi-join, not a cross."""
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col).select(
+        "id", "simhash"
+    )
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * ci)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for ci in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "val"
+    )
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    exact: bool = False,
+):
+    """Pairs with cosine similarity >= threshold.
+
+    exact=True: all-pairs via a self-join (oracle / small inputs).
+    exact=False: random-hyperplane LSH — rows whose sign signature agrees
+    land in one bucket; verify candidates exactly. One equi-join shuffle
+    on (bucket), never a cross join."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        return _with_cosine(pairs).where(F.col("cosine") >= threshold).select(
+            "id_a", "id_b", "cosine"
+        )
+
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = int(first[0].d) if first else 0
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_planes, dim))
+
+    sig = None
+    for p in range(n_planes):
+        dot = _dot_literal(F.col("v"), planes[p])
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig * 2 + bit
+    bucketed = base.withColumn("bucket", sig)
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    cands = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return _with_cosine(cands).where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def _dot_literal(vec, plane: np.ndarray):
+    """Dot product of an array column with a literal vector, as column math
+    (zip_with + aggregate stay JVM-side)."""
+    lit = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_cosine(pairs: DataFrame) -> DataFrame:
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform("va", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform("vb", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return pairs.withColumn("cosine", dot / (na * nb))

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      : exact brute-force top-k — the baseline. Queries
+  are broadcast; each corpus partition computes its local top-k with one
+  numpy matmul (Arrow batch in, (k x nq) out), then a tiny global top-k
+  reduce. The shuffle carries only per-partition candidates (k*nq rows),
+  never the corpus — the map-side partial top-k pattern.
+- ``lsh_topk``         : random-hyperplane bucketed approximate variant —
+  the 100 TB path: probe only buckets within `probe_hamming` of the
+  query's signature, so the scan is a partition-pruned equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]] | DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    queries: [(qid, vector), ...] (small, broadcast inside the UDF
+    closure) or a DataFrame with (qid, vector) to collect first.
+    Returns (qid, vec_id, cosine, rank)."""
+    if isinstance(queries, DataFrame):
+        queries = [(r[0], list(r[1])) for r in queries.collect()]
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.array([q[1] for q in queries], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    schema = "qid long, vec_id long, cosine double"
+
+    def partial(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(M) == 0:
+                yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
+                continue
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Qn.T  # (n, nq)
+            kk = min(k, len(ids))
+            # local top-k per query via argpartition (no full sort)
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            rows = {
+                "qid": np.repeat(qids, kk),
+                "vec_id": ids[idx.T.ravel()],
+                "cosine": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(partial, schema=schema)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    out: str = "bucket",
+):
+    """Random-hyperplane signature as column math (JVM-side aggregate over
+    zip_with; no Python in the scan)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = int(first[0].d)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_planes, dim))
+    sig = None
+    for p in range(n_planes):
+        lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = bit if sig is None else sig * 2 + bit
+    return df.withColumn(out, sig), planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    probe_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only corpus buckets whose signature is
+    within ``probe_hamming`` bits of the query signature (multi-probe
+    LSH). Returns the same schema as cosine_topk; recall < 1 by design."""
+    bucketed, planes = with_lsh_signature(corpus, vec_col, n_planes, seed)
+    Q = np.array([q[1] for q in queries], dtype=np.float64)
+    qsig = ((Q @ planes.T) >= 0).astype(np.int64)
+    weights = 2 ** np.arange(n_planes - 1, -1, -1)
+
+    # probe set per query: own bucket + all buckets within hamming radius
+    from itertools import combinations
+
+    probe_rows = []
+    for (qid, _), sig in zip(queries, qsig):
+        base = int((sig * weights).sum())
+        buckets = {base}
+        for r in range(1, probe_hamming + 1):
+            for flip in combinations(range(n_planes), r):
+                b = base
+                for f in flip:
+                    b ^= int(weights[n_planes - 1 - f])
+                buckets.add(b)
+        probe_rows.extend((qid, b) for b in buckets)
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, bucket long")
+    cand = bucketed.join(F.broadcast(probes), "bucket")
+    # exact cosine on the candidates only
+    qmap = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.empty(len(pdf))
+            for qid in pdf["qid"].unique():
+                m = (pdf["qid"] == qid).to_numpy()
+                qv = qmap[int(qid)]
+                qv = qv / np.linalg.norm(qv)
+                sims[m] = Mn[m] @ qv
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "vec_id": pdf[id_col], "cosine": sims}
+            )
+
+    scored = cand.select("qid", id_col, vec_col).mapInPandas(
+        score, schema="qid long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,164 @@
+"""Raster statistics + reclassify + pixel calc — the per-image analytic
+operators.
+
+- raster_statistics : GDALRasterBand::ComputeStatistics
+  (gcore/gdalrasterband.cpp:6534) — min/max/mean/std per band per image,
+  then corpus-level aggregates; one decode per image (mapInPandas), the
+  cross-image reduce is a plain Catalyst agg.
+- raster_histogram  : GetHistogram (gdalrasterband.cpp:4176) — fixed-bin
+  counts per image; corpus histogram = groupBy(bin).sum.
+- checksum_images   : GDALChecksumImage oracle per band.
+- reclassify        : `gdal raster reclassify`
+  (apps/gdalalg_raster_reclassify.cpp) — value-range remap via np.select.
+- pixel_calc        : band algebra (apps/gdalalg_raster_calc.cpp) with a
+  restricted expression set evaluated by numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .. import codecs
+from ..checksum import image_checksums
+
+STATS_SCHEMA = (
+    "image_id string, band int, min double, max double, mean double, "
+    "std double, n long"
+)
+
+
+def raster_statistics(images):
+    """Per-(image, band) stats; compose with .groupBy().agg() for corpus
+    rollups. Decode happens once per row inside Arrow batches."""
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                for b in range(arr.shape[2]):
+                    band = arr[:, :, b].astype(np.float64)
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "band": b,
+                            "min": float(band.min()),
+                            "max": float(band.max()),
+                            "mean": float(band.mean()),
+                            "std": float(band.std()),
+                            "n": int(band.size),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "band", "min", "max", "mean", "std", "n"])
+
+    return images.mapInPandas(do, schema=STATS_SCHEMA)
+
+
+def raster_histogram(images, bins: int = 16, vmin: float = 0.0, vmax: float = 256.0):
+    """Per-image fixed-bin histogram -> (image_id, band, bin, count).
+    Corpus histogram: .groupBy('band','bin').agg(sum('count'))."""
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            edges = np.linspace(vmin, vmax, bins + 1)
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                for b in range(arr.shape[2]):
+                    cnt, _ = np.histogram(arr[:, :, b], bins=edges)
+                    for i, c in enumerate(cnt):
+                        rows.append(
+                            {"image_id": r.image_id, "band": b, "bin": i, "count": int(c)}
+                        )
+            yield pd.DataFrame(rows, columns=["image_id", "band", "bin", "count"])
+
+    return images.mapInPandas(do, schema="image_id string, band int, bin int, count long")
+
+
+def checksum_images(images):
+    """Per-band GDAL checksums (the golden-output aggregate, §2.4)."""
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                for b, cs in enumerate(image_checksums(np.atleast_3d(arr))):
+                    rows.append({"image_id": r.image_id, "band": b, "checksum": cs})
+            yield pd.DataFrame(rows, columns=["image_id", "band", "checksum"])
+
+    return images.mapInPandas(do, schema="image_id string, band int, checksum int")
+
+
+def reclassify_array(arr: np.ndarray, mapping: list[tuple[float, float, float]], default=None):
+    """mapping: [(lo, hi, value)] half-open [lo, hi) ranges; default keeps
+    the source value (PASS_THROUGH) or burns a constant."""
+    a = arr.astype(np.float64)
+    conds = [ (a >= lo) & (a < hi) for lo, hi, _ in mapping ]
+    vals = [v for _, _, v in mapping]
+    base = a if default is None else np.full_like(a, float(default))
+    return np.select(conds, vals, base)
+
+
+def reclassify_images(images, mapping, default=None, out_fmt: str = "raw"):
+    """DataFrame reclassify: decode -> np.select -> re-encode (raw)."""
+    from .warp import IMAGE_OUT_SCHEMA
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                out = reclassify_array(arr, mapping, default)
+                out8 = np.clip(np.round(out), 0, 255).astype(np.uint8)
+                d = r._asdict()
+                d["bytes"] = codecs.encode_image(out8, out_fmt)
+                d["fmt"] = out_fmt
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(do, schema=IMAGE_OUT_SCHEMA)
+
+
+PIXEL_FUNCS = {
+    "sqrt": np.sqrt,
+    "log": np.log,
+    "log10": np.log10,
+    "exp": np.exp,
+    "abs": np.abs,
+    "sin": np.sin,
+    "cos": np.cos,
+}
+
+
+def pixel_calc_images(images, func: str = "sqrt", scale: float = 1.0, offset: float = 0.0,
+                      out_fmt: str = "raw"):
+    """Band algebra y = f(x * scale + offset) with a whitelisted numpy
+    func (the VRT pixel-function surface, frmts/vrt/pixelfunctions.cpp,
+    restricted to a safe set — no eval)."""
+    from .warp import IMAGE_OUT_SCHEMA
+
+    fn = PIXEL_FUNCS[func]
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = fn(arr * scale + offset)
+                out = np.nan_to_num(out, nan=0.0, posinf=255.0, neginf=0.0)
+                out8 = np.clip(np.round(out), 0, 255).astype(np.uint8)
+                d = r._asdict()
+                d["bytes"] = codecs.encode_image(out8, out_fmt)
+                d["fmt"] = out_fmt
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(do, schema=IMAGE_OUT_SCHEMA)

@@ -1,0 +1,380 @@
+"""XYZ/TMS tile pyramid — the engine's gdal2tiles, as a Spark dataflow.
+
+Pipeline (SURVEY.md §3.3 mapping):
+
+1. **zoom planning** — per-image native zoom from pixel size
+   (ZoomForPixelSize, gdal2tiles.py:503-509) as pure Column math.
+2. **tile assignment** — per-image covered (z, tx, ty) range
+   (gdal2tiles.py:2428-2435 tminmax build) as pure Column math +
+   ``explode(sequence(...))``; **no UDF, no pixel I/O** — this is the
+   work-list build of generate_base_tiles (2797-2962) pushed into Catalyst,
+   and the skip-no-source filter happens here, before any pixel work
+   (the "single biggest saver at scale", SURVEY.md §4).
+3. **fragment cut** — mapInPandas over image rows: decode once per image,
+   emit one fragment per covered tile. 3857 north-up sources follow the
+   gdal2tiles geo_query + oversample + scale_query_to_tile path digit for
+   digit (gdal2tiles.py:2964-3006, 1334-1394); other sources take the exact
+   per-tile warp (the gdalalg_raster_tile.cpp:647-649 per-tile
+   WarpRegionToBuffer formulation).
+4. **compose** — groupBy(z, tx, ty).applyInPandas: mosaic fragments in
+   image_id order (gdalbuildvrt placement, apps/gdalbuildvrt_lib.cpp),
+   append alpha (gdal2tiles.py:2815), encode PNG, GDAL checksum
+   (alg/gdalchecksum.cpp) + lineage columns. The tile-key shuffle **is**
+   the mosaic.
+5. **overviews** — groupBy(parent tile).applyInPandas: place <=4 children
+   in a 2x2 buffer by (x%2, y-parity) (gdal2tiles.py:1536-1550), 2:1
+   average downsample with exact edge weights (gcore/overview.cpp), iterate
+   z-1 .. tminz.
+
+Scale notes: fragments, not whole images, cross the shuffle (<= ts*ts*c
+bytes each); hot low-zoom cells are handled by AQE skew-join plus the
+deliberate partial-composition structure (fragments of one tile can be
+pre-composed per shuffle partition before the final merge when
+``salt_partials`` is set).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .. import codecs
+from ..checksum import image_checksums
+from ..grid import ORIGIN_SHIFT, EARTH_RADIUS, MercatorGrid, geo_query, xyz_flip
+from ..resample import resize
+from .warp import warp_array
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MERC = MercatorGrid()
+
+
+# ---------------------------------------------------------------------------
+# stage 1+2: zoom planning + tile assignment (pure Column math)
+# ---------------------------------------------------------------------------
+
+
+def col_zoom_for_pixel_size(pixel_size, max_zoom: int = 31, tile_size: int = 256):
+    """ZoomForPixelSize (gdal2tiles.py:503-509) as a Column expression:
+    the last zoom that does not scale up, i.e. floor(log2(IR / ps)),
+    clamped to [0, max_zoom]."""
+    ir = 2 * math.pi * EARTH_RADIUS / tile_size
+    raw = F.floor(F.log2(F.lit(ir) / pixel_size))
+    return F.greatest(F.lit(0), F.least(F.lit(max_zoom), raw)).cast("int")
+
+
+def native_zoom_col(tile_size: int = 256):
+    """Native (max) zoom of an image row from its mercator pixel size.
+
+    4326 rows: degree pixel size -> meters via the equatorial scale
+    originShift/180 (the same scale LatLonToMeters applies to x,
+    gdal2tiles.py:422-429)."""
+    ps_m = F.when(F.col("srid") == 4326, F.col("gt1") * (ORIGIN_SHIFT / 180.0)).otherwise(
+        F.col("gt1")
+    )
+    return col_zoom_for_pixel_size(ps_m, tile_size=tile_size)
+
+
+def assign_tiles(images, zoom, tile_size: int = 256):
+    """Explode each image row into its covered (z, tx, ty) TMS tiles at
+    ``zoom`` (int or Column). Pure column math -> stays in WholeStageCodegen;
+    Catalyst prunes to the 5 footprint columns before the explode."""
+    z = zoom if isinstance(zoom, Column) else F.lit(int(zoom))
+    ir = 2 * math.pi * EARTH_RADIUS / tile_size
+    res = F.lit(ir) / F.pow(F.lit(2.0), z.cast("double"))
+    ts = float(tile_size)
+
+    def m2t(m):
+        p = (m + ORIGIN_SHIFT) / res
+        return (F.ceil(p / ts) - 1).cast("long")
+
+    n1 = F.pow(F.lit(2.0), z.cast("double")).cast("long") - 1
+    tminx = F.greatest(F.lit(0).cast("long"), m2t(F.col("minx")))
+    tminy = F.greatest(F.lit(0).cast("long"), m2t(F.col("miny")))
+    tmaxx = F.least(n1, m2t(F.col("maxx")))
+    tmaxy = F.least(n1, m2t(F.col("maxy")))
+
+    return (
+        images.withColumn("z", z.cast("int"))
+        .withColumn("_tminx", tminx)
+        .withColumn("_tminy", tminy)
+        .withColumn("_tmaxx", tmaxx)
+        .withColumn("_tmaxy", tmaxy)
+        .where(
+            (F.col("_tmaxx") >= F.col("_tminx")) & (F.col("_tmaxy") >= F.col("_tminy"))
+        )
+        .withColumn("tx", F.explode(F.sequence(F.col("_tminx"), F.col("_tmaxx"))))
+        .withColumn("ty", F.explode(F.sequence(F.col("_tminy"), F.col("_tmaxy"))))
+        .drop("_tminx", "_tminy", "_tmaxx", "_tmaxy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 3: fragment cut (mapInPandas — decode each image once)
+# ---------------------------------------------------------------------------
+
+FRAGMENT_SCHEMA = (
+    "z int, tx long, ty long, image_id string, px binary, alpha binary, c int"
+)
+
+
+def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resampling: str):
+    """Cut one (image, tile) fragment. Returns (tile_rgb uint8 (ts,ts,c),
+    alpha uint8 (ts,ts)) or None if the tile has no coverage."""
+    ts = tile_size
+    gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
+    b = _MERC.tile_bounds(tx, ty, z)
+    bminx, bminy, bmaxx, bmaxy = (float(v) for v in b)
+
+    if r.srid == 3857 and gt[2] == 0.0 and gt[4] == 0.0:
+        # gdal2tiles base-tile path: geo_query + querysize read
+        # (gdal2tiles.py:2964-3006, create_base_tile 1283-1436)
+        qs = ts if resampling == "near" else 4 * ts
+        (rx, ry, rxs, rys), (wx, wy, wxs, wys) = geo_query(
+            gt, r.w, r.h, bminx, bmaxy, bmaxx, bminy, querysize=qs
+        )
+        rx, ry, rxs, rys = int(rx), int(ry), int(rxs), int(rys)
+        wx, wy, wxs, wys = int(wx), int(wy), int(wxs), int(wys)
+        if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+            return None
+        patch = arr[ry : ry + rys, rx : rx + rxs]
+        apatch = alpha_src[ry : ry + rys, rx : rx + rxs]
+        # upsample/downsample read window into the write window (ReadRaster
+        # buf_xsize/buf_ysize semantics = nearest)
+        up = resize(patch, wys, wxs, "near")
+        aup = resize(apatch[:, :, None], wys, wxs, "near")[:, :, 0]
+        c = up.shape[2]
+        dq = np.zeros((qs, qs, c), dtype=np.float64)
+        aq = np.zeros((qs, qs), dtype=np.float64)
+        dq[wy : wy + wys, wx : wx + wxs] = up
+        aq[wy : wy + wys, wx : wx + wxs] = aup
+        if qs != ts:
+            # scale_query_to_tile (gdal2tiles.py:843-937)
+            dq = resize(dq, ts, ts, resampling if resampling != "near" else "average")
+            aq = resize(aq[:, :, None], ts, ts, "average")[:, :, 0]
+        tile = np.clip(np.round(dq), 0, 255).astype(np.uint8)
+        alpha = np.where(aq >= 127.5, 255, 0).astype(np.uint8)
+    else:
+        # per-tile warp (apps/gdalalg_raster_tile.cpp:647-649 formulation)
+        res = _MERC.resolution(z)
+        dst_gt = (bminx, float(res), 0.0, bmaxy, 0.0, -float(res))
+        samp = resampling if resampling in ("near", "bilinear", "cubic", "lanczos") else "bilinear"
+        out, alpha = warp_array(arr, gt, r.srid, (ts, ts), dst_gt, 3857, samp)
+        tile = np.clip(np.round(out), 0, 255).astype(np.uint8)
+        if tile.ndim == 2:
+            tile = tile[:, :, None]
+    if tile.ndim == 2:
+        tile = tile[:, :, None]
+    if not alpha.any():
+        return None
+    return tile, alpha
+
+
+def cut_fragments(images, zoom=None, tile_size: int = 256, resampling: str = "average"):
+    """images (+ optional fixed zoom; default = per-image native zoom) ->
+    fragments DF. One decode per image regardless of how many tiles it
+    covers; only (ts, ts) fragments cross the next shuffle."""
+    import pandas as pd
+
+    z_col = F.lit(int(zoom)) if zoom is not None else native_zoom_col(tile_size)
+    with_range = assign_tiles(images, z_col, tile_size)
+    # regroup the exploded rows back by image id? No — keep one row per
+    # (image, tile): bytes are duplicated across an image's tiles only
+    # inside a narrow stage (no shuffle), and per-image tile counts are
+    # small at native zoom (tile count ~ (w/ts + 1) * (h/ts + 1)).
+
+    def do(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                if arr.shape[2] == 4:
+                    alpha_src = arr[:, :, 3]
+                    arr = arr[:, :, :3]
+                else:
+                    alpha_src = np.full(arr.shape[:2], 255, dtype=np.uint8)
+                cut = _cut_one(
+                    arr, alpha_src, r, int(r.z), int(r.tx), int(r.ty), tile_size, resampling
+                )
+                if cut is None:
+                    continue
+                tile, alpha = cut
+                out.append(
+                    {
+                        "z": int(r.z),
+                        "tx": int(r.tx),
+                        "ty": int(r.ty),
+                        "image_id": r.image_id,
+                        "px": codecs.encode_raw(tile),
+                        "alpha": codecs.encode_raw(alpha[:, :, None]),
+                        "c": int(tile.shape[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["z", "tx", "ty", "image_id", "px", "alpha", "c"],
+            )
+
+    return with_range.mapInPandas(do, schema=FRAGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# stage 4: compose fragments -> tiles (the tile-key shuffle IS the mosaic)
+# ---------------------------------------------------------------------------
+
+TILE_SCHEMA = (
+    "z int, tx long, ty long, y_xyz long, png binary, w int, h int, "
+    "checksum int, checksums array<int>, n_src int, src_ids array<string>"
+)
+
+
+def _compose_group(pdf, tile_size: int):
+    import pandas as pd
+
+    z = int(pdf["z"].iloc[0])
+    tx = int(pdf["tx"].iloc[0])
+    ty = int(pdf["ty"].iloc[0])
+    pdf = pdf.sort_values("image_id")
+    ts = tile_size
+    c = int(pdf["c"].max())
+    buf = np.zeros((ts, ts, c), dtype=np.uint8)
+    alpha = np.zeros((ts, ts), dtype=np.uint8)
+    src_ids = []
+    for r in pdf.itertuples(index=False):
+        tile = codecs.decode_raw(bytes(r.px))
+        if tile.ndim == 2:
+            tile = tile[:, :, None]
+        if tile.shape[2] < c:  # gray fragment into RGB mosaic: replicate
+            tile = np.repeat(tile[:, :, :1], c, axis=2)
+        fa = codecs.decode_raw(bytes(r.alpha))
+        if fa.ndim == 3:
+            fa = fa[:, :, 0]
+        m = fa > 0
+        buf[m] = tile[m]
+        alpha[m] = 255
+        src_ids.append(r.image_id)
+    rgba = np.dstack([buf, alpha])
+    png = codecs.encode_png(rgba)
+    sums = image_checksums(rgba)
+    return pd.DataFrame(
+        [
+            {
+                "z": z,
+                "tx": tx,
+                "ty": ty,
+                "y_xyz": int(xyz_flip(ty, z)),
+                "png": png,
+                "w": ts,
+                "h": ts,
+                "checksum": sums[0],
+                "checksums": sums,
+                "n_src": len(src_ids),
+                "src_ids": src_ids,
+            }
+        ]
+    )
+
+
+def compose_tiles(fragments, tile_size: int = 256):
+    return fragments.groupBy("z", "tx", "ty").applyInPandas(
+        lambda pdf: _compose_group(pdf, tile_size), schema=TILE_SCHEMA
+    )
+
+
+def cut_base_tiles(images, zoom=None, tile_size: int = 256, resampling: str = "average"):
+    """End-to-end base-tile cut: assignment -> fragments -> composed tiles."""
+    return compose_tiles(cut_fragments(images, zoom, tile_size, resampling), tile_size)
+
+
+# ---------------------------------------------------------------------------
+# stage 5: overview zoom levels (4 -> 1 reduce per zoom)
+# ---------------------------------------------------------------------------
+
+
+def _overview_group(pdf, tile_size: int):
+    import pandas as pd
+
+    ts = tile_size
+    pz = int(pdf["z"].iloc[0]) - 1
+    ptx = int(pdf["ptx"].iloc[0])
+    pty = int(pdf["pty"].iloc[0])
+    buf = np.zeros((2 * ts, 2 * ts, 4), dtype=np.uint8)
+    src_ids: list[str] = []
+    n_src = 0
+    for r in pdf.itertuples(index=False):
+        child = codecs.decode_png(bytes(r.png))
+        dx = int(r.tx) % 2
+        dy = int(r.ty) % 2
+        # TMS ty grows north; buffer row 0 is the north half
+        # (gdal2tiles.py:1536-1550 y-parity flip)
+        ox = dx * ts
+        oy = (1 - dy) * ts
+        buf[oy : oy + ts, ox : ox + ts] = child
+        n_src += int(r.n_src)
+        src_ids.extend(list(r.src_ids)[:16])
+    down = resize(buf.astype(np.float64), ts, ts, "average")
+    tile = np.clip(np.round(down), 0, 255).astype(np.uint8)
+    # re-binarize alpha after averaging
+    tile[:, :, 3] = np.where(tile[:, :, 3] >= 128, 255, 0)
+    png = codecs.encode_png(tile)
+    sums = image_checksums(tile)
+    return pd.DataFrame(
+        [
+            {
+                "z": pz,
+                "tx": ptx,
+                "ty": pty,
+                "y_xyz": int(xyz_flip(pty, pz)),
+                "png": png,
+                "w": ts,
+                "h": ts,
+                "checksum": sums[0],
+                "checksums": sums,
+                "n_src": n_src,
+                "src_ids": src_ids[:64],
+            }
+        ]
+    )
+
+
+def overview_tiles(tiles, tile_size: int = 256):
+    """One zoom step up: compose <=4 children per parent then 2:1 average
+    downsample (create_overview_tile, gdal2tiles.py:1471-1600)."""
+    parents = tiles.withColumn("ptx", (F.col("tx") / 2).cast("long")).withColumn(
+        "pty", (F.col("ty") / 2).cast("long")
+    )
+    return parents.groupBy("z", "ptx", "pty").applyInPandas(
+        lambda pdf: _overview_group(pdf, tile_size), schema=TILE_SCHEMA
+    )
+
+
+def tile_pyramid(
+    images,
+    tminz: int,
+    tmaxz: int,
+    tile_size: int = 256,
+    resampling: str = "average",
+    persist: bool = True,
+):
+    """Full pyramid: base tiles at tmaxz, then reduce down to tminz.
+
+    Each zoom level z-1 is derived from level z (the "best overview"
+    source selection of gcore/rasterio.cpp:4086-4174 — never recompute
+    from base), so total work is a geometric series in tile count."""
+    level = cut_base_tiles(images, tmaxz, tile_size, resampling)
+    if persist:
+        level = level.persist()
+    out = [level]
+    for _z in range(tmaxz, tminz, -1):
+        level = overview_tiles(level, tile_size)
+        if persist:
+            level = level.persist()
+        out.append(level)
+    result = out[0]
+    for lv in out[1:]:
+        result = result.unionByName(lv)
+    return result

@@ -1,0 +1,207 @@
+"""Warp: reproject + resample, the engine's gdalwarp.
+
+Reference lifecycle (SURVEY.md §3.2): GDALWarpOperation chunks the output,
+and per chunk evaluates the inverse transformer chain dst pixel -> dst geo
+-> src geo -> src pixel (alg/gdaltransformer.cpp:3044-3145), then runs a
+resampling kernel (alg/gdalwarpkernel.cpp). Spark mapping: one output
+region (a tile, or a whole small output raster) = one task; the transformer
+chain is closed-form vectorized numpy (EPSG:4326 <-> 3857 only, formulas
+from gdal2tiles.py:422-442), so GDAL's 0.125-px approximate transformer
+(apps/gdalwarp_lib.cpp:1568-1575) is unnecessary — we evaluate exactly.
+
+`warp_array` is the kernel; `warp_images` is the DataFrame operator
+(mapInPandas, Arrow batches, no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import codecs
+from ..grid import MercatorGrid
+from ..resample import SAMPLERS, resize
+
+_MERC = MercatorGrid()
+
+MAX_LAT = 85.05112878
+
+
+def geo_transform_points(x, y, src_srid: int, dst_srid: int):
+    """Closed-form coordinate transform between EPSG:4326 and EPSG:3857.
+
+    Replaces OGRCreateCoordinateTransformation (ogr/ogrct.cpp:1003-1032)
+    for the two CRS the engine supports; vectorized.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if src_srid == dst_srid:
+        return x, y
+    if src_srid == 4326 and dst_srid == 3857:
+        lat = np.clip(y, -MAX_LAT, MAX_LAT)
+        mx, my = _MERC.latlon_to_meters(lat, x)
+        return mx, my
+    if src_srid == 3857 and dst_srid == 4326:
+        lat, lon = _MERC.meters_to_latlon(x, y)
+        return lon, lat
+    raise ValueError(f"unsupported srid pair {src_srid}->{dst_srid}")
+
+
+def invert_gt(gt):
+    """Invert a 6-term geotransform (gcore/gdaldataset.cpp GDALInvGeoTransform
+    semantics, general 2x2 affine)."""
+    det = gt[1] * gt[5] - gt[2] * gt[4]
+    if det == 0:
+        raise ValueError("non-invertible geotransform")
+    inv1 = gt[5] / det
+    inv2 = -gt[2] / det
+    inv4 = -gt[4] / det
+    inv5 = gt[1] / det
+    inv0 = -(inv1 * gt[0] + inv2 * gt[3])
+    inv3 = -(inv4 * gt[0] + inv5 * gt[3])
+    return (inv0, inv1, inv2, inv3, inv4, inv5)
+
+
+def apply_gt(gt, px, py):
+    """Pixel/line -> geo  (gcore/gdaldataset.cpp:1357-1392)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    return gt[0] + px * gt[1] + py * gt[2], gt[3] + px * gt[4] + py * gt[5]
+
+
+def warp_array(
+    src: np.ndarray,
+    src_gt,
+    src_srid: int,
+    dst_shape,
+    dst_gt,
+    dst_srid: int,
+    resampling: str = "near",
+):
+    """Warp one raster into a destination grid.
+
+    Returns (out, alpha) where out has shape (dst_h, dst_w[, c]) float64 and
+    alpha is a uint8 (dst_h, dst_w) validity mask (255 where the source
+    covered the destination pixel) — the masker role of
+    alg/gdalwarper.h:85-129.
+    """
+    dst_h, dst_w = dst_shape
+    # dst pixel centers -> dst geo
+    px = np.arange(dst_w, dtype=np.float64) + 0.5
+    py = np.arange(dst_h, dtype=np.float64) + 0.5
+    gpx, gpy = np.meshgrid(px, py)
+    gx, gy = apply_gt(dst_gt, gpx, gpy)
+    # dst geo -> src geo
+    sx, sy = geo_transform_points(gx, gy, dst_srid, src_srid)
+    # src geo -> src pixel (inverse affine)
+    inv = invert_gt(src_gt)
+    spx, spy = apply_gt(inv, sx, sy)
+
+    sampler = SAMPLERS[resampling]
+    out, valid = sampler(src, spx, spy)
+    alpha = np.where(valid, 255, 0).astype(np.uint8)
+    if out.ndim == 3:
+        out = np.where(valid[:, :, None], out, 0)
+    else:
+        out = np.where(valid, out, 0)
+    return out, alpha
+
+
+def suggested_output_grid(src_gt, src_srid: int, w: int, h: int, dst_srid: int):
+    """Output grid (gt, w, h) preserving approximate resolution.
+
+    Simplified GDALSuggestedWarpOutput2 (alg/gdaltransformer.cpp:296-851):
+    transform a border sample grid of the source, take the bounding box,
+    and pick a square pixel size that keeps the diagonal pixel count."""
+    n = 21
+    bx = np.concatenate(
+        [
+            np.linspace(0, w, n),
+            np.linspace(0, w, n),
+            np.zeros(n),
+            np.full(n, float(w)),
+        ]
+    )
+    by = np.concatenate(
+        [np.zeros(n), np.full(n, float(h)), np.linspace(0, h, n), np.linspace(0, h, n)]
+    )
+    gx, gy = apply_gt(src_gt, bx, by)
+    tx, ty = geo_transform_points(gx, gy, src_srid, dst_srid)
+    minx, maxx = float(tx.min()), float(tx.max())
+    miny, maxy = float(ty.min()), float(ty.max())
+    diag_px = np.hypot(w, h)
+    pixel = float(np.hypot(maxx - minx, maxy - miny) / diag_px)
+    out_w = max(1, int(round((maxx - minx) / pixel)))
+    out_h = max(1, int(round((maxy - miny) / pixel)))
+    gt = (minx, (maxx - minx) / out_w, 0.0, maxy, 0.0, -(maxy - miny) / out_h)
+    return gt, out_w, out_h
+
+
+IMAGE_OUT_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+    "gt5 double, srid int, minx double, miny double, maxx double, maxy double"
+)
+
+
+def warp_images(
+    images,
+    dst_srid: int,
+    resampling: str = "near",
+    out_fmt: str | None = None,
+):
+    """DataFrame operator: reproject every image row to ``dst_srid``.
+
+    One row in -> one row out; caption/phash pass through untouched
+    (per-row invariant). Runs as mapInPandas so each Arrow batch decodes,
+    warps and re-encodes vectorized; no shuffle at all — Catalyst keeps
+    this a single narrow stage, which is exactly the per-chunk parallelism
+    of ChunkAndWarpImage (alg/gdalwarpoperation.cpp:1019) with executors
+    in place of chunk threads.
+    """
+    import pandas as pd
+
+    from ..fixtures import footprint_meters
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                src = codecs.decode_image(bytes(r.bytes), r.fmt)
+                gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
+                dst_gt, out_w, out_h = suggested_output_grid(
+                    gt, r.srid, r.w, r.h, dst_srid
+                )
+                out, alpha = warp_array(
+                    src, gt, r.srid, (out_h, out_w), dst_gt, dst_srid, resampling
+                )
+                arr = np.clip(np.round(out), 0, 255).astype(np.uint8)
+                fmt = out_fmt or r.fmt
+                if fmt == "jpg" and arr.ndim == 3 and arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                buf = codecs.encode_image(arr, fmt)
+                minx, miny, maxx, maxy = footprint_meters(dst_gt, out_w, out_h, dst_srid)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": buf,
+                        "w": out_w,
+                        "h": out_h,
+                        "fmt": fmt,
+                        "caption": r.caption,
+                        "phash": r.phash,
+                        "gt0": dst_gt[0],
+                        "gt1": dst_gt[1],
+                        "gt2": dst_gt[2],
+                        "gt3": dst_gt[3],
+                        "gt4": dst_gt[4],
+                        "gt5": dst_gt[5],
+                        "srid": dst_srid,
+                        "minx": minx,
+                        "miny": miny,
+                        "maxx": maxx,
+                        "maxy": maxy,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(do, schema=IMAGE_OUT_SCHEMA)

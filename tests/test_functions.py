@@ -1,0 +1,270 @@
+"""Tests: text analysis, dedup ladder, similarity search, multimodal
+plumbing, snapshots/resume, metrics — with numpy/duckdb brute-force
+oracles where meaningful."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import dedup, simsearch, text
+from gdal_spark.functions.multimodal import (
+    fake_audio_features,
+    image_resize,
+    probe_metadata,
+    with_metadata,
+)
+from gdal_spark.plans.metrics import partition_metrics, skew_report, with_salt
+from gdal_spark.plans.snapshots import SnapshotTable
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog and the cat."),
+    (1, "The quick brown fox jumps over the lazy dog and the cat."),  # exact dup
+    (2, "The quick brown fox jumps over the lazy dog and the rat."),  # near dup
+    (3, "Der Hund ist nicht der Freund und die Katze ist nicht da."),
+    (4, "le chat et le chien et les oiseaux des villes"),
+    (5, "el perro que corre para los gatos una vez"),
+    (6, "completely different content about spark engines and tiles"),
+    (7, ""),
+    (8, "a b c"),
+    (9, "  The   quick brown fox jumps over the lazy dog and the cat. "),  # ws dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        got = {r.doc_id: r.n for r in docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+        for did, t in DOCS:
+            assert got[did] == len(t.split()), (did, t)
+
+    def test_lang_id(self, spark, docs):
+        got = {r.doc_id: r.l for r in docs.select("doc_id", text.lang_id(F.col("text")).alias("l")).collect()}
+        assert got[0] == "en"
+        assert got[3] == "de"
+        assert got[4] == "fr"
+        assert got[5] == "es"
+        assert got[7] == "und"
+
+    def test_quality_monotone(self, spark, docs):
+        got = {r.doc_id: r.q for r in docs.select("doc_id", text.quality_score(F.col("text")).alias("q")).collect()}
+        assert got[0] > got[7]  # real sentence beats empty
+        assert got[0] > got[8]  # beats "a b c"
+        assert 0.0 <= min(got.values()) and max(got.values()) <= 1.0
+
+    def test_fingerprint_normalizes_whitespace(self, spark, docs):
+        got = {r.doc_id: r.fp for r in docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+        assert got[0] == got[9]
+        assert got[0] == got[1]
+        assert got[0] != got[2]
+
+    def test_matches_duckdb_formula(self, spark, docs):
+        """The same replace-arithmetic formula in DuckDB gives identical
+        counts (oracle-compatibility of the SQL surface)."""
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("create table d(doc_id bigint, text varchar)")
+        con.executemany("insert into d values (?, ?)", DOCS)
+        oracle = dict(
+            con.execute(
+                "select doc_id, cast((length(x) - length(replace(x, ' the ', '')))/5 as int) "
+                "from (select doc_id, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' as x from d)"
+            ).fetchall()
+        )
+        padded = F.concat(F.lit(" "), text.norm_text(F.col("text")), F.lit(" "))
+        got = {
+            r.doc_id: r.c
+            for r in docs.select(
+                "doc_id", text.count_occurrences(padded, " the ").alias("c")
+            ).collect()
+        }
+        assert got == oracle
+
+
+class TestDedup:
+    def test_exact_groups(self, spark, docs):
+        groups = dedup.exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert g.n_dups == 3 and g.keep_id == 0 and g.dup_ids == [0, 1, 9]
+
+    def test_dedup_exact_keeps_min(self, spark, docs):
+        out = dedup.dedup_exact(docs)
+        ids = {r.doc_id for r in out.select("doc_id").collect()}
+        assert 0 in ids and 1 not in ids and 9 not in ids
+        assert out.count() == 8
+
+    def test_jaccard_pairs_vs_brute(self, spark, docs):
+        out = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        got = {(r.id_a, r.id_b): r.jaccard for r in out}
+
+        def shingles(t, k=5):
+            s = " ".join(t.lower().split())
+            return {s[i : i + k] for i in range(len(s) - k + 1)} if len(s) >= k else {s}
+
+        for (ia, ta) in DOCS:
+            for (ib, tb) in DOCS:
+                if ia >= ib:
+                    continue
+                A, B = shingles(ta), shingles(tb)
+                j = len(A & B) / len(A | B) if A | B else 0.0
+                if j >= 0.5:
+                    assert (ia, ib) in got, (ia, ib, j)
+                    assert abs(got[(ia, ib)] - j) < 1e-9
+                else:
+                    assert (ia, ib) not in got
+
+    def test_minhash_lsh_finds_near_dups(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+        got = {(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()}
+        assert (0, 1) in got and (0, 9) in got and (1, 9) in got
+        assert (0, 2) in got  # near dup (one word differs)
+        assert not any(6 in p for p in got)
+
+    def test_simhash_near_dup(self, spark, docs):
+        pairs = dedup.simhash_pairs(docs, max_hamming=6).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got and (0, 9) in got
+        assert (0, 6) not in got
+
+    def test_embedding_neardup_lsh_vs_exact(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(20, 16))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v]))
+            if i < 5:  # 5 near-duplicates
+                rows.append((100 + i, [float(x) for x in v + rng.normal(scale=0.01, size=16)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = dedup.embedding_neardup_pairs(df, threshold=0.99, exact=True)
+        expected = {(r.id_a, r.id_b) for r in exact.collect()}
+        assert {(i, 100 + i) for i in range(5)} <= expected
+        approx = dedup.embedding_neardup_pairs(df, threshold=0.99, n_planes=8)
+        got = {(r.id_a, r.id_b) for r in approx.collect()}
+        # LSH recall on near-identical vectors is high (same signature)
+        assert len(got & expected) >= 4
+        assert got <= expected  # verification removes false positives
+
+
+class TestSimSearch:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rng = np.random.default_rng(11)
+        M = rng.normal(size=(300, 24))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]]) for i in range(300)],
+            "vec_id long, embedding array<float>",
+        ).repartition(8).persist()
+        df.count()
+        return df, M
+
+    def test_brute_topk_matches_numpy(self, spark, corpus):
+        df, M = corpus
+        rng = np.random.default_rng(12)
+        Q = rng.normal(size=(5, 24))
+        queries = [(i, [float(x) for x in Q[i]]) for i in range(5)]
+        out = simsearch.cosine_topk(df, queries, k=7)
+        got = {}
+        for r in sorted(out.collect(), key=lambda r: (r.qid, r.rank)):
+            got.setdefault(r.qid, []).append(r.vec_id)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Mn @ Qn.T
+        for q in range(5):
+            order = np.lexsort((np.arange(300), -sims[:, q]))[:7]
+            assert got[q] == list(order), q
+
+    def test_lsh_topk_recall(self, spark, corpus):
+        df, M = corpus
+        # queries = corpus rows themselves: rank-1 hit must be the row
+        queries = [(i, [float(x) for x in M[i]]) for i in range(8)]
+        out = simsearch.lsh_topk(df, queries, k=3, n_planes=8, probe_hamming=1)
+        top1 = {r.qid: r.vec_id for r in out.collect() if r.rank == 1}
+        hits = sum(1 for q, v in top1.items() if q == v)
+        assert hits >= 7  # own bucket always probed -> self is found
+
+
+class TestMultimodal:
+    def test_probe_and_resize(self, spark):
+        from gdal_spark import fixtures
+
+        df = fixtures.images_df(spark, 8, partitions=2)
+        meta = with_metadata(df)
+        rows = meta.select("image_id", "modality", "width", "height", "ok").collect()
+        assert all(r.ok and r.modality == "image" for r in rows)
+        small = image_resize(df, 32, 32, out_fmt="png")
+        out = small.select("image_id", "bytes", "fmt", "caption").collect()
+        from gdal_spark import codecs
+
+        for r in out:
+            arr = codecs.decode_png(bytes(r.bytes))
+            assert arr.shape[:2] == (32, 32)
+            assert "ünïcodé" in r.caption
+
+    def test_decode_stub_raises(self):
+        from gdal_spark.functions.multimodal import decode_any
+
+        with pytest.raises(NotImplementedError):
+            decode_any(b"\x00\x01", "mp4")
+
+    def test_fake_audio_features_deterministic(self):
+        a = fake_audio_features(b"abcdefgh" * 100)
+        b = fake_audio_features(b"abcdefgh" * 100)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSnapshots:
+    def test_commit_read_resume(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "tiles"))
+        df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+        sid1 = t.commit(df1, "first")
+        assert sid1 == 1 and t.current_snapshot_id() == 1
+        back = t.read(spark)
+        assert back.count() == 10
+        # resume: 5 old + 5 new keys -> anti-join keeps only the new
+        df2 = spark.range(5, 15).withColumnRenamed("id", "k")
+        pending = t.anti_join_pending(df2, ["k"])
+        assert {r.k for r in pending.collect()} == set(range(10, 15))
+        sid2 = t.append(df2, ["k"], "second")
+        assert sid2 == 2
+        assert t.read(spark).count() == 15
+        # time travel to snapshot 1
+        assert t.read(spark, snapshot_id=1).count() == 10
+
+    def test_append_is_idempotent(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t2"))
+        df = spark.range(0, 8).withColumnRenamed("id", "k")
+        t.commit(df)
+        t.append(df, ["k"])  # re-running the same stage
+        assert t.read(spark).count() == 8
+
+
+class TestMetrics:
+    def test_partition_metrics_totals(self, spark):
+        df = spark.range(0, 1000, 1, 8).withColumn("payload", F.lit("x" * 10))
+        pm = partition_metrics(df, ["payload"]).collect()
+        assert sum(r.n_rows for r in pm) == 1000
+        assert sum(r.n_bytes for r in pm) == 10_000
+
+    def test_skew_report_flags_hot_key(self, spark):
+        skewed = spark.range(0, 1000).withColumn(
+            "key", F.when(F.col("id") < 900, 0).otherwise(F.col("id"))
+        ).repartition(8, "key")
+        rep = skew_report(skewed)
+        assert rep["rows"] == 1000
+        assert rep["row_skew"] > 3.0
+
+    def test_salting_spreads_hot_key(self, spark):
+        skewed = spark.range(0, 1000).withColumn("key", F.lit(0))
+        salted = with_salt(skewed, ["key"], 16, salt_source="id")
+        n = salted.select("salt").distinct().count()
+        assert n == 16
+        rep = skew_report(salted.repartition(16, "key", "salt"))
+        assert rep["row_skew"] < 2.0

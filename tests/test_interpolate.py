@@ -1,0 +1,82 @@
+"""InterpolateAtPoint parity vs direct numpy sampling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import fixtures
+from gdal_spark.operators.interpolate import interpolate_at_points
+from gdal_spark.operators.warp import apply_gt, invert_gt
+from gdal_spark.resample import sample_bilinear
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    df = fixtures.images_df(spark, 8, tier="t2", partitions=2).where(
+        F.col("srid") == 3857
+    ).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_interpolate_matches_numpy(spark, imgs):
+    metas = imgs.select(
+        "image_id", "fmt", "w", "h", "gt0", "gt1", "gt3", "gt5", "minx", "miny", "maxx", "maxy"
+    ).collect()
+    # build points at known fractional positions inside each image
+    pts = []
+    pid = 0
+    for m in metas:
+        for fx, fy in ((0.3, 0.4), (0.71, 0.62)):
+            gx = m.gt0 + fx * m.w * m.gt1
+            gy = m.gt3 + fy * m.h * m.gt5
+            pts.append((pid, float(gx), float(gy), m.image_id, fx, fy))
+            pid += 1
+    pdf = spark.createDataFrame(
+        [(p[0], p[1], p[2]) for p in pts], "pid long, x double, y double"
+    )
+    out = interpolate_at_points(pdf, imgs, resampling="bilinear")
+    got = {(r.pid, r.image_id, r.band): r.value for r in out.collect()}
+
+    by_id = {}
+    for p in pts:
+        by_id.setdefault(p[3], []).append(p)
+    n_checked = 0
+    for m in metas:
+        spec = fixtures.image_spec(int(m.image_id[3:]))
+        if spec["fmt"] == "jpg":
+            continue  # lossy decode: allclose not exact; covered by PSNR tests
+        arr = fixtures.pattern_array(spec)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        for pid_, gx, gy, iid, fx, fy in by_id.get(m.image_id, []):
+            ppx = np.array([fx * m.w])
+            ppy = np.array([fy * m.h])
+            for b in range(arr.shape[2]):
+                expected, _ = sample_bilinear(arr[:, :, b].astype(float), ppx, ppy)
+                key = (pid_, iid, b)
+                if key in got:
+                    assert abs(got[key] - expected[0]) < 1e-9, key
+                    n_checked += 1
+    assert n_checked > 0
+
+
+def test_points_outside_footprints_drop(spark, imgs):
+    pdf = spark.createDataFrame(
+        [(0, 1.9e7, 1.9e7), (1, -1.95e7, -1.8e7)], "pid long, x double, y double"
+    )
+    # points in empty ocean corners: most likely no image contains them;
+    # the operator must simply produce no rows for non-contained points
+    out = interpolate_at_points(pdf, imgs)
+    rows = out.collect()
+    contained = {
+        r.pid
+        for r in pdf.join(
+            imgs.select("minx", "miny", "maxx", "maxy"),
+            (F.col("x") >= F.col("minx")) & (F.col("x") <= F.col("maxx"))
+            & (F.col("y") >= F.col("miny")) & (F.col("y") <= F.col("maxy")),
+            "inner",
+        ).select("pid").collect()
+    }
+    assert {r.pid for r in rows} == contained

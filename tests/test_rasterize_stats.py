@@ -1,0 +1,163 @@
+"""Rasterize scanline-fill semantics + raster statistics operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import codecs, fixtures, geom
+from gdal_spark.operators.rasterize import rasterize, rasterize_polygon_to_array
+from gdal_spark.operators.stats import (
+    checksum_images,
+    pixel_calc_images,
+    raster_histogram,
+    raster_statistics,
+    reclassify_array,
+    reclassify_images,
+)
+
+
+class TestScanlineFill:
+    def test_rectangle_fills_exact_pixels(self):
+        # rect [2, 8) x [3, 7) in pixel space -> 6x4 pixels burned
+        ring = np.array([[2.0, 3.0], [8.0, 3.0], [8.0, 7.0], [2.0, 7.0], [2.0, 3.0]])
+        out = np.zeros((10, 10))
+        rasterize_polygon_to_array([ring], 10, 10, 5.0, out, add=False)
+        expected = np.zeros((10, 10))
+        expected[3:7, 2:8] = 5.0
+        np.testing.assert_array_equal(out, expected)
+
+    def test_half_pixel_rounding(self):
+        # edges at x=1.4 and x=6.6: floor(+0.5) -> [1, 7)
+        ring = np.array([[1.4, 0.0], [6.6, 0.0], [6.6, 4.0], [1.4, 4.0], [1.4, 0.0]])
+        out = np.zeros((4, 10))
+        rasterize_polygon_to_array([ring], 4, 10, 1.0, out, add=False)
+        assert (out[:, 1:7] == 1.0).all()
+        assert (out[:, 0] == 0).all() and (out[:, 7:] == 0).all()
+
+    def test_triangle_parity(self):
+        ring = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [0.0, 0.0]])
+        out = np.zeros((10, 10))
+        rasterize_polygon_to_array([ring], 10, 10, 1.0, out, add=False)
+        # span rule (llrasterize.cpp floor(+0.5)): row y spans
+        # [0, 10-(y+0.5)) -> burned x in [0, floor(10-y-0.5+0.5)) = [0, 10-y)
+        for y in range(10):
+            for x in range(10):
+                inside = x < 10 - y
+                assert out[y, x] == (1.0 if inside else 0.0), (x, y)
+
+    def test_hole_not_burned(self):
+        outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+        hole = np.array([[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0], [3.0, 3.0]])
+        out = np.zeros((10, 10))
+        rasterize_polygon_to_array([outer, hole], 10, 10, 1.0, out, add=False)
+        assert out[5, 5] == 0.0 and out[1, 1] == 1.0
+
+    def test_add_mode(self):
+        ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+        out = np.zeros((4, 4))
+        rasterize_polygon_to_array([ring], 4, 4, 2.0, out, add=True)
+        rasterize_polygon_to_array([ring], 4, 4, 3.0, out, add=True)
+        assert (out == 5.0).all()
+
+
+class TestRasterizeDF:
+    def test_distributed_rasterize_matches_local(self, spark):
+        rng = np.random.default_rng(5)
+        feats = []
+        for fid in range(6):
+            cx, cy = rng.uniform(100, 900, 2)
+            r = rng.uniform(50, 200)
+            ring = np.array(
+                [
+                    [cx - r, cy - r],
+                    [cx + r, cy - r],
+                    [cx + r, cy + r],
+                    [cx - r, cy + r],
+                    [cx - r, cy - r],
+                ]
+            )
+            wkb = geom.wkb_polygon([ring])
+            feats.append(
+                (fid, bytearray(wkb), float(cx - r), float(cy - r), float(cx + r), float(cy + r), float(fid + 1))
+            )
+        fdf = spark.createDataFrame(
+            feats, "fid long, wkb binary, minx double, miny double, maxx double, maxy double, burn double"
+        )
+        gt = (0.0, 1.0, 0.0, 1000.0, 0.0, -1.0)
+        out = rasterize(spark, fdf, gt, 1000, 1000, burn_col="burn", tile_size=256)
+        tiles = out.collect()
+        assert len(tiles) == 16
+        # reassemble and compare against a single local burn
+        full = np.zeros((1000, 1000))
+        for t in tiles:
+            arr = np.frombuffer(bytes(t.data), dtype=np.float64).reshape(t.h, t.w)
+            full[t.tile_y * 256 : t.tile_y * 256 + t.h, t.tile_x * 256 : t.tile_x * 256 + t.w] = arr
+        local = np.zeros((1000, 1000))
+        for fid, wkb, minx, miny, maxx, maxy, burn in feats:
+            g = geom.parse_wkb(bytes(wkb))
+            rings_px = [
+                np.stack([(r[:, 0] - gt[0]) / gt[1], (r[:, 1] - gt[3]) / gt[5]], axis=1)
+                for r in g.parts
+            ]
+            rasterize_polygon_to_array(rings_px, 1000, 1000, burn, local, add=False)
+        np.testing.assert_array_equal(full, local)
+
+
+@pytest.fixture(scope="module")
+def images16(spark):
+    df = fixtures.images_df(spark, 16, tier="t2", partitions=4).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+class TestStats:
+    def test_statistics_match_numpy(self, spark, images16):
+        out = {(r.image_id, r.band): r for r in raster_statistics(images16).collect()}
+        for i in range(4):
+            spec = fixtures.image_spec(i)
+            arr = fixtures.pattern_array(spec)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if spec["fmt"] == "jpg":
+                continue  # lossy: exact stats don't apply
+            for b in range(arr.shape[2]):
+                r = out[(spec["image_id"], b)]
+                band = arr[:, :, b].astype(float)
+                assert r.min == band.min() and r.max == band.max()
+                assert abs(r.mean - band.mean()) < 1e-9
+
+    def test_histogram_counts_total(self, spark, images16):
+        h = raster_histogram(images16, bins=8)
+        tot = (
+            h.groupBy("image_id", "band").agg(F.sum("count").alias("n")).collect()
+        )
+        sizes = {r.image_id: r for r in images16.select("image_id", "w", "h").collect()}
+        for r in tot:
+            s = sizes[r.image_id]
+            assert r.n == s.w * s.h
+
+    def test_checksums_deterministic(self, spark, images16):
+        a = {(r.image_id, r.band): r.checksum for r in checksum_images(images16).collect()}
+        b = {(r.image_id, r.band): r.checksum for r in checksum_images(images16).collect()}
+        assert a == b and len(a) > 16  # multiband rows present
+
+    def test_reclassify(self):
+        arr = np.array([[0, 50], [150, 250]], dtype=np.uint8)
+        out = reclassify_array(arr, [(0, 100, 1.0), (100, 200, 2.0)], default=9.0)
+        np.testing.assert_array_equal(out, [[1, 1], [2, 9]])
+
+    def test_reclassify_images_roundtrip(self, spark, images16):
+        one = images16.where(F.col("image_id") == "img00000001")
+        out = reclassify_images(one, [(0, 128, 0.0), (128, 256, 255.0)]).collect()[0]
+        arr = codecs.decode_image(bytes(out.bytes), out.fmt)
+        assert set(np.unique(arr)) <= {0, 255}
+
+    def test_pixel_calc(self, spark, images16):
+        one = images16.where(F.col("image_id") == "img00000001")
+        out = pixel_calc_images(one, func="sqrt", scale=1.0).collect()[0]
+        arr = codecs.decode_image(bytes(out.bytes), out.fmt)
+        spec = fixtures.image_spec(1)
+        src = fixtures.pattern_array(spec)
+        expected = np.clip(np.round(np.sqrt(src.astype(float))), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(np.atleast_3d(arr)[:, :, 0], expected)

@@ -1,0 +1,52 @@
+"""Resumability: kill/rerun at a stage boundary produces the identical
+committed tile set (north rule; gdal2tiles --resume semantics,
+gdal2tiles.py:2848-2851, as snapshot left-anti joins)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import fixtures
+from gdal_spark.operators.tile import cut_base_tiles
+from gdal_spark.plans.snapshots import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    df = fixtures.images_df(spark, 1, tier="t2", partitions=1).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_tile_stage_resume(spark, world, tmp_path):
+    table = SnapshotTable(str(tmp_path / "tiles"))
+    tiles = cut_base_tiles(world, zoom=2, resampling="bilinear").select(
+        "z", "tx", "ty", "checksum", "n_src"
+    )
+    full = tiles.collect()
+    assert len(full) == 16
+
+    # simulate a crash after committing only half the tiles
+    partial = tiles.where(F.col("tx") < 2)
+    table.commit(partial, "partial run before crash")
+    assert table.read(spark).count() == 8
+
+    # resume: only the missing half is pending
+    pending = table.anti_join_pending(tiles, ["z", "tx", "ty"])
+    assert pending.count() == 8
+    assert {(r.tx, r.ty) for r in pending.select("tx", "ty").collect()} == {
+        (x, y) for x in (2, 3) for y in range(4)
+    }
+
+    # second run commits the remainder; result identical to a clean run
+    table.append(tiles, ["z", "tx", "ty"], "resume run")
+    final = table.read(spark).collect()
+    assert len(final) == 16
+    clean = {(r.z, r.tx, r.ty): r.checksum for r in full}
+    resumed = {(r.z, r.tx, r.ty): r.checksum for r in final}
+    assert clean == resumed
+
+    # idempotence: a third run adds nothing, but still commits a snapshot
+    table.append(tiles, ["z", "tx", "ty"], "no-op rerun")
+    assert table.read(spark).count() == 16
+    assert table.current_snapshot_id() == 3

@@ -1,0 +1,43 @@
+"""availableNow incremental drive: each run drains only new files; reruns
+are no-ops; snapshots accumulate idempotently (SURVEY.md §2.9)."""
+
+import os
+
+import pytest
+
+from gdal_spark import fixtures
+from gdal_spark.plans.snapshots import SnapshotTable
+from gdal_spark.streaming.incremental import run_incremental_tiles
+
+
+@pytest.mark.slow
+def test_incremental_tiling(spark, tmp_path):
+    images_dir = str(tmp_path / "images")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable(str(tmp_path / "tiles"))
+
+    # batch 1: 4 images land
+    fixtures.images_df(spark, 4, tier="bench", partitions=2).write.mode(
+        "append"
+    ).parquet(images_dir)
+    run_incremental_tiles(spark, images_dir, table, ckpt, zoom=3)
+    n1 = table.read(spark).count()
+    assert n1 > 0
+
+    # rerun with no new data: stream drains nothing, table unchanged
+    run_incremental_tiles(spark, images_dir, table, ckpt, zoom=3)
+    assert table.read(spark).count() == n1
+
+    # batch 2: 4 more images land -> only they are processed
+    import pandas as pd
+
+    more = fixtures.images_df(spark, 8, tier="bench", partitions=2).where(
+        "image_id >= 'img00000004'"
+    )
+    more.write.mode("append").parquet(images_dir)
+    run_incremental_tiles(spark, images_dir, table, ckpt, zoom=3)
+    n2 = table.read(spark).count()
+    assert n2 >= n1  # new tiles (or same keys merged idempotently)
+    # every tile key unique
+    tiles = table.read(spark)
+    assert tiles.count() == tiles.select("z", "tx", "ty").distinct().count()
