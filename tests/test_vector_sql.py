@@ -1,0 +1,183 @@
+"""Vector pipeline steps (ogr2ogr analogs) + ExecuteSQL facade."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import fixtures, geom
+from gdal_spark.operators.vector import (
+    clip_features,
+    clip_ring_rect,
+    concat_layers,
+    explode_collections,
+    reproject_features,
+    segmentize,
+    spatial_filter,
+    swap_xy,
+    vector_filter,
+    vector_select,
+    with_centroids,
+)
+from gdal_spark.sql import execute_sql
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    df = fixtures.features_df(spark, 32).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+class TestClipRect:
+    def test_inside_untouched(self):
+        ring = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+        out = clip_ring_rect(ring, 0, 0, 10, 10)
+        np.testing.assert_array_equal(out, ring)
+
+    def test_outside_removed(self):
+        ring = np.array([[20, 20], [30, 20], [30, 30], [20, 30], [20, 20]], dtype=float)
+        assert clip_ring_rect(ring, 0, 0, 10, 10) is None
+
+    def test_partial_clip_area(self):
+        # square [0,4]^2 clipped to x>=2: area halves
+        ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+        out = clip_ring_rect(ring, 2, -10, 10, 10)
+        a, _ = geom.ring_area_centroid(out)
+        assert abs(abs(a) - 8.0) < 1e-12
+
+    def test_df_clip(self, spark, feats):
+        box = (-5e6, -5e6, 5e6, 5e6)
+        out = clip_features(feats, *box)
+        rows = out.collect()
+        assert 0 < len(rows) < 32
+        for r in rows:
+            assert r.minx >= box[0] - 1e-6 and r.maxx <= box[2] + 1e-6
+            assert r.miny >= box[1] - 1e-6 and r.maxy <= box[3] + 1e-6
+
+
+class TestVectorSteps:
+    def test_filter_select_concat(self, spark, feats):
+        f = vector_filter(feats, "kind = 'admin'")
+        assert f.count() == sum(1 for i in range(32) if i % 3 == 0)
+        s = vector_select(f, ["name"])
+        assert set(s.columns) == {"fid", "wkb", "minx", "miny", "maxx", "maxy", "name"}
+        c = concat_layers(f, vector_filter(feats, "kind = 'water'"))
+        assert c.count() == f.count() + vector_filter(feats, "kind = 'water'").count()
+
+    def test_spatial_filter_matches_envelopes(self, spark, feats):
+        box = (-1e7, -1e7, 1e7, 1e7)
+        got = {r.fid for r in spatial_filter(feats, *box).select("fid").collect()}
+        exp = set()
+        for i in range(32):
+            rec = fixtures.feature_record(i)
+            if (
+                rec["maxx"] >= box[0]
+                and rec["minx"] <= box[2]
+                and rec["maxy"] >= box[1]
+                and rec["miny"] <= box[3]
+            ):
+                exp.add(i)
+        assert got == exp
+
+    def test_reproject_roundtrip(self, spark, feats):
+        # 3857 -> 4326 -> 3857 returns the original vertices
+        sub = feats.where(F.col("fid") < 6)
+        back = reproject_features(reproject_features(sub, 3857, 4326), 4326, 3857)
+        orig = {r.fid: geom.parse_wkb(bytes(r.wkb)) for r in sub.collect()}
+        for r in back.collect():
+            g = geom.parse_wkb(bytes(r.wkb))
+            o = orig[r.fid]
+            for ra, rb in zip(g.parts, o.parts):
+                np.testing.assert_allclose(ra, rb, rtol=1e-9)
+
+    def test_swap_xy_involution(self, spark, feats):
+        sub = feats.where(F.col("fid") < 4)
+        twice = swap_xy(swap_xy(sub))
+        orig = {r.fid: bytes(r.wkb) for r in sub.collect()}
+        for r in twice.collect():
+            g = geom.parse_wkb(bytes(r.wkb))
+            o = geom.parse_wkb(orig[r.fid])
+            for ra, rb in zip(g.parts, o.parts):
+                np.testing.assert_allclose(ra, rb, rtol=0)
+
+    def test_segmentize_max_length(self, spark, feats):
+        sub = feats.where(F.col("fid") == 5)
+        out = segmentize(sub, 1e5).collect()[0]
+        g = geom.parse_wkb(bytes(out.wkb))
+        for ring in g.parts:
+            seg = np.hypot(*(ring[1:] - ring[:-1]).T)
+            assert seg.max() <= 1e5 + 1e-6
+        # envelope unchanged (vertices added on existing segments)
+        rec = fixtures.feature_record(5)
+        assert abs(out.minx - rec["minx"]) < 1e-6
+
+    def test_explode_collections(self, spark):
+        mp = geom.wkb_multipolygon(
+            [
+                [np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)],
+                [np.array([[5, 5], [6, 5], [6, 6], [5, 6]], dtype=float)],
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(mp), 0.0, 0.0, 6.0, 6.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        out = explode_collections(df).collect()
+        assert len(out) == 2
+        assert {(r.minx, r.maxx) for r in out} == {(0.0, 1.0), (5.0, 6.0)}
+
+    def test_centroids(self, spark):
+        rect = geom.wkb_rect(0, 0, 4, 2)
+        df = spark.createDataFrame(
+            [(1, bytearray(rect), 0.0, 0.0, 4.0, 2.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        r = with_centroids(df).collect()[0]
+        assert abs(r.cx - 2.0) < 1e-12 and abs(r.cy - 1.0) < 1e-12
+
+
+class TestExecuteSQL:
+    def test_sql_with_st_contains(self, spark, feats):
+        pts = spark.createDataFrame(
+            [fixtures.point_record(i) for i in range(200)],
+            schema=fixtures.POINT_COLUMNS,
+        )
+        out = execute_sql(
+            spark,
+            """
+            SELECT f.fid, count(*) AS n
+            FROM pts p JOIN feats f
+              ON p.x >= f.minx AND p.x <= f.maxx
+             AND p.y >= f.miny AND p.y <= f.maxy
+            WHERE st_contains(f.wkb, p.x, p.y)
+            GROUP BY f.fid ORDER BY f.fid
+            """,
+            layers={"pts": pts, "feats": feats},
+        )
+        rows = out.collect()
+        # brute-force oracle
+        P = [fixtures.point_record(i) for i in range(200)]
+        px = np.array([p["x"] for p in P])
+        py = np.array([p["y"] for p in P])
+        exp = {}
+        for fid in range(32):
+            rec = fixtures.feature_record(fid)
+            inside = geom.points_in_geometry(px, py, geom.parse_wkb(rec["wkb"]))
+            if inside.sum():
+                exp[fid] = int(inside.sum())
+        assert {r.fid: r.n for r in rows} == exp
+
+    def test_sql_centroid_distance(self, spark, feats):
+        out = execute_sql(
+            spark,
+            "SELECT fid, st_centroid_x(wkb) AS cx, st_distance(wkb, 0.0, 0.0) AS d "
+            "FROM feats WHERE fid = 0",
+            layers={"feats": feats},
+        ).collect()[0]
+        rec = fixtures.feature_record(0)
+        assert rec["minx"] <= out.cx <= rec["maxx"]
+        inside = geom.points_in_geometry(
+            np.array([0.0]), np.array([0.0]), geom.parse_wkb(rec["wkb"])
+        )[0]
+        assert (out.d == 0.0) == bool(inside)
