@@ -106,6 +106,20 @@ def decode_png(buf: bytes) -> np.ndarray:
     ftypes = raw[:, 0]
     data = raw[:, 1:].astype(np.int64)  # headroom for modular adds
 
+    # fast paths: homogeneous filter type over all rows (our encoder always
+    # writes Sub, so this is the hot path — one vectorized op instead of a
+    # per-row Python loop)
+    if (ftypes == 0).all():
+        out = raw[:, 1:].copy()
+        return _png_finish(out, h, w, c, bitdepth, stride)
+    if (ftypes == 1).all():  # Sub: prefix sum within each row per byte lane
+        lanes = data.reshape(h, w, bpp)
+        out = (lanes.cumsum(axis=1) % 256).astype(np.uint8).reshape(h, stride)
+        return _png_finish(out, h, w, c, bitdepth, stride)
+    if (ftypes == 2).all():  # Up: prefix sum down columns
+        out = (data.cumsum(axis=0) % 256).astype(np.uint8)
+        return _png_finish(out, h, w, c, bitdepth, stride)
+
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
@@ -133,6 +147,10 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ft}")
         out[y] = cur
         prev = cur
+    return _png_finish(out, h, w, c, bitdepth, stride)
+
+
+def _png_finish(out, h, w, c, bitdepth, stride):
     if bitdepth == 16:
         arr = out.reshape(h, w, c, 2).astype(np.uint16)
         arr = (arr[..., 0] << 8) | arr[..., 1]

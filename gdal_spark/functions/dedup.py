@@ -95,16 +95,12 @@ def _shingle_hashes_udf(texts: pd.Series, widths: pd.Series) -> pd.Series:
             out.append([int(_fnv1a(s.encode("utf-8")) & 0x7FFFFFFFFFFFFFFF)])
             continue
         base = np.uint64(1099511628211)
-        # rolling polynomial hash, wraparound mod 2^64 then masked to 63 bits
-        powk = base ** np.uint64(k - 1)
-        h = np.uint64(0)
-        hs = np.empty(len(b) - k + 1, dtype=np.uint64)
-        for i in range(k):
-            h = h * base + b[i]
-        hs[0] = h
-        for i in range(1, len(b) - k + 1):
-            h = (h - b[i - 1] * powk) * base + b[i + k - 1]
-            hs[i] = h
+        # polynomial hash of every k-window as k vectorized multiply-adds
+        # (k is small; wraparound mod 2^64 is intentional)
+        n = len(b) - k + 1
+        hs = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            hs = hs * base + b[j : j + n]
         vals = np.unique(hs & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         out.append(vals.tolist())
     return pd.Series(out)
@@ -163,9 +159,12 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_params(num_hashes: int, seed: int = 42):
+    """(a, b) for h_i(x) = (a*x + b) mod (2^61-1) with x masked to 31 bits
+    and a < 2^30 — every product fits in uint64, so the whole hash family
+    evaluates as one vectorized numpy expression (no bignum objects)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64)
+    a = rng.integers(1, 1 << 30, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.uint64)
     return a, b
 
 
@@ -181,20 +180,17 @@ def with_minhash(
 
     @F.pandas_udf(ArrayType(LongType()))
     def mh(shingles: pd.Series) -> pd.Series:
-        A = a_arr.astype(np.object_)  # python ints: exact mod-61 arithmetic
-        B = b_arr.astype(np.object_)
+        A = a_arr[:, None]  # (H, 1) uint64
+        B = b_arr[:, None]
+        p = np.uint64(MERSENNE)
         res = []
         for sh in shingles:
-            x = np.asarray(sh, dtype=np.int64)
+            x = np.asarray(sh, dtype=np.uint64) & np.uint64(0x7FFFFFFF)
             if len(x) == 0:
                 res.append([0] * len(a_arr))
                 continue
-            # (a*x + b) mod p per hash function; vectorized over shingles
-            xv = x.astype(np.object_)
-            mins = [
-                int(np.min((A[i] * xv + B[i]) % MERSENNE)) for i in range(len(a_arr))
-            ]
-            res.append(mins)
+            hs = (A * x[None, :] + B) % p  # (H, n), no overflow by design
+            res.append(hs.min(axis=1).astype(np.int64).tolist())
         return pd.Series(res)
 
     sh = with_shingles(df, text_col, k)
@@ -248,13 +244,43 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    # exact verify via signature agreement (estimate) then true jaccard
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
-    return cands.join(
-        exact.withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b"),
-        ["id_a", "id_b"],
-        "inner",
+    # two-stage verify, both linear in |candidates| (never the all-pairs
+    # shingle join, which explodes on shared-vocabulary corpora):
+    # 1. signature-agreement estimate (64 longs per side, cheap zip_with)
+    #    culls the LSH false positives with a safety margin,
+    # 2. exact shingle Jaccard only on the survivors.
+    sig = mh
+    est = (
+        cands.join(sig.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
+        .withColumn(
+            "est",
+            F.size(
+                F.filter(
+                    F.zip_with("mh_a", "mh_b", lambda a, b: a == b),
+                    lambda v: v,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .where(F.col("est") >= threshold - 0.15)
+        .select("id_a", "id_b")
     )
+    sh = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, k)
+    sets = sh.select("id", "shingles")
+    verified = (
+        est.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
 
 
 # ---------------------------------------------------------------------------
