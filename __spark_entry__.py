@@ -385,6 +385,160 @@ def q_idw_sql():
     )
 
 
+def _rect_layers(spark, sf_dir):
+    """Deterministic rectangle layers (input from part, method from
+    supplier) built through the engine's WKB builders."""
+    import pandas as pd
+
+    from gdal_spark import geom
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size").collect()
+    rows = []
+    for r in p:
+        cx = (r.p_partkey * 31 % 400) * 100000.0 - 20000000.0
+        cy = (r.p_partkey * 17 % 380) * 100000.0 - 19000000.0
+        half = r.p_size * 30000.0
+        rows.append(
+            (
+                r.p_partkey,
+                bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
+                cx - half, cy - half, cx + half, cy + half,
+            )
+        )
+    inputs = spark.createDataFrame(
+        rows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    mrows = []
+    for r in s:
+        cx = (r.s_suppkey * 13 % 40) * 1000000.0 - 20000000.0
+        cy = (r.s_suppkey * 7 % 38) * 1000000.0 - 19000000.0
+        half = 1500000.0
+        mrows.append(
+            (
+                r.s_suppkey,
+                bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
+                cx - half, cy - half, cx + half, cy + half,
+            )
+        )
+    methods = spark.createDataFrame(
+        mrows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+    return inputs, methods
+
+
+_RECT_IN_SQL = (
+    "SELECT p_partkey AS fid, "
+    "(p_partkey * 31 % 400) * 100000.0 - 20000000.0 - p_size * 30000.0 AS minx, "
+    "(p_partkey * 17 % 380) * 100000.0 - 19000000.0 - p_size * 30000.0 AS miny, "
+    "(p_partkey * 31 % 400) * 100000.0 - 20000000.0 + p_size * 30000.0 AS maxx, "
+    "(p_partkey * 17 % 380) * 100000.0 - 19000000.0 + p_size * 30000.0 AS maxy "
+    "FROM part"
+)
+
+_RECT_M_SQL = (
+    "SELECT s_suppkey AS fid, "
+    "(s_suppkey * 13 % 40) * 1000000.0 - 20000000.0 - 1500000.0 AS minx, "
+    "(s_suppkey * 7 % 38) * 1000000.0 - 19000000.0 - 1500000.0 AS miny, "
+    "(s_suppkey * 13 % 40) * 1000000.0 - 20000000.0 + 1500000.0 AS maxx, "
+    "(s_suppkey * 7 % 38) * 1000000.0 - 19000000.0 + 1500000.0 AS maxy "
+    "FROM supplier"
+)
+
+
+def q_layer_intersection(spark, sf_dir):
+    """Layer-algebra Intersection (ogrlayer.cpp:3345-3700) on rectangle
+    layers: per-pair clipped piece areas via the Sutherland-Hodgman
+    kernel; the SQL oracle derives the same areas with interval
+    arithmetic — two independent derivations."""
+    from gdal_spark.operators.layer_algebra import layer_intersection
+
+    inputs, methods = _rect_layers(spark, sf_dir)
+    out = layer_intersection(inputs, methods)
+    return out.select(
+        "in_fid", "m_fid", F.round((F.col("area") / 1.0e6), 4).alias("area_km2")
+    ).orderBy("in_fid", "m_fid")
+
+
+def q_layer_intersection_sql():
+    return (
+        f"WITH i AS ({_RECT_IN_SQL}), m AS ({_RECT_M_SQL}), "
+        "p AS (SELECT i.fid AS in_fid, m.fid AS m_fid, "
+        "(least(i.maxx, m.maxx) - greatest(i.minx, m.minx)) AS w, "
+        "(least(i.maxy, m.maxy) - greatest(i.miny, m.miny)) AS h "
+        "FROM i JOIN m ON i.minx < m.maxx AND i.maxx > m.minx "
+        "AND i.miny < m.maxy AND i.maxy > m.miny) "
+        "SELECT in_fid, m_fid, round(w * h / 1.0e6, 4) AS area_km2 FROM p "
+        "WHERE w > 0 AND h > 0 ORDER BY in_fid, m_fid"
+    )
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: planar customer points aggregated per containing
+    rectangle zone (the data-metrics gridding family,
+    alg/gdalgrid.cpp:649-800) through the real PIP-join path."""
+    from gdal_spark.operators.spatial_join import polygon_aggregate_join
+
+    pts = _points_planar(spark, sf_dir)
+    _inputs, methods = _rect_layers(spark, sf_dir)
+    out = polygon_aggregate_join(
+        pts,
+        methods,
+        aggs=[
+            F.count("*").alias("n"),
+            F.round(F.avg("z"), 4).alias("avg_z"),
+            F.min("pid").alias("min_pid"),
+        ],
+    )
+    return out.orderBy("fid")
+
+
+def q_zonal_stats_sql():
+    return (
+        f"WITH m AS ({_RECT_M_SQL}), p AS ({_PLANAR_SQL}) "
+        "SELECT m.fid, count(*) AS n, round(avg(p.z), 4) AS avg_z, "
+        "min(p.pid) AS min_pid FROM p JOIN m "
+        "ON p.x >= m.minx AND p.x <= m.maxx AND p.y >= m.miny AND p.y <= m.maxy "
+        "GROUP BY m.fid ORDER BY m.fid"
+    )
+
+
+def q_interpolate_at_points(spark, sf_dir):
+    """InterpolateAtPoint (alg/gdal_interpolateatpoint.cpp): bilinear
+    sample of fixture images at their own grid points (rows-only: pixel
+    decode is not SQL-expressible; numpy parity in tests)."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.interpolate import interpolate_at_points
+
+    imgs = fixtures.images_df(spark, 8, tier="t2", partitions=2).where(
+        F.col("srid") == 3857
+    )
+    metas = imgs.select("image_id", "w", "h", "gt0", "gt1", "gt3", "gt5").collect()
+    pts = []
+    pid = 0
+    for m in metas:
+        for fx, fy in ((0.25, 0.25), (0.75, 0.5)):
+            pts.append((pid, m.gt0 + fx * m.w * m.gt1, m.gt3 + fy * m.h * m.gt5))
+            pid += 1
+    pdf = spark.createDataFrame(pts, "pid long, x double, y double")
+    out = interpolate_at_points(pdf, imgs, resampling="bilinear")
+    return out.select(
+        "pid", "image_id", "band", F.round("value", 4).alias("value")
+    ).orderBy("pid", "image_id", "band")
+
+
+def q_rasterize_checksums(spark, sf_dir):
+    """Rasterize (alg/gdalrasterize.cpp scanline parity) of supplier-
+    derived rectangles into a 1024x1024 grid; per-tile GDAL checksums
+    (rows-only; scanline semantics verified in tests)."""
+    from gdal_spark.operators.rasterize import rasterize
+
+    _inputs, methods = _rect_layers(spark, sf_dir)
+    gt = (-20000000.0, 39062.5, 0.0, 19000000.0, 0.0, -39062.5)
+    out = rasterize(spark, methods, gt, 1024, 1024, burn_value=1.0, merge="add")
+    return out.select("tile_x", "tile_y", "checksum").orderBy("tile_x", "tile_y")
+
+
 # ------------------------- OGR SQL surface -------------------------------
 
 
@@ -882,6 +1036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "groupby_agg": q_groupby_rollup,
         "events_window": q_events_window,
+        # layer algebra + raster<->vector
+        "layer_intersection": q_layer_intersection,
+        "zonal_stats": q_zonal_stats,
+        "interpolate_at_points": q_interpolate_at_points,
+        "rasterize_checksums": q_rasterize_checksums,
         # training-data functions
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -919,6 +1078,8 @@ def oracle_sql() -> dict[str, str]:
         "scalar_functions": q_scalar_functions_sql(),
         "groupby_agg": q_groupby_rollup_sql(),
         "events_window": q_events_window_sql(),
+        "layer_intersection": q_layer_intersection_sql(),
+        "zonal_stats": q_zonal_stats_sql(),
         "token_count": q_token_count_sql(),
         "text_stats": q_text_stats_sql(),
         "lang_id": q_lang_id_sql(),

@@ -201,7 +201,7 @@ def _control_unit(args):
     return n
 
 
-def control_efficiency(n_units: int = 512):
+def control_efficiency(n_units: int = 4096):
     """Raw-multiprocessing control: same kernel, 8 vs 32 processes, no
     Spark. On a shared-bandwidth single box this is the physical ceiling
     any engine can reach; on a real cluster each executor brings its own

@@ -211,8 +211,12 @@ def cut_fragments(images, zoom=None, tile_size: int = 256, resampling: str = "av
                         "tx": int(r.tx),
                         "ty": int(r.ty),
                         "image_id": r.image_id,
-                        "px": codecs.encode_raw(tile),
-                        "alpha": codecs.encode_raw(alpha[:, :, None]),
+                        # PNG, not raw: fragments cross a shuffle + a
+                        # sort-based group iterator + an Arrow->pandas
+                        # conversion — payload size IS the cost there
+                        # (level-1 zlib: ~10x smaller, ~1ms each way)
+                        "px": codecs.encode_png(tile, level=1),
+                        "alpha": codecs.encode_png(alpha, level=1),
                         "c": int(tile.shape[2]),
                     }
                 )
@@ -247,12 +251,12 @@ def _compose_group(pdf, tile_size: int):
     alpha = np.zeros((ts, ts), dtype=np.uint8)
     src_ids = []
     for r in pdf.itertuples(index=False):
-        tile = codecs.decode_raw(bytes(r.px))
+        tile = codecs.decode_png(bytes(r.px))
         if tile.ndim == 2:
             tile = tile[:, :, None]
         if tile.shape[2] < c:  # gray fragment into RGB mosaic: replicate
             tile = np.repeat(tile[:, :, :1], c, axis=2)
-        fa = codecs.decode_raw(bytes(r.alpha))
+        fa = codecs.decode_png(bytes(r.alpha))
         if fa.ndim == 3:
             fa = fa[:, :, 0]
         m = fa > 0
