@@ -486,7 +486,7 @@ def q_zonal_stats(spark, sf_dir):
         methods,
         aggs=[
             F.count("*").alias("n"),
-            F.round(F.avg("z"), 4).alias("avg_z"),
+            F.round(F.sum("z"), 2).alias("sum_z"),
             F.min("pid").alias("min_pid"),
         ],
     )
@@ -496,7 +496,7 @@ def q_zonal_stats(spark, sf_dir):
 def q_zonal_stats_sql():
     return (
         f"WITH m AS ({_RECT_M_SQL}), p AS ({_PLANAR_SQL}) "
-        "SELECT m.fid, count(*) AS n, round(avg(p.z), 4) AS avg_z, "
+        "SELECT m.fid, count(*) AS n, round(sum(p.z), 2) AS sum_z, "
         "min(p.pid) AS min_pid FROM p JOIN m "
         "ON p.x >= m.minx AND p.x <= m.maxx AND p.y >= m.miny AND p.y <= m.maxy "
         "GROUP BY m.fid ORDER BY m.fid"
@@ -569,7 +569,7 @@ def q_first_match_left_join(spark, sf_dir):
     (ogr_gensql.cpp:1497-1527) — reproduced with row_number."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_quantity")
     first = (
         li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -585,7 +585,7 @@ def q_first_match_left_join(spark, sf_dir):
 def q_first_match_left_join_sql():
     return (
         "WITH f AS (SELECT l_orderkey, l_partkey, l_quantity, row_number() "
-        "OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn FROM lineitem) "
+        "OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) AS rn FROM lineitem) "
         "SELECT o_orderkey, l_partkey, l_quantity FROM orders "
         "LEFT JOIN (SELECT * FROM f WHERE rn = 1) f ON o_orderkey = l_orderkey "
         "ORDER BY o_orderkey"
