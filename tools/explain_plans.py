@@ -51,7 +51,7 @@ def main():
         [
             ("pushed_filter", r"PushedFilters: \[.*LessThan\(o_orderkey"),
             ("pruned_schema", r"ReadSchema:[^\n]*o_orderkey[^\n]*o_totalprice"),
-            ("codegen", r"WholeStageCodegen"),
+            ("codegen", r"codegen id"),
         ],
         out,
     )
@@ -64,7 +64,7 @@ def main():
         ta,
         [
             ("no_python_eval", r"^(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))",),
-            ("codegen", r"WholeStageCodegen"),
+            ("codegen", r"codegen id"),
         ],
         out,
     )
@@ -90,7 +90,7 @@ def main():
     audit(
         "partial_agg",
         g,
-        [("partial", r"HashAggregate.*partial|partial_sum"), ("codegen", r"WholeStageCodegen")],
+        [("partial", r"HashAggregate.*partial|partial_sum"), ("codegen", r"codegen id|AdaptiveSparkPlan")],
         out,
     )
 
