@@ -280,6 +280,10 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the (small) verified pair set so the signature cache can
+    # be released immediately — long sessions must not accumulate storage
+    verified = verified.localCheckpoint(eager=True)
+    mh.unpersist()
     return verified
 
 
@@ -308,13 +312,16 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
         for bit in range(64):
             if v[bit] > 0:
                 sig |= np.uint64(1) << np.uint64(bit)
-        out[i] = np.int64(sig & np.uint64(0x7FFFFFFFFFFFFFFF))
+        # full 64-bit signature, stored as two's-complement int64 so bit 63
+        # participates in the hamming distance
+        s = int(sig)
+        out[i] = s - (1 << 64) if s >= (1 << 63) else s
     return pd.Series(out)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash"):
     """64-bit SimHash over FNV-1a token hashes (deterministic everywhere;
-    top bit cleared to stay in int64)."""
+    stored as two's-complement int64)."""
     return df.withColumn(out, _simhash_udf(F.col(text_col)))
 
 
@@ -322,8 +329,13 @@ def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ):
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using
-    4x16-bit chunk blocking (a pair within distance 3 must agree on one
-    full chunk — pigeonhole) so the join is an equi-join, not a cross."""
+    (max_hamming+1)-chunk blocking: a pair within distance d differs in at
+    most d chunks, so it must agree on >= 1 of d+1 chunks (pigeonhole) —
+    the join is an equi-join on (chunk, value), never a cross."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
     sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col).select(
         "id", "simhash"
     )
@@ -335,11 +347,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(ci).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * ci)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), bounds[ci])
+                        .bitwiseAND(F.lit((1 << (bounds[ci + 1] - bounds[ci])) - 1))
                         .alias("val"),
                     )
-                    for ci in range(4)
+                    for ci in range(n_chunks)
                 ]
             )
         ).alias("cc"),
@@ -374,7 +386,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_repetitions: int = 6,
     seed: int = 42,
     dim: int | None = None,
     exact: bool = False,
@@ -382,9 +395,13 @@ def embedding_neardup_pairs(
     """Pairs with cosine similarity >= threshold.
 
     exact=True: all-pairs via a self-join (oracle / small inputs).
-    exact=False: random-hyperplane LSH — rows whose sign signature agrees
-    land in one bucket; verify candidates exactly. One equi-join shuffle
-    on (bucket), never a cross join."""
+    exact=False: random-hyperplane LSH with OR-amplification —
+    ``n_repetitions`` independent ``n_planes``-bit sign signatures; a pair
+    is a candidate if it agrees on ALL planes of >= 1 repetition, then
+    verified exactly. Expected recall for true cosine s:
+    1 - (1 - p^n_planes)^n_repetitions with p = 1 - acos(s)/pi
+    (defaults: s=0.95 -> p~0.899 -> ~0.965 recall). One equi-join shuffle
+    on (rep, bucket), never a cross join."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if exact:
         a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
@@ -398,17 +415,26 @@ def embedding_neardup_pairs(
         first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
         dim = int(first[0].d) if first else 0
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_repetitions, n_planes, dim))
 
-    sig = None
-    for p in range(n_planes):
-        dot = _dot_literal(F.col("v"), planes[p])
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig * 2 + bit
-    bucketed = base.withColumn("bucket", sig)
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    cands = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    reps = []
+    for rep in range(n_repetitions):
+        sig = None
+        for p in range(n_planes):
+            dot = _dot_literal(F.col("v"), planes[rep, p])
+            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig * 2 + bit
+        reps.append(F.struct(F.lit(rep).alias("rep"), sig.alias("bucket")))
+    bucketed = base.select(
+        "id", "v", F.explode(F.array(*reps)).alias("rb")
+    ).select("id", "v", "rb.rep", "rb.bucket")
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "rep", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "rep", "bucket")
+    cands = (
+        a.join(b, ["rep", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return _with_cosine(cands).where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )

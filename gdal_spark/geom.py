@@ -279,6 +279,34 @@ def points_to_polygon_dist(px, py, rings):
     return np.where(inside, 0.0, d)
 
 
+def polygon_area_centroid(polys):
+    """Net area + centroid of a list of polygons (each a ring-list, ring 0
+    exterior, rest holes), holes subtracted with their own first moments
+    (OGRGeometry::Centroid / GEOS getCentroid semantics: interior rings
+    are holes regardless of stored orientation).
+
+    Returns (net_area, (cx, cy)); (nan, nan) centroid when net area is 0.
+    """
+    net, sx, sy = 0.0, 0.0, 0.0
+    for rings in polys:
+        if not rings:
+            continue
+        a0, (cx0, cy0) = ring_area_centroid(rings[0])
+        a0 = abs(a0)
+        net += a0
+        sx += a0 * cx0
+        sy += a0 * cy0
+        for hole in rings[1:]:
+            ha, (hx, hy) = ring_area_centroid(hole)
+            ha = abs(ha)
+            net -= ha
+            sx -= ha * hx
+            sy -= ha * hy
+    if net == 0:
+        return 0.0, (float("nan"), float("nan"))
+    return net, (sx / net, sy / net)
+
+
 def ring_area_centroid(ring):
     """Signed shoelace area and centroid of one ring."""
     r = np.asarray(ring, dtype=np.float64)

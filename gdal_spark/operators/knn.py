@@ -144,6 +144,9 @@ def knn_join(
         "dist",
         "rank",
     )
+    # every round's topk was localCheckpointed, so `out` no longer depends
+    # on the cached points — release the cache before handing the plan back
+    pts.unpersist()
     return out
 
 

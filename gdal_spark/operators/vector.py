@@ -268,22 +268,9 @@ def with_centroids(df: DataFrame) -> DataFrame:
             cxs, cys = [], []
             for b in pdf["wkb"]:
                 g = geom.parse_wkb(bytes(b))
-                total_a, sx, sy = 0.0, 0.0, 0.0
-                for rings in g.polygons():
-                    a, (cx, cy) = geom.ring_area_centroid(rings[0])
-                    for hole in rings[1:]:
-                        ha, (hx, hy) = geom.ring_area_centroid(hole)
-                        a += ha  # holes have opposite orientation sign
-                        cx, cy = cx, cy
-                    total_a += abs(a)
-                    sx += abs(a) * cx
-                    sy += abs(a) * cy
-                if total_a > 0:
-                    cxs.append(sx / total_a)
-                    cys.append(sy / total_a)
-                else:
-                    cxs.append(float("nan"))
-                    cys.append(float("nan"))
+                _a, (cx, cy) = geom.polygon_area_centroid(g.polygons())
+                cxs.append(cx)
+                cys.append(cy)
             pdf = pdf.copy()
             pdf["cx"] = cxs
             pdf["cy"] = cys

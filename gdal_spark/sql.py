@@ -69,17 +69,12 @@ def _st_centroid_y(wkbs: pd.Series) -> pd.Series:
 
 def _centroid(wkb: bytes):
     g = geom.parse_wkb(wkb)
-    ta, sx, sy = 0.0, 0.0, 0.0
-    for rings in g.polygons():
-        a, (cx, cy) = geom.ring_area_centroid(rings[0])
-        ta += abs(a)
-        sx += abs(a) * cx
-        sy += abs(a) * cy
+    ta, (cx, cy) = geom.polygon_area_centroid(g.polygons())
     if ta == 0:
         if g.kind == geom.WKB_POINT:
             return float(g.parts[0, 0]), float(g.parts[0, 1])
         return float("nan"), float("nan")
-    return sx / ta, sy / ta
+    return cx, cy
 
 
 def register_functions(spark: SparkSession) -> None:

@@ -136,6 +136,25 @@ class TestVectorSteps:
         r = with_centroids(df).collect()[0]
         assert abs(r.cx - 2.0) < 1e-12 and abs(r.cy - 1.0) < 1e-12
 
+    def test_centroid_with_hole_moments(self, spark):
+        # 10x10 square with a 2x2 hole centered at (8,5): net area 96,
+        # cx = (100*5 - 4*8)/96 = 4.875
+        import numpy as np
+
+        holed = geom.wkb_polygon(
+            [
+                np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float),
+                np.array([[7, 4], [9, 4], [9, 6], [7, 6]], dtype=float),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(holed), 0.0, 0.0, 10.0, 10.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        r = with_centroids(df).collect()[0]
+        assert abs(r.cx - (100 * 5 - 4 * 8) / 96.0) < 1e-12
+        assert abs(r.cy - 5.0) < 1e-12
+
 
 class TestExecuteSQL:
     def test_sql_with_st_contains(self, spark, feats):
