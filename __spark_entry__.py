@@ -446,6 +446,133 @@ _RECT_M_SQL = (
 )
 
 
+def _disjoint_rect_layers(spark, sf_dir):
+    """Rectangle layers where each layer is internally DISJOINT by
+    construction (grid cells larger than the largest rect) but the two
+    layers overlap each other — so union/erase areas are derivable in SQL
+    with per-pair interval arithmetic only (no inclusion-exclusion).
+    All coordinates are multiples of 2e4 -> every area is exact in
+    float64 on both engines."""
+    from gdal_spark import geom
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 9000).select("p_partkey").collect()
+    rows = []
+    for r in p:
+        pk = r.p_partkey
+        cx = (pk % 100) * 400000.0 - 20000000.0 + 200000.0
+        cy = (pk // 100 % 90) * 400000.0 - 18000000.0 + 200000.0
+        half = 120000.0 + (pk % 4) * 20000.0
+        rows.append(
+            (pk, bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
+             cx - half, cy - half, cx + half, cy + half)
+        )
+    inputs = spark.createDataFrame(
+        rows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 2250).select("s_suppkey").collect()
+    mrows = []
+    for r in s:
+        sk = r.s_suppkey
+        cx = (sk % 50) * 800000.0 - 20000000.0 + 600000.0
+        cy = (sk // 50 % 45) * 800000.0 - 18000000.0 + 600000.0
+        half = 250000.0 + (sk % 3) * 50000.0
+        mrows.append(
+            (sk, bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
+             cx - half, cy - half, cx + half, cy + half)
+        )
+    methods = spark.createDataFrame(
+        mrows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+    return inputs, methods
+
+
+_DISJ_IN_SQL = (
+    "SELECT p_partkey AS fid, "
+    "(p_partkey % 100) * 400000.0 - 20000000.0 + 200000.0 - (120000.0 + (p_partkey % 4) * 20000.0) AS minx, "
+    "(CAST(floor(p_partkey / 100) AS BIGINT) % 90) * 400000.0 - 18000000.0 + 200000.0 - (120000.0 + (p_partkey % 4) * 20000.0) AS miny, "
+    "(p_partkey % 100) * 400000.0 - 20000000.0 + 200000.0 + (120000.0 + (p_partkey % 4) * 20000.0) AS maxx, "
+    "(CAST(floor(p_partkey / 100) AS BIGINT) % 90) * 400000.0 - 18000000.0 + 200000.0 + (120000.0 + (p_partkey % 4) * 20000.0) AS maxy "
+    "FROM part WHERE p_partkey <= 9000"
+)
+
+_DISJ_M_SQL = (
+    "SELECT s_suppkey AS fid, "
+    "(s_suppkey % 50) * 800000.0 - 20000000.0 + 600000.0 - (250000.0 + (s_suppkey % 3) * 50000.0) AS minx, "
+    "(CAST(floor(s_suppkey / 50) AS BIGINT) % 45) * 800000.0 - 18000000.0 + 600000.0 - (250000.0 + (s_suppkey % 3) * 50000.0) AS miny, "
+    "(s_suppkey % 50) * 800000.0 - 20000000.0 + 600000.0 + (250000.0 + (s_suppkey % 3) * 50000.0) AS maxx, "
+    "(CAST(floor(s_suppkey / 50) AS BIGINT) % 45) * 800000.0 - 18000000.0 + 600000.0 + (250000.0 + (s_suppkey % 3) * 50000.0) AS maxy "
+    "FROM supplier WHERE s_suppkey <= 2250"
+)
+
+_DISJ_PAIRS_SQL = (
+    f"WITH i AS ({_DISJ_IN_SQL}), m AS ({_DISJ_M_SQL}), "
+    "p AS (SELECT i.fid AS in_fid, m.fid AS m_fid, "
+    "(least(i.maxx, m.maxx) - greatest(i.minx, m.minx)) AS w, "
+    "(least(i.maxy, m.maxy) - greatest(i.miny, m.miny)) AS h "
+    "FROM i JOIN m ON i.minx < m.maxx AND i.maxx > m.minx "
+    "AND i.miny < m.maxy AND i.maxy > m.miny), "
+    "pc AS (SELECT in_fid, m_fid, w * h AS area FROM p WHERE w > 0 AND h > 0), "
+    "isum AS (SELECT in_fid, sum(area) AS tot FROM pc GROUP BY in_fid), "
+    "msum AS (SELECT m_fid, sum(area) AS tot FROM pc GROUP BY m_fid), "
+    "ionly AS (SELECT i.fid AS in_fid, "
+    "(i.maxx - i.minx) * (i.maxy - i.miny) - coalesce(isum.tot, 0) AS area "
+    "FROM i LEFT JOIN isum ON i.fid = isum.in_fid), "
+    "monly AS (SELECT m.fid AS m_fid, "
+    "(m.maxx - m.minx) * (m.maxy - m.miny) - coalesce(msum.tot, 0) AS area "
+    "FROM m LEFT JOIN msum ON m.fid = msum.m_fid)"
+)
+
+
+def q_layer_union_areas(spark, sf_dir):
+    """Layer-algebra Union (ogrlayer.cpp:3763) on disjoint-per-layer
+    rectangle layers through the distributed cell-equi-join + boolean
+    kernel; NULL fids coalesce to -1 so engine NULL-ordering cannot
+    differ. Oracle: pieces by interval arithmetic; remainders by
+    area-minus-sum-of-pieces (valid because each layer is disjoint)."""
+    from gdal_spark.operators.layer_algebra import layer_union
+
+    inputs, methods = _disjoint_rect_layers(spark, sf_dir)
+    out = layer_union(inputs, methods)
+    return out.select(
+        F.coalesce(F.col("in_fid"), F.lit(-1)).cast("long").alias("in_fid"),
+        F.coalesce(F.col("m_fid"), F.lit(-1)).cast("long").alias("m_fid"),
+        F.round(F.col("area") / 1.0e6, 4).alias("area_km2"),
+    ).orderBy("in_fid", "m_fid")
+
+
+def q_layer_union_areas_sql():
+    return (
+        f"{_DISJ_PAIRS_SQL} "
+        "SELECT in_fid, m_fid, round(area / 1.0e6, 4) AS area_km2 FROM pc "
+        "UNION ALL SELECT in_fid, CAST(-1 AS BIGINT) AS m_fid, "
+        "round(area / 1.0e6, 4) AS area_km2 FROM ionly WHERE area > 0 "
+        "UNION ALL SELECT CAST(-1 AS BIGINT) AS in_fid, m_fid, "
+        "round(area / 1.0e6, 4) AS area_km2 FROM monly WHERE area > 0 "
+        "ORDER BY in_fid, m_fid"
+    )
+
+
+def q_layer_erase_areas(spark, sf_dir):
+    """Layer-algebra Erase (ogrlayer.cpp:5806): input minus the union of
+    intersecting methods, per input feature (grouped one-pass kernel
+    call; passthrough features included)."""
+    from gdal_spark.operators.layer_algebra import layer_erase
+
+    inputs, methods = _disjoint_rect_layers(spark, sf_dir)
+    out = layer_erase(inputs, methods)
+    return out.select(
+        "fid", F.round(F.col("area") / 1.0e6, 4).alias("area_km2")
+    ).orderBy("fid")
+
+
+def q_layer_erase_areas_sql():
+    return (
+        f"{_DISJ_PAIRS_SQL} "
+        "SELECT in_fid AS fid, round(area / 1.0e6, 4) AS area_km2 "
+        "FROM ionly WHERE area > 0 ORDER BY fid"
+    )
+
+
 def q_layer_intersection(spark, sf_dir):
     """Layer-algebra Intersection (ogrlayer.cpp:3345-3700) on rectangle
     layers: per-pair clipped piece areas via the Sutherland-Hodgman
@@ -1038,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         # layer algebra + raster<->vector
         "layer_intersection": q_layer_intersection,
+        "layer_union_areas": q_layer_union_areas,
+        "layer_erase_areas": q_layer_erase_areas,
         "zonal_stats": q_zonal_stats,
         "interpolate_at_points": q_interpolate_at_points,
         "rasterize_checksums": q_rasterize_checksums,
@@ -1079,6 +1208,8 @@ def oracle_sql() -> dict[str, str]:
         "groupby_agg": q_groupby_rollup_sql(),
         "events_window": q_events_window_sql(),
         "layer_intersection": q_layer_intersection_sql(),
+        "layer_union_areas": q_layer_union_areas_sql(),
+        "layer_erase_areas": q_layer_erase_areas_sql(),
         "zonal_stats": q_zonal_stats_sql(),
         "token_count": q_token_count_sql(),
         "text_stats": q_text_stats_sql(),

@@ -1,0 +1,346 @@
+"""General polygon boolean kernel: AND / OR / DIFF / XOR with holes and
+non-convex inputs, pure numpy.
+
+This is the engine's GEOS ``OGRGeometry::Intersection/Union/Difference``
+replacement (the reference delegates to GEOS overlayng from
+ogr/ogrgeometry.cpp; layer algebra at
+ogr/ogrsf_frmts/generic/ogrlayer.cpp:3345-5900 calls it per feature
+pair). The algorithm here is a *slab decomposition* rather than a
+vertex-walking clipper:
+
+1. Normalize ring orientation (exterior CCW, holes CW) so the NONZERO
+   winding rule classifies interiors; a side made of several overlapping
+   features then classifies as their union automatically.
+2. Collect y-breakpoints: every vertex y of both sides plus every
+   pairwise edge-crossing y. Between consecutive breakpoints ("slab") no
+   two edges cross, so active edges are totally ordered in x.
+3. Per slab, sort active edges by x at the slab midline and sweep
+   left->right accumulating winding numbers wA and wB; a gap between
+   consecutive edges is inside A iff wA != 0 (same for B); the boolean
+   predicate keeps or drops the gap. Maximal runs of kept gaps become
+   trapezoids.
+4. Reconstruct rings from the trapezoid boundary: interior boundaries
+   appear twice with opposite direction and cancel exactly (side edges)
+   or via a per-scanline signed-interval sweep (horizontal caps); the
+   surviving directed segments chain into CCW outer rings and CW holes.
+
+Degenerate robustness comes for free: coincident edges (shared
+boundaries between touching rectangles — the classic clipper killer)
+produce zero-width gaps whose boundary segments self-cancel; no special
+cases needed.
+
+Scale note: this kernel is O((V + X) log V) per polygon PAIR and runs
+inside pandas-grouped tasks; the distribution across pairs is the cell
+equi-join in operators/layer_algebra.py — the kernel itself never sees
+more than one feature group.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from .geom import points_in_ring, ring_area_centroid
+
+OPS = {
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "a_not_b": lambda a, b: a & ~b,
+    "b_not_a": lambda a, b: b & ~a,
+    "xor": lambda a, b: a ^ b,
+}
+
+
+def _collect_edges(polys):
+    """Directed edges of a polygon list with normalized orientation
+    (exterior CCW, holes CW). Returns (p0, p1) arrays of shape (E, 2)
+    including horizontal edges (they contribute breakpoints only)."""
+    p0s, p1s = [], []
+    for rings in polys:
+        for ri, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 3:
+                continue
+            if not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[0]])
+            a, _ = ring_area_centroid(r)
+            if a == 0:
+                continue
+            want_ccw = ri == 0
+            if (a > 0) != want_ccw:
+                r = r[::-1]
+            p0s.append(r[:-1])
+            p1s.append(r[1:])
+    if not p0s:
+        z = np.zeros((0, 2))
+        return z, z
+    return np.vstack(p0s), np.vstack(p1s)
+
+
+def _crossing_ys(p0, p1):
+    """y coordinates of all strictly-interior pairwise segment crossings
+    (endpoint touches are already breakpoints). Vectorized over all pairs."""
+    n = len(p0)
+    if n < 2:
+        return np.zeros(0)
+    d = p1 - p0
+    # pairwise denominators d_i x d_j
+    denom = d[:, None, 0] * d[None, :, 1] - d[:, None, 1] * d[None, :, 0]
+    q0 = p0[None, :, :] - p0[:, None, :]  # start_j - start_i
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (q0[:, :, 0] * d[None, :, 1] - q0[:, :, 1] * d[None, :, 0]) / denom
+        u = (q0[:, :, 0] * d[:, None, 1] - q0[:, :, 1] * d[:, None, 0]) / denom
+    ok = (
+        (denom != 0)
+        & (t > 0.0) & (t < 1.0)
+        & (u > 0.0) & (u < 1.0)
+    )
+    iu = np.triu_indices(n, k=1)
+    mask = ok[iu]
+    if not mask.any():
+        return np.zeros(0)
+    ti = t[iu][mask]
+    yi = p0[iu[0][mask], 1] + ti * d[iu[0][mask], 1]
+    return yi
+
+
+def _slab_trapezoids(a_polys, b_polys, op: str):
+    """Kept trapezoids of ``op`` over the two polygon lists.
+
+    Returns a list of (ylo, yhi, lxlo, lxhi, rxlo, rxhi) tuples: left
+    boundary runs (lxlo,ylo)->(lxhi,yhi), right (rxlo,ylo)->(rxhi,yhi)."""
+    pa0, pa1 = _collect_edges(a_polys)
+    pb0, pb1 = _collect_edges(b_polys)
+    na = len(pa0)
+    p0 = np.vstack([pa0, pb0])
+    p1 = np.vstack([pa1, pb1])
+    if len(p0) == 0:
+        return []
+    is_a = np.arange(len(p0)) < na
+
+    ys = np.concatenate([p0[:, 1], p1[:, 1], _crossing_ys(p0, p1)])
+    ys = np.unique(ys)
+    if len(ys) < 2:
+        return []
+
+    nonh = p0[:, 1] != p1[:, 1]
+    e0 = p0[nonh]
+    e1 = p1[nonh]
+    ea = is_a[nonh]
+    ey_min = np.minimum(e0[:, 1], e1[:, 1])
+    ey_max = np.maximum(e0[:, 1], e1[:, 1])
+    dirs = np.where(e1[:, 1] > e0[:, 1], 1, -1)
+    inv_dy = 1.0 / (e1[:, 1] - e0[:, 1])
+    dx = e1[:, 0] - e0[:, 0]
+
+    keep_fn = OPS[op]
+    traps = []
+    for ylo, yhi in zip(ys[:-1], ys[1:]):
+        if yhi <= ylo:
+            continue
+        act = (ey_min <= ylo) & (ey_max >= yhi)
+        if not act.any():
+            continue
+        ym = 0.5 * (ylo + yhi)
+        x_lo = e0[act, 0] + (ylo - e0[act, 1]) * dx[act] * inv_dy[act]
+        x_hi = e0[act, 0] + (yhi - e0[act, 1]) * dx[act] * inv_dy[act]
+        x_md = e0[act, 0] + (ym - e0[act, 1]) * dx[act] * inv_dy[act]
+        d = dirs[act]
+        aa = ea[act]
+        order = np.lexsort((d, x_hi, x_lo, x_md))
+        x_lo, x_hi = x_lo[order], x_hi[order]
+        d, aa = d[order], aa[order]
+        wa = np.cumsum(np.where(aa, -d, 0))
+        wb = np.cumsum(np.where(~aa, -d, 0))
+        keep = keep_fn(wa != 0, wb != 0)[:-1]  # gap i = between edge i, i+1
+        if not keep.any():
+            continue
+        # maximal runs of kept gaps -> one trapezoid each
+        padded = np.concatenate([[False], keep, [False]])
+        starts = np.nonzero(padded[1:] & ~padded[:-1])[0]
+        ends = np.nonzero(~padded[1:] & padded[:-1])[0]  # exclusive gap end
+        for s, e in zip(starts, ends):
+            li, ri = s, e  # left edge index s, right edge index e
+            if x_lo[li] == x_lo[ri] and x_hi[li] == x_hi[ri]:
+                continue  # zero-width sliver (coincident boundaries)
+            traps.append(
+                (float(ylo), float(yhi),
+                 float(x_lo[li]), float(x_hi[li]),
+                 float(x_lo[ri]), float(x_hi[ri]))
+            )
+    return traps
+
+
+def _traps_area(traps) -> float:
+    a = 0.0
+    for ylo, yhi, lxlo, lxhi, rxlo, rxhi in traps:
+        a += (yhi - ylo) * ((rxlo - lxlo) + (rxhi - lxhi)) * 0.5
+    return a
+
+
+def _reconstruct_rings(traps):
+    """Chain the uncancelled trapezoid boundary into closed rings.
+
+    Topology matching uses coordinates quantized to ~1e-12 of the data
+    scale (well above one ulp, far below any real vertex spacing) so the
+    ~ulp noise from crossing-derived breakpoints cannot break chains."""
+    if not traps:
+        return []
+    scale = max(
+        1.0,
+        max(
+            max(abs(v) for v in (lxlo, lxhi, rxlo, rxhi, ylo, yhi))
+            for ylo, yhi, lxlo, lxhi, rxlo, rxhi in traps
+        ),
+    )
+    quant = scale * 1e-12
+
+    def q(v: float) -> int:
+        return int(round(v / quant))
+
+    pointf: dict[tuple[int, int], tuple[float, float]] = {}
+
+    def qp(x: float, y: float):
+        key = (q(x), q(y))
+        if key not in pointf:
+            pointf[key] = (x, y)
+        return key
+
+    side_net: dict[tuple, int] = defaultdict(int)
+    horiz: dict[int, list] = defaultdict(list)  # yq -> (xq0, xq1, sign, y)
+
+    for ylo, yhi, lxlo, lxhi, rxlo, rxhi in traps:
+        bl, br = qp(lxlo, ylo), qp(rxlo, ylo)
+        tl, tr = qp(lxhi, yhi), qp(rxhi, yhi)
+        # left side: down (tl -> bl); right side: up (br -> tr)  [CCW]
+        if tl != bl:
+            k = (min(tl, bl), max(tl, bl))
+            side_net[k] += 1 if (tl, bl) == (k[0], k[1]) else -1
+        if br != tr:
+            k = (min(br, tr), max(br, tr))
+            side_net[k] += 1 if (br, tr) == (k[0], k[1]) else -1
+        # bottom cap: rightward (+1); top cap: leftward (-1)
+        if bl[0] != br[0]:
+            horiz[bl[1]].append((min(bl[0], br[0]), max(bl[0], br[0]), 1, ylo))
+        if tl[0] != tr[0]:
+            horiz[tl[1]].append((min(tl[0], tr[0]), max(tl[0], tr[0]), -1, yhi))
+
+    out_adj: dict[tuple[int, int], list] = defaultdict(list)
+    n_segs = 0
+
+    def emit(a, b):
+        nonlocal n_segs
+        out_adj[a].append(b)
+        n_segs += 1
+
+    for (ka, kb), net in side_net.items():
+        if net > 0:
+            emit(ka, kb)
+        elif net < 0:
+            emit(kb, ka)
+
+    for yq, ivals in horiz.items():
+        events = defaultdict(int)
+        yf = ivals[0][3]
+        for x0, x1, sign, _y in ivals:
+            events[x0] += sign
+            events[x1] -= sign
+        xs = sorted(events)
+        c = 0
+        run_start = None
+        run_sign = 0
+        for i, x in enumerate(xs):
+            c += events[x]
+            nxt_sign = 0 if c == 0 else (1 if c > 0 else -1)
+            if run_sign != nxt_sign:
+                if run_sign != 0 and run_start is not None and x != run_start:
+                    a, b = (run_start, x) if run_sign > 0 else (x, run_start)
+                    pa, pb = (a, yq), (b, yq)
+                    for kk, xv in ((pa, a), (pb, b)):
+                        if kk not in pointf:
+                            pointf[kk] = (xv * quant, yf)
+                    emit(pa, pb)
+                run_start = x
+                run_sign = nxt_sign
+        # c returns to 0 at the last event by construction
+
+    rings = []
+    while n_segs > 0:
+        start = next(k for k, v in out_adj.items() if v)
+        chain = [start]
+        cur = out_adj[start].pop()
+        n_segs -= 1
+        ok = True
+        while cur != start:
+            chain.append(cur)
+            nxts = out_adj[cur]
+            if not nxts:
+                ok = False
+                break
+            cur = nxts.pop()
+            n_segs -= 1
+        if ok and len(chain) >= 3:
+            coords = np.array([pointf[k] for k in chain] + [pointf[chain[0]]])
+            rings.append(coords)
+    return rings
+
+
+def ring_interior_point(ring: np.ndarray):
+    """A point strictly inside the ring (scanline through the midline of
+    the lowest vertex band; OGRPolygon::PointOnSurface analog)."""
+    r = np.asarray(ring, dtype=np.float64)
+    ys = np.unique(r[:, 1])
+    y0e, y1e = r[:-1, 1], r[1:, 1]
+    x0e, x1e = r[:-1, 0], r[1:, 0]
+    for i in range(len(ys) - 1):
+        ym = 0.5 * (ys[i] + ys[i + 1])
+        straddle = ((y0e <= ym) & (y1e > ym)) | ((y1e <= ym) & (y0e > ym))
+        if straddle.sum() >= 2:
+            t = (ym - y0e[straddle]) / (y1e[straddle] - y0e[straddle])
+            xs = np.sort(x0e[straddle] + t * (x1e[straddle] - x0e[straddle]))
+            return (0.5 * (xs[0] + xs[1]), ym)
+    a, c = ring_area_centroid(r)
+    return c
+
+
+def assemble_polygons(rings):
+    """Group reconstructed rings into polygons: CCW rings are exteriors,
+    each CW ring attaches to the smallest exterior containing its
+    interior point. Returns a list of ring-lists."""
+    outers, holes = [], []
+    for ring in rings:
+        a, _ = ring_area_centroid(ring)
+        if a > 0:
+            outers.append((abs(a), ring))
+        elif a < 0:
+            holes.append(ring)
+    outers.sort(key=lambda t: t[0])
+    polys = [[ring] for _a, ring in outers]
+    for h in holes:
+        px, py = ring_interior_point(h)
+        for i, (_a, o) in enumerate(outers):
+            if points_in_ring(np.array([px]), np.array([py]), o)[0]:
+                polys[i].append(h)
+                break
+    return polys
+
+
+def boolean_polys(a_polys, b_polys, op: str):
+    """Boolean op over two polygon lists -> list of polygons (ring lists,
+    exterior CCW first, holes CW). Multiple features per side are allowed
+    and classify as their union (nonzero rule after normalization)."""
+    traps = _slab_trapezoids(a_polys, b_polys, op)
+    return assemble_polygons(_reconstruct_rings(traps))
+
+
+def boolean_area(a_polys, b_polys, op: str) -> float:
+    """Area of the boolean result, straight from the slab trapezoids
+    (no ring reconstruction — exact and cheap)."""
+    return _traps_area(_slab_trapezoids(a_polys, b_polys, op))
+
+
+def boolean_full(a_polys, b_polys, op: str):
+    """(polygons, area) in one pass over the slabs."""
+    traps = _slab_trapezoids(a_polys, b_polys, op)
+    return assemble_polygons(_reconstruct_rings(traps)), _traps_area(traps)

@@ -1,19 +1,29 @@
-"""Layer algebra: Intersection / Clip between two polygon layers.
+"""Layer algebra: Intersection / Union / SymDifference / Identity /
+Update / Clip / Erase between two polygon layers — distributed.
 
-Reference: OGRLayer::Intersection / Clip (ogr/ogrsf_frmts/generic/
-ogrlayer.cpp:3345-3700, 5497) — a nested loop with envelope pretests and
-per-pair GEOS ops. Spark mapping (SURVEY.md §2.3): the method layer is
-broadcast (the reference's own "copy method layer into memory layer"
-advice at ogrlayer.cpp:3284-3285), phase 1 is the envelope predicate in
-Catalyst, phase 2 clips vectorized in a pandas pass.
+Reference: OGRLayer::Intersection (ogr/ogrsf_frmts/generic/
+ogrlayer.cpp:3345-3700), Union (:3763), SymDifference (:4300), Identity
+(:4730), Update (:5148), Clip (:5497), Erase (:5806) — each a nested
+loop with envelope pretests and per-pair GEOS ops.
 
-v1 scope: the method geometry must be CONVEX (clipping = successive
-half-plane Sutherland-Hodgman passes, exact). Non-convex method layers
-raise; Union/SymDifference/Erase are v2 (they produce non-convex results
-with holes that need a full polygon-clipping kernel).
+Spark mapping (SURVEY.md §2.3): instead of the reference's quadratic
+nested loop, both layers explode into the grid cells covering their
+envelopes (spatial_join.with_envelope_cells) and candidate pairs come
+from a hash-partitioned CELL EQUI-JOIN; each pair is reported exactly
+once via the owner-cell rule (the cell containing the top-left corner of
+the envelope intersection), so no dedup shuffle is needed. The per-pair
+geometry work runs in the slab-decomposition boolean kernel
+(gdal_spark.booleans) — non-convex inputs and holes fully supported —
+inside one Arrow-batched pandas pass.
 
-Result attributes = input fields  ∪  method fields (prefixed), matching
-ogrlayer.cpp:3272-3283.
+The erase-family ops (A minus all intersecting B) group each input
+feature with ALL its candidate method geometries (collect_list) and run
+ONE kernel call per feature: the nonzero-winding normalization makes the
+combined method ring set classify as the union of the method features,
+so no iterative pairwise subtraction is needed.
+
+Result attributes = input fid + method fid (ogrlayer.cpp:3272-3283
+field-map semantics; callers join any further attributes back on fid).
 """
 
 from __future__ import annotations
@@ -21,11 +31,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (
-    BinaryType, DoubleType, LongType, StructField, StructType,
-)
 
 from .. import geom
+from ..booleans import boolean_full
+from .spatial_join import col_point_cell, with_envelope_cells
 
 
 def _is_ccw(ring: np.ndarray) -> bool:
@@ -34,9 +43,9 @@ def _is_ccw(ring: np.ndarray) -> bool:
 
 
 def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
-    """Sutherland-Hodgman: clip `subject` by the CONVEX `clip_ring`.
-
-    Both rings closed (first == last). Returns a closed ring or None."""
+    """Sutherland-Hodgman fast path: clip ``subject`` by the CONVEX
+    ``clip_ring`` (both closed). Kept for rectangle/convex callers; the
+    general path is gdal_spark.booleans."""
     clip_pts = clip_ring[:-1] if np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
     if not _is_ccw(np.vstack([clip_pts, clip_pts[0]])):
         clip_pts = clip_pts[::-1]
@@ -50,7 +59,6 @@ def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray |
         a = clip_pts[i]
         b = clip_pts[(i + 1) % n]
         edge = b - a
-        # inside = left of edge (CCW clip polygon)
         rel = pts - a
         side = edge[0] * rel[:, 1] - edge[1] * rel[:, 0]
         out = []
@@ -71,7 +79,6 @@ def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray |
 
 
 def _edge_intersect(p, q, a, b):
-    """Intersection of segment pq with infinite line ab."""
     r = q - p
     s = b - a
     denom = r[0] * s[1] - r[1] * s[0]
@@ -81,37 +88,174 @@ def _edge_intersect(p, q, a, b):
     return p + r * t
 
 
-def _convex_parts(g: geom.Geometry) -> list[np.ndarray]:
-    """Exterior rings of a (multi)polygon, asserting convexity and no
-    holes (v1 contract)."""
-    rings = []
-    for poly in g.polygons():
-        if len(poly) > 1:
-            raise ValueError("layer algebra v1: method polygons must not have holes")
-        ring = poly[0]
-        if not _ring_is_convex(ring):
-            raise ValueError("layer algebra v1: method polygons must be convex")
-        rings.append(ring)
-    return rings
+# ---------------------------------------------------------------------------
+# candidate pairs: cell equi-join with owner-cell dedup
+# ---------------------------------------------------------------------------
 
 
-def _ring_is_convex(ring: np.ndarray) -> bool:
-    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
-    n = len(pts)
-    if n < 3:
-        return False
-    sign = 0
-    for i in range(n):
-        a, b, c = pts[i], pts[(i + 1) % n], pts[(i + 2) % n]
-        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
-        if abs(cross) < 1e-12:
-            continue
-        s = 1 if cross > 0 else -1
-        if sign == 0:
-            sign = s
-        elif s != sign:
-            return False
-    return True
+def pair_candidates(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    input_fid: str = "fid",
+    method_fid: str = "fid",
+    cell_zoom: int = 4,
+) -> DataFrame:
+    """Envelope-intersecting (input, method) feature pairs, each emitted
+    EXACTLY once: both sides explode into covering cells at ``cell_zoom``,
+    equi-join on cell, and a pair is kept only in the cell that contains
+    the (max-minx, max-miny) corner of the envelope intersection — the
+    owner-cell rule, so no dropDuplicates shuffle. Columns:
+    in_fid, in_wkb, m_fid, m_wkb."""
+    i = input_layer.select(
+        F.col(input_fid).alias("in_fid"), F.col("wkb").alias("in_wkb"),
+        "minx", "miny", "maxx", "maxy",
+    )
+    i = with_envelope_cells(i, cell_zoom, out="cell").select(
+        "in_fid", "in_wkb", "cell",
+        F.col("minx").alias("i_minx"), F.col("miny").alias("i_miny"),
+        F.col("maxx").alias("i_maxx"), F.col("maxy").alias("i_maxy"),
+    )
+    m = method_layer.select(
+        F.col(method_fid).alias("m_fid"), F.col("wkb").alias("m_wkb"),
+        "minx", "miny", "maxx", "maxy",
+    )
+    m = with_envelope_cells(m, cell_zoom, out="cell").select(
+        "m_fid", "m_wkb", "cell",
+        F.col("minx").alias("m_minx"), F.col("miny").alias("m_miny"),
+        F.col("maxx").alias("m_maxx"), F.col("maxy").alias("m_maxy"),
+    )
+    overlap = (
+        (F.col("i_minx") <= F.col("m_maxx")) & (F.col("i_maxx") >= F.col("m_minx"))
+        & (F.col("i_miny") <= F.col("m_maxy")) & (F.col("i_maxy") >= F.col("m_miny"))
+    )
+    owner = col_point_cell(
+        F.greatest("i_minx", "m_minx"), F.greatest("i_miny", "m_miny"), cell_zoom
+    )
+    return (
+        i.join(m, "cell")
+        .where(overlap & (F.col("cell") == owner))
+        .select("in_fid", "in_wkb", "m_fid", "m_wkb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel plumbing
+# ---------------------------------------------------------------------------
+
+PIECE_SCHEMA = (
+    "in_fid long, m_fid long, wkb binary, minx double, miny double, "
+    "maxx double, maxy double, area double"
+)
+
+SINGLE_SCHEMA = (
+    "fid long, wkb binary, minx double, miny double, maxx double, "
+    "maxy double, area double"
+)
+
+
+def _polys_envelope(polys):
+    allc = np.vstack([r for rings in polys for r in rings])
+    return (
+        float(allc[:, 0].min()), float(allc[:, 1].min()),
+        float(allc[:, 0].max()), float(allc[:, 1].max()),
+    )
+
+
+def _pairwise_op(cands: DataFrame, op: str) -> DataFrame:
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = geom.parse_wkb(bytes(r.in_wkb)).polygons()
+                b = geom.parse_wkb(bytes(r.m_wkb)).polygons()
+                polys, area = boolean_full(a, b, op)
+                if not polys or area <= 0:
+                    continue
+                minx, miny, maxx, maxy = _polys_envelope(polys)
+                rows.append(
+                    {
+                        "in_fid": int(r.in_fid), "m_fid": int(r.m_fid),
+                        "wkb": geom.wkb_multipolygon(polys),
+                        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+                        "area": float(area),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["in_fid", "m_fid", "wkb", "minx", "miny", "maxx", "maxy", "area"],
+            )
+
+    return cands.mapInPandas(do, schema=PIECE_SCHEMA)
+
+
+def _grouped_op(cands: DataFrame, op: str) -> DataFrame:
+    """One kernel call per input feature against the union of its
+    candidate method geometries (collect_list is JVM-side; the pandas
+    pass sees one row per feature)."""
+    grouped = cands.groupBy("in_fid").agg(
+        F.first("in_wkb").alias("in_wkb"), F.collect_list("m_wkb").alias("m_wkbs")
+    )
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = geom.parse_wkb(bytes(r.in_wkb)).polygons()
+                b = []
+                for mw in r.m_wkbs:
+                    b.extend(geom.parse_wkb(bytes(mw)).polygons())
+                polys, area = boolean_full(a, b, op)
+                if not polys or area <= 0:
+                    continue
+                minx, miny, maxx, maxy = _polys_envelope(polys)
+                rows.append(
+                    {
+                        "fid": int(r.in_fid),
+                        "wkb": geom.wkb_multipolygon(polys),
+                        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+                        "area": float(area),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["fid", "wkb", "minx", "miny", "maxx", "maxy", "area"]
+            )
+
+    return grouped.mapInPandas(do, schema=SINGLE_SCHEMA)
+
+
+def _normalize_layer(layer: DataFrame, fid: str) -> DataFrame:
+    """Pass features through the kernel untouched (op OR with empty other
+    side): canonical multipolygon WKB + area, same SINGLE_SCHEMA as the
+    computed legs so unions line up."""
+    src = layer.select(F.col(fid).alias("fid"), "wkb")
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = geom.parse_wkb(bytes(r.wkb)).polygons()
+                polys, area = boolean_full(a, [], "or")
+                if not polys or area <= 0:
+                    continue
+                minx, miny, maxx, maxy = _polys_envelope(polys)
+                rows.append(
+                    {
+                        "fid": int(r.fid),
+                        "wkb": geom.wkb_multipolygon(polys),
+                        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+                        "area": float(area),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["fid", "wkb", "minx", "miny", "maxx", "maxy", "area"]
+            )
+
+    return src.mapInPandas(do, schema=SINGLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# the seven OGR layer-algebra operators
+# ---------------------------------------------------------------------------
 
 
 def layer_intersection(
@@ -119,89 +263,118 @@ def layer_intersection(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
+    cell_zoom: int = 4,
 ) -> DataFrame:
-    """Pairwise intersection pieces: one output row per (input, method)
-    pair whose geometries intersect; geometry = the clipped piece; attrs
-    = input fid + method fid (+ envelopes refreshed)."""
-    m_rows = method_layer.select(
-        F.col(method_fid).alias("m_fid"), "wkb", "minx", "miny", "maxx", "maxy"
-    ).collect()
-    methods = []
-    for r in m_rows:
-        g = geom.parse_wkb(bytes(r.wkb))
-        try:
-            rings = _convex_parts(g)
-        except ValueError:
-            continue  # skip non-convex/holed method features (documented)
-        for ring in rings:
-            if len(ring) >= 4:
-                methods.append((int(r.m_fid), ring, (r.minx, r.miny, r.maxx, r.maxy)))
-    spark = input_layer.sparkSession
-    bc = spark.sparkContext.broadcast(methods)
+    """OGRLayer::Intersection (ogrlayer.cpp:3345): one row per
+    envelope-candidate pair whose geometries truly intersect; geometry =
+    the intersection piece (multipolygon, holes preserved)."""
+    cands = pair_candidates(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    return _pairwise_op(cands, "and")
 
-    schema = StructType(
-        [
-            StructField("in_fid", LongType()),
-            StructField("m_fid", LongType()),
-            StructField("wkb", BinaryType()),
-            StructField("minx", DoubleType()),
-            StructField("miny", DoubleType()),
-            StructField("maxx", DoubleType()),
-            StructField("maxy", DoubleType()),
-            StructField("area", DoubleType()),
-        ]
+
+def layer_erase(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    input_fid: str = "fid",
+    method_fid: str = "fid",
+    cell_zoom: int = 4,
+) -> DataFrame:
+    """OGRLayer::Erase (ogrlayer.cpp:5806): each input feature minus the
+    union of all intersecting method features; features with no
+    candidates pass through (normalized)."""
+    cands = pair_candidates(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    erased = _grouped_op(cands, "a_not_b")
+    no_cand = input_layer.join(
+        cands.select("in_fid").distinct(),
+        input_layer[input_fid] == F.col("in_fid"),
+        "left_anti",
     )
-
-    src = input_layer.select(
-        F.col(input_fid).alias("in_fid"), "wkb", "minx", "miny", "maxx", "maxy"
-    )
-
-    def do(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                g = geom.parse_wkb(bytes(r.wkb))
-                for m_fid, clip_ring, (mnx, mny, mxx, mxy) in bc.value:
-                    # envelope pretest (ogrlayer.cpp:3426-3445)
-                    if r.maxx < mnx or r.minx > mxx or r.maxy < mny or r.miny > mxy:
-                        continue
-                    for poly in g.polygons():
-                        piece = clip_ring_convex(poly[0], clip_ring)
-                        if piece is None:
-                            continue
-                        a, _c = geom.ring_area_centroid(piece)
-                        if abs(a) < 1e-9:
-                            continue
-                        wkb = geom.wkb_polygon([piece])
-                        pg = geom.parse_wkb(wkb)
-                        minx, miny, maxx, maxy = pg.envelope()
-                        rows.append(
-                            {
-                                "in_fid": int(r.in_fid),
-                                "m_fid": m_fid,
-                                "wkb": wkb,
-                                "minx": minx,
-                                "miny": miny,
-                                "maxx": maxx,
-                                "maxy": maxy,
-                                "area": abs(a),
-                            }
-                        )
-            yield pd.DataFrame(
-                rows,
-                columns=["in_fid", "m_fid", "wkb", "minx", "miny", "maxx", "maxy", "area"],
-            )
-
-    return src.mapInPandas(do, schema=schema)
+    return erased.unionByName(_normalize_layer(no_cand, input_fid))
 
 
 def layer_clip(
-    input_layer: DataFrame, method_layer: DataFrame, input_fid: str = "fid"
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    input_fid: str = "fid",
+    method_fid: str = "fid",
+    cell_zoom: int = 4,
 ) -> DataFrame:
-    """Clip: intersection pieces aggregated back per input feature
-    (OGRLayer::Clip semantics — the method layer acts as one clip region;
-    output keeps input fids, possibly multiple pieces per fid)."""
-    pieces = layer_intersection(input_layer, method_layer, input_fid=input_fid)
-    return pieces.select(
-        F.col("in_fid").alias(input_fid), "wkb", "minx", "miny", "maxx", "maxy", "area"
+    """OGRLayer::Clip (ogrlayer.cpp:5497): each input feature intersected
+    with the union of the method layer (one row per surviving input fid)."""
+    cands = pair_candidates(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    return _grouped_op(cands, "and")
+
+
+def layer_identity(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    input_fid: str = "fid",
+    method_fid: str = "fid",
+    cell_zoom: int = 4,
+) -> DataFrame:
+    """OGRLayer::Identity (ogrlayer.cpp:4730): input split by the method
+    layer = intersection pieces (in_fid, m_fid) + the uncovered remainder
+    of each input feature (in_fid, NULL m_fid)."""
+    pieces = layer_intersection(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    remainder = layer_erase(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    rem = remainder.select(
+        F.col("fid").alias("in_fid"), F.lit(None).cast("long").alias("m_fid"),
+        "wkb", "minx", "miny", "maxx", "maxy", "area",
+    )
+    return pieces.unionByName(rem)
+
+
+def layer_union(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    input_fid: str = "fid",
+    method_fid: str = "fid",
+    cell_zoom: int = 4,
+) -> DataFrame:
+    """OGRLayer::Union (ogrlayer.cpp:3763): intersection pieces + the
+    input-only remainders (m_fid NULL) + the method-only remainders
+    (in_fid NULL)."""
+    ident = layer_identity(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    m_only = layer_erase(method_layer, input_layer, method_fid, input_fid, cell_zoom)
+    mo = m_only.select(
+        F.lit(None).cast("long").alias("in_fid"), F.col("fid").alias("m_fid"),
+        "wkb", "minx", "miny", "maxx", "maxy", "area",
+    )
+    return ident.unionByName(mo)
+
+
+def layer_symdifference(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    input_fid: str = "fid",
+    method_fid: str = "fid",
+    cell_zoom: int = 4,
+) -> DataFrame:
+    """OGRLayer::SymDifference (ogrlayer.cpp:4300): input-only remainders
+    + method-only remainders (no intersection pieces)."""
+    a = layer_erase(input_layer, method_layer, input_fid, method_fid, cell_zoom).select(
+        F.col("fid").alias("in_fid"), F.lit(None).cast("long").alias("m_fid"),
+        "wkb", "minx", "miny", "maxx", "maxy", "area",
+    )
+    b = layer_erase(method_layer, input_layer, method_fid, input_fid, cell_zoom).select(
+        F.lit(None).cast("long").alias("in_fid"), F.col("fid").alias("m_fid"),
+        "wkb", "minx", "miny", "maxx", "maxy", "area",
+    )
+    return a.unionByName(b)
+
+
+def layer_update(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    input_fid: str = "fid",
+    method_fid: str = "fid",
+    cell_zoom: int = 4,
+) -> DataFrame:
+    """OGRLayer::Update (ogrlayer.cpp:5148): method features as-is, plus
+    the parts of input features the method layer does not cover. ``src``
+    marks which layer a row came from."""
+    erased = layer_erase(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    meth = _normalize_layer(method_layer, method_fid)
+    return erased.withColumn("src", F.lit("input")).unionByName(
+        meth.withColumn("src", F.lit("method"))
     )

@@ -1,4 +1,5 @@
-"""Layer algebra (convex intersection/clip) vs analytic oracles."""
+"""Layer algebra (all seven OGR ops, distributed cell equi-join) vs
+analytic oracles."""
 
 import numpy as np
 import pytest
@@ -8,7 +9,13 @@ from gdal_spark import geom
 from gdal_spark.operators.layer_algebra import (
     clip_ring_convex,
     layer_clip,
+    layer_erase,
+    layer_identity,
     layer_intersection,
+    layer_symdifference,
+    layer_union,
+    layer_update,
+    pair_candidates,
 )
 
 
@@ -99,4 +106,117 @@ class TestLayerOps:
         inputs, methods = layers
         r = layer_intersection(inputs, methods).orderBy("in_fid", "m_fid").first()
         g = geom.parse_wkb(bytes(r.wkb))
-        assert g.kind == geom.WKB_POLYGON and len(g.parts[0]) >= 4
+        assert g.polygons() and len(g.polygons()[0][0]) >= 4
+        a, _ = geom.polygon_area_centroid(g.polygons())
+        assert abs(a - r.area) < 1e-9
+
+
+def _layer(spark, feats):
+    """feats: list of (fid, ring-list)."""
+    rows = []
+    for fid, rings in feats:
+        wkb = geom.wkb_polygon(rings) if len(rings) else None
+        g = geom.parse_wkb(wkb)
+        rows.append((fid, bytearray(wkb), *g.envelope()))
+    return spark.createDataFrame(
+        rows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+
+
+def rr(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+    )
+
+
+class TestFullAlgebra:
+    """Union / Erase / Identity / Update / SymDifference incl. holes and
+    non-convex inputs, semantics per ogrlayer.cpp:3763,4300,4730,5148,5806."""
+
+    @pytest.fixture(scope="class")
+    def layers(self, spark):
+        # input 1: L-shape (area 64); input 2: square with hole (area 96)
+        lsh = np.array(
+            [[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10], [0, 0]], float
+        )
+        holed = [rr(20, 0, 30, 10), rr(23, 3, 25, 5)[::-1].copy()]
+        inputs = _layer(spark, [(1, [lsh]), (2, holed)])
+        # methods: one overlapping each input + one disjoint
+        methods = _layer(
+            spark,
+            [(100, [rr(2, 2, 12, 12)]), (200, [rr(24, 4, 40, 20)]), (300, [rr(50, 50, 60, 60)])],
+        )
+        return inputs, methods
+
+    def test_pair_candidates_unique(self, spark, layers):
+        inputs, methods = layers
+        pairs = pair_candidates(inputs, methods).select("in_fid", "m_fid").collect()
+        keys = [(r.in_fid, r.m_fid) for r in pairs]
+        assert len(keys) == len(set(keys))
+        assert set(keys) == {(1, 100), (2, 200)}
+
+    def test_intersection_nonconvex_and_holes(self, spark, layers):
+        inputs, methods = layers
+        got = {(r.in_fid, r.m_fid): r.area for r in layer_intersection(inputs, methods).collect()}
+        assert got[(1, 100)] == pytest.approx(28.0)
+        # holed square ∩ [24,40]x[4,20] -> [24,30]x[4,10]=36 minus hole part
+        # hole [23,25]x[3,5] ∩ region = [24,25]x[4,5] = 1 -> 35
+        assert got[(2, 200)] == pytest.approx(35.0)
+
+    def test_erase(self, spark, layers):
+        inputs, methods = layers
+        got = {r.fid: r.area for r in layer_erase(inputs, methods).collect()}
+        assert got[1] == pytest.approx(64 - 28)
+        assert got[2] == pytest.approx(96 - 35)
+
+    def test_erase_passthrough_when_no_candidates(self, spark):
+        inputs = _layer(spark, [(7, [rr(0, 0, 2, 2)])])
+        methods = _layer(spark, [(9, [rr(100, 100, 110, 110)])])
+        out = layer_erase(inputs, methods).collect()
+        assert len(out) == 1 and out[0].fid == 7
+        assert out[0].area == pytest.approx(4.0)
+
+    def test_identity_partitions_input(self, spark, layers):
+        inputs, methods = layers
+        out = layer_identity(inputs, methods).collect()
+        per_in = {}
+        for r in out:
+            per_in[r.in_fid] = per_in.get(r.in_fid, 0.0) + r.area
+        assert per_in[1] == pytest.approx(64.0)
+        assert per_in[2] == pytest.approx(96.0)
+        assert any(r.m_fid is None for r in out)
+
+    def test_union_total_area(self, spark, layers):
+        inputs, methods = layers
+        out = layer_union(inputs, methods).collect()
+        total = sum(r.area for r in out)
+        # disjoint union of pieces covers A ∪ B exactly once
+        # A = 64 + 96; B = 100 + 16*16 + 100; overlaps = 28 + 35
+        assert total == pytest.approx(64 + 96 + 100 + 256 + 100 - 28 - 35)
+        assert any(r.in_fid is None for r in out)  # method-only remainders
+        assert any(r.m_fid is None for r in out)  # input-only remainders
+
+    def test_symdifference(self, spark, layers):
+        inputs, methods = layers
+        out = layer_symdifference(inputs, methods).collect()
+        total = sum(r.area for r in out)
+        assert total == pytest.approx((64 - 28) + (96 - 35) + (100 - 28) + (256 - 35) + 100)
+
+    def test_update(self, spark, layers):
+        inputs, methods = layers
+        out = layer_update(inputs, methods).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.src, 0.0)
+            by_src[r.src] += r.area
+        assert by_src["method"] == pytest.approx(100 + 256 + 100)
+        assert by_src["input"] == pytest.approx((64 - 28) + (96 - 35))
+
+    def test_clip_against_union_of_methods(self, spark):
+        # one input overlapping two methods that overlap each other:
+        # grouped clip must not double-count the method overlap
+        inputs = _layer(spark, [(1, [rr(0, 0, 10, 10)])])
+        methods = _layer(spark, [(100, [rr(2, 0, 6, 10)]), (200, [rr(4, 0, 8, 10)])])
+        out = layer_clip(inputs, methods).collect()
+        assert len(out) == 1
+        assert out[0].area == pytest.approx(60.0)  # x in [2,8]
