@@ -6,11 +6,14 @@ fractional pixel coordinate with near/bilinear/cubic, degrading bilinear
 to nearest at raster edges (lines 200-202; our samplers implement the
 same rule, tests in test_resample_warp).
 
-Spark shape: phase 1 is an envelope containment join (point in image
-footprint — plain Catalyst predicates over minx..maxy, broadcast on the
-smaller side); phase 2 groups the joined rows by image so each image is
-decoded ONCE per task and all its points are sampled in one vectorized
-call (applyInPandas over image_id).
+Spark shape (scale-safe): phase 1 joins points against the image
+*metadata only* (footprint envelope columns — broadcast-able, a few
+hundred bytes per image), so the joined rows carry (pid, x, y, image_id)
+and nothing else. Phase 2 is a COGROUP on image_id: the matched points
+group meets the image row (bytes) in the same task, so each image's
+payload crosses the shuffle exactly ONCE — never duplicated per point —
+and is decoded once per task, with all its points sampled in one
+vectorized call.
 """
 
 from __future__ import annotations
@@ -42,50 +45,60 @@ def interpolate_at_points(
     pts = points.select(
         F.col(point_key).alias("pid"), F.col(x).alias("_px"), F.col(y).alias("_py")
     )
+    # rename the key on the metadata side: pairs and payload both derive
+    # from `images`, and Spark's ambiguous-self-join check rejects the
+    # cogroup if the two lineages share the attribute
+    meta = images.select(
+        F.col("image_id").alias("_img"), "minx", "miny", "maxx", "maxy"
+    )
     cond = (
         (F.col("_px") >= F.col("minx"))
         & (F.col("_px") <= F.col("maxx"))
         & (F.col("_py") >= F.col("miny"))
         & (F.col("_py") <= F.col("maxy"))
     )
-    joined = pts.join(
-        F.broadcast(
-            images.select(
-                "image_id", "bytes", "fmt", "w", "h",
-                "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "srid",
-                "minx", "miny", "maxx", "maxy",
-            )
-        ),
-        cond,
-        "inner",
+    pairs = pts.join(F.broadcast(meta), cond, "inner").select(
+        "pid", "_px", "_py", "_img"
+    )
+    payload = images.select(
+        "image_id", "bytes", "fmt", "w", "h",
+        "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "srid",
     )
     sampler = SAMPLERS[resampling]
 
-    def sample_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        r0 = pdf.iloc[0]
+    def sample_cogroup(pts_pdf: pd.DataFrame, img_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["pid", "image_id", "band", "value", "valid"]
+        if len(pts_pdf) == 0 or len(img_pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        r0 = img_pdf.iloc[0]
         arr = codecs.decode_image(bytes(r0["bytes"]), r0["fmt"])
         if arr.ndim == 2:
             arr = arr[:, :, None]
         gt = tuple(float(r0[f"gt{i}"]) for i in range(6))
         inv = invert_gt(gt)
-        gx = pdf["_px"].to_numpy(dtype=float)
-        gy = pdf["_py"].to_numpy(dtype=float)
-        # point CRS -> image CRS
+        gx = pts_pdf["_px"].to_numpy(dtype=float)
+        gy = pts_pdf["_py"].to_numpy(dtype=float)
         sx, sy = geo_transform_points(gx, gy, point_srid, int(r0["srid"]))
         ppx, ppy = apply_gt(inv, sx, sy)
-        rows = []
+        pids = pts_pdf["pid"].to_numpy()
+        frames = []
         for b in range(arr.shape[2]):
             vals, valid = sampler(arr[:, :, b].astype(np.float64), ppx, ppy)
-            for pid, v, ok in zip(pdf["pid"], np.asarray(vals, dtype=float), valid):
-                rows.append(
+            frames.append(
+                pd.DataFrame(
                     {
-                        "pid": int(pid),
+                        "pid": pids.astype(np.int64),
                         "image_id": r0["image_id"],
                         "band": b,
-                        "value": float(v),
-                        "valid": bool(ok),
+                        "value": np.asarray(vals, dtype=np.float64),
+                        "valid": np.asarray(valid, dtype=bool),
                     }
                 )
-        return pd.DataFrame(rows, columns=["pid", "image_id", "band", "value", "valid"])
+            )
+        return pd.concat(frames, ignore_index=True)[cols]
 
-    return joined.groupBy("image_id").applyInPandas(sample_group, schema=OUT_SCHEMA)
+    return (
+        pairs.groupBy("_img")
+        .cogroup(payload.groupBy("image_id"))
+        .applyInPandas(sample_cogroup, schema=OUT_SCHEMA)
+    )

@@ -7,13 +7,17 @@ Semantics reproduced:
   (llrasterize.cpp:105-207 dominant even-odd path)
 - burn value from a constant or per-feature attribute
 - MERGE_ALG=REPLACE (default) or ADD (gdalrasterize.cpp:563-575)
-- ALL_TOUCHED approximated by a half-pixel dilation pass (v1 note;
-  gdalrasterize.cpp:779)
 
-Spark shape: geometries are broadcast (small vector layer — the common
-GIS case); the raster space is partitioned into tiles, one task per tile
-(the chunked-by-scanline-blocks strategy of gdalrasterize.cpp:544-554
-with tiles instead of scanline blocks). Pure numpy inside mapInPandas.
+Spark shape (scale-safe): each feature row explodes into the output
+tiles its envelope covers (pure Column math — the same covered-range
+explode as tile assignment), then groupBy(tile).applyInPandas burns all
+of a tile's features with a fully vectorized scanline kernel (crossings
+for ALL scanlines at once via one straddle matrix; span fill via a
++1/-1 diff array + cumsum). No driver collect, no geometry broadcast to
+Python — the tile-key shuffle carries each feature's WKB once per
+covered tile. Empty tiles are emitted by an anti-join leg so the output
+grid is complete, matching GDALRasterizeGeometries writing into a
+pre-zeroed band.
 """
 
 from __future__ import annotations
@@ -26,46 +30,61 @@ from .. import geom
 from ..checksum import gdal_checksum
 
 
-def rasterize_polygon_to_array(
-    rings_px: list[np.ndarray], h: int, w: int, value: float, out: np.ndarray, add: bool
-):
-    """Even-odd scanline fill of one polygon (rings in pixel coords).
-
-    Pixel (x, y) center is (x+0.5, y+0.5); a pixel is burned when its
-    center y crosses an odd number of edges left of center x — evaluated
-    per scanline exactly like llrasterize.cpp:105-207 (dfVariant rounding
-    floor(+0.5) on intersections)."""
+def fill_spans(rings_px: list[np.ndarray], h: int, w: int) -> np.ndarray:
+    """Boolean coverage mask of one polygon (rings in pixel coords) by
+    even-odd scanline parity at pixel centers, vectorized over all
+    scanlines. Matches llrasterize.cpp:105-207: center y = yi + 0.5,
+    crossing x rounded floor(x + 0.5)."""
     ys = np.arange(h, dtype=np.float64) + 0.5
-    spans = [[] for _ in range(h)]
+    diff = np.zeros((h, w + 1), dtype=np.int64)
+    xs_all = []
+    yi_all = []
     for ring in rings_px:
         r = np.asarray(ring, dtype=np.float64)
         if len(r) < 4:
             continue
-        y1 = r[:-1, 1]
-        y2 = r[1:, 1]
-        x1 = r[:-1, 0]
-        x2 = r[1:, 0]
-        for yi, yc in enumerate(ys):
-            straddle = ((y1 <= yc) & (y2 > yc)) | ((y2 <= yc) & (y1 > yc))
-            if not straddle.any():
-                continue
-            t = (yc - y1[straddle]) / (y2[straddle] - y1[straddle])
-            xs = x1[straddle] + t * (x2[straddle] - x1[straddle])
-            spans[yi].extend(xs.tolist())
-    for yi, xs in enumerate(spans):
-        if not xs:
+        y1, y2 = r[:-1, 1], r[1:, 1]
+        x1, x2 = r[:-1, 0], r[1:, 0]
+        straddle = ((y1[None, :] <= ys[:, None]) & (y2[None, :] > ys[:, None])) | (
+            (y2[None, :] <= ys[:, None]) & (y1[None, :] > ys[:, None])
+        )
+        yi, ei = np.nonzero(straddle)
+        if len(yi) == 0:
             continue
-        xs = sorted(xs)
-        for i in range(0, len(xs) - 1, 2):
-            x0 = int(np.floor(xs[i] + 0.5))
-            x1_ = int(np.floor(xs[i + 1] + 0.5))
-            x0 = max(0, x0)
-            x1_ = min(w, x1_)
-            if x1_ > x0:
-                if add:
-                    out[yi, x0:x1_] += value
-                else:
-                    out[yi, x0:x1_] = value
+        t = (ys[yi] - y1[ei]) / (y2[ei] - y1[ei])
+        xs_all.append(x1[ei] + t * (x2[ei] - x1[ei]))
+        yi_all.append(yi)
+    if not xs_all:
+        return np.zeros((h, w), dtype=bool)
+    xs = np.concatenate(xs_all)
+    yi = np.concatenate(yi_all)
+    # sort by (scanline, x); each scanline has an even crossing count, so
+    # consecutive pairs within a scanline are the filled spans
+    order = np.lexsort((xs, yi))
+    xs, yi = xs[order], yi[order]
+    _, starts = np.unique(yi, return_index=True)
+    idx = np.arange(len(xs))
+    # position within each scanline group
+    pos = idx - np.repeat(starts, np.diff(np.append(starts, len(xs))))
+    is_open = pos % 2 == 0
+    x0 = np.clip(np.floor(xs[is_open] + 0.5).astype(np.int64), 0, w)
+    x1_ = np.clip(np.floor(xs[~is_open] + 0.5).astype(np.int64), 0, w)
+    row = yi[is_open]
+    keep = x1_ > x0
+    np.add.at(diff, (row[keep], x0[keep]), 1)
+    np.add.at(diff, (row[keep], x1_[keep]), -1)
+    return np.cumsum(diff[:, :-1], axis=1) > 0
+
+
+def rasterize_polygon_to_array(
+    rings_px: list[np.ndarray], h: int, w: int, value: float, out: np.ndarray, add: bool
+):
+    """Burn one polygon into ``out`` (REPLACE or ADD merge)."""
+    mask = fill_spans(rings_px, h, w)
+    if add:
+        out[mask] += value
+    else:
+        out[mask] = value
 
 
 def rasterize(
@@ -80,81 +99,105 @@ def rasterize(
     tile_size: int = 256,
     dtype: str = "float64",
 ):
-    """Distributed rasterize: the output grid is split into tiles; the
-    (small) feature layer is collected + broadcast; each task burns all
-    features intersecting its tile. Returns a DataFrame of
-    (tile_x, tile_y, w, h, data binary(float64 rows), checksum)."""
-    feats = features_df.select(
-        "wkb", *( [burn_col] if burn_col else [] ), "minx", "miny", "maxx", "maxy"
-    ).collect()
-    sc = spark.sparkContext
-    bc = sc.broadcast(
-        [
-            (
-                bytes(r.wkb),
-                float(r[burn_col]) if burn_col else burn_value,
-                (r.minx, r.miny, r.maxx, r.maxy),
-            )
-            for r in feats
-        ]
-    )
-    inv_scale_x = gt[1]
-    inv_scale_y = gt[5]
+    """Distributed rasterize over a tiled output grid. Returns a
+    DataFrame of (tile_x, tile_y, w, h, data binary(float64 rows),
+    checksum)."""
+    add = merge == "add"
     nx = (width + tile_size - 1) // tile_size
     ny = (height + tile_size - 1) // tile_size
-    tiles = spark.range(nx * ny).select(
+
+    feats = features_df.select(
+        "wkb",
+        (F.col(burn_col) if burn_col else F.lit(float(burn_value))).cast("double").alias("burnv"),
+        "minx", "miny", "maxx", "maxy",
+    )
+    # covered tile range per feature (column math; gt may have negative
+    # y scale, so order the pixel-space bounds explicitly)
+    px0 = (F.col("minx") - gt[0]) / gt[1]
+    px1 = (F.col("maxx") - gt[0]) / gt[1]
+    py0 = (F.col("miny") - gt[3]) / gt[5]
+    py1 = (F.col("maxy") - gt[3]) / gt[5]
+    ts = float(tile_size)
+    tx_lo = F.greatest(F.lit(0), F.floor(F.least(px0, px1) / ts).cast("int"))
+    tx_hi = F.least(F.lit(nx - 1), F.floor(F.greatest(px0, px1) / ts).cast("int"))
+    ty_lo = F.greatest(F.lit(0), F.floor(F.least(py0, py1) / ts).cast("int"))
+    ty_hi = F.least(F.lit(ny - 1), F.floor(F.greatest(py0, py1) / ts).cast("int"))
+    exploded = (
+        feats.withColumn("_txlo", tx_lo).withColumn("_txhi", tx_hi)
+        .withColumn("_tylo", ty_lo).withColumn("_tyhi", ty_hi)
+        .where((F.col("_txhi") >= F.col("_txlo")) & (F.col("_tyhi") >= F.col("_tylo")))
+        .withColumn("tile_x", F.explode(F.sequence("_txlo", "_txhi")))
+        .withColumn("tile_y", F.explode(F.sequence("_tylo", "_tyhi")))
+        .select("tile_x", "tile_y", "wkb", "burnv")
+    )
+
+    out_schema = "tile_x int, tile_y int, w int, h int, data binary, checksum int"
+
+    def tile_dims(tx: int, ty: int):
+        x0 = tx * tile_size
+        y0 = ty * tile_size
+        return x0, y0, min(tile_size, width - x0), min(tile_size, height - y0)
+
+    def burn_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        x0, y0, tw, th = tile_dims(tx, ty)
+        out = np.zeros((th, tw), dtype=np.float64)
+        # deterministic burn order for REPLACE semantics
+        pdf = pdf.sort_values("burnv", kind="stable")
+        for r in pdf.itertuples(index=False):
+            g = geom.parse_wkb(bytes(r.wkb))
+            for rings in g.polygons():
+                rings_px = [
+                    np.stack(
+                        [
+                            (ring[:, 0] - gt[0]) / gt[1] - x0,
+                            (ring[:, 1] - gt[3]) / gt[5] - y0,
+                        ],
+                        axis=1,
+                    )
+                    for ring in rings
+                ]
+                rasterize_polygon_to_array(rings_px, th, tw, float(r.burnv), out, add)
+        return pd.DataFrame(
+            [
+                {
+                    "tile_x": tx, "tile_y": ty, "w": tw, "h": th,
+                    "data": out.astype(dtype).tobytes(),
+                    "checksum": gdal_checksum(out),
+                }
+            ]
+        )
+
+    burned = exploded.groupBy("tile_x", "tile_y").applyInPandas(
+        burn_group, schema=out_schema
+    )
+
+    # empty tiles: the grid minus the burned keys, zero-filled
+    all_tiles = spark.range(nx * ny).select(
         (F.col("id") % nx).cast("int").alias("tile_x"),
         (F.col("id") / nx).cast("int").alias("tile_y"),
     )
-    add = merge == "add"
+    empty = all_tiles.join(
+        exploded.select("tile_x", "tile_y").distinct(), ["tile_x", "tile_y"], "left_anti"
+    )
 
-    def burn(batches):
+    def zero_tiles(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                tx, ty = int(r.tile_x), int(r.tile_y)
-                x0 = tx * tile_size
-                y0 = ty * tile_size
-                tw = min(tile_size, width - x0)
-                th = min(tile_size, height - y0)
-                out = np.zeros((th, tw), dtype=np.float64)
-                # tile bounds in geo space for the envelope pretest
-                gx0 = gt[0] + x0 * gt[1]
-                gy0 = gt[3] + y0 * gt[5]
-                gx1 = gt[0] + (x0 + tw) * gt[1]
-                gy1 = gt[3] + (y0 + th) * gt[5]
-                tminx, tmaxx = min(gx0, gx1), max(gx0, gx1)
-                tminy, tmaxy = min(gy0, gy1), max(gy0, gy1)
-                for wkb, val, (fminx, fminy, fmaxx, fmaxy) in bc.value:
-                    if fmaxx < tminx or fminx > tmaxx or fmaxy < tminy or fminy > tmaxy:
-                        continue  # envelope reject (phase 1)
-                    g = geom.parse_wkb(wkb)
-                    for rings in g.polygons():
-                        rings_px = [
-                            np.stack(
-                                [
-                                    (ring[:, 0] - gt[0]) / gt[1] - x0,
-                                    (ring[:, 1] - gt[3]) / gt[5] - y0,
-                                ],
-                                axis=1,
-                            )
-                            for ring in rings
-                        ]
-                        rasterize_polygon_to_array(rings_px, th, tw, val, out, add)
+                _x0, _y0, tw, th = tile_dims(int(r.tile_x), int(r.tile_y))
+                z = np.zeros((th, tw), dtype=np.float64)
                 rows.append(
                     {
-                        "tile_x": tx,
-                        "tile_y": ty,
-                        "w": tw,
-                        "h": th,
-                        "data": out.astype(dtype).tobytes(),
-                        "checksum": gdal_checksum(out),
+                        "tile_x": int(r.tile_x), "tile_y": int(r.tile_y),
+                        "w": tw, "h": th,
+                        "data": z.astype(dtype).tobytes(),
+                        "checksum": gdal_checksum(z),
                     }
                 )
             yield pd.DataFrame(
                 rows, columns=["tile_x", "tile_y", "w", "h", "data", "checksum"]
             )
 
-    return tiles.repartition(max(nx * ny // 4, 1)).mapInPandas(
-        burn, schema="tile_x int, tile_y int, w int, h int, data binary, checksum int"
-    )
+    return burned.unionByName(empty.mapInPandas(zero_tiles, schema=out_schema))

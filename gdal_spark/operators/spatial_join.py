@@ -142,6 +142,10 @@ def point_in_polygon_join(
     how: inner | left | left_semi | left_anti. ``left`` with
     ``first_match_order`` reproduces OGR SQL first-match-only LEFT JOIN
     (ogr_gensql.cpp:1497-1527).
+
+    NOTE: for semi/anti/left modes, ``point_key`` defaults to (x, y) —
+    distinct point rows with identical coordinates then collapse to one.
+    Pass ``point_key`` whenever point identity matters.
     """
     px, py = F.col(x), F.col(y)
     env_pred = (
@@ -201,36 +205,47 @@ def _refine(df: DataFrame, x: str, y: str, envelope_fast_accept: bool) -> DataFr
     if not envelope_fast_accept:
         return refine_pip(df, x, y)
     # rectangle-equals-envelope rows skip the exact test: the envelope
-    # predicate already decided them (ogrlayer.cpp:2287-2293). We mark the
-    # fast path by testing the WKB shape: 1 ring, 5 points, axis-aligned.
-    is_rect = _is_rect_udf(F.col("wkb"))
-    exact = _pip_udf(F.col(x), F.col(y), F.col("wkb"))
-    return df.where(is_rect | exact)
+    # predicate already decided them (ogrlayer.cpp:2287-2293). One UDF
+    # decides rect-ness ONCE per distinct polygon inside the batch and
+    # runs the ray-cast only for the non-rectangle groups — a separate
+    # is_rect UDF OR'd in SQL would still evaluate the ray-cast for every
+    # row (Spark evaluates Python UDFs in a pre-filter projection node).
+    return df.where(_pip_or_rect_udf(F.col(x), F.col(y), F.col("wkb")))
+
+
+def _wkb_is_rect(bb: bytes) -> bool:
+    try:
+        g = geom.parse_wkb(bb)
+        if g.kind == geom.WKB_POLYGON and len(g.parts) == 1:
+            r = g.parts[0]
+            if len(r) == 5:
+                xs = sorted(set(r[:, 0].tolist()))
+                ys = sorted(set(r[:, 1].tolist()))
+                return len(xs) == 2 and len(ys) == 2
+    except Exception:
+        pass
+    return False
 
 
 @F.pandas_udf(BooleanType())
-def _is_rect_udf(wkbs: pd.Series) -> pd.Series:
+def _pip_or_rect_udf(xs: pd.Series, ys: pd.Series, wkbs: pd.Series) -> pd.Series:
     import numpy as np
 
-    out = np.zeros(len(wkbs), dtype=bool)
-    cache: dict[bytes, bool] = {}
+    out = np.zeros(len(xs), dtype=bool)
+    if len(xs) == 0:
+        return pd.Series(out)
+    px = xs.to_numpy(dtype=float)
+    py = ys.to_numpy(dtype=float)
+    groups: dict[bytes, list[int]] = {}
     for i, b in enumerate(wkbs):
-        bb = bytes(b)
-        v = cache.get(bb)
-        if v is None:
-            try:
-                g = geom.parse_wkb(bb)
-                v = False
-                if g.kind == geom.WKB_POLYGON and len(g.parts) == 1:
-                    r = g.parts[0]
-                    if len(r) == 5:
-                        xs = sorted(set(r[:, 0].tolist()))
-                        ys = sorted(set(r[:, 1].tolist()))
-                        v = len(xs) == 2 and len(ys) == 2
-            except Exception:
-                v = False
-            cache[bb] = v
-        out[i] = v
+        groups.setdefault(bytes(b), []).append(i)
+    for wkb, idxs in groups.items():
+        ii = pd.Index(idxs)
+        if _wkb_is_rect(wkb):
+            out[ii] = True  # envelope predicate already decided these
+            continue
+        g = geom.parse_wkb(wkb)
+        out[ii] = geom.points_in_geometry(px[ii], py[ii], g)
     return pd.Series(out)
 
 

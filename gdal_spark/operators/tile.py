@@ -174,52 +174,81 @@ def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resamp
     return tile, alpha
 
 
+def tile_range_cols(images, zoom, tile_size: int = 256):
+    """Covered TMS tile range per image at ``zoom`` (Column math only) —
+    the tminmax build of gdal2tiles.py:2428-2435 without exploding."""
+    z = zoom if isinstance(zoom, Column) else F.lit(int(zoom))
+    ir = 2 * math.pi * EARTH_RADIUS / tile_size
+    res = F.lit(ir) / F.pow(F.lit(2.0), z.cast("double"))
+    ts = float(tile_size)
+
+    def m2t(m):
+        p = (m + ORIGIN_SHIFT) / res
+        return (F.ceil(p / ts) - 1).cast("long")
+
+    n1 = F.pow(F.lit(2.0), z.cast("double")).cast("long") - 1
+    return (
+        images.withColumn("z", z.cast("int"))
+        .withColumn("tminx", F.greatest(F.lit(0).cast("long"), m2t(F.col("minx"))))
+        .withColumn("tminy", F.greatest(F.lit(0).cast("long"), m2t(F.col("miny"))))
+        .withColumn("tmaxx", F.least(n1, m2t(F.col("maxx"))))
+        .withColumn("tmaxy", F.least(n1, m2t(F.col("maxy"))))
+        .where(
+            (F.col("tmaxx") >= F.col("tminx")) & (F.col("tmaxy") >= F.col("tminy"))
+        )
+    )
+
+
+def _decode_rgb_alpha(raw: bytes, fmt: str):
+    arr = codecs.decode_image(raw, fmt)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] == 4:
+        return arr[:, :, :3], arr[:, :, 3]
+    return arr, np.full(arr.shape[:2], 255, dtype=np.uint8)
+
+
+def _fragment_row(r, z, tx, ty, tile, alpha):
+    # PNG, not raw: fragments cross a shuffle + a sort-based group
+    # iterator + an Arrow->pandas conversion — payload size IS the cost
+    # there (level-1 zlib: ~10x smaller, ~1ms each way)
+    return {
+        "z": int(z),
+        "tx": int(tx),
+        "ty": int(ty),
+        "image_id": r.image_id,
+        "px": codecs.encode_png(tile, level=1),
+        "alpha": codecs.encode_png(alpha, level=1),
+        "c": int(tile.shape[2]),
+    }
+
+
 def cut_fragments(images, zoom=None, tile_size: int = 256, resampling: str = "average"):
     """images (+ optional fixed zoom; default = per-image native zoom) ->
-    fragments DF. One decode per image regardless of how many tiles it
-    covers; only (ts, ts) fragments cross the next shuffle."""
+    fragments DF. Each image row stays ONE row into the pandas pass
+    (tile ranges are columns, not an explode), so the image is decoded
+    exactly once and its bytes are never duplicated across tiles; only
+    (ts, ts) PNG fragments leave the stage."""
     import pandas as pd
 
     z_col = F.lit(int(zoom)) if zoom is not None else native_zoom_col(tile_size)
-    with_range = assign_tiles(images, z_col, tile_size)
-    # regroup the exploded rows back by image id? No — keep one row per
-    # (image, tile): bytes are duplicated across an image's tiles only
-    # inside a narrow stage (no shuffle), and per-image tile counts are
-    # small at native zoom (tile count ~ (w/ts + 1) * (h/ts + 1)).
+    with_range = tile_range_cols(images, z_col, tile_size)
 
     def do(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
-                if arr.ndim == 2:
-                    arr = arr[:, :, None]
-                if arr.shape[2] == 4:
-                    alpha_src = arr[:, :, 3]
-                    arr = arr[:, :, :3]
-                else:
-                    alpha_src = np.full(arr.shape[:2], 255, dtype=np.uint8)
-                cut = _cut_one(
-                    arr, alpha_src, r, int(r.z), int(r.tx), int(r.ty), tile_size, resampling
-                )
-                if cut is None:
-                    continue
-                tile, alpha = cut
-                out.append(
-                    {
-                        "z": int(r.z),
-                        "tx": int(r.tx),
-                        "ty": int(r.ty),
-                        "image_id": r.image_id,
-                        # PNG, not raw: fragments cross a shuffle + a
-                        # sort-based group iterator + an Arrow->pandas
-                        # conversion — payload size IS the cost there
-                        # (level-1 zlib: ~10x smaller, ~1ms each way)
-                        "px": codecs.encode_png(tile, level=1),
-                        "alpha": codecs.encode_png(alpha, level=1),
-                        "c": int(tile.shape[2]),
-                    }
-                )
+                arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                z = int(r.z)
+                for tx in range(int(r.tminx), int(r.tmaxx) + 1):
+                    for ty in range(int(r.tminy), int(r.tmaxy) + 1):
+                        cut = _cut_one(
+                            arr, alpha_src, r, z, tx, ty, tile_size, resampling
+                        )
+                        if cut is None:
+                            continue
+                        tile, alpha = cut
+                        out.append(_fragment_row(r, z, tx, ty, tile, alpha))
             yield pd.DataFrame(
                 out,
                 columns=["z", "tx", "ty", "image_id", "px", "alpha", "c"],
