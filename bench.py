@@ -43,33 +43,40 @@ def images_path(n_images: int) -> str:
     and the timed job measures the engine, not the synthetic generator)."""
     path = f"/tmp/gdal_spark_bench_images_{n_images}.parquet"
     if not os.path.exists(path):
+        from pyspark.sql import SparkSession
+
         from gdal_spark import fixtures
         from gdal_spark.session import get_spark
 
-        gen = get_spark(master=f"local[{CPUS}]", app_name="bench_gen")
+        active = SparkSession.getActiveSession()
+        gen = active or get_spark(master=f"local[{CPUS}]", app_name="bench_gen")
         fixtures.images_df(gen, n_images, tier="bench", partitions=max(CPUS, 8)).write.mode(
             "overwrite"
         ).parquet(path)
-        gen.stop()
+        if active is None:
+            # only stop a session we created ourselves — getOrCreate
+            # shares the JVM context with the caller's session
+            gen.stop()
     return path
 
 
 def tile_job(spark, n_images: int):
-    """The headline workload: image table (parquet) -> native-zoom
-    base-tile cut -> one overview reduce -> count tiles.
+    """The headline workload: image table (parquet) -> per-image
+    native-zoom base tiles + one overview level, via the SINGLE-ACTION
+    direct pyramid (all levels cut from source in one map stage, one
+    tile-key shuffle, one agg action — no persist+count barriers, so
+    wall-clock scales with cores instead of serializing through level
+    materializations)."""
+    from pyspark.sql import functions as F
 
-    zoom=None = per-image native zoom (ZoomForPixelSize) — a fixed deep
-    zoom would explode the one global-extent fixture image into 2^(2z)
-    tiles (the tminz/tmaxz planning of gdal2tiles exists precisely to
-    avoid that)."""
-    from gdal_spark.operators.tile import cut_base_tiles, overview_tiles
+    from gdal_spark.operators.tile import tile_pyramid_direct
 
-    imgs = spark.read.parquet(images_path(n_images)).repartition(max(CPUS, 8))
-    base = cut_base_tiles(imgs, zoom=None, resampling="bilinear")
-    ov = overview_tiles(base.persist(), 256)
-    n = base.count() + ov.count()
-    base.unpersist()
-    return n
+    imgs = spark.read.parquet(images_path(n_images)).repartition(64)
+    tiles = tile_pyramid_direct(imgs, levels_below=1, resampling="bilinear")
+    row = tiles.agg(
+        F.count("*").alias("n"), F.sum("checksum").alias("cks")
+    ).collect()[0]
+    return int(row.n)
 
 
 def headline_queries():
@@ -168,6 +175,7 @@ def _control_unit(args):
     import numpy as np
 
     from gdal_spark import codecs, fixtures
+    from gdal_spark.checksum import image_checksums
     from gdal_spark.grid import MercatorGrid
     from gdal_spark.operators.tile import _cut_one
 
@@ -186,18 +194,41 @@ def _control_unit(args):
     alpha = np.full(arr.shape[:2], 255, dtype=np.uint8)
     ps = rec["gt1"] if rec["srid"] == 3857 else rec["gt1"] * (20037508.342789244 / 180)
     z = int(merc.zoom_for_pixel_size(ps))
-    tminx, tminy, tmaxx, tmaxy = merc.tile_range(
-        rec["minx"], rec["miny"], rec["maxx"], rec["maxy"], z
-    )
     n = 0
-    for tx in range(int(tminx), int(tmaxx) + 1):
-        for ty in range(int(tminy), int(tmaxy) + 1):
-            cut = _cut_one(
-                arr[:, :, :3] if arr.shape[2] > 3 else arr,
-                alpha, r, z, tx, ty, 256, "bilinear",
-            )
-            if cut is not None:
+    # the FULL per-tile pipeline the engine runs (cut + fragment PNG
+    # encode/decode + compose + final encode + checksum), so the control
+    # ceiling reflects the real workload's memory traffic, not just the
+    # cut kernel
+    for zz in (z, max(0, z - 1)):
+        tminx, tminy, tmaxx, tmaxy = merc.tile_range(
+            rec["minx"], rec["miny"], rec["maxx"], rec["maxy"], zz
+        )
+        for tx in range(int(tminx), int(tmaxx) + 1):
+            for ty in range(int(tminy), int(tmaxy) + 1):
+                cut = _cut_one(
+                    arr[:, :, :3] if arr.shape[2] > 3 else arr,
+                    alpha, r, zz, tx, ty, 256, "bilinear",
+                )
+                if cut is None:
+                    continue
+                tile, av = cut
+                frag = codecs.encode_png(tile, level=1)
+                afrag = codecs.encode_png(av, level=1)
+                dec = codecs.decode_png(frag)
+                if dec.ndim == 2:
+                    dec = dec[:, :, None]
+                adec = codecs.decode_png(afrag)
+                buf = np.zeros((256, 256, dec.shape[2]), dtype=np.uint8)
+                am = np.zeros((256, 256), dtype=np.uint8)
+                m = adec > 0
+                buf[m] = dec[m]
+                am[m] = 255
+                rgba = np.dstack([buf, am])
+                png = codecs.encode_png(rgba)
+                image_checksums(rgba)
                 n += 1
+        if zz == 0:
+            break
     return n
 
 
@@ -208,34 +239,46 @@ def control_efficiency(n_units: int = 4096):
     memory bandwidth, so the ceiling is ~1.0 there."""
     import multiprocessing as mp
 
-    out = {}
-    for procs in (8, 32):
+    acc: dict[int, list[float]] = {8: [], 32: []}
+    for procs in (8, 32, 8, 32):
         t0 = time.perf_counter()
         with mp.Pool(procs) as p:
             p.map(_control_unit, [(i,) for i in range(n_units)], chunksize=4)
-        out[procs] = time.perf_counter() - t0
+        acc[procs].append(time.perf_counter() - t0)
+    out = {k: min(v) for k, v in acc.items()}
     ctrl = (n_units / out[32]) / (4.0 * (n_units / out[8]))
     return ctrl, out
 
 
 def run_scaling():
     """Same job, two parallelism levels, fresh JVM each -> efficiency,
-    reported against the machine's own multiprocessing ceiling."""
+    reported against the machine's own multiprocessing ceiling.
+
+    Each level runs TWICE interleaved (8,32,8,32) and takes the min:
+    this box shows ~25% run-to-run drift (thermals/page cache), so a
+    single pair can swing the ratio either way. The scaling leg uses a
+    larger image count than the headline bench (amortized regime — a
+    throughput metric should not be dominated by fixed stage setup)."""
+    global N_BENCH_IMAGES
+    if "SPARK_GRAFT_BENCH_IMAGES" not in os.environ:
+        N_BENCH_IMAGES = 8192
     images_path(N_BENCH_IMAGES)  # materialize input outside any timed leg
-    results = {}
-    for master in ("local[8]", "local[32]"):
+    times: dict[str, list[float]] = {"local[8]": [], "local[32]": []}
+    for master in ("local[8]", "local[32]", "local[8]", "local[32]"):
         cmd = [sys.executable, __file__, "--job", "tile", "--master", master]
         env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_IMAGES"] = str(N_BENCH_IMAGES)
         proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[master] = json.loads(line)
-        print(f"# {master}: {results[master]['sec']}s", file=sys.stderr)
+        sec = json.loads(line)["sec"]
+        times[master].append(sec)
+        print(f"# {master}: {sec}s", file=sys.stderr)
 
     ctrl_eff, ctrl_times = control_efficiency()
     print(f"# control (pure mp) eff: {ctrl_eff:.3f} {ctrl_times}", file=sys.stderr)
 
-    t8 = results["local[8]"]["sec"]
-    t32 = results["local[32]"]["sec"]
+    t8 = min(times["local[8]"])
+    t32 = min(times["local[32]"])
     thr8 = N_BENCH_IMAGES / t8
     thr32 = N_BENCH_IMAGES / t32
     eff = thr32 / (4.0 * thr8)

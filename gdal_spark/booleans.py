@@ -65,10 +65,12 @@ def _collect_edges(polys):
             if not np.array_equal(r[0], r[-1]):
                 r = np.vstack([r, r[0]])
             a, _ = ring_area_centroid(r)
-            if a == 0:
-                continue
+            # a == 0: either a degenerate line (harmless — produces only
+            # zero-width gaps) or a figure-eight whose lobes cancel (the
+            # nonzero rule still classifies both lobes; orientation is
+            # meaningless for it) — keep as-is either way
             want_ccw = ri == 0
-            if (a > 0) != want_ccw:
+            if a != 0 and (a > 0) != want_ccw:
                 r = r[::-1]
             p0s.append(r[:-1])
             p1s.append(r[1:])

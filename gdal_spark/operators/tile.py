@@ -144,10 +144,17 @@ def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resamp
             return None
         patch = arr[ry : ry + rys, rx : rx + rxs]
         apatch = alpha_src[ry : ry + rys, rx : rx + rxs]
-        # heavy downsample -> exact area average (anti-aliased, what the
-        # 4x-oversample+average netted out to); else the chosen kernel
+        # point kernels degrade to exact area average on heavy downsample
+        # (anti-aliased, what the 4x-oversample+average netted out to);
+        # window/statistics kernels handle any ratio themselves
+        from ..resample import WINDOW_KERNELS
+
         kern = resampling
-        if kern != "near" and (rxs > 2 * wxs or rys > 2 * wys):
+        if (
+            kern not in WINDOW_KERNELS
+            and kern != "near"
+            and (rxs > 2 * wxs or rys > 2 * wys)
+        ):
             kern = "average"
         up = resize(patch.astype(np.float64), wys, wxs, kern)
         aup = resize(apatch.astype(np.float64)[:, :, None], wys, wxs, "average")[:, :, 0]
@@ -159,10 +166,14 @@ def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resamp
         tile = np.clip(np.round(dq), 0, 255).astype(np.uint8)
         alpha = np.where(aq >= 127.5, 255, 0).astype(np.uint8)
     else:
-        # per-tile warp (apps/gdalalg_raster_tile.cpp:647-649 formulation)
+        # per-tile warp (apps/gdalalg_raster_tile.cpp:647-649 formulation);
+        # every GRA_* kernel goes straight through (no silent fallback)
+        from ..resample import WINDOW_KERNELS as _WK
+        from ..resample import SAMPLERS as _SK
+
         res = _MERC.resolution(z)
         dst_gt = (bminx, float(res), 0.0, bmaxy, 0.0, -float(res))
-        samp = resampling if resampling in ("near", "bilinear", "cubic", "lanczos") else "bilinear"
+        samp = resampling if (resampling in _SK or resampling in _WK) else "bilinear"
         out, alpha = warp_array(arr, gt, r.srid, (ts, ts), dst_gt, 3857, samp)
         tile = np.clip(np.round(out), 0, 255).astype(np.uint8)
         if tile.ndim == 2:
@@ -408,11 +419,17 @@ def tile_pyramid(
     resampling: str = "average",
     persist: bool = True,
 ):
-    """Full pyramid: base tiles at tmaxz, then reduce down to tminz.
+    """Full pyramid, gdal2tiles REDUCE semantics: base tiles at tmaxz,
+    then each level z-1 derived from level z (the "best overview" source
+    selection of gcore/rasterio.cpp:4086-4174), so total work is a
+    geometric series in tile count.
 
-    Each zoom level z-1 is derived from level z (the "best overview"
-    source selection of gcore/rasterio.cpp:4086-4174 — never recompute
-    from base), so total work is a geometric series in tile count."""
+    The chained reduces are materialization barriers (each level must
+    finish before the next starts) — use :func:`tile_pyramid_direct` when
+    throughput/scaling matters more than bit-parity with the
+    overview-of-overview rounding chain. With ``persist`` the final union
+    is checkpointed eagerly and every per-level cache is released
+    immediately, so a long session does not accumulate executor storage."""
     level = cut_base_tiles(images, tmaxz, tile_size, resampling)
     if persist:
         level = level.persist()
@@ -425,4 +442,97 @@ def tile_pyramid(
     result = out[0]
     for lv in out[1:]:
         result = result.unionByName(lv)
+    if persist:
+        result = result.localCheckpoint(eager=True)
+        for lv in out:
+            lv.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# direct pyramid: every level cut from the source, ONE shuffle, no barriers
+# ---------------------------------------------------------------------------
+
+
+def cut_fragments_levels(
+    images,
+    tminz: int | None = None,
+    tmaxz: int | None = None,
+    levels_below: int | None = None,
+    tile_size: int = 256,
+    resampling: str = "average",
+):
+    """Fragments for a RANGE of zoom levels in one narrow pass: decode
+    each image once, cut every covered tile of every level straight from
+    the source (the per-tile formulation of apps/gdalalg_raster_tile.cpp
+    — each zoom is an independent area-average of the source, not an
+    overview-of-overviews).
+
+    Levels per image: native zoom z_n (capped by ``tmaxz``) down to
+    ``tminz`` — or, with ``levels_below=k``, down to z_n - k (per-image
+    relative overviews, the bench/throughput shape).
+
+    Scale notes: this trades ~33%% extra resample work (each level reads
+    the full read-window again) for ZERO inter-level shuffles or
+    persist+count barriers — the whole pyramid is map -> one tile-key
+    shuffle -> compose, so wall-clock scales with executors instead of
+    being serialized through per-level materializations. Very low zooms
+    fan many images into one tile; AQE skew handling covers the hot
+    cells.
+    """
+    import pandas as pd
+
+    # explicit tmaxz wins (gdal2tiles cuts past native zoom by upsampling
+    # when asked); otherwise per-image native zoom
+    nz = native_zoom_col(tile_size)
+    imgs = images.withColumn("zmax", nz if tmaxz is None else F.lit(int(tmaxz)))
+    lo = 0 if tminz is None else int(tminz)
+    if levels_below is not None:
+        zmin_col = F.greatest(F.lit(lo), F.col("zmax") - int(levels_below))
+    else:
+        zmin_col = F.lit(lo)
+    imgs = imgs.withColumn("zmin", F.least(zmin_col, F.col("zmax")))
+
+    def do(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                for z in range(int(r.zmax), int(r.zmin) - 1, -1):
+                    n1 = (1 << z) - 1
+                    tminx, tminy, tmaxx, tmaxy = _MERC.tile_range(
+                        r.minx, r.miny, r.maxx, r.maxy, z
+                    )
+                    tminx, tminy = max(0, int(tminx)), max(0, int(tminy))
+                    tmaxx, tmaxy = min(n1, int(tmaxx)), min(n1, int(tmaxy))
+                    for tx in range(tminx, tmaxx + 1):
+                        for ty in range(tminy, tmaxy + 1):
+                            cut = _cut_one(
+                                arr, alpha_src, r, z, tx, ty, tile_size, resampling
+                            )
+                            if cut is None:
+                                continue
+                            tile, alpha = cut
+                            out.append(_fragment_row(r, z, tx, ty, tile, alpha))
+            yield pd.DataFrame(
+                out, columns=["z", "tx", "ty", "image_id", "px", "alpha", "c"]
+            )
+
+    return imgs.mapInPandas(do, schema=FRAGMENT_SCHEMA)
+
+
+def tile_pyramid_direct(
+    images,
+    tminz: int | None = None,
+    tmaxz: int | None = None,
+    levels_below: int | None = None,
+    tile_size: int = 256,
+    resampling: str = "average",
+):
+    """Single-action pyramid: all levels cut from source in one map
+    stage, composed through ONE tile-key shuffle. No persist, no
+    barriers — the plan is scan -> mapInPandas -> exchange -> compose."""
+    return compose_tiles(
+        cut_fragments_levels(images, tminz, tmaxz, levels_below, tile_size, resampling),
+        tile_size,
+    )

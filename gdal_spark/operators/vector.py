@@ -255,6 +255,122 @@ def clip_features(df: DataFrame, minx: float, miny: float, maxx: float, maxy: fl
     return _geom_map(pre, cl)
 
 
+def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker simplification of one closed ring.
+
+    The anchor/farthest-point recursion of the classic algorithm; the
+    ring is split at its two mutually-farthest vertices so closure is
+    preserved. Rings that would collapse below 3 distinct vertices
+    return their minimal triangle-ish form (caller drops degenerates).
+    """
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    if n <= 3:
+        return np.vstack([pts, pts[0]])
+    # split at vertex farthest from vertex 0 to get two open chains
+    d0 = ((pts - pts[0]) ** 2).sum(axis=1)
+    k = int(d0.argmax())
+
+    def dp(chain: np.ndarray) -> np.ndarray:
+        if len(chain) <= 2:
+            return chain
+        a, b = chain[0], chain[-1]
+        ab = b - a
+        L2 = float(ab @ ab)
+        rel = chain[1:-1] - a
+        if L2 == 0:
+            d = np.sqrt((rel**2).sum(axis=1))
+        else:
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / np.sqrt(L2)
+        i = int(d.argmax())
+        if d[i] <= tolerance:
+            return np.vstack([a, b])
+        left = dp(chain[: i + 2])
+        right = dp(chain[i + 1 :])
+        return np.vstack([left[:-1], right])
+
+    c1 = dp(pts[: k + 1])
+    c2 = dp(np.vstack([pts[k:], pts[0]]))
+    out = np.vstack([c1[:-1], c2[:-1]])
+    if len(out) < 3:
+        return np.vstack([out, out[0]]) if len(out) else out
+    return np.vstack([out, out[0]])
+
+
+def simplify_features(df: DataFrame, tolerance: float) -> DataFrame:
+    """-simplify (ogr2ogr_lib.cpp:265): Douglas-Peucker each ring with
+    the given tolerance; rings collapsing below 4 points (or to zero
+    area) are dropped, fully-collapsed features are removed. (The
+    reference uses GEOS SimplifyPreserveTopology; per-ring DP is the
+    same distance criterion without the cross-ring guards — documented
+    difference.)"""
+
+    def simp(g: geom.Geometry):
+        if g.kind not in (geom.WKB_POLYGON, geom.WKB_MULTIPOLYGON):
+            if g.kind == geom.WKB_LINESTRING:
+                return geom.Geometry(g.kind, [simplify_ring(g.parts[0], tolerance)])
+            return g
+        polys_out = []
+        for rings in g.polygons():
+            rs = []
+            for ring in rings:
+                s = simplify_ring(np.asarray(ring, dtype=np.float64), tolerance)
+                if len(s) >= 4:
+                    a, _ = geom.ring_area_centroid(s)
+                    if a != 0:
+                        rs.append(s)
+            if rs:
+                polys_out.append(rs)
+        if not polys_out:
+            return None
+        if g.kind == geom.WKB_POLYGON and len(polys_out) == 1:
+            return geom.Geometry(geom.WKB_POLYGON, polys_out[0])
+        return geom.Geometry(geom.WKB_MULTIPOLYGON, polys_out)
+
+    return _geom_map(df, simp)
+
+
+def make_valid_features(df: DataFrame) -> DataFrame:
+    """-makevalid (ogr2ogr_lib.cpp:736 / OGRGeometry::MakeValid):
+    re-extract a valid polygon set from possibly-invalid input — open
+    rings are closed, duplicate consecutive vertices collapse, and
+    self-intersections / overlapping rings are resolved by the nonzero
+    winding rule through the slab boolean kernel (the same "structure"
+    strategy GEOS MakeValid applies). Zero-area features drop."""
+    from ..booleans import boolean_full
+
+    def mv(g: geom.Geometry):
+        if g.kind not in (geom.WKB_POLYGON, geom.WKB_MULTIPOLYGON):
+            return g
+        cleaned = []
+        for rings in g.polygons():
+            rs = []
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)
+                if len(r) == 0:
+                    continue
+                if not np.array_equal(r[0], r[-1]):
+                    r = np.vstack([r, r[0]])  # close the ring
+                # collapse duplicate consecutive vertices
+                keep = np.ones(len(r), dtype=bool)
+                keep[1:] = (np.diff(r, axis=0) != 0).any(axis=1)
+                r = r[keep]
+                if not np.array_equal(r[0], r[-1]):
+                    r = np.vstack([r, r[0]])
+                if len(r) >= 4:
+                    rs.append(r)
+            if rs:
+                cleaned.append(rs)
+        if not cleaned:
+            return None
+        polys, area = boolean_full(cleaned, [], "or")
+        if not polys or area <= 0:
+            return None
+        return geom.Geometry(geom.WKB_MULTIPOLYGON, polys)
+
+    return _geom_map(df, mv)
+
+
 def with_centroids(df: DataFrame) -> DataFrame:
     """ST_Centroid analog: area-weighted centroid columns from WKB
     (ogr/ogrgeometry.cpp Centroid / shoelace formula)."""

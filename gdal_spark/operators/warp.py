@@ -19,7 +19,7 @@ import numpy as np
 
 from .. import codecs
 from ..grid import MercatorGrid
-from ..resample import SAMPLERS, resize
+from ..resample import SAMPLERS, WINDOW_KERNELS, resize, sample_window_reduce
 
 _MERC = MercatorGrid()
 
@@ -85,19 +85,42 @@ def warp_array(
     alg/gdalwarper.h:85-129.
     """
     dst_h, dst_w = dst_shape
-    # dst pixel centers -> dst geo
-    px = np.arange(dst_w, dtype=np.float64) + 0.5
-    py = np.arange(dst_h, dtype=np.float64) + 0.5
-    gpx, gpy = np.meshgrid(px, py)
-    gx, gy = apply_gt(dst_gt, gpx, gpy)
-    # dst geo -> src geo
-    sx, sy = geo_transform_points(gx, gy, dst_srid, src_srid)
-    # src geo -> src pixel (inverse affine)
     inv = invert_gt(src_gt)
-    spx, spy = apply_gt(inv, sx, sy)
 
-    sampler = SAMPLERS[resampling]
-    out, valid = sampler(src, spx, spy)
+    def to_src_px(ppx, ppy):
+        gx, gy = apply_gt(dst_gt, ppx, ppy)
+        sx, sy = geo_transform_points(gx, gy, dst_srid, src_srid)
+        return apply_gt(inv, sx, sy)
+
+    if resampling in WINDOW_KERNELS:
+        # window kernels (GRA_Average..GRA_RMS): per-dest-pixel source
+        # box from the 4 transformed pixel corners (exact; no 0.125-px
+        # approximation needed since the transform chain is closed-form)
+        pe_x = np.arange(dst_w + 1, dtype=np.float64)
+        pe_y = np.arange(dst_h + 1, dtype=np.float64)
+        cgx, cgy = np.meshgrid(pe_x, pe_y)
+        cx, cy = to_src_px(cgx, cgy)
+        corners_x = np.stack(
+            [cx[:-1, :-1], cx[:-1, 1:], cx[1:, :-1], cx[1:, 1:]], axis=-1
+        )
+        corners_y = np.stack(
+            [cy[:-1, :-1], cy[:-1, 1:], cy[1:, :-1], cy[1:, 1:]], axis=-1
+        )
+        out, valid = sample_window_reduce(
+            src,
+            corners_x.min(axis=-1), corners_y.min(axis=-1),
+            corners_x.max(axis=-1), corners_y.max(axis=-1),
+            resampling,
+        )
+    else:
+        # dst pixel centers -> src pixel through the transform chain
+        px = np.arange(dst_w, dtype=np.float64) + 0.5
+        py = np.arange(dst_h, dtype=np.float64) + 0.5
+        gpx, gpy = np.meshgrid(px, py)
+        spx, spy = to_src_px(gpx, gpy)
+        sampler = SAMPLERS[resampling]
+        out, valid = sampler(src, spx, spy)
+    out = np.nan_to_num(out, nan=0.0)
     alpha = np.where(valid, 255, 0).astype(np.uint8)
     if out.ndim == 3:
         out = np.where(valid[:, :, None], out, 0)

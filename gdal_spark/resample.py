@@ -169,6 +169,111 @@ SAMPLERS = {
 
 
 # ---------------------------------------------------------------------------
+# window-reduce kernels (GRA_Average .. GRA_RMS, alg/gdalwarper.h:36-69)
+# ---------------------------------------------------------------------------
+
+WINDOW_KERNELS = ("average", "sum", "min", "max", "med", "q1", "q3", "rms", "mode")
+
+_MAX_GATHER = 64  # window cap for the gather path (memory = ndest*W^2)
+
+
+def _mode_reduce(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Most frequent value along the last axis (masked); ties break to
+    the smallest value (our documented deterministic equivalent of the
+    reference's first-occurrence strategy, alg/gdalwarper.h:133-139)."""
+    big = np.inf
+    v = np.where(mask, vals, big)
+    s = np.sort(v, axis=-1)
+    best_val = s[..., 0].copy()
+    best_run = np.ones(s.shape[:-1], dtype=np.int64)
+    run = np.ones(s.shape[:-1], dtype=np.int64)
+    for k in range(1, s.shape[-1]):
+        same = (s[..., k] == s[..., k - 1]) & np.isfinite(s[..., k])
+        run = np.where(same, run + 1, 1)
+        better = (run > best_run) & np.isfinite(s[..., k])
+        best_run = np.where(better, run, best_run)
+        best_val = np.where(better, s[..., k], best_val)
+    return np.where(np.isfinite(best_val), best_val, np.nan)
+
+
+def sample_window_reduce(src, bx0, by0, bx1, by1, kind: str):
+    """Reduce all source pixels whose CENTERS fall in the per-dest-pixel
+    box [bx0,bx1) x [by0,by1) (GDAL pixel coords) with the ``kind``
+    statistic — the GWKAverageOrMode family (alg/gdalwarpkernel.cpp
+    GRA_Average/Sum/Min/Max/Med/Q1/Q3/RMS/Mode). Boxes with no source
+    center degrade to the nearest pixel (upsampling), like the point
+    kernels degrade at edges. Returns (values, valid)."""
+    src3, squeeze = _as3d(np.asarray(src, dtype=np.float64))
+    h, w, c = src3.shape
+    bx0 = np.asarray(bx0, dtype=np.float64)
+    by0 = np.asarray(by0, dtype=np.float64)
+    bx1 = np.asarray(bx1, dtype=np.float64)
+    by1 = np.asarray(by1, dtype=np.float64)
+    # first source center >= box start: center j+0.5 >= bx0 -> j >= bx0-0.5
+    jx0 = np.ceil(bx0 - 0.5).astype(np.int64)
+    jy0 = np.ceil(by0 - 0.5).astype(np.int64)
+    sx = int(min(_MAX_GATHER, max(1, np.ceil((bx1 - bx0).max() + 1))))
+    sy = int(min(_MAX_GATHER, max(1, np.ceil((by1 - by0).max() + 1))))
+    ox = np.arange(sx, dtype=np.int64)
+    oy = np.arange(sy, dtype=np.int64)
+    gx = jx0[..., None, None] + ox[None, :]            # (..., 1, sx) broadcast
+    gy = jy0[..., None, None] + oy[:, None]            # (..., sy, 1)
+    gxc = np.clip(gx, 0, w - 1)
+    gyc = np.clip(gy, 0, h - 1)
+    cen_x = gx + 0.5
+    cen_y = gy + 0.5
+    mask = (
+        (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h)
+        & (cen_x >= bx0[..., None, None]) & (cen_x < bx1[..., None, None])
+        & (cen_y >= by0[..., None, None]) & (cen_y < by1[..., None, None])
+    )
+    vals = src3[gyc, gxc]                               # (..., sy, sx, c)
+    flat_mask = mask.reshape(mask.shape[:-2] + (sy * sx,))
+    flat_vals = vals.reshape(mask.shape[:-2] + (sy * sx, c))
+    out = np.empty(flat_mask.shape[:-1] + (c,), dtype=np.float64)
+    m3 = flat_mask[..., :, None]
+    n = flat_mask.sum(axis=-1)[..., None].astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if kind == "average":
+            out = np.where(m3, flat_vals, 0.0).sum(axis=-2) / n
+        elif kind == "sum":
+            out = np.where(m3, flat_vals, 0.0).sum(axis=-2)
+        elif kind == "min":
+            out = np.where(m3, flat_vals, np.inf).min(axis=-2)
+            out = np.where(np.isfinite(out), out, np.nan)
+        elif kind == "max":
+            out = np.where(m3, flat_vals, -np.inf).max(axis=-2)
+            out = np.where(np.isfinite(out), out, np.nan)
+        elif kind == "rms":
+            out = np.sqrt(np.where(m3, flat_vals**2, 0.0).sum(axis=-2) / n)
+        elif kind in ("med", "q1", "q3"):
+            q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[kind]
+            masked = np.where(m3, flat_vals, np.nan)
+            out = np.nanquantile(masked, q, axis=-2)
+        elif kind == "mode":
+            res = np.empty(flat_mask.shape[:-1] + (c,), dtype=np.float64)
+            for ci in range(c):
+                res[..., ci] = _mode_reduce(flat_vals[..., ci], flat_mask)
+            out = res
+        else:
+            raise ValueError(f"unknown window kernel {kind!r}")
+    # empty windows (upsampling): nearest-pixel fallback at the box center
+    empty = n[..., 0] == 0
+    if empty.any():
+        cxp = 0.5 * (bx0 + bx1)
+        cyp = 0.5 * (by0 + by1)
+        near, _ = sample_nearest(src3, cxp, cyp)
+        out = np.where(empty[..., None], near, out)
+    # valid where the box center lands inside the raster
+    _, valid = sample_nearest(
+        src3, 0.5 * (bx0 + bx1), 0.5 * (by0 + by1)
+    )
+    if squeeze:
+        out = out[..., 0]
+    return out, valid
+
+
+# ---------------------------------------------------------------------------
 # whole-array rescale (translate -outsize / overview build)
 # ---------------------------------------------------------------------------
 
@@ -224,7 +329,8 @@ def resize_average(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def resize(src: np.ndarray, out_h: int, out_w: int, resampling: str = "near") -> np.ndarray:
     """Rescale a full array to (out_h, out_w). Pixel-center sampling for
-    point kernels; exact area integration for 'average'."""
+    point kernels; exact area integration for 'average'; center-in-box
+    window reduce for the other GRA_* statistics kernels."""
     src = np.asarray(src)
     h = src.shape[0]
     w = src.shape[1]
@@ -232,6 +338,13 @@ def resize(src: np.ndarray, out_h: int, out_w: int, resampling: str = "near") ->
         return src.astype(np.float64) if src.dtype.kind == "f" else src.copy()
     if resampling == "average":
         return resize_average(src, out_h, out_w)
+    if resampling in WINDOW_KERNELS:
+        xe = np.arange(out_w + 1, dtype=np.float64) * (w / out_w)
+        ye = np.arange(out_h + 1, dtype=np.float64) * (h / out_h)
+        bx0, by0 = np.meshgrid(xe[:-1], ye[:-1])
+        bx1, by1 = np.meshgrid(xe[1:], ye[1:])
+        out, _ = sample_window_reduce(src, bx0, by0, bx1, by1, resampling)
+        return np.nan_to_num(out, nan=0.0)
     xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w)
     ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h)
     gx, gy = np.meshgrid(xs, ys)

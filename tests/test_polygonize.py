@@ -1,0 +1,165 @@
+"""Polygonize: local kernel vs closed-form + distributed vs local oracle.
+
+Reference semantics: alg/polygonize.cpp (GDALPolygonize): equal-value
+connected regions (4/8-connect), nodata exclusion, polygon rings in geo
+coordinates with holes.
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark import geom
+from gdal_spark.geom import points_on_surface, polygon_area_centroid
+from gdal_spark.operators.polygonize import (
+    chain_rings,
+    label_components,
+    polygonize_array,
+    polygonize_tiles,
+)
+
+GT = (0.0, 1.0, 0.0, 1000.0, 0.0, -1.0)
+
+
+class TestLabelComponents:
+    def test_two_regions(self):
+        a = np.zeros((8, 8))
+        a[1:4, 1:4] = 5
+        a[5:7, 5:8] = 7
+        labels, n = label_components(a, exclude=(0.0,))
+        assert n == 2
+        assert len(np.unique(labels[labels > 0])) == 2
+
+    def test_diagonal_connectivity(self):
+        c = np.zeros((4, 4))
+        c[1, 1] = 9
+        c[2, 2] = 9
+        assert label_components(c, exclude=(0.0,))[1] == 2
+        assert label_components(c, connect8=True, exclude=(0.0,))[1] == 1
+
+    def test_same_value_separate_regions(self):
+        a = np.zeros((5, 5))
+        a[0, 0] = 3
+        a[4, 4] = 3
+        assert label_components(a, exclude=(0.0,))[1] == 2
+
+    def test_no_exclude_labels_background_too(self):
+        a = np.zeros((4, 4))
+        a[1:3, 1:3] = 1
+        labels, n = label_components(a, exclude=None)
+        assert n == 2  # background ring + square
+        assert (labels > 0).all()
+
+
+class TestPolygonizeArray:
+    def test_square_area_and_count(self):
+        a = np.zeros((8, 8))
+        a[1:4, 1:4] = 5
+        out = polygonize_array(a, GT, exclude=(0.0,))
+        assert len(out) == 1
+        val, npix, polys = out[0]
+        assert (val, npix) == (5.0, 9)
+        area, _ = polygon_area_centroid(polys)
+        assert area == pytest.approx(9.0)
+
+    def test_holed_region(self):
+        b = np.zeros((6, 6))
+        b[1:5, 1:5] = 3
+        b[2:4, 2:4] = 0
+        out = polygonize_array(b, GT, exclude=(0.0,))
+        assert len(out) == 1
+        val, npix, polys = out[0]
+        assert npix == 12
+        area, _ = polygon_area_centroid(polys)
+        assert area == pytest.approx(12.0)
+        assert len(polys) == 1 and len(polys[0]) == 2  # exterior + hole
+        # a geo point inside the hole is NOT on the region surface
+        hx, hy = 3.0, GT[3] - 3.0
+        assert not any(
+            points_on_surface(np.array([hx]), np.array([hy]), p)[0] for p in polys
+        )
+
+    def test_l_shape(self):
+        c = np.zeros((6, 6))
+        c[1:5, 1] = 2
+        c[4, 1:5] = 2
+        out = polygonize_array(c, GT, exclude=(0.0,))
+        val, npix, polys = out[0]
+        assert npix == 7
+        area, _ = polygon_area_centroid(polys)
+        assert area == pytest.approx(7.0)
+
+    def test_chain_rings_cancellation(self):
+        # two adjacent unit squares: shared edge cancels, one 2x1 ring
+        segs = [
+            (0, 0, 1, 0), (1, 0, 1, 1), (1, 1, 0, 1), (0, 1, 0, 0),
+            (1, 0, 2, 0), (2, 0, 2, 1), (2, 1, 1, 1), (1, 1, 1, 0),
+        ]
+        rings = chain_rings(segs)
+        assert len(rings) == 1
+        a, _ = geom.ring_area_centroid(rings[0])
+        assert abs(a) == pytest.approx(2.0)
+
+
+class TestPolygonizeTiles:
+    def _tiles_df(self, spark, arr, tile_size):
+        import pandas as pd
+
+        h, w = arr.shape
+        rows = []
+        for ty in range(0, h, tile_size):
+            for tx in range(0, w, tile_size):
+                sub = arr[ty : ty + tile_size, tx : tx + tile_size]
+                rows.append(
+                    (
+                        tx // tile_size, ty // tile_size,
+                        sub.shape[1], sub.shape[0],
+                        bytearray(sub.astype(np.float64).tobytes()),
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "tile_x int, tile_y int, w int, h int, data binary"
+        )
+
+    def test_distributed_matches_local(self, spark):
+        rng = np.random.default_rng(3)
+        arr = np.zeros((64, 64))
+        # a few rectangles, some crossing the 16px tile boundary
+        arr[4:20, 4:20] = 1
+        arr[10:40, 30:50] = 2
+        arr[50:60, 0:64] = 3
+        arr[0:3, 60:64] = 1
+        tiles = self._tiles_df(spark, arr, 16)
+        out = polygonize_tiles(tiles, GT, tile_size=16, exclude=(0.0,)).collect()
+        local = polygonize_array(arr, GT, exclude=(0.0,))
+        # same number of regions, same (value, npix, area) multiset
+        got = sorted((r.value, r.n_pixels, round(r.area, 6)) for r in out)
+        want = sorted(
+            (v, n, round(polygon_area_centroid(p)[0], 6)) for v, n, p in local
+        )
+        assert got == want
+
+    def test_cross_tile_region_is_one_polygon(self, spark):
+        arr = np.zeros((32, 32))
+        arr[10:22, 10:22] = 7  # spans all four 16px tiles
+        tiles = self._tiles_df(spark, arr, 16)
+        out = polygonize_tiles(tiles, GT, tile_size=16, exclude=(0.0,)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_pixels == 144 and r.area == pytest.approx(144.0)
+        g = geom.parse_wkb(bytes(r.wkb))
+        area2, _ = polygon_area_centroid(g.polygons())
+        assert area2 == pytest.approx(144.0)
+
+    def test_connect8_stitch(self, spark):
+        # diagonal touch exactly at a tile corner
+        arr = np.zeros((32, 32))
+        arr[14:16, 14:16] = 5
+        arr[16:18, 16:18] = 5
+        tiles = self._tiles_df(spark, arr, 16)
+        out4 = polygonize_tiles(tiles, GT, tile_size=16, exclude=(0.0,)).collect()
+        assert len(out4) == 2
+        out8 = polygonize_tiles(
+            tiles, GT, tile_size=16, connect8=True, exclude=(0.0,)
+        ).collect()
+        assert len(out8) == 1
+        assert out8[0].n_pixels == 8

@@ -16,6 +16,7 @@ from gdal_spark.operators.tile import (
     cut_base_tiles,
     native_zoom_col,
     tile_pyramid,
+    tile_pyramid_direct,
 )
 from gdal_spark.operators.translate import translate_images
 from gdal_spark.operators.warp import warp_images
@@ -117,6 +118,43 @@ class TestWorldPyramid:
         assert {z: len(v) for z, v in by_z.items()} == {0: 1, 1: 4, 2: 16}
         assert all(t.n_src >= 1 for t in pyr)
         assert all(t.src_ids[0] == "img00000000" for t in pyr)
+
+    def test_direct_pyramid_matches_reduce_tiles(self, spark, world):
+        """tile_pyramid_direct (every level from source, one shuffle)
+        covers the same tile set as the reduce pyramid and is pixel-close
+        (the only difference is overview-of-overview uint8 rounding vs a
+        single area-average from source; PSNR must be high)."""
+        red = {(t.z, t.tx, t.ty): t for t in tile_pyramid(world, 0, 2, resampling="bilinear").collect()}
+        dr = {(t.z, t.tx, t.ty): t for t in tile_pyramid_direct(world, tminz=0, tmaxz=2, resampling="bilinear").collect()}
+        assert set(red) == set(dr)
+        # base level is cut identically -> bit-identical checksums
+        for k in red:
+            if k[0] == 2:
+                assert red[k].checksums == dr[k].checksums
+        # overview levels: same content up to the resampling-chain
+        # difference (average-of-bilinear-upsampled-base vs one direct
+        # bilinear at the coarse grid) — close, not bit-equal
+        for k in red:
+            if k[0] < 2:
+                a = codecs.decode_png(bytes(red[k].png)).astype(float)
+                b = codecs.decode_png(bytes(dr[k].png)).astype(float)
+                assert codecs.psnr(a[:, :, :3], b[:, :, :3]) >= 30
+
+    def test_direct_pyramid_levels_below(self, spark):
+        # images with native zoom >= 1 (world fixture is native z0, which
+        # would clamp the overview level away)
+        imgs = fixtures.images_df(spark, 4, tier="t2", partitions=2).where(
+            F.col("image_id") != "img00000000"
+        )
+        out = tile_pyramid_direct(imgs, levels_below=1, resampling="bilinear").collect()
+        zs = sorted({t.z for t in out})
+        assert len(zs) >= 2
+        # per image: exactly its native level and one below
+        per_img = {}
+        for t in out:
+            for sid in t.src_ids:
+                per_img.setdefault(sid, set()).add(t.z)
+        assert all(len(v) == 2 and max(v) == min(v) + 1 for v in per_img.values())
 
     def test_overview_is_average_of_children(self, spark, world):
         pyr = tile_pyramid(world, 0, 1, resampling="bilinear").collect()

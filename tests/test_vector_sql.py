@@ -155,6 +155,80 @@ class TestVectorSteps:
         assert abs(r.cx - (100 * 5 - 4 * 8) / 96.0) < 1e-12
         assert abs(r.cy - 5.0) < 1e-12
 
+    def test_simplify_drops_collinear_and_small_deviations(self, spark):
+        from gdal_spark.operators.vector import simplify_features, simplify_ring
+
+        # square with redundant midpoints and a 0.1-deep dent
+        ring = np.array(
+            [
+                [0, 0], [5, 0.1], [10, 0], [10, 5], [10, 10],
+                [5, 10], [0, 10], [0, 5], [0, 0],
+            ],
+            dtype=float,
+        )
+        out = simplify_ring(ring, tolerance=0.5)
+        assert len(out) <= 6  # corners + closure only
+        df = spark.createDataFrame(
+            [(1, bytearray(geom.wkb_polygon([ring])), 0.0, 0.0, 10.0, 10.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        r = simplify_features(df, 0.5).collect()[0]
+        g = geom.parse_wkb(bytes(r.wkb))
+        assert len(g.polygons()[0][0]) <= 6
+        a, _ = geom.polygon_area_centroid(g.polygons())
+        assert abs(a - 100.0) < 1.0  # area approximately preserved
+
+    def test_simplify_below_tolerance_keeps_shape(self, spark):
+        from gdal_spark.operators.vector import simplify_ring
+
+        tri = np.array([[0, 0], [10, 0], [5, 8], [0, 0]], dtype=float)
+        out = simplify_ring(tri, tolerance=0.1)
+        a0, _ = geom.ring_area_centroid(tri)
+        a1, _ = geom.ring_area_centroid(out)
+        assert abs(abs(a1) - abs(a0)) < 1e-9
+
+    def test_makevalid_closes_and_dedups(self, spark):
+        from gdal_spark.operators.vector import make_valid_features
+
+        # unclosed ring with a duplicated vertex
+        bad = np.array([[0, 0], [4, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+        wkb = geom.wkb_polygon([bad])[:]  # builder closes, so re-break it:
+        df = spark.createDataFrame(
+            [(1, bytearray(geom.wkb_polygon([bad])), 0.0, 0.0, 4.0, 4.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        r = make_valid_features(df).collect()[0]
+        g = geom.parse_wkb(bytes(r.wkb))
+        a, _ = geom.polygon_area_centroid(g.polygons())
+        assert abs(a - 16.0) < 1e-9
+
+    def test_makevalid_resolves_bowtie(self, spark):
+        from gdal_spark.operators.vector import make_valid_features
+
+        # self-intersecting bow-tie: two 1x... lobes, total area 2*4=8? ->
+        # lobes (0,0)-(4,0)-(0,4) and (4,4)-(8,4)... use the classic:
+        bow = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], dtype=float)
+        df = spark.createDataFrame(
+            [(1, bytearray(geom.wkb_polygon([bow])), 0.0, 0.0, 4.0, 4.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        r = make_valid_features(df).collect()[0]
+        g = geom.parse_wkb(bytes(r.wkb))
+        # two triangular lobes, each area 4 (nonzero-winding extraction)
+        a, _ = geom.polygon_area_centroid(g.polygons())
+        assert abs(a - 8.0) < 1e-9
+        assert len(g.polygons()) == 2
+
+    def test_makevalid_drops_degenerate(self, spark):
+        from gdal_spark.operators.vector import make_valid_features
+
+        line = np.array([[0, 0], [5, 0], [0, 0]], dtype=float)
+        df = spark.createDataFrame(
+            [(1, bytearray(geom.wkb_polygon([line])), 0.0, 0.0, 5.0, 0.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        assert make_valid_features(df).count() == 0
+
 
 class TestExecuteSQL:
     def test_sql_with_st_contains(self, spark, feats):
