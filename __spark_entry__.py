@@ -573,6 +573,61 @@ def q_layer_erase_areas_sql():
     )
 
 
+def q_polygonize_regions(spark, sf_dir):
+    """Rasterize the disjoint method rectangles into a tiled 2000x2000
+    grid, then polygonize (alg/polygonize.cpp semantics: equal-value
+    connected regions) across tile borders. Each disjoint rect becomes
+    exactly one region; its pixel count is derivable in SQL from the
+    scanline-rounding rules (x: floor(px+0.5) half-open span; y: center
+    strictly inside [top, bottom))."""
+    from gdal_spark.operators.polygonize import polygonize_tiles
+    from gdal_spark.operators.rasterize import rasterize
+
+    _inputs, methods = _disjoint_rect_layers(spark, sf_dir)
+    gt = (-20000000.0, 20000.0, 0.0, 20000000.0, 0.0, -20000.0)
+    tiles = rasterize(spark, methods, gt, 2000, 2000, burn_value=1.0, merge="replace")
+    out = polygonize_tiles(tiles, gt, tile_size=256, exclude=(0.0,))
+    return out.select("n_pixels").orderBy("n_pixels")
+
+
+def q_polygonize_regions_sql():
+    return (
+        f"WITH m AS ({_DISJ_M_SQL}), px AS (SELECT fid, "
+        "CAST(least(2000, floor((maxx + 20000000.0) / 20000.0 + 0.5)) "
+        "- greatest(0, floor((minx + 20000000.0) / 20000.0 + 0.5)) AS BIGINT) AS nx, "
+        "CAST(least(2000, ceil((20000000.0 - miny) / 20000.0 - 0.5)) "
+        "- greatest(0, ceil((20000000.0 - maxy) / 20000.0 - 0.5)) AS BIGINT) AS ny "
+        "FROM m) "
+        "SELECT nx * ny AS n_pixels FROM px WHERE nx > 0 AND ny > 0 "
+        "ORDER BY n_pixels"
+    )
+
+
+def q_simplify_areas(spark, sf_dir):
+    """-segmentize then -simplify (ogr2ogr_lib.cpp:265): densify each
+    rectangle edge with collinear vertices, Douglas-Peucker them away,
+    and verify the areas survive exactly (collinear points are at
+    distance 0 < tolerance, so DP returns the 4 corners)."""
+    from gdal_spark.operators.layer_algebra import _normalize_layer
+    from gdal_spark.operators.vector import segmentize, simplify_features
+
+    inputs, _methods = _disjoint_rect_layers(spark, sf_dir)
+    seg = segmentize(inputs, 100000.0)
+    simp = simplify_features(seg, 1.0)
+    out = _normalize_layer(simp, "fid")
+    return out.select(
+        "fid", F.round(F.col("area") / 1.0e6, 4).alias("area_km2")
+    ).orderBy("fid")
+
+
+def q_simplify_areas_sql():
+    return (
+        f"WITH i AS ({_DISJ_IN_SQL}) "
+        "SELECT fid, round((maxx - minx) * (maxy - miny) / 1.0e6, 4) AS area_km2 "
+        "FROM i ORDER BY fid"
+    )
+
+
 def q_layer_intersection(spark, sf_dir):
     """Layer-algebra Intersection (ogrlayer.cpp:3345-3700) on rectangle
     layers: per-pair clipped piece areas via the Sutherland-Hodgman
@@ -1167,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_intersection": q_layer_intersection,
         "layer_union_areas": q_layer_union_areas,
         "layer_erase_areas": q_layer_erase_areas,
+        "polygonize_regions": q_polygonize_regions,
+        "simplify_areas": q_simplify_areas,
         "zonal_stats": q_zonal_stats,
         "interpolate_at_points": q_interpolate_at_points,
         "rasterize_checksums": q_rasterize_checksums,
@@ -1210,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
         "layer_intersection": q_layer_intersection_sql(),
         "layer_union_areas": q_layer_union_areas_sql(),
         "layer_erase_areas": q_layer_erase_areas_sql(),
+        "polygonize_regions": q_polygonize_regions_sql(),
+        "simplify_areas": q_simplify_areas_sql(),
         "zonal_stats": q_zonal_stats_sql(),
         "token_count": q_token_count_sql(),
         "text_stats": q_text_stats_sql(),
