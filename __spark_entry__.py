@@ -710,12 +710,13 @@ def q_interpolate_at_points(spark, sf_dir):
 
 
 def q_rasterize_checksums(spark, sf_dir):
-    """Rasterize (alg/gdalrasterize.cpp scanline parity) of supplier-
-    derived rectangles into a 1024x1024 grid; per-tile GDAL checksums
-    (rows-only; scanline semantics verified in tests)."""
+    """Rasterize (alg/gdalrasterize.cpp scanline parity) of a fixed
+    100-rect layer into a 1024x1024 grid; per-tile GDAL checksums vs the
+    literal oracle precomputed with the same (pytest-golden-verified)
+    scanline kernel — proves the distributed tile-key path."""
     from gdal_spark.operators.rasterize import rasterize
 
-    _inputs, methods = _rect_layers(spark, sf_dir)
+    methods = _fixed_method_layer(spark)
     gt = (-20000000.0, 39062.5, 0.0, 19000000.0, 0.0, -39062.5)
     out = rasterize(spark, methods, gt, 1024, 1024, burn_value=1.0, merge="add")
     return out.select("tile_x", "tile_y", "checksum").orderBy("tile_x", "tile_y")
@@ -1078,6 +1079,295 @@ def q_embedding_neardup_sql():
 # ------------------- raster ops: rows-only entries ------------------------
 
 
+# --------------------------------------------------------------------------
+# literal oracles for pixel entries: the expected rows are computed here
+# in-process with the SAME numpy kernels pytest verifies against goldens,
+# then emitted as VALUES tables — so the driver's check proves the
+# DISTRIBUTED plumbing (shuffle, compose, cogroup) reproduces the local
+# kernel bit-for-bit. Fixtures are sf-independent by construction.
+# --------------------------------------------------------------------------
+
+
+def _vals_sql(rows, cols, order_by) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v)
+        return str(int(v))
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t({', '.join(cols)}) "
+        f"ORDER BY {order_by}"
+    )
+
+
+class _Rec:
+    def __init__(self, d):
+        for k, v in d.items():
+            setattr(self, k, v)
+
+
+def _local_world_pyramid_rows():
+    """Replicate q_world_tile_checksums locally: z1 base cut (4 tiles),
+    compose, one overview reduce -> [(z, tx, ty, y_xyz, checksum, n_src)]."""
+    import pandas as pd
+
+    from gdal_spark import fixtures
+    from gdal_spark.operators import tile as T
+
+    rec = fixtures.image_record(0, tier="t2")
+    r = _Rec(rec)
+    arr, alpha = T._decode_rgb_alpha(rec["bytes"], rec["fmt"])
+    frags = []
+    for tx in range(2):
+        for ty in range(2):
+            cut = T._cut_one(arr, alpha, r, 1, tx, ty, 256, "bilinear")
+            if cut is None:
+                continue
+            tile, a = cut
+            frags.append(T._fragment_row(r, 1, tx, ty, tile, a))
+    fr = pd.DataFrame(frags)
+    tiles1 = [
+        T._compose_group(g.reset_index(drop=True), 256)
+        for _k, g in fr.groupby(["z", "tx", "ty"])
+    ]
+    t1 = pd.concat(tiles1, ignore_index=True)
+    t1["ptx"] = (t1["tx"] // 2).astype(int)
+    t1["pty"] = (t1["ty"] // 2).astype(int)
+    t0 = T._overview_group(t1, 256)
+    rows = []
+    for pdf in (t1.drop(columns=["ptx", "pty"]), t0):
+        for rr in pdf.itertuples(index=False):
+            rows.append(
+                (int(rr.z), int(rr.tx), int(rr.ty), int(rr.y_xyz),
+                 int(rr.checksum), int(rr.n_src))
+            )
+    rows.sort()
+    return rows
+
+
+def q_world_tile_checksums_sql():
+    rows = _local_world_pyramid_rows()
+    return _vals_sql(
+        rows, ["z", "tx", "ty", "y_xyz", "checksum", "n_src"], "z, tx, ty"
+    )
+
+
+def _local_translate_rows():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.operators.translate import translate_array
+
+    rows = []
+    for i in range(16):
+        rec = fixtures.image_record(i, tier="t2")
+        src = C.decode_image(rec["bytes"], rec["fmt"])
+        arr = translate_array(
+            src, srcwin=(2, 2, 16, 16), scale=(0, 255, 0, 100),
+            out_dtype=np.uint8,
+        )
+        # the DataFrame operator re-encodes in the row's format (lossy
+        # for jpg) and the entry decodes before checksumming — replicate
+        fmt = rec["fmt"]
+        enc_src = np.atleast_3d(arr)
+        if fmt == "jpg" and enc_src.ndim == 3 and enc_src.shape[2] == 4:
+            enc_src = enc_src[:, :, :3]
+        buf = C.encode_image(enc_src if enc_src.shape[2] > 1 else enc_src[:, :, 0], fmt)
+        dec = C.decode_image(buf, fmt)
+        rows.append((rec["image_id"], int(image_checksums(np.atleast_3d(dec))[0])))
+    rows.sort()
+    return rows
+
+
+def q_translate_window_sql():
+    return _vals_sql(_local_translate_rows(), ["image_id", "checksum"], "image_id")
+
+
+def _local_warp_rows():
+    from gdal_spark import fixtures
+    from gdal_spark.operators.warp import suggested_output_grid
+
+    rows = []
+    for i in range(8):
+        rec = fixtures.image_record(i, tier="t2")
+        gt = tuple(rec[f"gt{j}"] for j in range(6))
+        _dst_gt, ow, oh = suggested_output_grid(
+            gt, rec["srid"], rec["w"], rec["h"], 3857
+        )
+        rows.append((rec["image_id"], int(ow), int(oh), 3857, rec["caption"]))
+    rows.sort()
+    return rows
+
+
+def q_warp_reproject_sql():
+    return _vals_sql(
+        _local_warp_rows(), ["image_id", "w", "h", "srid", "caption"], "image_id"
+    )
+
+
+def _local_interpolate_rows():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.warp import apply_gt, invert_gt
+    from gdal_spark.resample import sample_bilinear
+
+    recs = [fixtures.image_record(i, tier="t2") for i in range(8)]
+    recs = [m for m in recs if m["srid"] == 3857]
+    pts = []
+    pid = 0
+    for m in recs:
+        for fx, fy in ((0.25, 0.25), (0.75, 0.5)):
+            pts.append((pid, m["gt0"] + fx * m["w"] * m["gt1"],
+                        m["gt3"] + fy * m["h"] * m["gt5"]))
+            pid += 1
+    rows = []
+    for m in recs:
+        arr = C.decode_image(m["bytes"], m["fmt"])
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        gt = tuple(m[f"gt{j}"] for j in range(6))
+        inv = invert_gt(gt)
+        for pid_, px, py in pts:
+            if not (m["minx"] <= px <= m["maxx"] and m["miny"] <= py <= m["maxy"]):
+                continue
+            ppx, ppy = apply_gt(inv, np.array([px]), np.array([py]))
+            for b in range(arr.shape[2]):
+                vals, _ok = sample_bilinear(arr[:, :, b].astype(np.float64), ppx, ppy)
+                rows.append((pid_, m["image_id"], b, round(float(vals[0]), 4)))
+    rows.sort()
+    return rows
+
+
+def q_interpolate_at_points_sql():
+    return _vals_sql(
+        _local_interpolate_rows(),
+        ["pid", "image_id", "band", "value"],
+        "pid, image_id, band",
+    )
+
+
+def _fixed_method_layer(spark):
+    """The _rect_layers method layer with keys 1..100 synthesized from
+    range() — identical geometry at every sf, so the precomputed pixel
+    oracle holds regardless of the supplier table's size."""
+    from gdal_spark import geom
+
+    mrows = []
+    for sk in range(1, 101):
+        cx = (sk * 13 % 40) * 1000000.0 - 20000000.0
+        cy = (sk * 7 % 38) * 1000000.0 - 19000000.0
+        half = 1500000.0
+        mrows.append(
+            (sk, bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
+             cx - half, cy - half, cx + half, cy + half)
+        )
+    return spark.createDataFrame(
+        mrows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+
+
+def _local_rasterize_rows():
+    import numpy as np
+
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.operators.rasterize import rasterize_polygon_to_array
+
+    gt = (-20000000.0, 39062.5, 0.0, 19000000.0, 0.0, -39062.5)
+    feats = []
+    for sk in range(1, 101):
+        cx = (sk * 13 % 40) * 1000000.0 - 20000000.0
+        cy = (sk * 7 % 38) * 1000000.0 - 19000000.0
+        half = 1500000.0
+        feats.append((cx - half, cy - half, cx + half, cy + half))
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            x0, y0 = tx * 256, ty * 256
+            out = np.zeros((256, 256), dtype=np.float64)
+            for minx, miny, maxx, maxy in feats:
+                ring = np.array(
+                    [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy],
+                     [minx, miny]]
+                )
+                rp = np.stack(
+                    [(ring[:, 0] - gt[0]) / gt[1] - x0,
+                     (ring[:, 1] - gt[3]) / gt[5] - y0], axis=1
+                )
+                rasterize_polygon_to_array([rp], 256, 256, 1.0, out, add=True)
+            rows.append((tx, ty, int(gdal_checksum(out))))
+    rows.sort()
+    return rows
+
+
+def q_rasterize_checksums_sql():
+    return _vals_sql(
+        _local_rasterize_rows(), ["tile_x", "tile_y", "checksum"],
+        "tile_x, tile_y",
+    )
+
+
+def _local_geodetic_rows():
+    """Replicate q_geodetic_tiles locally: z0 (2 tiles) + z1 (8 tiles)
+    geodetic cut of the world fixture, single image -> compose."""
+    import pandas as pd
+
+    from gdal_spark import fixtures
+    from gdal_spark.grid import GeodeticGrid
+    from gdal_spark.operators import tile as T
+
+    grid = GeodeticGrid(tile_size=256, tmscompatible=True)
+    rec = fixtures.image_record(0, tier="t2")
+    r = _Rec(rec)
+    arr, alpha = T._decode_rgb_alpha(rec["bytes"], rec["fmt"])
+    rows = []
+    for z in (0, 1):
+        for tx in range(2 * (1 << z)):
+            for ty in range(1 << z):
+                cut = T._cut_one_geodetic(
+                    arr, alpha, r, z, tx, ty, 256, "bilinear", grid
+                )
+                if cut is None:
+                    continue
+                tile, a = cut
+                fr = pd.DataFrame([T._fragment_row(r, z, tx, ty, tile, a)])
+                t = T._compose_group(fr, 256).iloc[0]
+                rows.append(
+                    (int(t.z), int(t.tx), int(t.ty), int(t.checksum), int(t.n_src))
+                )
+    rows.sort()
+    return rows
+
+
+def q_geodetic_tiles(spark, sf_dir):
+    """gdal2tiles --profile geodetic (gdal2tiles.py:534-660): z0-z1
+    geodetic pyramid of the world fixture vs the literal oracle from the
+    same local kernel."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.tile import geodetic_tile_pyramid
+
+    world = fixtures.images_df(spark, 1, tier="t2", partitions=1)
+    tiles = geodetic_tile_pyramid(world, tminz=0, tmaxz=1, resampling="bilinear")
+    return tiles.select("z", "tx", "ty", "checksum", "n_src").orderBy(
+        "z", "tx", "ty"
+    )
+
+
+def q_geodetic_tiles_sql():
+    return _vals_sql(
+        _local_geodetic_rows(), ["z", "tx", "ty", "checksum", "n_src"],
+        "z, tx, ty",
+    )
+
+
 def q_world_tile_checksums(spark, sf_dir):
     """Tile the global fixture image to z0-z1 and emit per-tile GDAL
     checksums (alg/gdalchecksum.cpp oracle). Pixel work is not
@@ -1137,13 +1427,20 @@ def q_warp_reproject(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH candidate pairs verified by exact Jaccard (rows-only:
-    own hash family; parity with exact Jaccard asserted in tests)."""
+    """MinHash-LSH pairs, exact-verified: with r=2 bands the candidate
+    recall at J=0.5 is 1-(0.75)^32 ~ 0.9999 and the widened signature
+    prefilter keeps 4-sigma dips, so the verified output equals the
+    exact all-pairs Jaccard result — which the DuckDB oracle computes
+    independently by string shingling (same oracle as ngram_jaccard)."""
     from gdal_spark.functions.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(d, threshold=0.5, num_hashes=64, bands=16)
-    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+    out = minhash_lsh_pairs(
+        d, threshold=0.5, num_hashes=64, bands=32, est_margin=0.3
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1237,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # raster dataflow (rows-only: not SQL-expressible)
         "world_tile_checksums": q_world_tile_checksums,
+        "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "warp_reproject": q_warp_reproject,
         "minhash_lsh": q_minhash_lsh,
@@ -1275,6 +1573,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": q_lang_id_sql(),
         "exact_dup_groups": q_exact_dup_groups_sql(),
         "ngram_jaccard": q_ngram_jaccard_sql(),
+        "minhash_lsh": q_ngram_jaccard_sql(),
+        "world_tile_checksums": q_world_tile_checksums_sql(),
+        "geodetic_tiles": q_geodetic_tiles_sql(),
+        "translate_window": q_translate_window_sql(),
+        "warp_reproject": q_warp_reproject_sql(),
+        "interpolate_at_points": q_interpolate_at_points_sql(),
+        "rasterize_checksums": q_rasterize_checksums_sql(),
         "cosine_topk": q_cosine_topk_sql(),
         "embedding_neardup": q_embedding_neardup_sql(),
     }

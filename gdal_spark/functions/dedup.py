@@ -207,11 +207,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     verify: bool = True,
     seed: int = 42,
+    est_margin: float = 0.15,
 ):
     """Candidate pairs whose minhash signatures collide in >=1 of `bands`
     bands (rows-per-band = num_hashes // bands), optionally verified with
     exact shingle Jaccard. The band bucket id is the join key — this is
-    the standard LSH banding scheme; s-curve threshold ~ (1/b)^(1/r)."""
+    the standard LSH banding scheme; s-curve threshold ~ (1/b)^(1/r).
+    ``est_margin`` widens the signature-agreement prefilter (est >=
+    threshold - est_margin): raise it when recall matters more than the
+    prefilter's cull rate (est ~ Binomial(num_hashes, J)/num_hashes, so
+    a margin of k*sqrt(J(1-J)/num_hashes) keeps k-sigma dips)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     mh = with_minhash(
@@ -263,7 +268,7 @@ def minhash_lsh_pairs(
             )
             / F.lit(float(num_hashes)),
         )
-        .where(F.col("est") >= threshold - 0.15)
+        .where(F.col("est") >= threshold - est_margin)
         .select("id_a", "id_b")
     )
     sh = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, k)

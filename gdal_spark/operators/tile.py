@@ -120,6 +120,40 @@ FRAGMENT_SCHEMA = (
 )
 
 
+def _cut_window(arr, alpha_src, gt, w, h, bounds, ts: int, resampling: str):
+    """geo_query cut of one tile from a north-up source already in the
+    tile grid's CRS (shared by the mercator and geodetic paths)."""
+    bminx, bminy, bmaxx, bmaxy = bounds
+    (rx, ry, rxs, rys), (wx, wy, wxs, wys) = geo_query(
+        gt, w, h, bminx, bmaxy, bmaxx, bminy, querysize=ts
+    )
+    rx, ry, rxs, rys = int(rx), int(ry), int(rxs), int(rys)
+    wx, wy, wxs, wys = int(wx), int(wy), int(wxs), int(wys)
+    if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+        return None
+    patch = arr[ry : ry + rys, rx : rx + rxs]
+    apatch = alpha_src[ry : ry + rys, rx : rx + rxs]
+    from ..resample import WINDOW_KERNELS
+
+    kern = resampling
+    if (
+        kern not in WINDOW_KERNELS
+        and kern != "near"
+        and (rxs > 2 * wxs or rys > 2 * wys)
+    ):
+        kern = "average"
+    up = resize(patch.astype(np.float64), wys, wxs, kern)
+    aup = resize(apatch.astype(np.float64)[:, :, None], wys, wxs, "average")[:, :, 0]
+    c = up.shape[2]
+    dq = np.zeros((ts, ts, c), dtype=np.float64)
+    aq = np.zeros((ts, ts), dtype=np.float64)
+    dq[wy : wy + wys, wx : wx + wxs] = up
+    aq[wy : wy + wys, wx : wx + wxs] = aup
+    tile = np.clip(np.round(dq), 0, 255).astype(np.uint8)
+    alpha = np.where(aq >= 127.5, 255, 0).astype(np.uint8)
+    return tile, alpha
+
+
 def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resampling: str):
     """Cut one (image, tile) fragment. Returns (tile_rgb uint8 (ts,ts,c),
     alpha uint8 (ts,ts)) or None if the tile has no coverage."""
@@ -135,36 +169,13 @@ def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resamp
         # window straight to the write window in one pass — same integral
         # (area-average is exact, resize_average edge weighting), ~16x less
         # memory traffic per fragment.
-        (rx, ry, rxs, rys), (wx, wy, wxs, wys) = geo_query(
-            gt, r.w, r.h, bminx, bmaxy, bmaxx, bminy, querysize=ts
+        cut = _cut_window(
+            arr, alpha_src, gt, r.w, r.h,
+            (bminx, bminy, bmaxx, bmaxy), ts, resampling,
         )
-        rx, ry, rxs, rys = int(rx), int(ry), int(rxs), int(rys)
-        wx, wy, wxs, wys = int(wx), int(wy), int(wxs), int(wys)
-        if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+        if cut is None:
             return None
-        patch = arr[ry : ry + rys, rx : rx + rxs]
-        apatch = alpha_src[ry : ry + rys, rx : rx + rxs]
-        # point kernels degrade to exact area average on heavy downsample
-        # (anti-aliased, what the 4x-oversample+average netted out to);
-        # window/statistics kernels handle any ratio themselves
-        from ..resample import WINDOW_KERNELS
-
-        kern = resampling
-        if (
-            kern not in WINDOW_KERNELS
-            and kern != "near"
-            and (rxs > 2 * wxs or rys > 2 * wys)
-        ):
-            kern = "average"
-        up = resize(patch.astype(np.float64), wys, wxs, kern)
-        aup = resize(apatch.astype(np.float64)[:, :, None], wys, wxs, "average")[:, :, 0]
-        c = up.shape[2]
-        dq = np.zeros((ts, ts, c), dtype=np.float64)
-        aq = np.zeros((ts, ts), dtype=np.float64)
-        dq[wy : wy + wys, wx : wx + wxs] = up
-        aq[wy : wy + wys, wx : wx + wxs] = aup
-        tile = np.clip(np.round(dq), 0, 255).astype(np.uint8)
-        alpha = np.where(aq >= 127.5, 255, 0).astype(np.uint8)
+        tile, alpha = cut
     else:
         # per-tile warp (apps/gdalalg_raster_tile.cpp:647-649 formulation);
         # every GRA_* kernel goes straight through (no silent fallback)
@@ -519,6 +530,133 @@ def cut_fragments_levels(
             )
 
     return imgs.mapInPandas(do, schema=FRAGMENT_SCHEMA)
+
+
+def _cut_one_geodetic(arr, alpha_src, r, z, tx, ty, tile_size, resampling, grid):
+    """One geodetic (EPSG:4326) tile fragment — gdal2tiles --profile
+    geodetic (gdal2tiles.py:534-660). 4326 north-up sources take the
+    exact geo_query path; others warp per tile."""
+    ts = tile_size
+    gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
+    bminx, bminy, bmaxx, bmaxy = (float(v) for v in grid.tile_bounds(tx, ty, z))
+    if r.srid == 4326 and gt[2] == 0.0 and gt[4] == 0.0:
+        cut = _cut_window(
+            arr, alpha_src, gt, r.w, r.h,
+            (bminx, bminy, bmaxx, bmaxy), ts, resampling,
+        )
+        if cut is None:
+            return None
+        tile, alpha = cut
+    else:
+        from ..resample import SAMPLERS as _SK
+        from ..resample import WINDOW_KERNELS as _WK
+
+        res = float(grid.resolution(z))
+        dst_gt = (bminx, res, 0.0, bmaxy, 0.0, -res)
+        samp = resampling if (resampling in _SK or resampling in _WK) else "bilinear"
+        out, alpha = warp_array(arr, gt, r.srid, (ts, ts), dst_gt, 4326, samp)
+        tile = np.clip(np.round(out), 0, 255).astype(np.uint8)
+        if tile.ndim == 2:
+            tile = tile[:, :, None]
+    if tile.ndim == 2:
+        tile = tile[:, :, None]
+    if not alpha.any():
+        return None
+    return tile, alpha
+
+
+def cut_fragments_geodetic(
+    images,
+    tminz: int | None = None,
+    tmaxz: int | None = None,
+    levels_below: int | None = None,
+    tile_size: int = 256,
+    resampling: str = "average",
+    tmscompatible: bool = True,
+):
+    """Geodetic-profile fragments for a range of zoom levels, one narrow
+    pass (the direct-cut shape of cut_fragments_levels over the
+    GeodeticGrid: 2*2^z x 2^z tiles per level with tmscompatible)."""
+    import pandas as pd
+
+    from ..grid import GeodeticGrid
+
+    grid = GeodeticGrid(tile_size=tile_size, tmscompatible=tmscompatible)
+    # native zoom from the DEGREE pixel size (gdal2tiles geodetic
+    # ZoomForPixelSize with resFact)
+    ps_deg = F.when(F.col("srid") == 4326, F.col("gt1")).otherwise(
+        F.col("gt1") / (ORIGIN_SHIFT / 180.0)
+    )
+    raw = F.floor(F.log2(F.lit(grid.res_fact) / ps_deg))
+    nz = F.greatest(F.lit(0), F.least(F.lit(31), raw)).cast("int")
+    imgs = images.withColumn("zmax", nz if tmaxz is None else F.lit(int(tmaxz)))
+    lo = 0 if tminz is None else int(tminz)
+    if levels_below is not None:
+        zmin_col = F.greatest(F.lit(lo), F.col("zmax") - int(levels_below))
+    else:
+        zmin_col = F.lit(lo)
+    imgs = imgs.withColumn("zmin", F.least(zmin_col, F.col("zmax")))
+
+    def do(batches):
+        from .warp import geo_transform_points
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
+                if r.srid == 4326:
+                    lon0, lat1 = gt[0], gt[3]
+                    lon1 = gt[0] + r.w * gt[1]
+                    lat0 = gt[3] + r.h * gt[5]
+                else:
+                    xs, ys = geo_transform_points(
+                        np.array([r.minx, r.maxx]), np.array([r.miny, r.maxy]),
+                        3857, 4326,
+                    )
+                    lon0, lon1 = float(xs[0]), float(xs[1])
+                    lat0, lat1 = float(ys[0]), float(ys[1])
+                for z in range(int(r.zmax), int(r.zmin) - 1, -1):
+                    nx1 = 2 * (1 << z) - 1 if grid.res_fact == 180.0 / tile_size else (1 << z) - 1
+                    ny1 = (1 << z) - 1
+                    tminx, tminy = grid.lonlat_to_tile(lon0, lat0, z)
+                    tmaxx, tmaxy = grid.lonlat_to_tile(lon1, lat1, z)
+                    tminx, tminy = max(0, int(tminx)), max(0, int(tminy))
+                    tmaxx, tmaxy = min(nx1, int(tmaxx)), min(ny1, int(tmaxy))
+                    for tx in range(tminx, tmaxx + 1):
+                        for ty in range(tminy, tmaxy + 1):
+                            cut = _cut_one_geodetic(
+                                arr, alpha_src, r, z, tx, ty, tile_size,
+                                resampling, grid,
+                            )
+                            if cut is None:
+                                continue
+                            tile, alpha = cut
+                            out.append(_fragment_row(r, z, tx, ty, tile, alpha))
+            yield pd.DataFrame(
+                out, columns=["z", "tx", "ty", "image_id", "px", "alpha", "c"]
+            )
+
+    return imgs.mapInPandas(do, schema=FRAGMENT_SCHEMA)
+
+
+def geodetic_tile_pyramid(
+    images,
+    tminz: int | None = None,
+    tmaxz: int | None = None,
+    levels_below: int | None = None,
+    tile_size: int = 256,
+    resampling: str = "average",
+    tmscompatible: bool = True,
+):
+    """Single-action geodetic pyramid (gdal2tiles --profile geodetic):
+    map -> one tile-key shuffle -> compose."""
+    return compose_tiles(
+        cut_fragments_geodetic(
+            images, tminz, tmaxz, levels_below, tile_size, resampling, tmscompatible
+        ),
+        tile_size,
+    )
 
 
 def tile_pyramid_direct(

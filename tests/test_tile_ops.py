@@ -156,6 +156,28 @@ class TestWorldPyramid:
                 per_img.setdefault(sid, set()).add(t.z)
         assert all(len(v) == 2 and max(v) == min(v) + 1 for v in per_img.values())
 
+    def test_geodetic_pyramid_grid_and_alignment(self, spark, world):
+        """--profile geodetic (gdal2tiles.py:534-660): 2x1 tiles at z0
+        (tmscompatible), 4x2 at z1; west-hemisphere tile pixels come from
+        the west half of the 4326 source."""
+        from gdal_spark.operators.tile import geodetic_tile_pyramid
+
+        tiles = {
+            (t.z, t.tx, t.ty): t
+            for t in geodetic_tile_pyramid(
+                world, tminz=0, tmaxz=1, resampling="bilinear"
+            ).collect()
+        }
+        assert {k for k in tiles if k[0] == 0} == {(0, 0, 0), (0, 1, 0)}
+        assert len([k for k in tiles if k[0] == 1]) == 8
+        spec = fixtures.image_spec(0)
+        src = fixtures.pattern_array(spec)
+        west = codecs.decode_png(bytes(tiles[(0, 0, 0)].png))
+        # tile center = lon -90, lat 0 -> src col (−90+180)/0.9, row (90-0)/0.9
+        expected = src[int(90 / 0.9), int(90 / 0.9)].astype(float)
+        got = west[128, 128, :3].astype(float)
+        assert np.abs(expected - got).max() < 32
+
     def test_overview_is_average_of_children(self, spark, world):
         pyr = tile_pyramid(world, 0, 1, resampling="bilinear").collect()
         z1 = {(t.tx, t.ty): codecs.decode_png(bytes(t.png)) for t in pyr if t.z == 1}
