@@ -279,6 +279,185 @@ def points_to_polygon_dist(px, py, rings):
     return np.where(inside, 0.0, d)
 
 
+# ---------------------------------------------------------------------------
+# WKT / GeoJSON IO (ogr/ogrgeometryfactory.cpp createFromWkt /
+# ogr/ogrgeojsonreader.cpp semantics, 2-D)
+# ---------------------------------------------------------------------------
+
+
+def _fmt_coord(v: float) -> str:
+    s = repr(float(v))
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _wkt_ring(ring) -> str:
+    r = np.asarray(ring, dtype=np.float64)
+    return "(" + ", ".join(f"{_fmt_coord(x)} {_fmt_coord(y)}" for x, y in r) + ")"
+
+
+def geometry_to_wkt(g: Geometry) -> str:
+    """Serialize to WKT (OGRGeometry::exportToWkt analog)."""
+    if g.kind == WKB_POINT:
+        x, y = g.parts[0]
+        return f"POINT ({_fmt_coord(x)} {_fmt_coord(y)})"
+    if g.kind == WKB_LINESTRING:
+        return "LINESTRING " + _wkt_ring(g.parts[0])
+    if g.kind == WKB_POLYGON:
+        return "POLYGON (" + ", ".join(_wkt_ring(r) for r in g.parts) + ")"
+    if g.kind == WKB_MULTIPOLYGON:
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(_wkt_ring(r) for r in rings) + ")" for rings in g.parts
+        ) + ")"
+    if g.kind == WKB_MULTIPOINT:
+        return "MULTIPOINT (" + ", ".join(
+            f"({_fmt_coord(x)} {_fmt_coord(y)})" for x, y in g.parts
+        ) + ")"
+    if g.kind == WKB_MULTILINESTRING:
+        return "MULTILINESTRING (" + ", ".join(_wkt_ring(r) for r in g.parts) + ")"
+    raise ValueError(f"cannot serialize WKT kind {g.kind}")
+
+
+def _parse_coord_list(s: str) -> np.ndarray:
+    pts = []
+    for tok in s.split(","):
+        parts = tok.split()
+        pts.append([float(parts[0]), float(parts[1])])
+    return np.array(pts, dtype=np.float64)
+
+
+def _split_parens(s: str):
+    """Split 'a, b, c' at top-level commas where a/b/c are (...) groups."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out]
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(f"malformed WKT fragment: {s[:40]!r}")
+    return s[1:-1].strip()
+
+
+def parse_wkt(wkt: str) -> Geometry:
+    """Parse 2-D WKT (OGRGeometryFactory::createFromWkt analog)."""
+    s = wkt.strip()
+    up = s.upper()
+    if up.startswith("POINT"):
+        body = _strip_parens(s[5:])
+        return Geometry(WKB_POINT, _parse_coord_list(body))
+    if up.startswith("LINESTRING"):
+        return Geometry(WKB_LINESTRING, [_parse_coord_list(_strip_parens(s[10:]))])
+    if up.startswith("POLYGON"):
+        body = _strip_parens(s[7:])
+        rings = [_parse_coord_list(_strip_parens(p)) for p in _split_parens(body)]
+        return Geometry(WKB_POLYGON, rings)
+    if up.startswith("MULTIPOLYGON"):
+        body = _strip_parens(s[12:])
+        polys = []
+        for poly in _split_parens(body):
+            pb = _strip_parens(poly)
+            polys.append([_parse_coord_list(_strip_parens(p)) for p in _split_parens(pb)])
+        return Geometry(WKB_MULTIPOLYGON, polys)
+    if up.startswith("MULTIPOINT"):
+        body = _strip_parens(s[10:])
+        pts = []
+        for p in _split_parens(body):
+            p = p.strip()
+            pts.append(_parse_coord_list(_strip_parens(p) if p.startswith("(") else p)[0])
+        return Geometry(WKB_MULTIPOINT, np.array(pts))
+    if up.startswith("MULTILINESTRING"):
+        body = _strip_parens(s[15:])
+        return Geometry(
+            WKB_MULTILINESTRING,
+            [_parse_coord_list(_strip_parens(p)) for p in _split_parens(body)],
+        )
+    raise ValueError(f"unsupported WKT: {s[:40]!r}")
+
+
+def geometry_to_geojson(g: Geometry) -> dict:
+    """GeoJSON geometry dict (RFC 7946, 2-D)."""
+    if g.kind == WKB_POINT:
+        return {"type": "Point", "coordinates": [float(g.parts[0, 0]), float(g.parts[0, 1])]}
+    if g.kind == WKB_LINESTRING:
+        return {"type": "LineString", "coordinates": np.asarray(g.parts[0]).tolist()}
+    if g.kind == WKB_POLYGON:
+        return {"type": "Polygon", "coordinates": [np.asarray(r).tolist() for r in g.parts]}
+    if g.kind == WKB_MULTIPOLYGON:
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [np.asarray(r).tolist() for r in rings] for rings in g.parts
+            ],
+        }
+    if g.kind == WKB_MULTIPOINT:
+        return {"type": "MultiPoint", "coordinates": np.asarray(g.parts).tolist()}
+    if g.kind == WKB_MULTILINESTRING:
+        return {
+            "type": "MultiLineString",
+            "coordinates": [np.asarray(r).tolist() for r in g.parts],
+        }
+    raise ValueError(f"cannot serialize GeoJSON kind {g.kind}")
+
+
+def parse_geojson(obj) -> Geometry:
+    """Parse a GeoJSON geometry (dict or JSON string)."""
+    import json
+
+    if isinstance(obj, (str, bytes)):
+        obj = json.loads(obj)
+    t = obj["type"]
+    c = obj["coordinates"]
+    if t == "Point":
+        return Geometry(WKB_POINT, np.array([c], dtype=np.float64))
+    if t == "LineString":
+        return Geometry(WKB_LINESTRING, [np.array(c, dtype=np.float64)])
+    if t == "Polygon":
+        return Geometry(WKB_POLYGON, [np.array(r, dtype=np.float64) for r in c])
+    if t == "MultiPolygon":
+        return Geometry(
+            WKB_MULTIPOLYGON,
+            [[np.array(r, dtype=np.float64) for r in rings] for rings in c],
+        )
+    if t == "MultiPoint":
+        return Geometry(WKB_MULTIPOINT, np.array(c, dtype=np.float64))
+    if t == "MultiLineString":
+        return Geometry(
+            WKB_MULTILINESTRING, [np.array(r, dtype=np.float64) for r in c]
+        )
+    raise ValueError(f"unsupported GeoJSON type {t!r}")
+
+
+def geometry_to_wkb(g: Geometry) -> bytes:
+    """Serialize any parsed Geometry back to WKB."""
+    if g.kind == WKB_POINT:
+        return wkb_point(float(g.parts[0, 0]), float(g.parts[0, 1]))
+    if g.kind == WKB_LINESTRING:
+        return wkb_linestring(g.parts[0])
+    if g.kind == WKB_POLYGON:
+        return wkb_polygon(g.parts)
+    if g.kind == WKB_MULTIPOLYGON:
+        return wkb_multipolygon(g.parts)
+    if g.kind == WKB_MULTIPOINT:
+        body = b"".join(wkb_point(float(x), float(y)) for x, y in g.parts)
+        return struct.pack("<BII", _LE, WKB_MULTIPOINT, len(g.parts)) + body
+    if g.kind == WKB_MULTILINESTRING:
+        body = b"".join(wkb_linestring(r) for r in g.parts)
+        return struct.pack("<BII", _LE, WKB_MULTILINESTRING, len(g.parts)) + body
+    raise ValueError(f"cannot serialize WKB kind {g.kind}")
+
+
 def polygon_area_centroid(polys):
     """Net area + centroid of a list of polygons (each a ring-list, ring 0
     exterior, rest holes), holes subtracted with their own first moments

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import BooleanType, DoubleType
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, StringType
 
 from . import geom
 
@@ -77,12 +77,46 @@ def _centroid(wkb: bytes):
     return cx, cy
 
 
+@F.pandas_udf(StringType())
+def _st_astext(wkbs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [geom.geometry_to_wkt(geom.parse_wkb(bytes(b))) for b in wkbs]
+    )
+
+
+@F.pandas_udf(BinaryType())
+def _st_geomfromtext(wkts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [geom.geometry_to_wkb(geom.parse_wkt(str(s))) for s in wkts]
+    )
+
+
+@F.pandas_udf(StringType())
+def _st_asgeojson(wkbs: pd.Series) -> pd.Series:
+    import json
+
+    return pd.Series(
+        [json.dumps(geom.geometry_to_geojson(geom.parse_wkb(bytes(b)))) for b in wkbs]
+    )
+
+
+@F.pandas_udf(BinaryType())
+def _st_geomfromgeojson(js: pd.Series) -> pd.Series:
+    return pd.Series(
+        [geom.geometry_to_wkb(geom.parse_geojson(str(s))) for s in js]
+    )
+
+
 def register_functions(spark: SparkSession) -> None:
     """Idempotent registration of the st_* SQL surface."""
     spark.udf.register("st_contains", _st_contains)
     spark.udf.register("st_distance", _st_distance)
     spark.udf.register("st_centroid_x", _st_centroid_x)
     spark.udf.register("st_centroid_y", _st_centroid_y)
+    spark.udf.register("st_astext", _st_astext)
+    spark.udf.register("st_geomfromtext", _st_geomfromtext)
+    spark.udf.register("st_asgeojson", _st_asgeojson)
+    spark.udf.register("st_geomfromgeojson", _st_geomfromgeojson)
 
 
 def execute_sql(

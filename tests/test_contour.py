@@ -1,0 +1,105 @@
+"""Contour (marching squares) vs closed-form + distributed parity.
+
+Reference: alg/contour.cpp + alg/marching_squares (GDALContourGenerate).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.operators.contour import (
+    cell_segments,
+    chain_polylines,
+    contour_array,
+    contour_levels,
+    contour_tiles,
+)
+
+GT = (0.0, 1.0, 0.0, 100.0, 0.0, -1.0)
+
+
+class TestLocalContour:
+    def test_linear_ramp_vertical_line(self):
+        # band = x index: contour at 2.5 is the vertical node line x=2.5
+        band = np.tile(np.arange(8, dtype=float), (6, 1))
+        out = contour_array(band, GT, [2.5])
+        assert len(out) == 1
+        lv, line = out[0]
+        assert lv == 2.5
+        # geo x = 2.5 + 0.5 = 3.0 everywhere on the line
+        assert np.allclose(line[:, 0], 3.0)
+        assert len(line) >= 6
+
+    def test_cone_closed_ring(self):
+        yy, xx = np.mgrid[0:20, 0:20]
+        band = -np.hypot(yy - 10, xx - 10)
+        out = contour_array(band, GT, [-5.0])
+        closed = [l for _lv, l in out if np.array_equal(l[0], l[-1])]
+        assert len(closed) == 1
+        ring = closed[0]
+        # radius ~5 around center (10.5, 100-10.5)
+        r = np.hypot(ring[:, 0] - 10.5, ring[:, 1] - (100 - 10.5))
+        assert abs(r.mean() - 5.0) < 0.3
+
+    def test_levels_helper(self):
+        assert contour_levels(0.0, 10.0, -25.0, 35.0) == [-20.0, -10.0, 0.0, 10.0, 20.0, 30.0]
+
+    def test_interpolation_position(self):
+        band = np.array([[0.0, 10.0], [0.0, 10.0]])
+        segs = cell_segments(band, 2.5)
+        assert len(segs) == 1
+        (x0, y0, x1, y1) = segs[0]
+        assert x0 == pytest.approx(0.25) and x1 == pytest.approx(0.25)
+
+    def test_chaining_merges_across_cells(self):
+        band = np.tile(np.arange(6, dtype=float), (4, 1))
+        segs = cell_segments(band, 2.5)
+        lines = chain_polylines(segs)
+        assert len(lines) == 1  # one continuous polyline
+
+
+class TestDistributedContour:
+    def _tiles(self, spark, arr, ts):
+        rows = []
+        h, w = arr.shape
+        for ty in range(0, h, ts):
+            for tx in range(0, w, ts):
+                sub = arr[ty : ty + ts, tx : tx + ts]
+                rows.append(
+                    (tx // ts, ty // ts, sub.shape[1], sub.shape[0],
+                     bytearray(sub.astype(np.float64).tobytes()))
+                )
+        return spark.createDataFrame(
+            rows, "tile_x int, tile_y int, w int, h int, data binary"
+        )
+
+    def test_matches_local(self, spark):
+        yy, xx = np.mgrid[0:64, 0:64]
+        band = np.sin(xx / 7.0) * 10 + np.cos(yy / 9.0) * 8
+        levels = [-5.0, 0.0, 5.0]
+        tiles = self._tiles(spark, band, 16)
+        out = contour_tiles(tiles, GT, levels, tile_size=16).collect()
+        local = contour_array(band, GT, levels)
+        # same total contour length per level (chaining may split
+        # differently at junctions; length is the invariant)
+        def tot_len(pairs):
+            acc = {}
+            for lv, line in pairs:
+                L = float(np.hypot(*(np.diff(line, axis=0).T)).sum())
+                acc[lv] = acc.get(lv, 0.0) + L
+            return acc
+
+        got = {}
+        for r in out:
+            got[r.level] = got.get(r.level, 0.0) + r.length
+        want = tot_len(local)
+        assert set(got) == set(want)
+        for lv in want:
+            assert got[lv] == pytest.approx(want[lv], rel=1e-9)
+
+    def test_closed_ring_across_tiles(self, spark):
+        yy, xx = np.mgrid[0:32, 0:32]
+        band = -np.hypot(yy - 16, xx - 16)
+        tiles = self._tiles(spark, band, 16)
+        out = contour_tiles(tiles, GT, [-6.0], tile_size=16).collect()
+        closed = [r for r in out if r.closed]
+        assert len(closed) == 1

@@ -273,3 +273,92 @@ def test_feature_records():
     assert len(g.parts) == 2  # has a hole
     g2 = geom.parse_wkb(recs[2]["wkb"])
     assert len(g2.parts[0]) < 4 or np.array_equal(g2.parts[0][0], g2.parts[0][-1])
+
+
+class TestWktGeojsonIO:
+    """WKT / GeoJSON round-trips (ogrgeometryfactory.cpp createFromWkt,
+    ogrgeojsonreader.cpp semantics, 2-D)."""
+
+    def _roundtrip(self, g):
+        import numpy as np
+
+        from gdal_spark import geom as G
+
+        wkt = G.geometry_to_wkt(g)
+        g2 = G.parse_wkt(wkt)
+        assert g2.kind == g.kind
+        gj = G.geometry_to_geojson(g)
+        g3 = G.parse_geojson(gj)
+        assert g3.kind == g.kind
+        wkb1 = G.geometry_to_wkb(g)
+        wkb2 = G.geometry_to_wkb(g2)
+        wkb3 = G.geometry_to_wkb(g3)
+        assert wkb1 == wkb2 == wkb3
+        return wkt
+
+    def test_point(self):
+        import numpy as np
+
+        from gdal_spark import geom as G
+
+        wkt = self._roundtrip(G.Geometry(G.WKB_POINT, np.array([[1.5, -2.25]])))
+        assert wkt == "POINT (1.5 -2.25)"
+
+    def test_polygon_with_hole(self):
+        import numpy as np
+
+        from gdal_spark import geom as G
+
+        outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+        hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], float)
+        wkt = self._roundtrip(G.Geometry(G.WKB_POLYGON, [outer, hole]))
+        assert wkt.startswith("POLYGON ((0 0, 10 0")
+        assert wkt.count("(") == 3
+
+    def test_multipolygon(self):
+        import numpy as np
+
+        from gdal_spark import geom as G
+
+        p1 = [np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float)]
+        p2 = [np.array([[5, 5], [6, 5], [6, 6], [5, 5]], float)]
+        self._roundtrip(G.Geometry(G.WKB_MULTIPOLYGON, [p1, p2]))
+
+    def test_linestring_and_multi(self):
+        import numpy as np
+
+        from gdal_spark import geom as G
+
+        self._roundtrip(G.Geometry(G.WKB_LINESTRING, [np.array([[0, 0], [3, 4]], float)]))
+        self._roundtrip(
+            G.Geometry(
+                G.WKB_MULTILINESTRING,
+                [np.array([[0, 0], [1, 1]], float), np.array([[2, 2], [3, 3]], float)],
+            )
+        )
+        self._roundtrip(G.Geometry(G.WKB_MULTIPOINT, np.array([[0, 0], [1, 2]], float)))
+
+    def test_wkt_external_form_parses(self):
+        from gdal_spark import geom as G
+
+        g = G.parse_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))")
+        assert g.kind == G.WKB_POLYGON and len(g.parts) == 2
+        a, _ = G.polygon_area_centroid([g.parts])
+        assert abs(a - 15.0) < 1e-12
+
+    def test_sql_wkt_functions(self, spark):
+        import numpy as np
+
+        from gdal_spark import geom as G
+        from gdal_spark.sql import execute_sql
+
+        wkb = G.wkb_rect(0, 0, 4, 2)
+        df = spark.createDataFrame([(1, bytearray(wkb))], "fid long, wkb binary")
+        out = execute_sql(
+            spark,
+            "SELECT fid, st_astext(wkb) AS wkt, "
+            "st_centroid_x(st_geomfromtext(st_astext(wkb))) AS cx FROM t",
+            layers={"t": df},
+        ).collect()[0]
+        assert out.wkt.startswith("POLYGON ((0 0, 4 0")
+        assert abs(out.cx - 2.0) < 1e-12
