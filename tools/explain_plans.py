@@ -24,7 +24,10 @@ def audit(name, df, expect, out):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     checks = []
     for label, pattern in expect:
-        ok = re.search(pattern, plan) is not None
+        if callable(pattern):
+            ok = pattern(plan)
+        else:
+            ok = re.search(pattern, plan) is not None
         checks.append((label, ok))
     out.append((name, checks, plan))
     status = ", ".join(f"{l}={'PASS' if ok else 'FAIL'}" for l, ok in checks)
@@ -91,6 +94,83 @@ def main():
         "partial_agg",
         g,
         [("partial", r"HashAggregate.*partial|partial_sum"), ("codegen", r"codegen id|AdaptiveSparkPlan")],
+        out,
+    )
+
+    # 5. layer algebra candidates: hash-partitioned cell EQUI-join (no
+    # cartesian product, no Python evaluation before the join)
+    from gdal_spark.operators.layer_algebra import pair_candidates
+
+    inputs = feats.limit(8)
+    methods = feats.limit(8)
+    cands = pair_candidates(inputs, methods)
+    audit(
+        "layer_algebra_cell_equijoin",
+        cands,
+        [
+            ("equi_join_on_cell",
+             lambda p: re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)
+             is not None and "cell#" in p),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            ("no_python_before_join", lambda p: "EvalPython" not in p),
+        ],
+        out,
+    )
+
+    # 6. rasterize: explode -> tile-key group; no driver collect by
+    # construction (the features scan feeds the exchange directly)
+    from gdal_spark import geom as G
+    from gdal_spark.operators.rasterize import rasterize
+
+    fdf = spark.createDataFrame(
+        [(1, bytearray(G.wkb_rect(0, 0, 100, 100)), 0.0, 0.0, 100.0, 100.0)],
+        "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+    )
+    rz = rasterize(spark, fdf, (0.0, 1.0, 0.0, 512.0, 0.0, -1.0), 512, 512)
+    audit(
+        "rasterize_tilekey_shuffle",
+        rz,
+        [
+            ("explode", r"Generate"),
+            ("grouped_pandas", r"FlatMapGroupsInPandas"),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
+    # 7. interpolate: metadata-only broadcast + image-id cogroup (bytes
+    # cross the shuffle once per image, never per point)
+    from gdal_spark.operators.interpolate import interpolate_at_points
+
+    imgs8 = fixtures.images_df(spark, 4, tier="t2", partitions=2)
+    pdfp = spark.createDataFrame([(0, 0.0, 0.0)], "pid long, x double, y double")
+    ip = interpolate_at_points(pdfp, imgs8)
+    audit(
+        "interpolate_cogroup",
+        ip,
+        [
+            ("cogroup", r"FlatMapCoGroupsInPandas"),
+            ("metadata_broadcast", r"Broadcast(NestedLoop|Hash)Join"),
+            # the broadcast side must NOT carry the bytes column
+            ("no_bytes_in_broadcast",
+             lambda p: not re.search(r"BroadcastExchange[^\n]*\n[^\n]*bytes", p)),
+        ],
+        out,
+    )
+
+    # 8. direct pyramid: ONE exchange total (scan -> mapInPandas ->
+    # tile-key shuffle -> compose); no per-level barriers
+    from gdal_spark.operators.tile import tile_pyramid_direct
+
+    pyr = tile_pyramid_direct(imgs8, levels_below=1)
+    audit(
+        "direct_pyramid_single_shuffle",
+        pyr,
+        [
+            ("single_exchange", lambda p: p.count("Exchange") <= 2),  # 1 shuffle (+AQE read)
+            ("map_then_group", r"MapInPandas[\s\S]*FlatMapGroupsInPandas"),
+            ("no_inmemory_scan", lambda p: "InMemoryTableScan" not in p),
+        ],
         out,
     )
 
