@@ -385,6 +385,46 @@ def q_idw_sql():
     )
 
 
+def q_grid_metrics(spark, sf_dir):
+    """GDALGrid data-metrics (alg/gdalgrid.cpp:649-800): per query node,
+    min/max/range/count/avg-distance of points within a 4000 km radius
+    (radius cell-join, no iteration); avg over the SAME float dist
+    formula as the SQL oracle."""
+    from gdal_spark.operators.knn import grid_data_metrics
+
+    pts = _points_planar(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [(q, q * 3100000.0 - 12000001.5, q * 2300000.0 - 9000002.5) for q in range(8)],
+        "qid long, x double, y double",
+    )
+    out = grid_data_metrics(queries, pts, radius=4000000.0, value_col="z", zoom=3)
+    return out.select(
+        "qid",
+        F.round("min_z", 2).alias("min_z"),
+        F.round("max_z", 2).alias("max_z"),
+        F.round("range_z", 2).alias("range_z"),
+        "n",
+        F.round("avg_dist", 3).alias("avg_dist"),
+    ).orderBy("qid")
+
+
+def q_grid_metrics_sql():
+    qrows = " UNION ALL ".join(
+        f"SELECT {q} AS qid, {q * 3100000.0 - 12000001.5} AS qx, "
+        f"{q * 2300000.0 - 9000002.5} AS qy"
+        for q in range(8)
+    )
+    return (
+        f"WITH q AS ({qrows}), p AS ({_PLANAR_SQL}), "
+        "d AS (SELECT q.qid, p.pid, p.z, sqrt((p.x - q.qx) * (p.x - q.qx) + "
+        "(p.y - q.qy) * (p.y - q.qy)) AS dist FROM q CROSS JOIN p) "
+        "SELECT qid, round(min(z), 2) AS min_z, round(max(z), 2) AS max_z, "
+        "round(max(z) - min(z), 2) AS range_z, count(*) AS n, "
+        "round(avg(dist), 3) AS avg_dist "
+        "FROM d WHERE dist <= 4000000.0 GROUP BY qid ORDER BY qid"
+    )
+
+
 def _rect_layers(spark, sf_dir):
     """Deterministic rectangle layers (input from part, method from
     supplier) built through the engine's WKB builders."""
@@ -1566,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_pentagon": q_pip_pentagon,
         "knn": q_knn,
         "idw": q_idw,
+        "grid_metrics": q_grid_metrics,
         # OGR SQL surface
         "where_like_between": q_where_like_between,
         "first_match_left_join": q_first_match_left_join,
@@ -1615,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_pentagon": q_pip_pentagon_sql(),
         "knn": q_knn_sql(),
         "idw": q_idw_sql(),
+        "grid_metrics": q_grid_metrics_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),
         "summary_aggregates": q_summary_aggregates_sql(),

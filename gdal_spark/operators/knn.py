@@ -150,6 +150,123 @@ def knn_join(
     return out
 
 
+def radius_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius: float,
+    query_key: str = "qid",
+    point_key: str = "pid",
+    qx: str = "x",
+    qy: str = "y",
+    px: str = "x",
+    py: str = "y",
+    zoom: int = 7,
+) -> DataFrame:
+    """All (query, point) pairs within Euclidean ``radius`` — the search
+    ellipse of the GDALGrid algorithms (circular: radius1 == radius2,
+    angle 0; alg/gdal_alg.h GDALGridMovingAverageOptions). One cell
+    equi-join over a FIXED Chebyshev ring (ceil(radius / cell_size)), no
+    iteration. Returns query keys + point key + dist."""
+    n_side = 1 << zoom
+    cell_size = (2 * ORIGIN_SHIFT) / n_side
+    ring = int(math.ceil(radius / cell_size))
+    spark = queries.sparkSession
+    pts = _with_cell_xy(points, px, py, zoom, "p_").select(
+        F.col(point_key).alias("_pk"),
+        F.col(px).alias("_px"), F.col(py).alias("_py"),
+        "p_tx", "p_ty",
+    )
+    qs = _with_cell_xy(queries, qx, qy, zoom, "q_").select(
+        F.col(query_key).alias("_qk"),
+        F.col(qx).alias("_qx"), F.col(qy).alias("_qy"),
+        "q_tx", "q_ty",
+    )
+    offs = spark.range(-ring, ring + 1).toDF("d")
+    cand = (
+        qs.crossJoin(offs.withColumnRenamed("d", "dx"))
+        .crossJoin(offs.withColumnRenamed("d", "dy"))
+        .withColumn("c_tx", F.pmod(F.col("q_tx") + F.col("dx"), F.lit(n_side)))
+        .withColumn("c_ty", F.col("q_ty") + F.col("dy"))
+        .where((F.col("c_ty") >= 0) & (F.col("c_ty") < n_side))
+    )
+    joined = cand.join(
+        pts, (F.col("c_tx") == F.col("p_tx")) & (F.col("c_ty") == F.col("p_ty")), "inner"
+    ).withColumn(
+        "dist",
+        F.sqrt(
+            (F.col("_qx") - F.col("_px")) * (F.col("_qx") - F.col("_px"))
+            + (F.col("_qy") - F.col("_py")) * (F.col("_qy") - F.col("_py"))
+        ),
+    ).where(F.col("dist") <= radius)
+    return joined.select(
+        F.col("_qk").alias(query_key), F.col("_pk").alias(point_key), "dist"
+    ).dropDuplicates([query_key, point_key])
+
+
+def grid_moving_average(
+    queries: DataFrame,
+    points: DataFrame,
+    radius: float,
+    value_col: str = "z",
+    min_points: int = 0,
+    query_key: str = "qid",
+    point_key: str = "pid",
+    zoom: int = 7,
+) -> DataFrame:
+    """GDALGridMovingAverage (alg/gdalgrid.cpp): arithmetic mean of all
+    point values inside the search circle; fewer than ``min_points``
+    neighbours -> row dropped (the reference writes nodata)."""
+    rj = radius_join(queries, points, radius, query_key, point_key, zoom=zoom)
+    vals = points.select(F.col(point_key).alias("_vpk"), F.col(value_col).alias("_val"))
+    j = rj.join(vals, rj[point_key] == vals["_vpk"], "inner")
+    out = j.groupBy(query_key).agg(
+        F.avg("_val").alias("avg_z"), F.count("*").alias("n")
+    )
+    if min_points > 0:
+        out = out.where(F.col("n") >= min_points)
+    return out
+
+
+def grid_nearest(
+    queries: DataFrame,
+    points: DataFrame,
+    value_col: str = "z",
+    query_key: str = "qid",
+    point_key: str = "pid",
+    zoom: int = 7,
+) -> DataFrame:
+    """GDALGridNearestNeighbor: value of the single nearest point."""
+    nn = knn_join(queries, points, 1, query_key=query_key, point_key=point_key, zoom=zoom)
+    vals = points.select(F.col(point_key).alias("_vpk"), F.col(value_col).alias("_val"))
+    return nn.join(vals, nn[point_key] == vals["_vpk"], "inner").select(
+        query_key, F.col("_val").alias("nearest_z"), "dist"
+    )
+
+
+def grid_data_metrics(
+    queries: DataFrame,
+    points: DataFrame,
+    radius: float,
+    value_col: str = "z",
+    query_key: str = "qid",
+    point_key: str = "pid",
+    zoom: int = 7,
+) -> DataFrame:
+    """GDALGrid data-metrics family (alg/gdal_alg.h:402-416 /
+    gdalgrid.cpp:649-800): per node over the search circle —
+    minimum, maximum, range, count, average_distance (point->node)."""
+    rj = radius_join(queries, points, radius, query_key, point_key, zoom=zoom)
+    vals = points.select(F.col(point_key).alias("_vpk"), F.col(value_col).alias("_val"))
+    j = rj.join(vals, rj[point_key] == vals["_vpk"], "inner")
+    return j.groupBy(query_key).agg(
+        F.min("_val").alias("min_z"),
+        F.max("_val").alias("max_z"),
+        (F.max("_val") - F.min("_val")).alias("range_z"),
+        F.count("*").alias("n"),
+        F.avg("dist").alias("avg_dist"),
+    )
+
+
 def idw_interpolate(
     queries: DataFrame,
     points: DataFrame,

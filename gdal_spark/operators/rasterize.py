@@ -76,11 +76,42 @@ def fill_spans(rings_px: list[np.ndarray], h: int, w: int) -> np.ndarray:
     return np.cumsum(diff[:, :-1], axis=1) > 0
 
 
+def touched_cells(rings_px: list[np.ndarray], h: int, w: int) -> np.ndarray:
+    """Boolean mask of every pixel TOUCHED by a ring edge (exact
+    supercover traversal: split each segment at every integer grid line,
+    mark the cell containing each sub-segment midpoint) — the
+    GDALdllImageLineAllTouched path of llrasterize.cpp."""
+    mask = np.zeros((h, w), dtype=bool)
+    for ring in rings_px:
+        r = np.asarray(ring, dtype=np.float64)
+        for (x0, y0), (x1, y1) in zip(r[:-1], r[1:]):
+            ts = [0.0, 1.0]
+            dx, dy = x1 - x0, y1 - y0
+            if dx != 0:
+                for gx in range(int(np.ceil(min(x0, x1))), int(np.floor(max(x0, x1))) + 1):
+                    ts.append((gx - x0) / dx)
+            if dy != 0:
+                for gy in range(int(np.ceil(min(y0, y1))), int(np.floor(max(y0, y1))) + 1):
+                    ts.append((gy - y0) / dy)
+            t = np.unique(np.clip(np.asarray(ts), 0.0, 1.0))
+            tm = 0.5 * (t[:-1] + t[1:])
+            cx = np.floor(x0 + tm * dx).astype(np.int64)
+            cy = np.floor(y0 + tm * dy).astype(np.int64)
+            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            mask[cy[ok], cx[ok]] = True
+    return mask
+
+
 def rasterize_polygon_to_array(
-    rings_px: list[np.ndarray], h: int, w: int, value: float, out: np.ndarray, add: bool
+    rings_px: list[np.ndarray], h: int, w: int, value: float, out: np.ndarray,
+    add: bool, all_touched: bool = False,
 ):
-    """Burn one polygon into ``out`` (REPLACE or ADD merge)."""
+    """Burn one polygon into ``out`` (REPLACE or ADD merge); with
+    ``all_touched`` every edge-crossed pixel burns too
+    (gdalrasterize.cpp:779)."""
     mask = fill_spans(rings_px, h, w)
+    if all_touched:
+        mask = mask | touched_cells(rings_px, h, w)
     if add:
         out[mask] += value
     else:
@@ -98,6 +129,7 @@ def rasterize(
     merge: str = "replace",
     tile_size: int = 256,
     dtype: str = "float64",
+    all_touched: bool = False,
 ):
     """Distributed rasterize over a tiled output grid. Returns a
     DataFrame of (tile_x, tile_y, w, h, data binary(float64 rows),
@@ -158,7 +190,7 @@ def rasterize(
                     )
                     for ring in rings
                 ]
-                rasterize_polygon_to_array(rings_px, th, tw, float(r.burnv), out, add)
+                rasterize_polygon_to_array(rings_px, th, tw, float(r.burnv), out, add, all_touched)
         return pd.DataFrame(
             [
                 {

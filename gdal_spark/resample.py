@@ -105,6 +105,20 @@ def _cubic_weights(f: np.ndarray) -> np.ndarray:
     return w
 
 
+def _bspline_weights(f: np.ndarray) -> np.ndarray:
+    """Cubic B-spline weights for offsets -1..2 (GRA_CubicSpline,
+    GWKBSpline in alg/gdalwarpkernel.cpp): smoothing kernel
+    w(x) = (1/6)[(2-|x|)^3 - 4(1-|x|)^3]_+ ."""
+    f = np.asarray(f, dtype=np.float64)
+    w = np.empty(f.shape + (4,), dtype=np.float64)
+    for i, d in enumerate((-1.0, 0.0, 1.0, 2.0)):
+        x = np.abs(f - d)
+        t2 = np.clip(2.0 - x, 0.0, None) ** 3
+        t1 = np.clip(1.0 - x, 0.0, None) ** 3
+        w[..., i] = (t2 - 4.0 * t1) / 6.0
+    return w
+
+
 def _lanczos_weights(f: np.ndarray, radius: int = 3) -> np.ndarray:
     """Lanczos-windowed sinc weights for offsets (1-radius)..radius."""
     f = np.asarray(f, dtype=np.float64)
@@ -160,10 +174,20 @@ def sample_lanczos(src, xs, ys):
     return out, valid
 
 
+def sample_cubicspline(src, xs, ys):
+    src3, squeeze = _as3d(np.asarray(src, dtype=np.float64))
+    out = _separable_sample(src3, xs, ys, _bspline_weights, 4)
+    _, valid = sample_nearest(src3, xs, ys)
+    if squeeze:
+        out = out[..., 0]
+    return out, valid
+
+
 SAMPLERS = {
     "near": sample_nearest,
     "bilinear": sample_bilinear,
     "cubic": sample_cubic,
+    "cubicspline": sample_cubicspline,
     "lanczos": sample_lanczos,
 }
 

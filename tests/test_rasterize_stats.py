@@ -161,3 +161,33 @@ class TestStats:
         src = fixtures.pattern_array(spec)
         expected = np.clip(np.round(np.sqrt(src.astype(float))), 0, 255).astype(np.uint8)
         np.testing.assert_array_equal(np.atleast_3d(arr)[:, :, 0], expected)
+
+
+class TestAllTouched:
+    def test_sliver_burns_diagonal(self):
+        import numpy as np
+
+        from gdal_spark.operators.rasterize import (
+            rasterize_polygon_to_array,
+            touched_cells,
+        )
+
+        ring = np.array(
+            [[0.2, 0.2], [9.8, 9.6], [9.8, 9.8], [0.2, 0.4], [0.2, 0.2]]
+        )
+        center = np.zeros((10, 10))
+        rasterize_polygon_to_array([ring], 10, 10, 1.0, center, False)
+        touched = np.zeros((10, 10))
+        rasterize_polygon_to_array([ring], 10, 10, 1.0, touched, False, all_touched=True)
+        assert touched.sum() > center.sum()
+        assert touched[0, 0] == 1 and touched[9, 9] == 1
+        # all_touched is a superset of center-inside
+        assert ((touched >= center)).all()
+
+    def test_supercover_diagonal(self):
+        import numpy as np
+
+        from gdal_spark.operators.rasterize import touched_cells
+
+        m = touched_cells([np.array([[0.5, 0.5], [3.5, 3.5], [0.5, 0.5]])], 4, 4)
+        assert m[0, 0] and m[1, 1] and m[2, 2] and m[3, 3]

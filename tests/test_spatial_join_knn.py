@@ -205,3 +205,70 @@ class TestKNN:
             w = d ** -2.0
             expected = (w * v).sum() / w.sum()
             assert abs(out[qid] - expected) < 1e-6, qid
+
+
+class TestGridFamily:
+    """GDALGrid radius algorithms (alg/gdalgrid.cpp): moving average,
+    nearest, data metrics — vs brute-force oracles."""
+
+    @pytest.fixture(scope="class")
+    def pts(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, float(x), float(y), float(z))
+            for i, (x, y, z) in enumerate(
+                zip(
+                    rng.uniform(-1e7, 1e7, 300),
+                    rng.uniform(-1e7, 1e7, 300),
+                    rng.uniform(0, 100, 300),
+                )
+            )
+        ]
+        return rows, spark.createDataFrame(rows, "pid long, x double, y double, z double")
+
+    def test_moving_average_matches_brute(self, spark, pts):
+        import numpy as np
+
+        from gdal_spark.operators.knn import grid_moving_average
+
+        rows, df = pts
+        queries = spark.createDataFrame(
+            [(0, 0.0, 0.0), (1, 5e6, -5e6)], "qid long, x double, y double"
+        )
+        out = {r.qid: (r.avg_z, r.n) for r in grid_moving_average(
+            queries, df, radius=4e6, zoom=3
+        ).collect()}
+        for qid, (qx, qy) in ((0, (0.0, 0.0)), (1, (5e6, -5e6))):
+            sel = [z for _i, x, y, z in rows if np.hypot(x - qx, y - qy) <= 4e6]
+            assert out[qid][1] == len(sel)
+            assert out[qid][0] == pytest.approx(np.mean(sel))
+
+    def test_nearest_matches_brute(self, spark, pts):
+        import numpy as np
+
+        from gdal_spark.operators.knn import grid_nearest
+
+        rows, df = pts
+        queries = spark.createDataFrame([(0, 1e6, 1e6)], "qid long, x double, y double")
+        r = grid_nearest(queries, df).collect()[0]
+        d = [(np.hypot(x - 1e6, y - 1e6), z) for _i, x, y, z in rows]
+        d.sort()
+        assert r.nearest_z == pytest.approx(d[0][1])
+
+    def test_data_metrics_matches_brute(self, spark, pts):
+        import numpy as np
+
+        from gdal_spark.operators.knn import grid_data_metrics
+
+        rows, df = pts
+        queries = spark.createDataFrame([(0, -2e6, 3e6)], "qid long, x double, y double")
+        r = grid_data_metrics(queries, df, radius=5e6, zoom=3).collect()[0]
+        sel = [(z, np.hypot(x + 2e6, y - 3e6)) for _i, x, y, z in rows
+               if np.hypot(x + 2e6, y - 3e6) <= 5e6]
+        zs = [z for z, _d in sel]
+        assert r.n == len(sel)
+        assert r.min_z == pytest.approx(min(zs))
+        assert r.max_z == pytest.approx(max(zs))
+        assert r.avg_dist == pytest.approx(np.mean([d for _z, d in sel]))

@@ -116,3 +116,35 @@ class TestWarpWindowKernels:
         out, alpha = warp_array(A4, src_gt, 3857, (1, 2), dst_gt, 3857, "average")
         assert alpha[0, 0] == 255 and alpha[0, 1] == 0
         assert out[0, 1] == 0.0
+
+
+class TestCubicSpline:
+    def test_bspline_partition_of_unity(self):
+        import numpy as np
+
+        from gdal_spark.resample import _bspline_weights
+
+        f = np.linspace(0, 1, 11)
+        w = _bspline_weights(f)
+        np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-12)
+
+    def test_constant_preserved(self):
+        import numpy as np
+
+        from gdal_spark.resample import resize
+
+        a = np.full((8, 8), 42.0)
+        out = resize(a, 5, 5, "cubicspline")
+        np.testing.assert_allclose(out, 42.0, atol=1e-9)
+
+    def test_smoother_than_catmull_rom(self):
+        import numpy as np
+
+        from gdal_spark.resample import resize
+
+        a = np.zeros((9, 9))
+        a[4, 4] = 100.0
+        cs = resize(a, 18, 18, "cubicspline")
+        cr = resize(a, 18, 18, "cubic")
+        # B-spline smooths: lower peak than the interpolating Catmull-Rom
+        assert cs.max() < cr.max()
