@@ -274,3 +274,44 @@ class TestExecuteSQL:
             np.array([0.0]), np.array([0.0]), geom.parse_wkb(rec["wkb"])
         )[0]
         assert (out.d == 0.0) == bool(inside)
+
+
+class TestBuffer:
+    """Grid-approximate buffer (OGRGeometry::Buffer analog); error bound
+    ~1 grid cell of resolution."""
+
+    def test_dilate_square(self):
+        from gdal_spark.operators.buffer import buffer_polys
+
+        sq = [[np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]]
+        out = buffer_polys(sq, 2.0)
+        a, _ = geom.polygon_area_centroid(out)
+        # exact GEOS answer: 100 + 4*10*2 + pi*2^2
+        assert abs(a - (100 + 80 + np.pi * 4)) < 4.0
+
+    def test_erode_square_exact_interior(self):
+        from gdal_spark.operators.buffer import buffer_polys
+
+        sq = [[np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]]
+        out = buffer_polys(sq, -2.0)
+        a, _ = geom.polygon_area_centroid(out)
+        assert a == pytest.approx(36.0, abs=2.0)
+
+    def test_full_erosion_drops(self):
+        from gdal_spark.operators.buffer import buffer_polys
+
+        sq = [[np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]]
+        assert buffer_polys(sq, -6.0) == []
+
+    def test_buffer_features_df(self, spark):
+        from gdal_spark.operators.buffer import buffer_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(geom.wkb_rect(0, 0, 10, 10)), 0.0, 0.0, 10.0, 10.0)],
+            "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+        )
+        r = buffer_features(df, 2.0).collect()[0]
+        assert r.minx < -1.5 and r.maxx > 11.5
+        g = geom.parse_wkb(bytes(r.wkb))
+        a, _ = geom.polygon_area_centroid(g.polygons())
+        assert abs(a - (180 + np.pi * 4)) < 4.0
