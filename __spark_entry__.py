@@ -1415,23 +1415,8 @@ def _local_proximity_rows():
 
     from gdal_spark.checksum import gdal_checksum
     from gdal_spark.operators.distance import proximity_array
-    from gdal_spark.operators.rasterize import rasterize_polygon_to_array
 
-    gt = (-20000000.0, 39062.5, 0.0, 19000000.0, 0.0, -39062.5)
-    full = np.zeros((1024, 1024), dtype=np.float64)
-    for sk in range(1, 101):
-        cx = (sk * 13 % 40) * 1000000.0 - 20000000.0
-        cy = (sk * 7 % 38) * 1000000.0 - 19000000.0
-        half = 1500000.0
-        ring = np.array(
-            [[cx - half, cy - half], [cx + half, cy - half],
-             [cx + half, cy + half], [cx - half, cy + half],
-             [cx - half, cy - half]]
-        )
-        rp = np.stack(
-            [(ring[:, 0] - gt[0]) / gt[1], (ring[:, 1] - gt[3]) / gt[5]], axis=1
-        )
-        rasterize_polygon_to_array([rp], 1024, 1024, 1.0, full, add=True)
+    full = _local_burned_grid()
     prox = proximity_array(full, tuple(float(v) for v in range(1, 20)),
                            max_distance=24.0, nodata=-1.0)
     rows = []
@@ -1466,6 +1451,66 @@ def q_proximity_checksums_sql():
     return _vals_sql(
         _local_proximity_rows(), ["tile_x", "tile_y", "checksum"],
         "tile_x, tile_y",
+    )
+
+
+def _local_burned_grid():
+    import numpy as np
+
+    from gdal_spark.operators.rasterize import rasterize_polygon_to_array
+
+    gt = (-20000000.0, 39062.5, 0.0, 19000000.0, 0.0, -39062.5)
+    full = np.zeros((1024, 1024), dtype=np.float64)
+    for sk in range(1, 101):
+        cx = (sk * 13 % 40) * 1000000.0 - 20000000.0
+        cy = (sk * 7 % 38) * 1000000.0 - 19000000.0
+        half = 1500000.0
+        ring = np.array(
+            [[cx - half, cy - half], [cx + half, cy - half],
+             [cx + half, cy + half], [cx - half, cy + half],
+             [cx - half, cy - half]]
+        )
+        rp = np.stack(
+            [(ring[:, 0] - gt[0]) / gt[1], (ring[:, 1] - gt[3]) / gt[5]], axis=1
+        )
+        rasterize_polygon_to_array([rp], 1024, 1024, 1.0, full, add=True)
+    return full
+
+
+def _local_dem_rows():
+    import numpy as np
+
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.operators.dem import dem_array
+
+    full = _local_burned_grid()
+    t = np.nan_to_num(dem_array(full, "tri"), nan=-9999.0)
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            sub = t[ty * 256 : ty * 256 + 256, tx * 256 : tx * 256 + 256]
+            rows.append((tx, ty, int(gdal_checksum(sub))))
+    rows.sort()
+    return rows
+
+
+def q_dem_tri_checksums(spark, sf_dir):
+    """Distributed DEM TRI (gdaldem analog) over the rasterized fixed
+    layer: the 1-px halo exchange must make interior tile borders exact
+    — literal oracle from the local kernel over the whole grid."""
+    from gdal_spark.operators.dem import dem_tiles
+    from gdal_spark.operators.rasterize import rasterize
+
+    methods = _fixed_method_layer(spark)
+    gt = (-20000000.0, 39062.5, 0.0, 19000000.0, 0.0, -39062.5)
+    burned = rasterize(spark, methods, gt, 1024, 1024, burn_value=1.0, merge="add")
+    out = dem_tiles(burned, "tri", tile_size=256)
+    return out.select("tile_x", "tile_y", "checksum").orderBy("tile_x", "tile_y")
+
+
+def q_dem_tri_checksums_sql():
+    return _vals_sql(
+        _local_dem_rows(), ["tile_x", "tile_y", "checksum"], "tile_x, tile_y"
     )
 
 
@@ -1627,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_at_points": q_interpolate_at_points,
         "rasterize_checksums": q_rasterize_checksums,
         "proximity_checksums": q_proximity_checksums,
+        "dem_tri_checksums": q_dem_tri_checksums,
         # training-data functions
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -1685,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_at_points": q_interpolate_at_points_sql(),
         "rasterize_checksums": q_rasterize_checksums_sql(),
         "proximity_checksums": q_proximity_checksums_sql(),
+        "dem_tri_checksums": q_dem_tri_checksums_sql(),
         "cosine_topk": q_cosine_topk_sql(),
         "embedding_neardup": q_embedding_neardup_sql(),
     }

@@ -31,6 +31,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2048"))
 
 
+def _other_spark_jvms() -> int:
+    """Count ALREADY-RUNNING Spark JVMs (call before creating ours).
+    Round-1's driver bench was 3-9x slower than controlled re-runs purely
+    from concurrent Spark jobs on this box — flag it instead of silently
+    reporting corrupted numbers."""
+    try:
+        out = subprocess.run(
+            ["pgrep", "-af", "java"], capture_output=True, text=True
+        ).stdout
+    except Exception:
+        return 0
+    return sum(1 for line in out.splitlines() if "spark" in line.lower())
+
+
 def _spark(master: str | None = None):
     from gdal_spark.session import get_spark
 
@@ -121,6 +135,13 @@ def run_default(quick: bool = False):
     global N_BENCH_IMAGES
     if quick:
         N_BENCH_IMAGES = min(N_BENCH_IMAGES, 64)
+    contended = _other_spark_jvms() > 0
+    if contended:
+        print(
+            "# WARNING: another Spark JVM is running — timings will be "
+            "contention-corrupted (3-9x observed in round 1)",
+            file=sys.stderr,
+        )
     spark = _spark()
     timings = {}
     t_all = time.perf_counter()
@@ -159,6 +180,7 @@ def run_default(quick: bool = False):
         "n_tiles": n_tiles,
         "n_bench_images": N_BENCH_IMAGES,
         "cpus": CPUS,
+        "contended": contended,
     }
     print(json.dumps(out))
     spark.stop()
