@@ -107,6 +107,87 @@ def _st_geomfromgeojson(js: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(DoubleType())
+def _st_area(wkbs: pd.Series) -> pd.Series:
+    out = []
+    for b in wkbs:
+        a, _c = geom.polygon_area_centroid(geom.parse_wkb(bytes(b)).polygons())
+        out.append(a)
+    return pd.Series(out)
+
+
+@F.pandas_udf(BooleanType())
+def _st_intersects(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    from .booleans import boolean_area
+
+    out = []
+    for ba, bb in zip(wa, wb):
+        ga = geom.parse_wkb(bytes(ba))
+        gb = geom.parse_wkb(bytes(bb))
+        ea, eb = ga.envelope(), gb.envelope()
+        if ea[0] > eb[2] or ea[2] < eb[0] or ea[1] > eb[3] or ea[3] < eb[1]:
+            out.append(False)
+            continue
+        out.append(boolean_area(ga.polygons(), gb.polygons(), "and") > 0)
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def _st_intersection_area(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    from .booleans import boolean_area
+
+    return pd.Series(
+        [
+            boolean_area(
+                geom.parse_wkb(bytes(ba)).polygons(),
+                geom.parse_wkb(bytes(bb)).polygons(),
+                "and",
+            )
+            for ba, bb in zip(wa, wb)
+        ]
+    )
+
+
+@F.pandas_udf(BinaryType())
+def _st_buffer(wkbs: pd.Series, dists: pd.Series) -> pd.Series:
+    from .operators.buffer import buffer_polys
+
+    out = []
+    for b, d in zip(wkbs, dists):
+        polys = buffer_polys(geom.parse_wkb(bytes(b)).polygons(), float(d))
+        out.append(geom.wkb_multipolygon(polys) if polys else None)
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _st_simplify(wkbs: pd.Series, tols: pd.Series) -> pd.Series:
+    from .operators.vector import simplify_ring
+
+    out = []
+    for b, tol in zip(wkbs, tols):
+        g = geom.parse_wkb(bytes(b))
+        polys = []
+        for rings in g.polygons():
+            rs = [simplify_ring(np.asarray(r, dtype=np.float64), float(tol)) for r in rings]
+            rs = [r for r in rs if len(r) >= 4]
+            if rs:
+                polys.append(rs)
+        out.append(geom.wkb_multipolygon(polys) if polys else None)
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _st_makevalid(wkbs: pd.Series) -> pd.Series:
+    from .booleans import boolean_full
+
+    out = []
+    for b in wkbs:
+        g = geom.parse_wkb(bytes(b))
+        polys, area = boolean_full(g.polygons(), [], "or")
+        out.append(geom.wkb_multipolygon(polys) if polys and area > 0 else None)
+    return pd.Series(out)
+
+
 def register_functions(spark: SparkSession) -> None:
     """Idempotent registration of the st_* SQL surface."""
     spark.udf.register("st_contains", _st_contains)
@@ -117,6 +198,12 @@ def register_functions(spark: SparkSession) -> None:
     spark.udf.register("st_geomfromtext", _st_geomfromtext)
     spark.udf.register("st_asgeojson", _st_asgeojson)
     spark.udf.register("st_geomfromgeojson", _st_geomfromgeojson)
+    spark.udf.register("st_area", _st_area)
+    spark.udf.register("st_intersects", _st_intersects)
+    spark.udf.register("st_intersection_area", _st_intersection_area)
+    spark.udf.register("st_buffer", _st_buffer)
+    spark.udf.register("st_simplify", _st_simplify)
+    spark.udf.register("st_makevalid", _st_makevalid)
 
 
 def execute_sql(

@@ -41,3 +41,38 @@ def test_incremental_tiling(spark, tmp_path):
     # every tile key unique
     tiles = table.read(spark)
     assert tiles.count() == tiles.select("z", "tx", "ty").distinct().count()
+
+
+class TestStatefulDedupStream:
+    def test_cross_batch_dedup_with_state(self, spark, tmp_path):
+        """applyInPandasWithState: a fingerprint seen in run 1 must not
+        be emitted again in run 2 (state persists via the checkpoint)."""
+        import pandas as pd
+
+        from gdal_spark.streaming.stateful import dedup_stream
+
+        inp = str(tmp_path / "docs_in")
+        outp = str(tmp_path / "docs_out")
+        ckp = str(tmp_path / "ckp")
+        schema = "doc_id long, text string"
+
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha  beta"), (3, "gamma")], schema
+        )
+        b1.write.mode("append").parquet(inp)
+        dedup_stream(spark, inp, outp, ckp, b1.schema)
+        out1 = spark.read.parquet(outp).collect()
+        # 1 and 2 normalize identically -> kept_id = min = 1
+        assert sorted((r.kept_id, r.text) for r in out1) == [
+            ("1", "alpha beta"), ("3", "gamma")
+        ]
+
+        b2 = spark.createDataFrame(
+            [(4, "alpha beta"), (5, "delta"), (6, "gamma")], schema
+        )
+        b2.write.mode("append").parquet(inp)
+        dedup_stream(spark, inp, outp, ckp, b1.schema)
+        out2 = spark.read.parquet(outp).collect()
+        # only 'delta' is new; alpha-beta and gamma are stateful dups
+        texts = sorted(r.text for r in out2)
+        assert texts == ["alpha beta", "delta", "gamma"]

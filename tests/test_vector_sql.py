@@ -315,3 +315,46 @@ class TestBuffer:
         g = geom.parse_wkb(bytes(r.wkb))
         a, _ = geom.polygon_area_centroid(g.polygons())
         assert abs(a - (180 + np.pi * 4)) < 4.0
+
+
+class TestSqlGeometryFunctions:
+    """Extended st_* surface: area, intersects, intersection_area,
+    buffer, simplify, makevalid via SQL."""
+
+    def test_area_intersects_intersection(self, spark):
+        a = geom.wkb_rect(0, 0, 10, 10)
+        b = geom.wkb_rect(5, 5, 15, 15)
+        c = geom.wkb_rect(100, 100, 110, 110)
+        df = spark.createDataFrame(
+            [(1, bytearray(a), bytearray(b)), (2, bytearray(a), bytearray(c))],
+            "fid long, ga binary, gb binary",
+        )
+        out = {r.fid: r for r in execute_sql(
+            spark,
+            "SELECT fid, st_area(ga) AS aa, st_intersects(ga, gb) AS ix, "
+            "st_intersection_area(ga, gb) AS ia FROM t",
+            layers={"t": df},
+        ).collect()}
+        assert out[1].aa == pytest.approx(100.0)
+        assert out[1].ix and out[1].ia == pytest.approx(25.0)
+        assert not out[2].ix and out[2].ia == pytest.approx(0.0)
+
+    def test_buffer_simplify_makevalid_sql(self, spark):
+        bow = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], dtype=float)
+        dense = np.array(
+            [[0, 0], [5, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(geom.wkb_polygon([bow])), bytearray(geom.wkb_polygon([dense])))],
+            "fid long, bow binary, dense binary",
+        )
+        out = execute_sql(
+            spark,
+            "SELECT st_area(st_makevalid(bow)) AS mv_area, "
+            "st_area(st_buffer(dense, 1.0)) AS buf_area, "
+            "st_area(st_simplify(dense, 0.5)) AS simp_area FROM t",
+            layers={"t": df},
+        ).collect()[0]
+        assert out.mv_area == pytest.approx(8.0)
+        assert abs(out.buf_area - (100 + 40 + np.pi)) < 4.0
+        assert out.simp_area == pytest.approx(100.0)
