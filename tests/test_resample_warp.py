@@ -218,3 +218,70 @@ class TestTranslate:
         out = translate_array(src, outsize=(4, 4), resampling="average")
         expected = src.reshape(4, 2, 4, 2).mean(axis=(1, 3))
         np.testing.assert_allclose(out, expected, rtol=1e-12)
+
+
+class TestPansharpen:
+    """Weighted-Brovey (alg/gdalpansharpen.cpp) vs closed-form."""
+
+    def test_ratio_identity_when_pan_equals_pseudo(self):
+        import numpy as np
+
+        from gdal_spark.operators.pansharpen import pansharpen_array
+
+        ms = np.dstack([np.full((4, 4), 40.0), np.full((4, 4), 80.0)])
+        # pan at 2x resolution equal to the pseudo-pan (mean = 60)
+        pan = np.full((8, 8), 60.0)
+        out = pansharpen_array(pan, ms)
+        np.testing.assert_allclose(out[..., 0], 40.0)
+        np.testing.assert_allclose(out[..., 1], 80.0)
+
+    def test_pan_scales_ms_proportionally(self):
+        import numpy as np
+
+        from gdal_spark.operators.pansharpen import pansharpen_array
+
+        ms = np.dstack([np.full((4, 4), 40.0), np.full((4, 4), 80.0)])
+        pan = np.full((8, 8), 120.0)  # 2x the pseudo-pan
+        out = pansharpen_array(pan, ms)
+        np.testing.assert_allclose(out[..., 0], 80.0)
+        np.testing.assert_allclose(out[..., 1], 160.0)
+
+    def test_custom_weights(self):
+        import numpy as np
+
+        from gdal_spark.operators.pansharpen import pansharpen_array
+
+        ms = np.dstack([np.full((2, 2), 100.0), np.full((2, 2), 0.0)])
+        pan = np.full((4, 4), 50.0)
+        out = pansharpen_array(pan, ms, weights=[1.0, 0.0])
+        np.testing.assert_allclose(out[..., 0], 50.0)  # ratio 0.5
+
+    def test_images_df(self, spark):
+        import numpy as np
+
+        from gdal_spark import codecs as C
+        from gdal_spark.operators.pansharpen import pansharpen_images
+
+        rng = np.random.default_rng(2)
+        ms = rng.integers(10, 200, size=(8, 8, 3)).astype(np.uint8)
+        pan = np.clip(
+            np.round(
+                np.repeat(np.repeat(ms.mean(axis=2), 2, 0), 2, 1)
+            ), 0, 255
+        ).astype(np.uint8)
+        common = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)
+        row_pan = ("imgA", bytearray(C.encode_png(pan)), 16, 16, "png",
+                   *common, 3857, 0.0, 0.0, 16.0, 16.0)
+        row_ms = ("imgA", bytearray(C.encode_png(ms)), 8, 8, "png",
+                  *common, 3857, 0.0, 0.0, 16.0, 16.0)
+        sch = ("image_id string, bytes binary, w int, h int, fmt string, "
+               "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+               "gt5 double, srid int, minx double, miny double, maxx double, maxy double")
+        pan_df = spark.createDataFrame([row_pan], sch)
+        ms_df = spark.createDataFrame([row_ms], sch)
+        out = pansharpen_images(pan_df, ms_df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.w, r.h) == (16, 16)
+        arr = C.decode_image(bytes(r.bytes), r.fmt)
+        assert arr.shape == (16, 16, 3)
