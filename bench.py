@@ -343,6 +343,10 @@ def run_scaling():
             f"- engine efficiency relative to the machine ceiling = "
             f"**{rel:.3f}** (target >= 0.8 of what the hardware allows)\n"
         )
+    notes = "/root/repo/BENCH/NOTES.md"
+    if os.path.exists(notes):
+        with open(notes) as nf, open("BENCH/BASELINE.md", "a") as f:
+            f.write(nf.read())
     print(
         json.dumps(
             {
