@@ -1514,6 +1514,65 @@ def q_dem_tri_checksums_sql():
     )
 
 
+_CONTOUR_GT = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+_CONTOUR_LEVELS = (-5.0, 0.0, 5.0)
+
+
+def _contour_band():
+    import numpy as np
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    return np.sin(xx / 7.0) * 10.0 + np.cos(yy / 9.0) * 8.0
+
+
+def _local_contour_rows():
+    import numpy as np
+
+    from gdal_spark.operators.contour import contour_array
+
+    band = _contour_band()
+    acc = {}
+    for lv, line in contour_array(band, _CONTOUR_GT, _CONTOUR_LEVELS):
+        L = float(np.hypot(*(np.diff(line, axis=0).T)).sum())
+        acc[lv] = acc.get(lv, 0.0) + L
+    return [(lv, round(acc.get(lv, 0.0), 6)) for lv in sorted(_CONTOUR_LEVELS)]
+
+
+def q_contour_lengths(spark, sf_dir):
+    """Distributed marching-squares contour (alg/contour.cpp) over a
+    4x4-tiled synthetic field: total iso-line length per level must match
+    the local kernel exactly (1-node halo makes cross-tile chains join on
+    bitwise-identical endpoints; chaining may split lines differently at
+    junctions, so LENGTH is the invariant, not line count)."""
+    import numpy as np
+
+    from gdal_spark.operators.contour import contour_tiles
+
+    band = _contour_band()
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            sub = band[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16]
+            rows.append(
+                (tx, ty, 16, 16, bytearray(sub.astype(np.float64).tobytes()))
+            )
+    tiles = spark.createDataFrame(
+        rows, "tile_x int, tile_y int, w int, h int, data binary"
+    )
+    out = contour_tiles(tiles, _CONTOUR_GT, list(_CONTOUR_LEVELS), tile_size=16)
+    return (
+        out.groupBy("level")
+        .agg(F.round(F.sum("length"), 6).alias("total_length"))
+        .orderBy("level")
+    )
+
+
+def q_contour_lengths_sql():
+    return _vals_sql(
+        _local_contour_rows(), ["level", "total_length"], "level"
+    )
+
+
 def q_world_tile_checksums(spark, sf_dir):
     """Tile the global fixture image to z0-z1 and emit per-tile GDAL
     checksums (alg/gdalchecksum.cpp oracle). Pixel work is not
@@ -1673,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_checksums": q_rasterize_checksums,
         "proximity_checksums": q_proximity_checksums,
         "dem_tri_checksums": q_dem_tri_checksums,
+        "contour_lengths": q_contour_lengths,
         # training-data functions
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -1732,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_checksums": q_rasterize_checksums_sql(),
         "proximity_checksums": q_proximity_checksums_sql(),
         "dem_tri_checksums": q_dem_tri_checksums_sql(),
+        "contour_lengths": q_contour_lengths_sql(),
         "cosine_topk": q_cosine_topk_sql(),
         "embedding_neardup": q_embedding_neardup_sql(),
     }
