@@ -1,10 +1,12 @@
 """Multimodal binary columns: typed metadata + decode/transform plumbing.
 
-Images (our own png/raw/jpg codecs) decode for real; external formats the
-container lacks libraries for (jpeg via libjpeg, audio, video) are STUBBED
-behind NotImplementedError or a deterministic fake — the Spark-side
-contract (schema, Arrow batch shape, partitioning) is real and tested, so
-swapping a real decoder in changes one function body, not the pipeline.
+Images (our own png/raw/jpg codecs) and WAV audio (own RIFF/PCM16 codec
++ FFT band features, below) decode FOR REAL; formats needing external
+libraries the container lacks (libjpeg jpeg, mp3/flac, video containers)
+are STUBBED behind NotImplementedError or a deterministic fake — the
+Spark-side contract (schema, Arrow batch shape, partitioning) is real
+and tested, so swapping a real decoder in changes one function body,
+not the pipeline.
 
 All transforms run in mapInPandas: one Arrow batch of binary payloads in,
 one batch out; batch size is capped by session.py's
@@ -20,6 +22,84 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .. import codecs
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF / PCM16) — a real audio codec, pure struct + numpy
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """PCM16 WAV writer. samples: (n,) or (n, channels) int16/float
+    (floats in [-1, 1] are scaled)."""
+    s = np.asarray(samples)
+    if s.dtype.kind == "f":
+        s = np.clip(np.round(s * 32767.0), -32768, 32767)
+    s = s.astype("<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, c = s.shape
+    data = s.tobytes()
+    byte_rate = rate * c * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, c, rate, byte_rate, c * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(buf: bytes):
+    """PCM16 WAV reader -> (samples (n, channels) int16, rate). Walks
+    RIFF chunks, so extra chunks (LIST etc.) are tolerated."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos = 12
+    rate = None
+    channels = None
+    bits = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    s = np.frombuffer(data, dtype="<i2")
+    return s.reshape(-1, channels), int(rate)
+
+
+def audio_features(buf: bytes, n_bands: int = 16) -> dict:
+    """REAL audio features from a PCM16 WAV: duration, RMS, zero-crossing
+    rate, and log band energies from an rFFT magnitude spectrum split
+    into ``n_bands`` equal bands (the mel-spectrogram stand-in, fully
+    deterministic numpy)."""
+    samples, rate = decode_wav(buf)
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = len(mono)
+    dur = n / rate if rate else 0.0
+    rms = float(np.sqrt((mono**2).mean())) if n else 0.0
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    if n:
+        mag = np.abs(np.fft.rfft(mono))
+        bands = np.array_split(mag, n_bands)
+        band_energy = np.log1p(np.array([float((b**2).sum()) for b in bands]))
+    else:
+        band_energy = np.zeros(n_bands)
+    return {
+        "rate": rate, "n_samples": n, "channels": samples.shape[1],
+        "duration": dur, "rms": rms, "zcr": zcr,
+        "band_energy": band_energy,
+    }
 
 METADATA_SCHEMA = (
     "modality string, width int, height int, channels int, "
@@ -44,7 +124,22 @@ def probe_metadata(buf: bytes, fmt: str) -> dict:
             w, h, c, _ = struct.unpack_from("<IIIB", buf, 4)
             return dict(modality="image", fmt=fmt, width=w, height=h, channels=c,
                         n_bytes=len(buf), ok=True)
-        if fmt in ("wav", "mp3", "flac"):
+        if fmt == "wav" and buf[:4] == b"RIFF":
+            # real header parse: channels from fmt chunk, width=n_samples
+            pos = 12
+            channels = 0
+            nsamp = 0
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", buf, pos + 4)
+                if cid == b"fmt ":
+                    _t, channels = struct.unpack_from("<HH", buf, pos + 8)
+                elif cid == b"data" and channels:
+                    nsamp = size // (2 * channels)
+                pos += 8 + size + (size & 1)
+            return dict(modality="audio", fmt=fmt, width=nsamp, height=1,
+                        channels=channels, n_bytes=len(buf), ok=True)
+        if fmt in ("mp3", "flac"):
             return dict(modality="audio", fmt=fmt, width=0, height=0, channels=0,
                         n_bytes=len(buf), ok=True)
         if fmt in ("mp4", "webm", "mkv"):
@@ -57,24 +152,59 @@ def probe_metadata(buf: bytes, fmt: str) -> dict:
 
 
 def decode_any(buf: bytes, fmt: str) -> np.ndarray:
-    """Decode dispatch. External formats raise NotImplementedError — STUB:
-    a real deployment plugs libjpeg/ffmpeg here; the Spark plumbing
-    (batching, schema, partitioning) is identical either way."""
+    """Decode dispatch. png/raw/jpg images and wav audio decode for
+    real; the rest raise NotImplementedError — STUB: a real deployment
+    plugs libjpeg/ffmpeg here; the Spark plumbing (batching, schema,
+    partitioning) is identical either way."""
     if fmt in ("png", "raw", "jpg"):
         return codecs.decode_image(buf, fmt)
+    if fmt == "wav":
+        samples, _rate = decode_wav(buf)
+        return samples
     raise NotImplementedError(
         f"decoder for fmt={fmt!r} not available in this container (stub)"
     )
 
 
 def fake_audio_features(buf: bytes, n_mels: int = 16) -> np.ndarray:
-    """Deterministic fake audio feature extractor (STUB for a mel
-    spectrogram): statistics of the raw bytes, reproducible anywhere."""
+    """Deterministic fake feature extractor for NON-wav audio formats
+    (mp3/flac decode needs external libs — stub): statistics of the raw
+    bytes, reproducible anywhere. For wav use :func:`audio_features`."""
     b = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
     if len(b) == 0:
         return np.zeros(n_mels)
     chunks = np.array_split(b, n_mels)
     return np.array([c.mean() for c in chunks])
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "rate int, n_samples long, channels int, duration double, rms double, "
+    "zcr double, band_energy array<double>"
+)
+
+
+def with_audio_features(
+    df: DataFrame, bytes_col: str = "bytes", n_bands: int = 16
+) -> DataFrame:
+    """Real per-row WAV feature extraction in one Arrow pass: appends
+    rate/n_samples/channels/duration/rms/zcr/band_energy columns."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    full_schema = schema + ", " + AUDIO_FEATURES_SCHEMA
+
+    def do(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf[bytes_col]:
+                f = audio_features(bytes(b), n_bands)
+                f["band_energy"] = f["band_energy"].tolist()
+                feats.append(f)
+            yield pd.concat(
+                [pdf.reset_index(drop=True), pd.DataFrame(feats)], axis=1
+            )
+
+    return df.mapInPandas(do, schema=full_schema)
 
 
 def with_metadata(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"):

@@ -268,3 +268,73 @@ class TestMetrics:
         assert n == 16
         rep = skew_report(salted.repartition(16, "key", "salt"))
         assert rep["row_skew"] < 2.0
+
+
+class TestWavAudio:
+    """Real RIFF/PCM16 WAV codec + FFT band features (no external libs)."""
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        from gdal_spark.functions.multimodal import decode_wav, encode_wav
+
+        t = np.arange(16000) / 16000.0
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+        buf = encode_wav(sig, 16000)
+        out, rate = decode_wav(buf)
+        assert rate == 16000 and out.shape == (16000, 1)
+        np.testing.assert_allclose(
+            out[:, 0] / 32767.0, sig, atol=1.0 / 32767.0
+        )
+
+    def test_stereo_and_probe(self):
+        import numpy as np
+
+        from gdal_spark.functions.multimodal import (
+            decode_wav,
+            encode_wav,
+            probe_metadata,
+        )
+
+        stereo = np.stack(
+            [np.ones(100) * 0.25, -np.ones(100) * 0.25], axis=1
+        )
+        buf = encode_wav(stereo, 8000)
+        out, rate = decode_wav(buf)
+        assert out.shape == (100, 2) and rate == 8000
+        meta = probe_metadata(buf, "wav")
+        assert meta["modality"] == "audio"
+        assert meta["channels"] == 2 and meta["width"] == 100
+
+    def test_features_tone_peak_band(self):
+        import numpy as np
+
+        from gdal_spark.functions.multimodal import audio_features, encode_wav
+
+        t = np.arange(16000) / 16000.0
+        # 16 bands over the 0..8000 Hz rFFT range = 500 Hz per band;
+        # a 6 kHz tone lands in band floor(6000/500) = 11 (0-based)
+        sig = np.sin(2 * np.pi * 6000 * t)
+        f = audio_features(encode_wav(sig, 16000), n_bands=16)
+        assert f["duration"] == pytest.approx(1.0)
+        assert f["rms"] == pytest.approx(1 / np.sqrt(2), abs=0.01)
+        assert int(np.argmax(f["band_energy"])) == 11
+        # zero-crossing rate of a 6 kHz tone at 16 kHz ~ 2*6000/16000
+        assert f["zcr"] == pytest.approx(0.75, abs=0.05)
+
+    def test_with_audio_features_df(self, spark):
+        import numpy as np
+
+        from gdal_spark.functions.multimodal import encode_wav, with_audio_features
+
+        t = np.arange(4000) / 8000.0
+        rows = [
+            (f"a{i}", bytearray(encode_wav(np.sin(2 * np.pi * (200 + 100 * i) * t), 8000)))
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+        out = with_audio_features(df).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.rate == 8000 and r.duration == pytest.approx(0.5)
+            assert len(r.band_energy) == 16
