@@ -186,7 +186,7 @@ def run_default(quick: bool = False):
     spark.stop()
 
 
-def run_job(job: str, master: str):
+def run_job(job: str, master: str, qname: str | None = None):
     os.environ["SPARK_GRAFT_MASTER"] = master
     spark = _spark(master)
     # warm python workers + codegen so the timed region measures
@@ -197,11 +197,47 @@ def run_job(job: str, master: str):
     t0 = time.perf_counter()
     if job == "tile":
         n = tile_job(spark, N_BENCH_IMAGES)
+    elif job == "query":
+        fn = dict(headline_queries())[qname]
+        n = fn(spark, SF_DIR).count()
     else:
         raise SystemExit(f"unknown job {job}")
     sec = time.perf_counter() - t0
-    print(json.dumps({"job": job, "master": master, "sec": round(sec, 3), "n": n}))
+    print(json.dumps({"job": job, "name": qname, "master": master,
+                      "sec": round(sec, 3), "n": n}))
     spark.stop()
+
+
+def run_isolated():
+    """Per-query fresh-JVM mode: each headline query (and the tile job)
+    runs in its own subprocess, so one slow or leaky query cannot taint
+    the others' timings. ~8s JVM startup per query is NOT counted (the
+    child times only the query)."""
+    images_path(N_BENCH_IMAGES)
+    timings = {}
+    t_all = time.perf_counter()
+    names = [n for n, _f in headline_queries()] + ["tile"]
+    for name in names:
+        cmd = [sys.executable, __file__, "--master", f"local[{CPUS}]"]
+        cmd += ["--job", "tile"] if name == "tile" else ["--job", "query", "--name", name]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            print(f"# {name} FAILED: {proc.stderr[-300:]}", file=sys.stderr)
+            continue
+        rec = json.loads(lines[-1])
+        key = "tile_pyramid" if name == "tile" else name
+        timings[key] = rec["sec"]
+        print(f"# {key} {rec['sec']}s ({rec['n']} rows)", file=sys.stderr)
+    out = {
+        "metric": "isolated per-query wall time (fresh JVM each)",
+        "value": round(time.perf_counter() - t_all, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
 
 
 def _control_unit(args):
@@ -368,12 +404,16 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--isolate", action="store_true")
     ap.add_argument("--job")
+    ap.add_argument("--name")
     ap.add_argument("--master")
     args = ap.parse_args()
     if args.scaling:
         run_scaling()
+    elif args.isolate:
+        run_isolated()
     elif args.job:
-        run_job(args.job, args.master or f"local[{CPUS}]")
+        run_job(args.job, args.master or f"local[{CPUS}]", args.name)
     else:
         run_default(quick=args.quick)
