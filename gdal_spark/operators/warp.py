@@ -27,11 +27,16 @@ MAX_LAT = 85.05112878
 
 
 def geo_transform_points(x, y, src_srid: int, dst_srid: int):
-    """Closed-form coordinate transform between EPSG:4326 and EPSG:3857.
+    """Closed-form coordinate transform between EPSG:4326, EPSG:3857 and
+    the UTM zones EPSG:326xx/327xx (Krueger-series transverse Mercator,
+    gdal_spark.proj — sub-mm vs the independent Snyder series).
 
     Replaces OGRCreateCoordinateTransformation (ogr/ogrct.cpp:1003-1032)
-    for the two CRS the engine supports; vectorized.
+    for the CRS the engine supports; vectorized. Pairs not involving
+    4326 compose through it.
     """
+    from ..proj import is_utm, lonlat_to_utm, utm_to_lonlat
+
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if src_srid == dst_srid:
@@ -43,6 +48,14 @@ def geo_transform_points(x, y, src_srid: int, dst_srid: int):
     if src_srid == 3857 and dst_srid == 4326:
         lat, lon = _MERC.meters_to_latlon(x, y)
         return lon, lat
+    if src_srid == 4326 and is_utm(dst_srid):
+        return lonlat_to_utm(x, y, dst_srid)
+    if is_utm(src_srid) and dst_srid == 4326:
+        return utm_to_lonlat(x, y, src_srid)
+    if is_utm(src_srid) or is_utm(dst_srid):
+        # compose via 4326
+        lon, lat = geo_transform_points(x, y, src_srid, 4326)
+        return geo_transform_points(lon, lat, 4326, dst_srid)
     raise ValueError(f"unsupported srid pair {src_srid}->{dst_srid}")
 
 

@@ -1,0 +1,119 @@
+"""Closed-form projections beyond 4326<->3857: UTM (EPSG:326xx/327xx).
+
+Reference role: ogr/ogrct.cpp delegates to PROJ; this engine implements
+the ellipsoidal transverse Mercator with the 6th-order Krueger series
+(the same series PROJ's ``tmerc`` uses by default, accuracy well below
+1 mm inside a UTM zone) in pure vectorized numpy. Public formulas:
+Karney (2011), "Transverse Mercator with an accuracy of a few
+nanometers"; coefficients as published in the standard Krueger-series
+expansion.
+
+WGS84: a = 6378137, f = 1/298.257223563, k0 = 0.9996,
+false easting 500000, false northing 10000000 on the southern hemisphere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_K0 = 0.9996
+_E0 = 500000.0
+
+_n = _F / (2.0 - _F)
+_n2 = _n * _n
+_n3 = _n2 * _n
+_n4 = _n3 * _n
+_n5 = _n4 * _n
+_n6 = _n5 * _n
+
+# rectifying radius
+_ABAR = _A / (1.0 + _n) * (1.0 + _n2 / 4.0 + _n4 / 64.0 + _n6 / 256.0)
+
+# forward series (alpha) and reverse series (beta), order 6
+_ALPHA = np.array([
+    _n / 2.0 - 2.0 / 3.0 * _n2 + 5.0 / 16.0 * _n3 + 41.0 / 180.0 * _n4
+    - 127.0 / 288.0 * _n5 + 7891.0 / 37800.0 * _n6,
+    13.0 / 48.0 * _n2 - 3.0 / 5.0 * _n3 + 557.0 / 1440.0 * _n4
+    + 281.0 / 630.0 * _n5 - 1983433.0 / 1935360.0 * _n6,
+    61.0 / 240.0 * _n3 - 103.0 / 140.0 * _n4 + 15061.0 / 26880.0 * _n5
+    + 167603.0 / 181440.0 * _n6,
+    49561.0 / 161280.0 * _n4 - 179.0 / 168.0 * _n5 + 6601661.0 / 7257600.0 * _n6,
+    34729.0 / 80640.0 * _n5 - 3418889.0 / 1995840.0 * _n6,
+    212378941.0 / 319334400.0 * _n6,
+])
+_BETA = np.array([
+    _n / 2.0 - 2.0 / 3.0 * _n2 + 37.0 / 96.0 * _n3 - 1.0 / 360.0 * _n4
+    - 81.0 / 512.0 * _n5 + 96199.0 / 604800.0 * _n6,
+    1.0 / 48.0 * _n2 + 1.0 / 15.0 * _n3 - 437.0 / 1440.0 * _n4
+    + 46.0 / 105.0 * _n5 - 1118711.0 / 3870720.0 * _n6,
+    17.0 / 480.0 * _n3 - 37.0 / 840.0 * _n4 - 209.0 / 4480.0 * _n5
+    + 5569.0 / 90720.0 * _n6,
+    4397.0 / 161280.0 * _n4 - 11.0 / 504.0 * _n5 - 830251.0 / 7257600.0 * _n6,
+    4583.0 / 161280.0 * _n5 - 108847.0 / 3991680.0 * _n6,
+    20648693.0 / 638668800.0 * _n6,
+])
+
+_ES = 2.0 * np.sqrt(_n) / (1.0 + _n)  # = e (first eccentricity) identity
+
+
+def utm_zone_params(srid: int):
+    """(central_meridian_deg, false_northing) for EPSG:326xx / 327xx."""
+    srid = int(srid)
+    if 32601 <= srid <= 32660:
+        zone = srid - 32600
+        return (zone * 6.0 - 183.0), 0.0
+    if 32701 <= srid <= 32760:
+        zone = srid - 32700
+        return (zone * 6.0 - 183.0), 10000000.0
+    raise ValueError(f"not a UTM srid: {srid}")
+
+
+def is_utm(srid: int) -> bool:
+    return 32601 <= int(srid) <= 32660 or 32701 <= int(srid) <= 32760
+
+
+def lonlat_to_utm(lon, lat, srid: int):
+    """Forward Krueger-series transverse Mercator (vectorized)."""
+    lon0, n0 = utm_zone_params(srid)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - _ES * np.arctanh(_ES * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi = xi + _ALPHA[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
+        eta = eta + _ALPHA[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+    easting = _E0 + _K0 * _ABAR * eta
+    northing = n0 + _K0 * _ABAR * xi
+    return easting, northing
+
+
+def utm_to_lonlat(easting, northing, srid: int):
+    """Reverse Krueger-series transverse Mercator (vectorized)."""
+    lon0, n0 = utm_zone_params(srid)
+    xi = (np.asarray(northing, dtype=np.float64) - n0) / (_K0 * _ABAR)
+    eta = (np.asarray(easting, dtype=np.float64) - _E0) / (_K0 * _ABAR)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p = xi_p - _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p = eta_p - _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+    # conformal latitude chi and longitude from the unscaled coords
+    chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # invert the conformal latitude: s = sin(phi) satisfies
+    # s = tanh(atanh(sin chi) + e * atanh(e * s)); fixed point converges
+    # to double precision in a handful of rounds
+    sin_chi = np.clip(np.sin(chi), -1.0, 1.0)
+    s = sin_chi.copy()
+    for _ in range(7):
+        s = np.tanh(np.arctanh(sin_chi) + _ES * np.arctanh(_ES * s))
+    phi = np.arcsin(np.clip(s, -1.0, 1.0))
+    return lon0 + np.degrees(lam), np.degrees(phi)

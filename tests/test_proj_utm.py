@@ -1,0 +1,118 @@
+"""UTM (EPSG:326xx/327xx) transverse Mercator vs independent oracle.
+
+Krueger-series implementation (gdal_spark.proj) validated against the
+classical Snyder series — two independent formulations agreeing to
+sub-mm — plus exact invariants (central meridian, k0, round trips).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.operators.warp import geo_transform_points
+from gdal_spark.proj import lonlat_to_utm, utm_to_lonlat, utm_zone_params
+
+
+def snyder_utm(lon, lat, lon0):
+    a = 6378137.0
+    f = 1 / 298.257223563
+    k0 = 0.9996
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * np.cos(phi) ** 2
+    A = np.cos(phi) * lam
+    e4, e6 = e2 * e2, e2 ** 3
+    M = a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+    x = k0 * N * (A + (1 - T + C) * A**3 / 6
+                  + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A**5 / 120) + 500000
+    y = k0 * (M + N * np.tan(phi) * (A * A / 2
+              + (5 - T + 9 * C + 4 * C * C) * A**4 / 24
+              + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A**6 / 720))
+    return x, y
+
+
+class TestUtm:
+    def test_central_meridian_invariants(self):
+        e, n = lonlat_to_utm(np.array([3.0]), np.array([0.0]), 32631)
+        assert e[0] == pytest.approx(500000.0, abs=1e-6)
+        assert n[0] == pytest.approx(0.0, abs=1e-6)
+
+    def test_k0_scale_at_central_meridian(self):
+        e1, n1 = lonlat_to_utm(np.array([3.0]), np.array([45.0]), 32631)
+        e2_, n2 = lonlat_to_utm(np.array([3.0]), np.array([45.001]), 32631)
+        a, f = 6378137.0, 1 / 298.257223563
+        ecc2 = f * (2 - f)
+        lat_r = np.radians(45.0005)
+        M = a * (1 - ecc2) / (1 - ecc2 * np.sin(lat_r) ** 2) ** 1.5
+        ds = M * np.radians(0.001)
+        assert (n2[0] - n1[0]) / ds == pytest.approx(0.9996, abs=1e-7)
+
+    def test_matches_independent_snyder_series(self):
+        cases = [(7.0, 50.0, 32632), (5.9, 49.0, 32632),
+                 (0.5, -35.0, 32631), (8.99, 0.01, 32632)]
+        for lon, lat, srid in cases:
+            lon0, _n0 = utm_zone_params(srid)
+            e, n = lonlat_to_utm(np.array([lon]), np.array([lat]), srid)
+            xs, ys = snyder_utm(lon, lat, lon0)
+            assert abs(e[0] - xs) < 0.002  # 2 mm
+            assert abs(n[0] - ys) < 0.002
+
+    def test_round_trip_full_zone(self):
+        rng = np.random.default_rng(1)
+        lon = rng.uniform(0.5, 5.5, 500)
+        lat = rng.uniform(-80, 84, 500)
+        e, n = lonlat_to_utm(lon, lat, 32631)
+        lon2, lat2 = utm_to_lonlat(e, n, 32631)
+        np.testing.assert_allclose(lon2, lon, atol=1e-10)
+        np.testing.assert_allclose(lat2, lat, atol=1e-10)
+
+    def test_southern_false_northing(self):
+        e, n = lonlat_to_utm(np.array([3.0]), np.array([-10.0]), 32731)
+        assert 0 < n[0] < 10000000.0
+        lo, la = utm_to_lonlat(e, n, 32731)
+        assert lo[0] == pytest.approx(3.0, abs=1e-10)
+        assert la[0] == pytest.approx(-10.0, abs=1e-10)
+
+    def test_transform_chain_utm_to_mercator(self):
+        # utm -> 3857 composes via 4326
+        e, n = lonlat_to_utm(np.array([7.0]), np.array([50.0]), 32632)
+        mx, my = geo_transform_points(e, n, 32632, 3857)
+        lon, lat = geo_transform_points(mx, my, 3857, 4326)
+        assert lon[0] == pytest.approx(7.0, abs=1e-9)
+        assert lat[0] == pytest.approx(50.0, abs=1e-9)
+
+    def test_warp_from_utm_image(self, spark):
+        """End-to-end: an image georeferenced in UTM warps to 3857."""
+        from gdal_spark import codecs as C
+        from gdal_spark.operators.warp import warp_images
+
+        arr = np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))
+        # 64x64 px, 100 m pixels, origin at E=480000 N=5520000 zone 32
+        gt = (480000.0, 100.0, 0.0, 5520000.0, 0.0, -100.0)
+        from gdal_spark.fixtures import footprint_meters
+
+        row = ("u1", bytearray(C.encode_png(arr)), 64, 64, "png", "cap", 0,
+               *gt, 32632, 0.0, 0.0, 0.0, 0.0)
+        sch = ("image_id string, bytes binary, w int, h int, fmt string, "
+               "caption string, phash long, gt0 double, gt1 double, gt2 double, "
+               "gt3 double, gt4 double, gt5 double, srid int, minx double, "
+               "miny double, maxx double, maxy double")
+        df = spark.createDataFrame([row], sch)
+        out = warp_images(df, 3857, resampling="bilinear").collect()[0]
+        assert out.srid == 3857 and out.caption == "cap"
+        # footprint should sit near lon ~8.7E, lat ~49.8N in mercator
+        from gdal_spark.grid import MercatorGrid
+
+        merc = MercatorGrid()
+        lat, lon = merc.meters_to_latlon(
+            (out.minx + out.maxx) / 2, (out.miny + out.maxy) / 2
+        )
+        assert 8.0 < lon < 9.5 and 49.0 < lat < 50.5
