@@ -425,6 +425,80 @@ def q_grid_metrics_sql():
     )
 
 
+def q_utm_forward(spark, sf_dir):
+    """UTM zone-31 forward projection (Krueger-series transverse
+    Mercator, gdal_spark.proj) of customer-derived lon/lat points,
+    checked against a FULLY INDEPENDENT re-derivation of the series in
+    DuckDB SQL (sinh/atanh expanded via exp/ln) — a dual-implementation
+    oracle, rounded to mm."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.proj import lonlat_to_utm
+
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = (k * 7 % 500) / 100.0 + 0.5
+            lat = (k * 13 % 1200) / 10.0 - 60.0
+            e, n = lonlat_to_utm(lon, lat, 32631)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "easting": np.round(e, 3),
+                    "northing": np.round(n, 3),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, easting double, northing double"
+    ).orderBy("pid")
+
+
+def q_utm_forward_sql():
+    # k0 * A pre-multiplied (same association as the numpy kernel's
+    # _K0 * _ABAR * eta); e0 suffix forces DOUBLE, not DECIMAL
+    k0a = "6364902.166165086e0"
+    es = "0.08181919084262149e0"
+    alphas = [
+        "0.0008377318206244698", "7.608527773572307e-07",
+        "1.1976455033294527e-09", "2.4291706072013587e-12",
+        "5.711757677865804e-15", "1.4911177312583895e-17",
+    ]
+    # hyperbolics via exp/ln so only stock DuckDB math is needed
+    xi_terms = " + ".join(
+        f"{a} * sin({2*(j+1)}.0 * xip) * ((exp({2*(j+1)}.0 * etap) + exp(-{2*(j+1)}.0 * etap)) / 2.0)"
+        for j, a in enumerate(alphas)
+    )
+    eta_terms = " + ".join(
+        f"{a} * cos({2*(j+1)}.0 * xip) * ((exp({2*(j+1)}.0 * etap) - exp(-{2*(j+1)}.0 * etap)) / 2.0)"
+        for j, a in enumerate(alphas)
+    )
+    return (
+        "WITH pts AS (SELECT c_custkey AS pid, "
+        "(c_custkey * 7 % 500) / 100.0 + 0.5 AS lon, "
+        "(c_custkey * 13 % 1200) / 10.0 - 60.0 AS lat FROM customer), "
+        "s1 AS (SELECT pid, radians(lon - 3.0) AS lam, sin(radians(lat)) AS s "
+        "FROM pts), "
+        "s2 AS (SELECT pid, lam, "
+        f"0.5 * ln((1.0 + s) / (1.0 - s)) - {es} * "
+        f"(0.5 * ln((1.0 + {es} * s) / (1.0 - {es} * s))) AS q FROM s1), "
+        "s3 AS (SELECT pid, lam, (exp(q) - exp(-q)) / 2.0 AS t FROM s2), "
+        "s4 AS (SELECT pid, atan2(t, cos(lam)) AS xip, "
+        "ln(sin(lam) / sqrt(t * t + cos(lam) * cos(lam)) "
+        "+ sqrt((sin(lam) / sqrt(t * t + cos(lam) * cos(lam))) * "
+        "(sin(lam) / sqrt(t * t + cos(lam) * cos(lam))) + 1.0)) AS etap "
+        "FROM s3), "
+        f"s5 AS (SELECT pid, xip + ({xi_terms}) AS xi, "
+        f"etap + ({eta_terms}) AS eta FROM s4) "
+        f"SELECT pid, round(500000.0 + {k0a} * eta, 3) AS easting, "
+        f"round({k0a} * xi, 3) AS northing FROM s5 ORDER BY pid"
+    )
+
+
 def _rect_layers(spark, sf_dir):
     """Deterministic rectangle layers (input from part, method from
     supplier) built through the engine's WKB builders."""
@@ -1711,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "idw": q_idw,
         "grid_metrics": q_grid_metrics,
+        "utm_forward": q_utm_forward,
         # OGR SQL surface
         "where_like_between": q_where_like_between,
         "first_match_left_join": q_first_match_left_join,
@@ -1763,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": q_knn_sql(),
         "idw": q_idw_sql(),
         "grid_metrics": q_grid_metrics_sql(),
+        "utm_forward": q_utm_forward_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),
         "summary_aggregates": q_summary_aggregates_sql(),
