@@ -1168,6 +1168,23 @@ def q_cosine_topk_sql():
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF inverted-list ANN (k-means coarse quantizer trained on a
+    driver sample, distributed list assignment, probe + exact re-rank).
+    The entry probes ALL lists (nprobe == n_lists), which is exhaustive
+    — so the output must EQUAL the brute-force oracle; recall at
+    nprobe < n_lists is asserted in tests."""
+    from gdal_spark.functions.simsearch import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.where(F.col("vec_id") < 4).select("vec_id", "embedding")
+    queries = [(int(r[0]), [float(v) for v in r[1]]) for r in qdf.collect()]
+    out = ivf_topk(e, queries, k=5, n_lists=8, nprobe=8)
+    return out.select(
+        "qid", "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy("qid", F.col("cosine").desc(), "vec_id")
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (threshold 0.4 — the corpus
     has no true dups, so the bar is set where pairs exist)."""
@@ -1722,6 +1739,39 @@ def q_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over the image table's phash
+    column: generic pigeonhole hamming blocking (the same machinery as
+    simhash, but with a TRUE SQL oracle — DuckDB brute-forces
+    bit_count(xor) over the literal fixture phashes), hamming <= 6."""
+    from gdal_spark import fixtures
+    from gdal_spark.functions.dedup import hamming_pairs
+
+    imgs = fixtures.images_df(spark, 64, tier="t2", partitions=4).select(
+        "image_id", "phash"
+    )
+    out = hamming_pairs(imgs, id_col="image_id", sig_col="phash", max_hamming=6)
+    return out.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
+def q_phash_neardup_sql():
+    from gdal_spark import fixtures
+
+    rows = [
+        (fixtures.image_record(i, tier="t2")["image_id"],
+         int(fixtures.image_record(i, tier="t2")["phash"]))
+        for i in range(64)
+    ]
+    vals = ", ".join(f"('{i}', CAST({p} AS BIGINT))" for i, p in rows)
+    return (
+        f"WITH h AS (SELECT * FROM (VALUES {vals}) AS t(id, ph)) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming "
+        "FROM h a JOIN h b ON a.id < b.id "
+        "WHERE bit_count(xor(a.ph, b.ph)) <= 6 ORDER BY id_a, id_b"
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, hamming <= 3 (rows-only)."""
     from gdal_spark.functions.dedup import simhash_pairs
@@ -1815,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         # raster dataflow (rows-only: not SQL-expressible)
         "world_tile_checksums": q_world_tile_checksums,
@@ -1823,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_reproject": q_warp_reproject,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "phash_neardup": q_phash_neardup,
     }
 
 
@@ -1839,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "idw": q_idw_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
+        "phash_neardup": q_phash_neardup_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),
         "summary_aggregates": q_summary_aggregates_sql(),
@@ -1870,5 +1923,6 @@ def oracle_sql() -> dict[str, str]:
         "dem_tri_checksums": q_dem_tri_checksums_sql(),
         "contour_lengths": q_contour_lengths_sql(),
         "cosine_topk": q_cosine_topk_sql(),
+        "ivf_topk": q_cosine_topk_sql(),
         "embedding_neardup": q_embedding_neardup_sql(),
     }

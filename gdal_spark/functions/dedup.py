@@ -330,20 +330,23 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash"):
     return df.withColumn(out, _simhash_udf(F.col(text_col)))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
 ):
-    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
-    (max_hamming+1)-chunk blocking: a pair within distance d differs in at
-    most d chunks, so it must agree on >= 1 of d+1 chunks (pigeonhole) —
-    the join is an equi-join on (chunk, value), never a cross."""
+    """Generic near-dup pairs over ANY int64 signature column by hamming
+    distance <= max_hamming, with (max_hamming+1)-chunk pigeonhole
+    blocking: a pair within distance d differs in at most d chunks, so
+    it must agree on >= 1 of d+1 chunks — the join is an equi-join on
+    (chunk, value), never a cross. Works for SimHash text signatures and
+    perceptual image hashes (the images table's ``phash``) alike."""
     n_chunks = max_hamming + 1
     if n_chunks > 64:
         raise ValueError("max_hamming must be < 64")
     bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
-    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col).select(
-        "id", "simhash"
-    )
+    sh = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
     chunks = sh.select(
         "id",
         "simhash",
@@ -379,6 +382,15 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+):
+    """Near-dup pairs by SimHash hamming distance (the text front-end of
+    :func:`hamming_pairs`)."""
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    return hamming_pairs(sh, id_col="id", sig_col="simhash", max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,119 @@ def with_lsh_signature(
     return df.withColumn(out, sig), planes
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample: int = 4096,
+    iters: int = 12,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
+    SAMPLE (the standard IVF training recipe — centroids come from a
+    sample, assignment is distributed). Deterministic: seeded k-means++
+    init, fixed iteration count. Returns (n_lists, dim) L2-normalized
+    centroids."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # k-means++ init on cosine distance
+    cents = [Xn[rng.integers(len(Xn))]]
+    for _ in range(n_lists - 1):
+        d = 1.0 - np.max(np.stack([Xn @ c for c in cents]), axis=0)
+        d = np.clip(d, 0, None)
+        p = d / d.sum() if d.sum() > 0 else np.full(len(Xn), 1.0 / len(Xn))
+        cents.append(Xn[rng.choice(len(Xn), p=p)])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-list ANN path: every corpus
+    vector is assigned to its nearest centroid (one Arrow pass, a single
+    matmul per batch), each query probes its ``nprobe`` nearest lists,
+    and exact cosine re-ranks the candidates. ``nprobe == n_lists`` is
+    exhaustive and equals the brute-force answer (the oracle setting);
+    smaller nprobe trades recall for scanning only nprobe/n_lists of the
+    corpus. Same output schema as cosine_topk."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["list_id", id_col, vec_col])
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            lid = np.argmax(Mn @ C.T, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out.insert(0, "list_id", lid.astype(np.int64))
+            yield out
+
+    listed = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"list_id long, {id_col} long, {vec_col} array<float>"
+    )
+
+    Q = np.array([q[1] for q in queries], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qid), int(lst))
+        for (qid, _), lists in zip(queries, order)
+        for lst in lists
+    ]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, list_id long")
+    cand = listed.join(F.broadcast(probes), "list_id")
+
+    qmap = {int(qid): np.asarray(v, dtype=np.float64) for qid, v in queries}
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.empty(len(pdf))
+            for qid in pdf["qid"].unique():
+                m = (pdf["qid"] == qid).to_numpy()
+                qv = qmap[int(qid)]
+                qv = qv / np.linalg.norm(qv)
+                sims[m] = Mn[m] @ qv
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "vec_id": pdf[id_col], "cosine": sims}
+            )
+
+    scored = cand.select("qid", id_col, vec_col).mapInPandas(
+        score, schema="qid long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],

@@ -338,3 +338,53 @@ class TestWavAudio:
         for r in out:
             assert r.rate == 8000 and r.duration == pytest.approx(0.5)
             assert len(r.band_energy) == 16
+
+
+class TestIvfTopk:
+    """IVF ANN: exhaustive probing equals brute force; partial probing
+    keeps high recall while scanning a fraction of the lists."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, [float(v) for v in rng.standard_normal(16)]) for i in range(400)
+        ]
+        return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_exhaustive_equals_bruteforce(self, spark, corpus):
+        from gdal_spark.functions.simsearch import cosine_topk, ivf_topk
+
+        rows, df = corpus
+        queries = [(i, rows[i][1]) for i in range(3)]
+        brute = {(r.qid, r.rank): r.vec_id for r in cosine_topk(df, queries, k=5).collect()}
+        ivf = {(r.qid, r.rank): r.vec_id for r in ivf_topk(
+            df, queries, k=5, n_lists=8, nprobe=8
+        ).collect()}
+        assert ivf == brute
+
+    def test_partial_probe_recall(self, spark, corpus):
+        from gdal_spark.functions.simsearch import cosine_topk, ivf_topk
+
+        rows, df = corpus
+        queries = [(i, rows[i][1]) for i in range(5)]
+        brute = cosine_topk(df, queries, k=10).collect()
+        truth = {(r.qid, r.vec_id) for r in brute}
+        got = {(r.qid, r.vec_id) for r in ivf_topk(
+            df, queries, k=10, n_lists=8, nprobe=3
+        ).collect()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.5  # scanning ~3/8 of the corpus
+
+    def test_centroids_deterministic(self, spark, corpus):
+        import numpy as np
+
+        from gdal_spark.functions.simsearch import train_ivf_centroids
+
+        _rows, df = corpus
+        c1 = train_ivf_centroids(df, n_lists=8)
+        c2 = train_ivf_centroids(df, n_lists=8)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0)
