@@ -14,10 +14,12 @@ Spark mapping: the raster arrives as the engine's tiled layout
    stitching.
 2. Cross-tile stitch: border runs of adjacent tiles equi-join on the
    shared edge; matching (value-equal, overlapping) run pairs become
-   label-equivalence EDGES. The equivalence graph is tiny (one node per
-   local region that touches a tile border), so it is resolved with a
-   driver-side union-find and broadcast back — the pixel data never
-   leaves the executors.
+   label-equivalence EDGES. Small edge sets (bounded by
+   ``driver_cc_max_edges``) resolve with a driver-side union-find;
+   larger graphs run fully distributed min-label propagation with
+   pointer doubling (``cc_labels``) — labels converge to the component
+   minimum in O(log n) rounds of join+agg, no driver-side O(data)
+   structure. The pixel data never leaves the executors either way.
 3. Final groupBy(global label): directed boundary segments of one region
    meet in one task; opposite-direction duplicates along interior tile
    borders cancel exactly (integer coordinates), the survivors chain
@@ -125,39 +127,45 @@ def label_components(
     return labels, nxt - 1
 
 
-def boundary_segments(labels: np.ndarray, origin=(0, 0)):
-    """Directed boundary edges per label, region-on-the-inside clockwise
-    in (x right, y down) pixel-corner coordinates (which flips to CCW
-    once a north-up geotransform inverts y). Only edges whose neighbor
-    has a different label are emitted — O(perimeter).
+def boundary_segment_arrays(labels: np.ndarray, origin=(0, 0)):
+    """Vectorized directed boundary edges: only edges whose neighbor has
+    a different label are emitted — O(perimeter), no Python loop.
 
-    Returns {label: [(x0, y0, x1, y1), ...]} with GLOBAL integer coords
-    offset by ``origin`` = (x_off, y_off)."""
+    Returns (L, x0, y0, x1, y1) int64 arrays in GLOBAL pixel-corner
+    coordinates offset by ``origin`` = (x_off, y_off)."""
     h, w = labels.shape
     ox, oy = origin
-    segs: dict[int, list] = defaultdict(list)
-
     padded = np.zeros((h + 2, w + 2), dtype=labels.dtype)
     padded[1:-1, 1:-1] = labels
     lab = padded[1:-1, 1:-1]
 
-    def emit(mask, mk):
-        ys, xs = np.nonzero(mask)
-        for r, c in zip(ys.tolist(), xs.tolist()):
-            L = int(lab[r, c])
-            if L == 0:
-                continue
-            x, y = c + ox, r + oy
-            segs[L].append(mk(x, y))
+    outs = []
+    # (neighbor slab, segment endpoints as fns of pixel corner x,y)
+    for nbr, seg in (
+        (padded[:-2, 1:-1], lambda x, y: (x, y, x + 1, y)),          # top
+        (padded[1:-1, 2:], lambda x, y: (x + 1, y, x + 1, y + 1)),   # right
+        (padded[2:, 1:-1], lambda x, y: (x + 1, y + 1, x, y + 1)),   # bottom
+        (padded[1:-1, :-2], lambda x, y: (x, y + 1, x, y)),          # left
+    ):
+        ys, xs = np.nonzero((lab != nbr) & (lab != 0))
+        x = xs.astype(np.int64) + ox
+        y = ys.astype(np.int64) + oy
+        x0, y0, x1, y1 = seg(x, y)
+        outs.append((lab[ys, xs].astype(np.int64), x0, y0, x1, y1))
+    return tuple(np.concatenate([o[i] for o in outs]) for i in range(5))
 
-    # top edge: neighbor above differs
-    emit(lab != padded[:-2, 1:-1], lambda x, y: (x, y, x + 1, y))
-    # right edge
-    emit(lab != padded[1:-1, 2:], lambda x, y: (x + 1, y, x + 1, y + 1))
-    # bottom edge
-    emit(lab != padded[2:, 1:-1], lambda x, y: (x + 1, y + 1, x, y + 1))
-    # left edge
-    emit(lab != padded[1:-1, :-2], lambda x, y: (x, y + 1, x, y))
+
+def boundary_segments(labels: np.ndarray, origin=(0, 0)):
+    """Dict form of :func:`boundary_segment_arrays` —
+    {label: [(x0, y0, x1, y1), ...]} (the local-oracle / buffer /
+    footprint entry point). Region-on-the-inside clockwise in
+    (x right, y down) pixel-corner coordinates, which flips to CCW once
+    a north-up geotransform inverts y."""
+    L, x0, y0, x1, y1 = boundary_segment_arrays(labels, origin)
+    segs: dict[int, list] = defaultdict(list)
+    order = np.argsort(L, kind="stable")
+    for i in order.tolist():
+        segs[int(L[i])].append((int(x0[i]), int(y0[i]), int(x1[i]), int(y1[i])))
     return segs
 
 
@@ -251,11 +259,14 @@ def _px_ring_to_geo(ring: np.ndarray, gt) -> np.ndarray:
 # distributed operator
 # ---------------------------------------------------------------------------
 
-_SEG_SCHEMA = (
-    "key long, value double, npix long, x0 long, y0 long, x1 long, y1 long"
-)
-_BORDER_SCHEMA = (
-    "side string, coord long, pos0 long, pos1 long, value double, key long"
+# One unified local pass emits three row kinds (single decode + label per
+# tile, vs two full passes in the earlier design):
+#   kind 's' (segment):    key, a=x0 b=y0 c=x1 d=y1
+#   kind 'n' (region row): key, value, npix          (one per local region)
+#   kind 'v'/'h' (border): key, value, a=coord b=pos0 c=pos1
+_ROW_SCHEMA = (
+    "kind string, key long, value double, npix long, "
+    "a long, b long, c long, d long"
 )
 
 OUT_SCHEMA = (
@@ -264,12 +275,10 @@ OUT_SCHEMA = (
 )
 
 
-def _local_pass(pdf_iter, tile_size, connect8, exclude, what: str):
-    """what='segs': per-region boundary segments + npix carried on the
-    first segment; what='border': tile-border runs for stitching."""
+def _tile_rows(pdf_iter, tile_size, connect8, exclude):
+    cols = ["kind", "key", "value", "npix", "a", "b", "c", "d"]
     for pdf in pdf_iter:
-        seg_rows = []
-        border_rows = []
+        frames = []
         for r in pdf.itertuples(index=False):
             arr = np.frombuffer(bytes(r.data), dtype=np.float64).reshape(r.h, r.w)
             labels, n = label_components(arr, connect8, exclude)
@@ -277,56 +286,126 @@ def _local_pass(pdf_iter, tile_size, connect8, exclude, what: str):
                 continue
             tkey = (int(r.tile_x) << 20 | int(r.tile_y)) << 22
             ox, oy = int(r.tile_x) * tile_size, int(r.tile_y) * tile_size
-            if what == "segs":
-                segs = boundary_segments(labels, origin=(ox, oy))
-                counts = np.bincount(labels.ravel(), minlength=n + 1)
-                firstval = {}
-                for lab in range(1, n + 1):
-                    m = labels == lab
-                    ys, xs = np.nonzero(m)
-                    firstval[lab] = float(arr[ys[0], xs[0]])
-                for lab, ss in segs.items():
-                    key = tkey | lab
-                    npix = int(counts[lab])
-                    for i, (x0, y0, x1, y1) in enumerate(ss):
-                        seg_rows.append(
-                            {
-                                "key": key, "value": firstval[lab],
-                                "npix": npix if i == 0 else 0,
-                                "x0": x0, "y0": y0, "x1": x1, "y1": y1,
-                            }
-                        )
-            else:
-                h, w = labels.shape
-                for side, line_lab, line_val, coord, off in (
-                    ("v", labels[:, -1], arr[:, -1], ox + w, oy),     # right border
-                    ("v", labels[:, 0], arr[:, 0], ox, oy),           # left border
-                    ("h", labels[-1, :], arr[-1, :], oy + h, ox),     # bottom border
-                    ("h", labels[0, :], arr[0, :], oy, ox),           # top border
-                ):
-                    s, e, v = _row_runs(line_lab)
-                    for k in range(len(s)):
-                        lab = int(v[k])
-                        if lab == 0:
-                            continue
-                        border_rows.append(
-                            {
-                                "side": side, "coord": int(coord),
-                                "pos0": int(s[k]) + off, "pos1": int(e[k]) + off,
-                                "value": float(line_val[s[k]]),
-                                "key": tkey | lab,
-                            }
-                        )
-        if what == "segs":
-            yield pd.DataFrame(
-                seg_rows,
-                columns=["key", "value", "npix", "x0", "y0", "x1", "y1"],
+
+            # segments (vectorized O(perimeter))
+            L, x0, y0, x1, y1 = boundary_segment_arrays(labels, origin=(ox, oy))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": "s", "key": tkey | L, "value": 0.0,
+                        "npix": 0, "a": x0, "b": y0, "c": x1, "d": y1,
+                    },
+                    columns=cols,
+                )
             )
+            # one region row per label: pixel count + representative value
+            counts = np.bincount(labels.ravel(), minlength=n + 1)
+            uniq, first_idx = np.unique(labels.ravel(), return_index=True)
+            firstval = np.zeros(n + 1, dtype=np.float64)
+            firstval[uniq] = arr.ravel()[first_idx]
+            labs = np.arange(1, n + 1, dtype=np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": "n", "key": tkey | labs,
+                        "value": firstval[1:], "npix": counts[1 : n + 1],
+                        "a": 0, "b": 0, "c": 0, "d": 0,
+                    },
+                    columns=cols,
+                )
+            )
+            # tile-border runs for cross-tile stitching
+            h, w = labels.shape
+            brows = []
+            for side, line_lab, line_val, coord, off in (
+                ("v", labels[:, -1], arr[:, -1], ox + w, oy),   # right border
+                ("v", labels[:, 0], arr[:, 0], ox, oy),         # left border
+                ("h", labels[-1, :], arr[-1, :], oy + h, ox),   # bottom border
+                ("h", labels[0, :], arr[0, :], oy, ox),         # top border
+            ):
+                s, e, v = _row_runs(line_lab)
+                for k in range(len(s)):
+                    lab = int(v[k])
+                    if lab == 0:
+                        continue
+                    brows.append(
+                        (
+                            side, tkey | lab, float(line_val[s[k]]), 0,
+                            int(coord), int(s[k]) + off, int(e[k]) + off, 0,
+                        )
+                    )
+            if brows:
+                frames.append(pd.DataFrame(brows, columns=cols))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
         else:
             yield pd.DataFrame(
-                border_rows,
-                columns=["side", "coord", "pos0", "pos1", "value", "key"],
+                {
+                    "kind": pd.Series(dtype=object),
+                    "key": pd.Series(dtype=np.int64),
+                    "value": pd.Series(dtype=np.float64),
+                    "npix": pd.Series(dtype=np.int64),
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "c": pd.Series(dtype=np.int64),
+                    "d": pd.Series(dtype=np.int64),
+                }
             )
+
+
+def cc_labels(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Distributed connected components: min-label propagation with
+    pointer doubling. Input: undirected edge DataFrame (key, key_b).
+    Output: (key, gkey0) for every node in the edge set, where gkey0 is
+    the component-minimum node id.
+
+    Labels only ever decrease, so convergence is detected when the
+    decimal sum of all labels stops changing (exact — no long overflow).
+    Pointer doubling (label := label[label]) collapses chain graphs in
+    O(log n) rounds instead of O(diameter); each round is two shuffles
+    plus one aggregate, with lineage truncated via eager
+    localCheckpoint. Nothing proportional to the edge count ever lands
+    on the driver — this is the 100-TB path; the driver union-find in
+    :func:`polygonize_tiles` is only a small-input fast path."""
+    sym = (
+        pairs.select(F.col("key").alias("u"), F.col("key_b").alias("v"))
+        .union(pairs.select(F.col("key_b").alias("u"), F.col("key").alias("v")))
+        .persist()
+    )
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("label"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # propagate the neighbor's current label across each edge
+        nb = sym.join(
+            labels.select(
+                F.col("u").alias("v"), F.col("label").alias("vlabel")
+            ),
+            "v",
+        ).select("u", F.col("vlabel").alias("label"))
+        new = labels.union(nb).groupBy("u").agg(F.min("label").alias("label"))
+        # pointer doubling: label := label(label)
+        hop = new.select(
+            F.col("u").alias("mid"), F.col("label").alias("label2")
+        )
+        new = new.join(hop, new["label"] == hop["mid"], "left").select(
+            "u", F.coalesce("label2", "label").alias("label")
+        )
+        new = new.localCheckpoint(eager=True)
+        s = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    sym.unpersist()
+    return labels.select(
+        F.col("u").alias("key"), F.col("label").alias("gkey0")
+    )
 
 
 def polygonize_tiles(
@@ -335,64 +414,83 @@ def polygonize_tiles(
     tile_size: int = 256,
     connect8: bool = False,
     exclude=(0.0,),
+    driver_cc_max_edges: int = 100_000,
 ) -> DataFrame:
     """Distributed polygonize over the tiled raster layout. Returns one
     row per connected region: fid (stable global label), value, pixel
-    count, multipolygon WKB in geo coords (+ envelope, area)."""
-    spark = tiles_df.sparkSession
+    count, multipolygon WKB in geo coords (+ envelope, area).
+
+    Cross-tile label equivalence uses a driver union-find only while the
+    edge set fits in ``driver_cc_max_edges`` (fetched with a LIMIT, so
+    the driver never materializes more than the cap + 1 rows); beyond
+    that it switches to fully distributed :func:`cc_labels`. Set the cap
+    to 0 to force the distributed path."""
     src = tiles_df.select("tile_x", "tile_y", "w", "h", "data")
 
-    # pass 1a: border runs -> equivalence edges (tiny; driver union-find)
-    borders = src.mapInPandas(
-        lambda it: _local_pass(it, tile_size, connect8, exclude, "border"),
-        schema=_BORDER_SCHEMA,
-    )
-    a = borders
+    # ONE decode+label pass per tile; output is O(perimeter + regions)
+    rows = src.mapInPandas(
+        lambda it: _tile_rows(it, tile_size, connect8, exclude),
+        schema=_ROW_SCHEMA,
+    ).persist()
+
+    borders = rows.where(F.col("kind").isin("v", "h"))
     b = borders.select(
-        F.col("side").alias("side"), F.col("coord").alias("coord_b"),
-        F.col("pos0").alias("pos0_b"), F.col("pos1").alias("pos1_b"),
+        F.col("kind").alias("kind_b"), F.col("a").alias("coord_b"),
+        F.col("b").alias("pos0_b"), F.col("c").alias("pos1_b"),
         F.col("value").alias("value_b"), F.col("key").alias("key_b"),
     )
     pad = 1 if connect8 else 0  # 8-connect: runs may link diagonally
     pairs = (
-        a.join(b, (a["side"] == b["side"]) & (a["coord"] == F.col("coord_b")), "inner")
+        borders.join(
+            b,
+            (borders["kind"] == b["kind_b"]) & (borders["a"] == F.col("coord_b")),
+            "inner",
+        )
         .where(
             (F.col("key") < F.col("key_b"))
             & (F.col("value") == F.col("value_b"))
-            & (F.col("pos0") < F.col("pos1_b") + F.lit(pad))
-            & (F.col("pos1") + F.lit(pad) > F.col("pos0_b"))
+            & (F.col("b") < F.col("pos1_b") + F.lit(pad))
+            & (F.col("c") + F.lit(pad) > F.col("pos0_b"))
         )
         .select("key", "key_b")
         .distinct()
     )
     # keys on opposite sides of the same grid line share `coord`; a tile's
     # own two sides never collide because left/right emit distinct coords
-    edges = [(int(r.key), int(r.key_b)) for r in pairs.collect()]
-    parent: dict[int, int] = {}
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    spark = tiles_df.sparkSession
+    head = pairs.limit(driver_cc_max_edges + 1).collect() if driver_cc_max_edges else []
+    mapping_df = None
+    broadcast_map = False
+    if driver_cc_max_edges and len(head) <= driver_cc_max_edges:
+        # small-input fast path: driver union-find over <= cap edges
+        parent: dict[int, int] = {}
 
-    for u, v in edges:
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[max(ru, rv)] = min(ru, rv)
-    mapping = [(k, find(k)) for k in parent]
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    # pass 1b: boundary segments, remapped to global labels via a
-    # broadcast join (JVM-side; no Python UDF in the hot path)
-    segs = src.mapInPandas(
-        lambda it: _local_pass(it, tile_size, connect8, exclude, "segs"),
-        schema=_SEG_SCHEMA,
-    )
-    if mapping:
-        mdf = spark.createDataFrame(mapping, "key long, gkey0 long")
-        remapped = segs.join(F.broadcast(mdf), "key", "left").withColumn(
-            "gkey", F.coalesce(F.col("gkey0"), F.col("key"))
-        ).drop("gkey0")
+        for r in head:
+            ru, rv = find(int(r.key)), find(int(r.key_b))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        mapping = [(k, find(k)) for k in parent]
+        if mapping:
+            mapping_df = spark.createDataFrame(mapping, "key long, gkey0 long")
+            broadcast_map = True
+    else:
+        mapping_df = cc_labels(pairs)
+
+    segs = rows.where(F.col("kind").isin("s", "n"))
+    if mapping_df is not None:
+        m = F.broadcast(mapping_df) if broadcast_map else mapping_df
+        remapped = (
+            segs.join(m, "key", "left")
+            .withColumn("gkey", F.coalesce(F.col("gkey0"), F.col("key")))
+            .drop("gkey0")
+        )
     else:
         remapped = segs.withColumn("gkey", F.col("key"))
 
@@ -404,10 +502,12 @@ def polygonize_tiles(
         ]
         if len(pdf) == 0:
             return pd.DataFrame(columns=cols)
+        sp = pdf[pdf["kind"] == "s"]
+        np_ = pdf[pdf["kind"] == "n"]
         ss = list(
             zip(
-                pdf["x0"].astype(int), pdf["y0"].astype(int),
-                pdf["x1"].astype(int), pdf["y1"].astype(int),
+                sp["a"].astype(int), sp["b"].astype(int),
+                sp["c"].astype(int), sp["d"].astype(int),
             )
         )
         rings = chain_rings(ss)
@@ -421,8 +521,8 @@ def polygonize_tiles(
             [
                 {
                     "fid": int(pdf["gkey"].iloc[0]),
-                    "value": float(pdf["value"].iloc[0]),
-                    "n_pixels": int(pdf["npix"].sum()),
+                    "value": float(np_["value"].iloc[0]),
+                    "n_pixels": int(np_["npix"].sum()),
                     "wkb": geom.wkb_multipolygon(polys),
                     "minx": float(allc[:, 0].min()),
                     "miny": float(allc[:, 1].min()),
@@ -434,4 +534,8 @@ def polygonize_tiles(
             columns=cols,
         )
 
-    return remapped.groupBy("gkey").applyInPandas(build, schema=OUT_SCHEMA)
+    out = remapped.groupBy("gkey").applyInPandas(build, schema=OUT_SCHEMA)
+    # materialize so the persisted pass-1 rows can be released eagerly
+    out = out.localCheckpoint(eager=True)
+    rows.unpersist()
+    return out
