@@ -82,29 +82,69 @@ def _collect_edges(polys):
 
 def _crossing_ys(p0, p1):
     """y coordinates of all strictly-interior pairwise segment crossings
-    (endpoint touches are already breakpoints). Vectorized over all pairs."""
+    (endpoint touches are already breakpoints).
+
+    Candidate pairs come from a uniform-grid bucket pass (~4 edges per
+    cell), so cost tracks the number of bbox-overlapping pairs instead
+    of E^2 — the all-pairs matrix version made union-of-5000-features
+    kernel calls quadratic in memory AND time. Small inputs (<=256
+    edges) keep the dense all-pairs path (no bucketing overhead)."""
     n = len(p0)
     if n < 2:
         return np.zeros(0)
+    bxmin = np.minimum(p0[:, 0], p1[:, 0])
+    bxmax = np.maximum(p0[:, 0], p1[:, 0])
+    bymin = np.minimum(p0[:, 1], p1[:, 1])
+    bymax = np.maximum(p0[:, 1], p1[:, 1])
+    if n <= 256:
+        ii, jj = np.triu_indices(n, k=1)
+    else:
+        gx0, gy0 = float(bxmin.min()), float(bymin.min())
+        ex = float(bxmax.max()) - gx0
+        ey = float(bymax.max()) - gy0
+        k = max(1, int(np.ceil(np.sqrt(n / 4.0))))
+        cw = ex / k if ex > 0 else 1.0
+        ch = ey / k if ey > 0 else 1.0
+        ix0 = np.clip(((bxmin - gx0) / cw).astype(np.int64), 0, k - 1)
+        ix1 = np.clip(((bxmax - gx0) / cw).astype(np.int64), 0, k - 1)
+        iy0 = np.clip(((bymin - gy0) / ch).astype(np.int64), 0, k - 1)
+        iy1 = np.clip(((bymax - gy0) / ch).astype(np.int64), 0, k - 1)
+        buckets: dict[int, list] = defaultdict(list)
+        for e in range(n):
+            for cx in range(ix0[e], ix1[e] + 1):
+                for cy in range(iy0[e], iy1[e] + 1):
+                    buckets[cx * k + cy].append(e)
+        pi, pj = [], []
+        for idx in buckets.values():
+            m = len(idx)
+            if m < 2:
+                continue
+            arr = np.asarray(idx)  # ascending (edge-order inserts)
+            ai, bi = np.triu_indices(m, k=1)
+            pi.append(arr[ai])
+            pj.append(arr[bi])
+        if not pi:
+            return np.zeros(0)
+        key = np.unique(np.concatenate(pi) * n + np.concatenate(pj))
+        ii, jj = key // n, key % n
+        ok = (
+            (bxmin[ii] <= bxmax[jj]) & (bxmax[ii] >= bxmin[jj])
+            & (bymin[ii] <= bymax[jj]) & (bymax[ii] >= bymin[jj])
+        )
+        ii, jj = ii[ok], jj[ok]
+        if len(ii) == 0:
+            return np.zeros(0)
     d = p1 - p0
-    # pairwise denominators d_i x d_j
-    denom = d[:, None, 0] * d[None, :, 1] - d[:, None, 1] * d[None, :, 0]
-    q0 = p0[None, :, :] - p0[:, None, :]  # start_j - start_i
+    di, dj = d[ii], d[jj]
+    denom = di[:, 0] * dj[:, 1] - di[:, 1] * dj[:, 0]
+    q0 = p0[jj] - p0[ii]
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = (q0[:, :, 0] * d[None, :, 1] - q0[:, :, 1] * d[None, :, 0]) / denom
-        u = (q0[:, :, 0] * d[:, None, 1] - q0[:, :, 1] * d[:, None, 0]) / denom
-    ok = (
-        (denom != 0)
-        & (t > 0.0) & (t < 1.0)
-        & (u > 0.0) & (u < 1.0)
-    )
-    iu = np.triu_indices(n, k=1)
-    mask = ok[iu]
+        t = (q0[:, 0] * dj[:, 1] - q0[:, 1] * dj[:, 0]) / denom
+        u = (q0[:, 0] * di[:, 1] - q0[:, 1] * di[:, 0]) / denom
+    mask = (denom != 0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
     if not mask.any():
         return np.zeros(0)
-    ti = t[iu][mask]
-    yi = p0[iu[0][mask], 1] + ti * d[iu[0][mask], 1]
-    return yi
+    return p0[ii[mask], 1] + t[mask] * di[mask, 1]
 
 
 def _slab_trapezoids(a_polys, b_polys, op: str):

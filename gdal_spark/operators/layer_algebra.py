@@ -17,10 +17,12 @@ geometry work runs in the slab-decomposition boolean kernel
 inside one Arrow-batched pandas pass.
 
 The erase-family ops (A minus all intersecting B) group each input
-feature with ALL its candidate method geometries (collect_list) and run
-ONE kernel call per feature: the nonzero-winding normalization makes the
-combined method ring set classify as the union of the method features,
-so no iterative pairwise subtraction is needed.
+feature with its candidate method geometries and run ONE kernel call per
+feature: the nonzero-winding normalization makes the combined method
+ring set classify as the union of the method features, so no iterative
+pairwise subtraction is needed. Groups beyond ``chunk_size`` candidates
+tree-reduce chunk unions first so task memory stays bounded; hot cells
+in the candidate join are salted (see pair_candidates).
 
 Result attributes = input fid + method fid (ogrlayer.cpp:3272-3283
 field-map semantics; callers join any further attributes back on fid).
@@ -93,37 +95,117 @@ def _edge_intersect(p, q, a, b):
 # ---------------------------------------------------------------------------
 
 
+_WORLD_M = 2 * np.pi * 6378137.0  # mercator world extent (meters)
+
+
+def _adaptive_cell_zoom(i_env: DataFrame, m_env: DataFrame) -> int:
+    """Pick the cell grid zoom from envelope statistics of BOTH layers:
+    cell size ~ the median envelope extent (a typical feature covers
+    ~1-4 cells), capped so the LARGEST feature never explodes into more
+    than ~64x64 cells. One tiny aggregate (6 doubles to the driver) —
+    replaces the fixed cell_zoom=4 that left one-cell hot spots at scale
+    (SURVEY §4 skew prescription)."""
+    stats = (
+        i_env.select(
+            (F.col("maxx") - F.col("minx")).alias("w"),
+            (F.col("maxy") - F.col("miny")).alias("h"),
+        )
+        .unionAll(
+            m_env.select(
+                (F.col("maxx") - F.col("minx")).alias("w"),
+                (F.col("maxy") - F.col("miny")).alias("h"),
+            )
+        )
+        .agg(
+            F.percentile_approx("w", 0.5).alias("med_w"),
+            F.percentile_approx("h", 0.5).alias("med_h"),
+            F.max("w").alias("max_w"),
+            F.max("h").alias("max_h"),
+        )
+        .first()
+    )
+    med = max(float(stats.med_w or 0), float(stats.med_h or 0), 1e-9)
+    mx = max(float(stats.max_w or 0), float(stats.max_h or 0), med)
+    z_med = int(np.floor(np.log2(_WORLD_M / med)))
+    z_cap = int(np.floor(np.log2(_WORLD_M / mx))) + 6  # largest <= 64x64 cells
+    return max(2, min(z_med, z_cap, 12))
+
+
 def pair_candidates(
     input_layer: DataFrame,
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
+    hot_cell_threshold: int = 4096,
+    max_salts: int = 32,
 ) -> DataFrame:
     """Envelope-intersecting (input, method) feature pairs, each emitted
-    EXACTLY once: both sides explode into covering cells at ``cell_zoom``,
+    EXACTLY once: both sides explode into covering cells at ``cell_zoom``
+    (``None`` = envelope-stat adaptive, see :func:`_adaptive_cell_zoom`),
     equi-join on cell, and a pair is kept only in the cell that contains
     the (max-minx, max-miny) corner of the envelope intersection — the
-    owner-cell rule, so no dropDuplicates shuffle. Columns:
-    in_fid, in_wkb, m_fid, m_wkb."""
-    i = input_layer.select(
+    owner-cell rule, so no dropDuplicates shuffle. The pair set is
+    identical at ANY zoom (that corner lies in both envelopes, so its
+    cell is always shared), which is what makes the zoom a pure
+    performance knob.
+
+    Hot-cell salting: cells holding more than ``hot_cell_threshold``
+    method rows get ceil(n/threshold) (capped at ``max_salts``) salt
+    buckets; method rows hash-scatter across them and input rows
+    replicate, so no single join task sees an unbounded method side.
+    The hot-cell table is output of a count agg (bounded by
+    rows/threshold) and travels as a broadcast — nothing collects to the
+    driver. Columns: in_fid, in_wkb, m_fid, m_wkb."""
+    i_env = input_layer.select(
         F.col(input_fid).alias("in_fid"), F.col("wkb").alias("in_wkb"),
         "minx", "miny", "maxx", "maxy",
     )
-    i = with_envelope_cells(i, cell_zoom, out="cell").select(
+    m_env = method_layer.select(
+        F.col(method_fid).alias("m_fid"), F.col("wkb").alias("m_wkb"),
+        "minx", "miny", "maxx", "maxy",
+    )
+    if cell_zoom is None:
+        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
+    i = with_envelope_cells(i_env, cell_zoom, out="cell").select(
         "in_fid", "in_wkb", "cell",
         F.col("minx").alias("i_minx"), F.col("miny").alias("i_miny"),
         F.col("maxx").alias("i_maxx"), F.col("maxy").alias("i_maxy"),
     )
-    m = method_layer.select(
-        F.col(method_fid).alias("m_fid"), F.col("wkb").alias("m_wkb"),
-        "minx", "miny", "maxx", "maxy",
-    )
-    m = with_envelope_cells(m, cell_zoom, out="cell").select(
+    m = with_envelope_cells(m_env, cell_zoom, out="cell").select(
         "m_fid", "m_wkb", "cell",
         F.col("minx").alias("m_minx"), F.col("miny").alias("m_miny"),
         F.col("maxx").alias("m_maxx"), F.col("maxy").alias("m_maxy"),
     )
+
+    # hot cells: computed on envelope metadata only (no wkb in the agg)
+    hot = (
+        with_envelope_cells(
+            m_env.select("m_fid", "minx", "miny", "maxx", "maxy"),
+            cell_zoom, out="cell",
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > hot_cell_threshold)
+        .select(
+            "cell",
+            F.least(
+                F.ceil(F.col("n") / hot_cell_threshold), F.lit(max_salts)
+            ).cast("int").alias("nsalt"),
+        )
+    )
+    m = m.join(F.broadcast(hot), "cell", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("nsalt").isNotNull(),
+            F.pmod(F.xxhash64("m_fid"), F.col("nsalt")).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("nsalt")
+    i = i.join(F.broadcast(hot), "cell", "left").withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.coalesce(F.col("nsalt"), F.lit(1)) - 1)),
+    ).drop("nsalt")
+
     overlap = (
         (F.col("i_minx") <= F.col("m_maxx")) & (F.col("i_maxx") >= F.col("m_minx"))
         & (F.col("i_miny") <= F.col("m_maxy")) & (F.col("i_maxy") >= F.col("m_miny"))
@@ -132,7 +214,7 @@ def pair_candidates(
         F.greatest("i_minx", "m_minx"), F.greatest("i_miny", "m_miny"), cell_zoom
     )
     return (
-        i.join(m, "cell")
+        i.join(m, ["cell", "salt"])
         .where(overlap & (F.col("cell") == owner))
         .select("in_fid", "in_wkb", "m_fid", "m_wkb")
     )
@@ -188,39 +270,88 @@ def _pairwise_op(cands: DataFrame, op: str) -> DataFrame:
     return cands.mapInPandas(do, schema=PIECE_SCHEMA)
 
 
-def _grouped_op(cands: DataFrame, op: str) -> DataFrame:
+def _apply_op_rows(batches, op: str):
+    """Kernel pass over (in_fid, in_wkb, m_wkbs) rows -> SINGLE_SCHEMA."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            a = geom.parse_wkb(bytes(r.in_wkb)).polygons()
+            b = []
+            for mw in r.m_wkbs:
+                b.extend(geom.parse_wkb(bytes(mw)).polygons())
+            polys, area = boolean_full(a, b, op)
+            if not polys or area <= 0:
+                continue
+            minx, miny, maxx, maxy = _polys_envelope(polys)
+            rows.append(
+                {
+                    "fid": int(r.in_fid),
+                    "wkb": geom.wkb_multipolygon(polys),
+                    "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+                    "area": float(area),
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["fid", "wkb", "minx", "miny", "maxx", "maxy", "area"]
+        )
+
+
+def _union_chunk_rows(batches):
+    """Per-chunk union of method geometries (nonzero winding makes the
+    combined ring set classify as the union)."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            b = []
+            for mw in r.m_wkbs:
+                b.extend(geom.parse_wkb(bytes(mw)).polygons())
+            polys, area = boolean_full(b, [], "or")
+            if not polys:
+                continue
+            rows.append(
+                {"in_fid": int(r.in_fid), "u_wkb": geom.wkb_multipolygon(polys)}
+            )
+        yield pd.DataFrame(rows, columns=["in_fid", "u_wkb"])
+
+
+def _grouped_op(cands: DataFrame, op: str, chunk_size: int = 64) -> DataFrame:
     """One kernel call per input feature against the union of its
-    candidate method geometries (collect_list is JVM-side; the pandas
-    pass sees one row per feature)."""
-    grouped = cands.groupBy("in_fid").agg(
+    candidate method geometries. Features with <= ``chunk_size``
+    candidates take the direct path (one collect_list, one kernel call);
+    heavier features — the skew case, e.g. one feature overlapping 1e5
+    method features — first tree-reduce their method geometries in
+    hash-assigned chunks of ~``chunk_size`` so no task ever
+    collect_lists an unbounded group (VERDICT r2 wrong #2). The union
+    of unions equals the union, so both paths are exact."""
+    from pyspark.sql import Window
+
+    cnt = F.count("*").over(Window.partitionBy("in_fid"))
+    c = cands.withColumn("cnt", cnt)
+
+    small = c.where(F.col("cnt") <= chunk_size)
+    direct = small.groupBy("in_fid").agg(
         F.first("in_wkb").alias("in_wkb"), F.collect_list("m_wkb").alias("m_wkbs")
     )
+    out = direct.mapInPandas(lambda it: _apply_op_rows(it, op), schema=SINGLE_SCHEMA)
 
-    def do(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                a = geom.parse_wkb(bytes(r.in_wkb)).polygons()
-                b = []
-                for mw in r.m_wkbs:
-                    b.extend(geom.parse_wkb(bytes(mw)).polygons())
-                polys, area = boolean_full(a, b, op)
-                if not polys or area <= 0:
-                    continue
-                minx, miny, maxx, maxy = _polys_envelope(polys)
-                rows.append(
-                    {
-                        "fid": int(r.in_fid),
-                        "wkb": geom.wkb_multipolygon(polys),
-                        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
-                        "area": float(area),
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=["fid", "wkb", "minx", "miny", "maxx", "maxy", "area"]
-            )
-
-    return grouped.mapInPandas(do, schema=SINGLE_SCHEMA)
+    large = c.where(F.col("cnt") > chunk_size)
+    nchunks = F.ceil(F.col("cnt") / chunk_size)
+    chunks = (
+        large.withColumn("chunk", F.pmod(F.xxhash64("m_fid"), nchunks).cast("int"))
+        .groupBy("in_fid", "chunk")
+        .agg(F.collect_list("m_wkb").alias("m_wkbs"))
+    )
+    unions = chunks.mapInPandas(_union_chunk_rows, schema="in_fid long, u_wkb binary")
+    in_geoms = large.groupBy("in_fid").agg(F.first("in_wkb").alias("in_wkb"))
+    merged = (
+        unions.groupBy("in_fid")
+        .agg(F.collect_list("u_wkb").alias("m_wkbs"))
+        .join(in_geoms, "in_fid")
+    )
+    out_large = merged.mapInPandas(
+        lambda it: _apply_op_rows(it, op), schema=SINGLE_SCHEMA
+    )
+    return out.unionByName(out_large)
 
 
 def _normalize_layer(layer: DataFrame, fid: str) -> DataFrame:
@@ -263,7 +394,7 @@ def layer_intersection(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::Intersection (ogrlayer.cpp:3345): one row per
     envelope-candidate pair whose geometries truly intersect; geometry =
@@ -277,7 +408,7 @@ def layer_erase(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::Erase (ogrlayer.cpp:5806): each input feature minus the
     union of all intersecting method features; features with no
@@ -297,7 +428,7 @@ def layer_clip(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::Clip (ogrlayer.cpp:5497): each input feature intersected
     with the union of the method layer (one row per surviving input fid)."""
@@ -310,11 +441,13 @@ def layer_identity(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::Identity (ogrlayer.cpp:4730): input split by the method
     layer = intersection pieces (in_fid, m_fid) + the uncovered remainder
     of each input feature (in_fid, NULL m_fid)."""
+    if cell_zoom is None:
+        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
     pieces = layer_intersection(input_layer, method_layer, input_fid, method_fid, cell_zoom)
     remainder = layer_erase(input_layer, method_layer, input_fid, method_fid, cell_zoom)
     rem = remainder.select(
@@ -329,11 +462,13 @@ def layer_union(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::Union (ogrlayer.cpp:3763): intersection pieces + the
     input-only remainders (m_fid NULL) + the method-only remainders
     (in_fid NULL)."""
+    if cell_zoom is None:
+        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
     ident = layer_identity(input_layer, method_layer, input_fid, method_fid, cell_zoom)
     m_only = layer_erase(method_layer, input_layer, method_fid, input_fid, cell_zoom)
     mo = m_only.select(
@@ -348,10 +483,12 @@ def layer_symdifference(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::SymDifference (ogrlayer.cpp:4300): input-only remainders
     + method-only remainders (no intersection pieces)."""
+    if cell_zoom is None:
+        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
     a = layer_erase(input_layer, method_layer, input_fid, method_fid, cell_zoom).select(
         F.col("fid").alias("in_fid"), F.lit(None).cast("long").alias("m_fid"),
         "wkb", "minx", "miny", "maxx", "maxy", "area",
@@ -368,7 +505,7 @@ def layer_update(
     method_layer: DataFrame,
     input_fid: str = "fid",
     method_fid: str = "fid",
-    cell_zoom: int = 4,
+    cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::Update (ogrlayer.cpp:5148): method features as-is, plus
     the parts of input features the method layer does not cover. ``src``
