@@ -1773,11 +1773,47 @@ def q_phash_neardup_sql():
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs, hamming <= 3 (rows-only)."""
+    """SimHash near-dup pairs, hamming <= 3."""
     from gdal_spark.functions.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs_sql():
+    """Full SimHash re-derivation in pure DuckDB SQL: FNV-1a over the
+    UTF-8 bytes of each distinct token (list_reduce with HUGEINT
+    wraparound mod 2^64 — byte values equal code points because the
+    corpus is ASCII), per-bit majority vote, two's-complement int64
+    signature, then brute-force bit_count(xor) pairs. Independent of the
+    engine's numpy kernel end to end."""
+    pows = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return (
+        "WITH docs AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t "
+        "FROM documents), "
+        "toks AS (SELECT doc_id, "
+        "unnest(list_distinct(regexp_split_to_array(t, '\\s+'))) AS tok "
+        "FROM docs WHERE length(t) > 0), "
+        "th AS (SELECT doc_id, list_reduce("
+        "list_prepend(14695981039346656037::HUGEINT, "
+        "list_transform(string_split(tok, ''), c -> ascii(c)::HUGEINT)), "
+        "(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) "
+        "% 18446744073709551616::HUGEINT) AS h FROM toks), "
+        f"bits(bit, p) AS (VALUES {pows}), "
+        "votes AS (SELECT doc_id, p, "
+        "sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v "
+        "FROM th CROSS JOIN bits GROUP BY doc_id, p), "
+        "nonempty AS (SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT "
+        "THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sig "
+        "FROM (SELECT doc_id, sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS s "
+        "FROM votes GROUP BY doc_id)), "
+        "sigs AS (SELECT d.doc_id, coalesce(n.sig, 0) AS sig "
+        "FROM docs d LEFT JOIN nonempty n USING (doc_id)) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id_a, id_b"
+    )
 
 
 # ===========================================================================
@@ -1892,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "phash_neardup": q_phash_neardup_sql(),
+        "simhash_pairs": q_simhash_pairs_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),
         "summary_aggregates": q_summary_aggregates_sql(),

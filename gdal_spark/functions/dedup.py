@@ -330,48 +330,103 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash"):
     return df.withColumn(out, _simhash_udf(F.col(text_col)))
 
 
+def _hamming_chunk_plan(max_hamming: int, n_chunks: int | None, max_tables: int = 32):
+    """Pick the chunk count m and enumerate the (m-d)-subset tables for
+    permuted multi-table blocking (Manku/Jain/Sarma WWW'07 construction).
+
+    A pair within hamming distance d differs in at most d chunks, so it
+    agrees on >= m-d chunks and therefore shares at least one of the
+    C(m, d) keys made of (m-d) chunk values. Wider keys (larger m) mean
+    exponentially fewer bucket collisions at the cost of C(m, d) tables
+    of replication; m = 2d gives exactly 32-bit keys, capped so the
+    table count stays <= max_tables."""
+    from itertools import combinations
+    from math import comb
+
+    d = max_hamming
+    if n_chunks is None:
+        m = 2 * d
+        while m > d + 1 and comb(m, d) > max_tables:
+            m -= 1
+        m = max(m, d + 1)
+    else:
+        m = n_chunks
+    if not (d < m <= 64):
+        raise ValueError("need max_hamming < n_chunks <= 64")
+    bounds = [round(64 * i / m) for i in range(m + 1)]
+    tables = list(combinations(range(m), m - d))
+    return bounds, tables
+
+
 def hamming_pairs(
     sigs: DataFrame,
     id_col: str = "id",
     sig_col: str = "sig",
     max_hamming: int = 3,
+    n_chunks: int | None = None,
+    salt: int = 1,
 ):
     """Generic near-dup pairs over ANY int64 signature column by hamming
-    distance <= max_hamming, with (max_hamming+1)-chunk pigeonhole
-    blocking: a pair within distance d differs in at most d chunks, so
-    it must agree on >= 1 of d+1 chunks — the join is an equi-join on
-    (chunk, value), never a cross. Works for SimHash text signatures and
-    perceptual image hashes (the images table's ``phash``) alike."""
-    n_chunks = max_hamming + 1
-    if n_chunks > 64:
-        raise ValueError("max_hamming must be < 64")
-    bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
+    distance <= max_hamming, via permuted multi-table pigeonhole
+    blocking: the 64 bits split into m chunks and every (m - d)-chunk
+    combination becomes an equi-join key (hashed to one 64-bit value —
+    hash collisions only add candidates, never lose pairs). With the
+    default m = min(2d, table-capped), d=3 keys span 32 bits across 20
+    tables (vs the naive d+1-chunk scheme's 16-bit keys, whose 65k
+    buckets go quadratic at ~10^9 signatures). Works for SimHash text
+    signatures and perceptual image hashes (``phash``) alike.
+
+    ``salt`` > 1 spreads each bucket's quadratic candidate work over
+    salt^2 tasks (left side replicates on salt_b, right on salt_a), for
+    corpora with pathological buckets (e.g. a constant chunk across the
+    whole corpus). Exact: every pair still meets exactly once per table.
+    """
+    bounds, tables = _hamming_chunk_plan(max_hamming, n_chunks)
+
+    def chunk_val(ci):
+        return F.shiftrightunsigned(F.col("simhash"), bounds[ci]).bitwiseAND(
+            F.lit((1 << (bounds[ci + 1] - bounds[ci])) - 1)
+        )
+
     sh = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
-    chunks = sh.select(
+    keyed = sh.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(ci).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), bounds[ci])
-                        .bitwiseAND(F.lit((1 << (bounds[ci + 1] - bounds[ci])) - 1))
-                        .alias("val"),
+                        F.lit(ti).alias("tbl"),
+                        F.hash(*[chunk_val(ci) for ci in combo]).alias("key"),
                     )
-                    for ci in range(n_chunks)
+                    for ti, combo in enumerate(tables)
                 ]
             )
-        ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.val")
-    a = chunks.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "val"
-    )
-    b = chunks.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "val"
-    )
+        ).alias("tk"),
+    ).select("id", "simhash", "tk.tbl", "tk.key")
+    join_keys = ["tbl", "key"]
+    if salt > 1:
+        s_lit = F.lit(salt)
+        own = F.pmod(F.xxhash64("id"), s_lit)
+        other = F.explode(F.sequence(F.lit(0), s_lit - 1))
+        a_side = keyed.select(
+            F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"),
+            "tbl", "key", own.alias("salt_a"), other.alias("salt_b"),
+        )
+        b_side = keyed.select(
+            F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"),
+            "tbl", "key", other.alias("salt_a"), own.alias("salt_b"),
+        )
+        join_keys = join_keys + ["salt_a", "salt_b"]
+    else:
+        a_side = keyed.select(
+            F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "tbl", "key"
+        )
+        b_side = keyed.select(
+            F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "tbl", "key"
+        )
     pairs = (
-        a.join(b, ["chunk", "val"])
+        a_side.join(b_side, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -134,6 +134,72 @@ class TestDedup:
         assert (0, 1) in got and (0, 9) in got
         assert (0, 6) not in got
 
+    @pytest.mark.parametrize("d,n_chunks,salt", [(3, None, 1), (3, 5, 1), (6, None, 1), (3, None, 4)])
+    def test_hamming_pairs_vs_brute(self, spark, d, n_chunks, salt):
+        """Permuted multi-table blocking is EXACT (pigeonhole guarantee):
+        output equals the all-pairs brute force for any chunk plan/salt."""
+        rng = np.random.default_rng(7)
+        sigs = rng.integers(-(1 << 63), 1 << 63, size=80, dtype=np.int64)
+        # plant near-dups: flip <= d bits of earlier sigs
+        for i in range(20):
+            v = np.uint64(sigs[i])
+            for bit in rng.choice(64, size=rng.integers(0, d + 1), replace=False):
+                v ^= np.uint64(1) << np.uint64(bit)
+            sigs = np.append(sigs, np.int64(v.astype(np.int64)))
+        df = spark.createDataFrame(
+            [(i, int(s)) for i, s in enumerate(sigs)], "id long, sig long"
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.hamming_pairs(
+                df, max_hamming=d, n_chunks=n_chunks, salt=salt
+            ).collect()
+        }
+        exp = {}
+        u = sigs.astype(np.uint64)
+        for i in range(len(u)):
+            ham = np.array([bin(int(u[i] ^ x)).count("1") for x in u])
+            for j in np.nonzero(ham <= d)[0]:
+                if i < j:
+                    exp[(i, int(j))] = int(ham[j])
+        assert got == exp
+
+    def test_hamming_pairs_adversarial_million(self, spark):
+        """10^6 signatures that all share one 16-bit chunk value — the
+        naive (d+1)-chunk scheme would funnel all 10^6 rows into a single
+        bucket (10^12 candidate pairs); the 32-bit permuted tables keep
+        buckets sparse. Asserts the planted cluster's pairs are all
+        recovered (exactness) in bounded time."""
+        n = 1_000_000
+        # random high 48 bits, constant low 16 bits (adversarial chunk)
+        base = spark.range(n).select(
+            F.col("id"),
+            F.shiftleft(F.xxhash64("id"), 16)
+            .bitwiseOR(F.lit(0xBEEF))
+            .alias("sig"),
+        )
+        center = np.uint64(0x123456789ABCBEEF)
+        planted, rng = [], np.random.default_rng(13)
+        for i in range(40):
+            v = center
+            for bit in rng.choice(64, size=i % 4, replace=False):
+                v ^= np.uint64(1) << np.uint64(bit)
+            planted.append((n + i, int(v.astype(np.int64))))
+        df = base.unionAll(spark.createDataFrame(planted, "id long, sig long"))
+        pairs = dedup.hamming_pairs(df, max_hamming=3, salt=4)
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in pairs.where(F.col("id_a") >= n).collect()
+        }
+        u = np.array([s for _, s in planted], dtype=np.int64).astype(np.uint64)
+        exp = {}
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                h = bin(int(u[i] ^ u[j])).count("1")
+                if h <= 3:
+                    exp[(n + i, n + j)] = h
+        assert got == exp
+
     def test_embedding_neardup_lsh_vs_exact(self, spark):
         rng = np.random.default_rng(3)
         base = rng.normal(size=(20, 16))
