@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -499,44 +500,61 @@ def q_utm_forward_sql():
     )
 
 
+def _rect_from_bounds(df):
+    """Attach rectangle WKB built executor-side (Arrow-batched) — the
+    fixture layers never pass through the driver, so sf10 entry runs
+    stay bounded. The UDF is created lazily: pandas_udf needs an active
+    session, and this module imports before one exists."""
+
+    @F.pandas_udf("binary")
+    def wkb_rect_udf(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+    ) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series(
+            [geom.wkb_rect(a, b, c, d) for a, b, c, d in zip(minx, miny, maxx, maxy)]
+        )
+
+    return df.select(
+        "fid",
+        wkb_rect_udf("minx", "miny", "maxx", "maxy").alias("wkb"),
+        "minx", "miny", "maxx", "maxy",
+    )
+
+
 def _rect_layers(spark, sf_dir):
     """Deterministic rectangle layers (input from part, method from
-    supplier) built through the engine's WKB builders."""
-    import pandas as pd
-
-    from gdal_spark import geom
-
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size").collect()
-    rows = []
-    for r in p:
-        cx = (r.p_partkey * 31 % 400) * 100000.0 - 20000000.0
-        cy = (r.p_partkey * 17 % 380) * 100000.0 - 19000000.0
-        half = r.p_size * 30000.0
-        rows.append(
-            (
-                r.p_partkey,
-                bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
-                cx - half, cy - half, cx + half, cy + half,
-            )
-        )
-    inputs = spark.createDataFrame(
-        rows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    supplier) built through the engine's WKB builders, fully
+    distributed (no driver collect)."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("fid"),
+        ((F.col("p_partkey") * 31 % 400) * 100000.0 - 20000000.0).alias("cx"),
+        ((F.col("p_partkey") * 17 % 380) * 100000.0 - 19000000.0).alias("cy"),
+        (F.col("p_size") * 30000.0).alias("half"),
     )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey").collect()
-    mrows = []
-    for r in s:
-        cx = (r.s_suppkey * 13 % 40) * 1000000.0 - 20000000.0
-        cy = (r.s_suppkey * 7 % 38) * 1000000.0 - 19000000.0
-        half = 1500000.0
-        mrows.append(
-            (
-                r.s_suppkey,
-                bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
-                cx - half, cy - half, cx + half, cy + half,
-            )
+    inputs = _rect_from_bounds(
+        p.select(
+            "fid",
+            (F.col("cx") - F.col("half")).alias("minx"),
+            (F.col("cy") - F.col("half")).alias("miny"),
+            (F.col("cx") + F.col("half")).alias("maxx"),
+            (F.col("cy") + F.col("half")).alias("maxy"),
         )
-    methods = spark.createDataFrame(
-        mrows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("fid"),
+        ((F.col("s_suppkey") * 13 % 40) * 1000000.0 - 20000000.0).alias("cx"),
+        ((F.col("s_suppkey") * 7 % 38) * 1000000.0 - 19000000.0).alias("cy"),
+    )
+    methods = _rect_from_bounds(
+        s.select(
+            "fid",
+            (F.col("cx") - 1500000.0).alias("minx"),
+            (F.col("cy") - 1500000.0).alias("miny"),
+            (F.col("cx") + 1500000.0).alias("maxx"),
+            (F.col("cy") + 1500000.0).alias("maxy"),
+        )
     )
     return inputs, methods
 
@@ -567,35 +585,37 @@ def _disjoint_rect_layers(spark, sf_dir):
     with per-pair interval arithmetic only (no inclusion-exclusion).
     All coordinates are multiples of 2e4 -> every area is exact in
     float64 on both engines."""
-    from gdal_spark import geom
-
-    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 9000).select("p_partkey").collect()
-    rows = []
-    for r in p:
-        pk = r.p_partkey
-        cx = (pk % 100) * 400000.0 - 20000000.0 + 200000.0
-        cy = (pk // 100 % 90) * 400000.0 - 18000000.0 + 200000.0
-        half = 120000.0 + (pk % 4) * 20000.0
-        rows.append(
-            (pk, bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
-             cx - half, cy - half, cx + half, cy + half)
-        )
-    inputs = spark.createDataFrame(
-        rows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    pk = F.col("p_partkey")
+    p = _t(spark, sf_dir, "part").where(pk <= 9000).select(
+        pk.alias("fid"),
+        ((pk % 100) * 400000.0 - 20000000.0 + 200000.0).alias("cx"),
+        ((F.floor(pk / 100).cast("long") % 90) * 400000.0 - 18000000.0 + 200000.0).alias("cy"),
+        (120000.0 + (pk % 4) * 20000.0).alias("half"),
     )
-    s = _t(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 2250).select("s_suppkey").collect()
-    mrows = []
-    for r in s:
-        sk = r.s_suppkey
-        cx = (sk % 50) * 800000.0 - 20000000.0 + 600000.0
-        cy = (sk // 50 % 45) * 800000.0 - 18000000.0 + 600000.0
-        half = 250000.0 + (sk % 3) * 50000.0
-        mrows.append(
-            (sk, bytearray(geom.wkb_rect(cx - half, cy - half, cx + half, cy + half)),
-             cx - half, cy - half, cx + half, cy + half)
+    inputs = _rect_from_bounds(
+        p.select(
+            "fid",
+            (F.col("cx") - F.col("half")).alias("minx"),
+            (F.col("cy") - F.col("half")).alias("miny"),
+            (F.col("cx") + F.col("half")).alias("maxx"),
+            (F.col("cy") + F.col("half")).alias("maxy"),
         )
-    methods = spark.createDataFrame(
-        mrows, "fid long, wkb binary, minx double, miny double, maxx double, maxy double"
+    )
+    sk = F.col("s_suppkey")
+    s = _t(spark, sf_dir, "supplier").where(sk <= 2250).select(
+        sk.alias("fid"),
+        ((sk % 50) * 800000.0 - 20000000.0 + 600000.0).alias("cx"),
+        ((F.floor(sk / 50).cast("long") % 45) * 800000.0 - 18000000.0 + 600000.0).alias("cy"),
+        (250000.0 + (sk % 3) * 50000.0).alias("half"),
+    )
+    methods = _rect_from_bounds(
+        s.select(
+            "fid",
+            (F.col("cx") - F.col("half")).alias("minx"),
+            (F.col("cy") - F.col("half")).alias("miny"),
+            (F.col("cx") + F.col("half")).alias("maxx"),
+            (F.col("cy") + F.col("half")).alias("maxy"),
+        )
     )
     return inputs, methods
 
