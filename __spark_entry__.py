@@ -500,6 +500,72 @@ def q_utm_forward_sql():
     )
 
 
+def q_lcc_forward(spark, sf_dir):
+    """Lambert Conformal Conic 2SP forward (EPSG:2154 Lambert-93,
+    gdal_spark.proj.LCC — Snyder PP-1395 / EPSG method 9802) of
+    customer-derived points over France, checked against a FULLY
+    INDEPENDENT re-derivation in DuckDB SQL that computes e, n, F, rho0
+    from the raw EPSG parameters. Rounded to mm."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.proj import lonlat_to_lcc
+
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = (k * 7 % 500) / 100.0 - 1.0
+            lat = (k * 13 % 700) / 100.0 + 42.5
+            e, n = lonlat_to_lcc(lon, lat, 2154)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "easting": np.round(e, 3),
+                    "northing": np.round(n, 3),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, easting double, northing double"
+    ).orderBy("pid")
+
+
+def q_lcc_forward_sql():
+    # EPSG:2154 registry parameters (GRS80) — the ONLY shared inputs;
+    # e, m1, m2, t*, n, F, rho0 are all re-derived inside SQL.
+    t_of = (
+        "tan(pi() / 4.0 - {phi} / 2.0) / "
+        "pow((1.0 - e * sin({phi})) / (1.0 + e * sin({phi})), e / 2.0)"
+    )
+    m_of = "cos({phi}) / sqrt(1.0 - e * e * sin({phi}) * sin({phi}))"
+    return (
+        "WITH c0 AS (SELECT 6378137.0e0 AS a, 1.0 / 298.257222101e0 AS f, "
+        "radians(44.0) AS p1, radians(49.0) AS p2, radians(46.5) AS p0), "
+        "c1 AS (SELECT a, p1, p2, p0, sqrt(2.0 * f - f * f) AS e FROM c0), "
+        "c2 AS (SELECT a, e, "
+        f"{m_of.format(phi='p1')} AS m1, {m_of.format(phi='p2')} AS m2, "
+        f"{t_of.format(phi='p1')} AS t1, {t_of.format(phi='p2')} AS t2, "
+        f"{t_of.format(phi='p0')} AS t0 FROM c1), "
+        "c3 AS (SELECT a, e, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n, "
+        "m1, t1, t0 FROM c2), "
+        "c4 AS (SELECT a, e, n, m1 / (n * pow(t1, n)) AS bigf, t0 FROM c3), "
+        "c5 AS (SELECT a, e, n, bigf, a * bigf * pow(t0, n) AS rho0 FROM c4), "
+        "pts AS (SELECT c_custkey AS pid, "
+        "radians((c_custkey * 7 % 500) / 100.0 - 1.0 - 3.0) AS dlam, "
+        "radians((c_custkey * 13 % 700) / 100.0 + 42.5) AS phi FROM customer), "
+        "s1 AS (SELECT pid, dlam, "
+        f"a * bigf * pow({t_of.format(phi='phi')}, n) AS rho, n, rho0 "
+        "FROM pts, c5), "
+        "s2 AS (SELECT pid, rho * sin(n * dlam) AS dx, "
+        "rho0 - rho * cos(n * dlam) AS dy FROM s1) "
+        "SELECT pid, round(700000.0 + dx, 3) AS easting, "
+        "round(6600000.0 + dy, 3) AS northing FROM s2 ORDER BY pid"
+    )
+
+
 def _rect_from_bounds(df):
     """Attach rectangle WKB built executor-side (Arrow-batched) — the
     fixture layers never pass through the driver, so sf10 entry runs
@@ -1836,6 +1902,110 @@ def q_simhash_pairs_sql():
     )
 
 
+def _jpeg_fixture_rows():
+    """Real libjpeg-encoded fixtures (tests/data, provenance in its README)
+    plus two own-encoder baseline JFIF images — bytes built driver-side
+    (~20 KB total) and shipped inside the task closure."""
+    import os
+
+    import numpy as np
+
+    from gdal_spark.jpeg import encode_jpeg
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+    rows = []
+    for name in ("rgbsmall_rgb.jpg", "albania.jpg", "black_with_white_exif_ovr.jpg"):
+        with open(os.path.join(base, name), "rb") as f:
+            rows.append((name, f.read(), "jpg"))
+    for i, (h, w, sub, q) in enumerate([(48, 64, "4:2:0", 85), (33, 47, "4:4:4", 92)]):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(
+            np.stack(
+                [
+                    128 + 70 * np.sin(xx / 7.0 + i),
+                    128 + 50 * np.cos(yy / 5.0),
+                    (xx * 3.0 + yy * 2.0) % 256,
+                ],
+                -1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        rows.append((f"synth_{i}", encode_jpeg(img, quality=q, subsampling=sub), "jpg"))
+    return rows
+
+
+# Frozen goldens for the real-JPEG decode path. The independent pixel
+# ground truth is tests/test_jpeg.py (PSNR vs the uncompressed TIFF source,
+# exact-zero black fixture); these literals freeze that verified behavior
+# so the entry goes red on any decoder regression.
+_JPEG_GOLDEN = [
+    ("rgbsmall_rgb.jpg", 0, 50, 50, 21594),
+    ("rgbsmall_rgb.jpg", 1, 50, 50, 21678),
+    ("rgbsmall_rgb.jpg", 2, 50, 50, 21368),
+    ("albania.jpg", 0, 361, 260, 61906),
+    ("albania.jpg", 1, 361, 260, 42110),
+    ("albania.jpg", 2, 361, 260, 47720),
+    ("black_with_white_exif_ovr.jpg", 0, 1024, 1024, 0),
+    ("synth_0", 0, 64, 48, 35921),
+    ("synth_0", 1, 64, 48, 35643),
+    ("synth_0", 2, 64, 48, 36390),
+    ("synth_1", 0, 47, 33, 18147),
+    ("synth_1", 1, 47, 33, 18249),
+    ("synth_1", 2, 47, 33, 18515),
+]
+
+
+def q_jpeg_decode_checksums(spark, sf_dir):
+    """Distributed decode of REAL libjpeg bytes (baseline JFIF: Adobe-RGB,
+    YCbCr 4:2:0, EXIF skip, restart markers) through the engine's pure-numpy
+    T.81 decoder (gdal_spark/jpeg.py; reference behavior
+    frmts/jpeg/jpgdataset.cpp), then per-band GDAL checksums. Oracle =
+    frozen goldens anchored by the TIFF ground truth in tests/test_jpeg.py."""
+
+    def fn(batches):
+        import numpy as np
+
+        from gdal_spark.checksum import gdal_checksum
+        from gdal_spark.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for iid, b, f in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = decode_image(bytes(b), f)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                for band in range(arr.shape[2]):
+                    out.append(
+                        (
+                            iid,
+                            band,
+                            arr.shape[1],
+                            arr.shape[0],
+                            int(gdal_checksum(arr[:, :, band])),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["image_id", "band", "width", "height", "checksum"]
+            )
+
+    df = spark.createDataFrame(
+        _jpeg_fixture_rows(), "image_id string, bytes binary, fmt string"
+    )
+    out = df.repartition(4, "image_id").mapInPandas(
+        fn, schema="image_id string, band int, width int, height int, checksum bigint"
+    )
+    return out.orderBy("image_id", "band")
+
+
+def q_jpeg_decode_checksums_sql():
+    return _vals_sql(
+        _JPEG_GOLDEN,
+        ["image_id", "band", "width", "height", "checksum"],
+        "image_id, band",
+    )
+
+
 # ===========================================================================
 # contract
 # ===========================================================================
@@ -1892,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "grid_metrics": q_grid_metrics,
         "utm_forward": q_utm_forward,
+        "lcc_forward": q_lcc_forward,
         # OGR SQL surface
         "where_like_between": q_where_like_between,
         "first_match_left_join": q_first_match_left_join,
@@ -1931,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "phash_neardup": q_phash_neardup,
+        "jpeg_decode_checksums": q_jpeg_decode_checksums,
     }
 
 
@@ -1947,7 +2119,9 @@ def oracle_sql() -> dict[str, str]:
         "idw": q_idw_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
+        "lcc_forward": q_lcc_forward_sql(),
         "phash_neardup": q_phash_neardup_sql(),
+        "jpeg_decode_checksums": q_jpeg_decode_checksums_sql(),
         "simhash_pairs": q_simhash_pairs_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),

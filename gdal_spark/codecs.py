@@ -276,7 +276,13 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         return decode_png(buf)
     if fmt == "raw":
         return decode_raw(buf)
-    if fmt == "jpg":
+    if fmt in ("jpg", "jpeg"):
+        # sniff: real JFIF/JPEG bytes (FFD8 SOI) vs our GSJ1 container —
+        # a real image table carries libjpeg bytes, our sinks write GSJ1
+        if len(buf) >= 2 and buf[0] == 0xFF and buf[1] == 0xD8:
+            from gdal_spark.jpeg import decode_jpeg
+
+            return decode_jpeg(buf)
         return decode_gsj(buf)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
@@ -288,6 +294,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_raw(arr)
     if fmt == "jpg":
         return encode_gsj(arr)
+    if fmt == "jpeg":  # real baseline JFIF (interop sink)
+        from gdal_spark.jpeg import encode_jpeg
+
+        return encode_jpeg(arr)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 

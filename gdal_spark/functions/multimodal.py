@@ -120,10 +120,32 @@ def probe_metadata(buf: bytes, fmt: str) -> dict:
             w, h, c, _ = struct.unpack_from("<IIIB", buf, 4)
             return dict(modality="image", fmt=fmt, width=w, height=h, channels=c,
                         n_bytes=len(buf), ok=True)
-        if fmt == "jpg" and buf[:4] == b"GSJ1":
+        if fmt in ("jpg", "jpeg") and buf[:4] == b"GSJ1":
             w, h, c, _ = struct.unpack_from("<IIIB", buf, 4)
             return dict(modality="image", fmt=fmt, width=w, height=h, channels=c,
                         n_bytes=len(buf), ok=True)
+        if fmt in ("jpg", "jpeg") and buf[:2] == b"\xff\xd8":
+            # real JFIF/JPEG: walk markers to SOFn for dims (header-only)
+            i = 2
+            while i < len(buf) - 9:
+                if buf[i] != 0xFF:
+                    i += 1
+                    continue
+                m = buf[i + 1]
+                if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7 or m == 0xFF:
+                    i += 2 if m != 0xFF else 1
+                    continue
+                if m in (0xC0, 0xC1, 0xC2):
+                    h = (buf[i + 5] << 8) | buf[i + 6]
+                    w = (buf[i + 7] << 8) | buf[i + 8]
+                    c = buf[i + 9]
+                    return dict(modality="image", fmt=fmt, width=w, height=h,
+                                channels=c, n_bytes=len(buf), ok=True)
+                if m in (0xDA, 0xD9):
+                    break
+                i += 2 + ((buf[i + 2] << 8) | buf[i + 3])
+            return dict(modality="image", fmt=fmt, width=0, height=0, channels=0,
+                        n_bytes=len(buf), ok=False)
         if fmt == "wav" and buf[:4] == b"RIFF":
             # real header parse: channels from fmt chunk, width=n_samples
             pos = 12
@@ -156,7 +178,7 @@ def decode_any(buf: bytes, fmt: str) -> np.ndarray:
     real; the rest raise NotImplementedError — STUB: a real deployment
     plugs libjpeg/ffmpeg here; the Spark plumbing (batching, schema,
     partitioning) is identical either way."""
-    if fmt in ("png", "raw", "jpg"):
+    if fmt in ("png", "raw", "jpg", "jpeg"):
         return codecs.decode_image(buf, fmt)
     if fmt == "wav":
         samples, _rate = decode_wav(buf)

@@ -1,4 +1,4 @@
-"""Closed-form projections beyond 4326<->3857: UTM (EPSG:326xx/327xx).
+"""Closed-form projections beyond 4326<->3857: UTM + Lambert Conformal Conic.
 
 Reference role: ogr/ogrct.cpp delegates to PROJ; this engine implements
 the ellipsoidal transverse Mercator with the 6th-order Krueger series
@@ -117,3 +117,102 @@ def utm_to_lonlat(easting, northing, srid: int):
         s = np.tanh(np.arctanh(sin_chi) + _ES * np.arctanh(_ES * s))
     phi = np.arcsin(np.clip(s, -1.0, 1.0))
     return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic (2SP) — EPSG method 9802
+# ---------------------------------------------------------------------------
+# Public formulas: Snyder, "Map Projections — A Working Manual" (USGS
+# Professional Paper 1395, 1987), pp. 107-109, and the EPSG Guidance
+# Note 7-2 restatement. Reference role: ogr/ogrct.cpp -> PROJ ``lcc``.
+
+
+class LCC:
+    """Ellipsoidal Lambert Conformal Conic with two standard parallels.
+
+    Parameters are the EPSG 9802 set: ellipsoid (a, 1/f), standard
+    parallels phi1/phi2, latitude/longitude of false origin phi0/lon0,
+    false easting/northing e0/n0 — all angles in degrees.
+    """
+
+    def __init__(self, a, rf, phi1, phi2, phi0, lon0, e0, n0):
+        self.a = float(a)
+        f = 1.0 / float(rf)
+        self.e = np.sqrt(2.0 * f - f * f)
+        self.lon0 = float(lon0)
+        self.e0 = float(e0)
+        self.n0 = float(n0)
+        p1, p2, p0 = np.radians([phi1, phi2, phi0])
+        m1, m2 = self._m(p1), self._m(p2)
+        t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.F = m1 / (self.n * t1**self.n)
+        self.rho0 = self.a * self.F * t0**self.n
+
+    def _m(self, phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - (self.e * s) ** 2)
+
+    def _t(self, phi):
+        s = self.e * np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - s) / (1.0 + s)) ** (
+            self.e / 2.0
+        )
+
+    def forward(self, lon, lat):
+        """(lon, lat) degrees -> (easting, northing), vectorized."""
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = self.a * self.F * self._t(phi) ** self.n
+        theta = self.n * np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        return (
+            self.e0 + rho * np.sin(theta),
+            self.n0 + self.rho0 - rho * np.cos(theta),
+        )
+
+    def inverse(self, easting, northing):
+        """(easting, northing) -> (lon, lat) degrees, vectorized."""
+        x = np.asarray(easting, dtype=np.float64) - self.e0
+        y = self.rho0 - (np.asarray(northing, dtype=np.float64) - self.n0)
+        rho = np.sign(self.n) * np.hypot(x, y)
+        theta = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # Snyder 7-9 fixed point, double-precision safe
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0)
+            )
+        lon = self.lon0 + np.degrees(theta / self.n)
+        return lon, np.degrees(phi)
+
+
+_GRS80_RF = 298.257222101
+
+# EPSG parameter sets (published registry values; GRS80 ellipsoid)
+LCC_PARAMS = {
+    # RGF93 / Lambert-93 (France)
+    2154: dict(a=6378137.0, rf=_GRS80_RF, phi1=44.0, phi2=49.0,
+               phi0=46.5, lon0=3.0, e0=700000.0, n0=6600000.0),
+    # NAD83 / Canada Atlas Lambert
+    3978: dict(a=6378137.0, rf=_GRS80_RF, phi1=49.0, phi2=77.0,
+               phi0=49.0, lon0=-95.0, e0=0.0, n0=0.0),
+    # ETRS89-extended / LCC Europe
+    3034: dict(a=6378137.0, rf=_GRS80_RF, phi1=35.0, phi2=65.0,
+               phi0=52.0, lon0=10.0, e0=4000000.0, n0=2800000.0),
+}
+
+
+def is_lcc(srid: int) -> bool:
+    return int(srid) in LCC_PARAMS
+
+
+def _lcc(srid: int) -> LCC:
+    return LCC(**LCC_PARAMS[int(srid)])
+
+
+def lonlat_to_lcc(lon, lat, srid: int):
+    return _lcc(srid).forward(lon, lat)
+
+
+def lcc_to_lonlat(easting, northing, srid: int):
+    return _lcc(srid).inverse(easting, northing)

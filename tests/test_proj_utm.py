@@ -116,3 +116,67 @@ class TestUtm:
             (out.minx + out.maxx) / 2, (out.miny + out.maxy) / 2
         )
         assert 8.0 < lon < 9.5 and 49.0 < lat < 50.5
+
+
+class TestLCC:
+    """Lambert Conformal Conic 2SP (EPSG 9802; Snyder PP-1395 pp.107-109)."""
+
+    def test_paris_lambert93(self):
+        """Known coordinate: Paris in RGF93/Lambert-93 (EPSG:2154)."""
+        from gdal_spark.proj import lonlat_to_lcc
+
+        e, n = lonlat_to_lcc(2.3522, 48.8566, 2154)
+        # published Lambert-93 coordinates of central Paris
+        assert float(e) == pytest.approx(652469.0, abs=50.0)
+        assert float(n) == pytest.approx(6862035.0, abs=50.0)
+
+    def test_roundtrip_all_systems(self):
+        from gdal_spark.proj import LCC_PARAMS, lcc_to_lonlat, lonlat_to_lcc
+
+        spans = {2154: (-4, 9, 42, 51), 3978: (-140, -50, 42, 83),
+                 3034: (-10, 30, 35, 70)}
+        for srid, (lo0, lo1, la0, la1) in spans.items():
+            LON, LAT = np.meshgrid(np.linspace(lo0, lo1, 25),
+                                   np.linspace(la0, la1, 25))
+            E, N = lonlat_to_lcc(LON, LAT, srid)
+            lon, lat = lcc_to_lonlat(E, N, srid)
+            assert np.abs(lon - LON).max() < 1e-9, srid
+            assert np.abs(lat - LAT).max() < 1e-9, srid
+
+    def test_unit_scale_at_standard_parallels(self):
+        """The defining property of 2SP conic: true scale along both
+        standard parallels, k<1 between them, k>1 outside — checked by
+        finite differences against the ellipsoidal parallel radius."""
+        from gdal_spark.proj import LCC, LCC_PARAMS
+
+        prm = LCC_PARAMS[2154]
+        p = LCC(**prm)
+        e2 = p.e**2
+
+        def scale(phi_deg):
+            dl = 1e-4
+            e1, n1 = p.forward(3.0, phi_deg)
+            e2_, n2 = p.forward(3.0 + dl, phi_deg)
+            dist = float(np.hypot(e2_ - e1, n2 - n1))
+            s = np.sin(np.radians(phi_deg))
+            nu = prm["a"] / np.sqrt(1 - e2 * s * s)
+            true = np.radians(dl) * nu * np.cos(np.radians(phi_deg))
+            return dist / float(true)
+
+        assert scale(44.0) == pytest.approx(1.0, abs=1e-7)
+        assert scale(49.0) == pytest.approx(1.0, abs=1e-7)
+        assert scale(46.5) < 1.0
+        assert scale(42.0) > 1.0 and scale(51.0) > 1.0
+
+    def test_transform_chain_lcc(self):
+        """geo_transform_points composes LCC <-> 3857 via 4326."""
+        from gdal_spark.operators.warp import geo_transform_points
+
+        x, y = geo_transform_points(
+            np.array([2.3522]), np.array([48.8566]), 4326, 2154
+        )
+        assert float(x[0]) == pytest.approx(652469.0, abs=50.0)
+        mx, my = geo_transform_points(x, y, 2154, 3857)
+        lon, lat = geo_transform_points(mx, my, 3857, 4326)
+        assert float(lon[0]) == pytest.approx(2.3522, abs=1e-6)
+        assert float(lat[0]) == pytest.approx(48.8566, abs=1e-6)
