@@ -1902,6 +1902,77 @@ def q_simhash_pairs_sql():
     )
 
 
+def _line_from_endpoints(df):
+    """Attach 2-point linestring WKB built executor-side (same pattern as
+    _rect_from_bounds: no driver collect). Expects x0 < x1, y0 < y1."""
+
+    @F.pandas_udf("binary")
+    def wkb_line_udf(
+        x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        from gdal_spark import geom
+
+        return pd.Series(
+            [
+                geom.wkb_linestring(np.array([(a, b), (c, d)], dtype=np.float64))
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ]
+        )
+
+    return df.select(
+        "fid",
+        wkb_line_udf("x0", "y0", "x1", "y1").alias("wkb"),
+        F.col("x0").alias("minx"), F.col("y0").alias("miny"),
+        F.col("x1").alias("maxx"), F.col("y1").alias("maxy"),
+    )
+
+
+def q_line_clip_lengths(spark, sf_dir):
+    """LINE x polygon layer algebra (line_algebra.line_layer_clip — the
+    KEEP_LOWER_DIMENSION dimension-1 path of ogrlayer.cpp Clip): diagonal
+    segments derived from orders, clipped by the internally-DISJOINT
+    supplier rectangle layer, so per-line inside length equals the sum of
+    per-rectangle Liang-Barsky interval clips — pure interval arithmetic
+    in the DuckDB oracle. Rounded to mm."""
+    from gdal_spark.operators.line_algebra import line_layer_clip
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders").where(k <= 3000).select(
+        k.alias("fid"),
+        ((k % 97) * 400000.0 - 19800000.0 + 13000.0).alias("x0"),
+        ((F.floor(k / 97).cast("long") % 89) * 400000.0 - 17700000.0 + 17000.0).alias("y0"),
+    ).withColumn("x1", F.col("x0") + 700000.0 + (F.col("fid") % 5) * 100000.0).withColumn(
+        "y1", F.col("y0") + 500000.0 + (F.col("fid") % 7) * 100000.0
+    )
+    lines = _line_from_endpoints(o)
+    _, methods = _disjoint_rect_layers(spark, sf_dir)
+    out = line_layer_clip(lines, methods)
+    return out.select("fid", F.round("length", 3).alias("length")).orderBy("fid")
+
+
+def q_line_clip_lengths_sql():
+    return (
+        "WITH lines AS (SELECT o_orderkey AS fid, "
+        "(o_orderkey % 97) * 400000.0 - 19800000.0 + 13000.0 AS x0, "
+        "(CAST(floor(o_orderkey / 97) AS BIGINT) % 89) * 400000.0 - 17700000.0 + 17000.0 AS y0, "
+        "700000.0 + (o_orderkey % 5) * 100000.0 AS dx, "
+        "500000.0 + (o_orderkey % 7) * 100000.0 AS dy "
+        "FROM orders WHERE o_orderkey <= 3000), "
+        f"m AS ({_DISJ_M_SQL}), "
+        "j AS (SELECT lines.fid, "
+        "greatest((m.minx - x0) / dx, (m.miny - y0) / dy, 0.0) AS tin, "
+        "least((m.maxx - x0) / dx, (m.maxy - y0) / dy, 1.0) AS tout, "
+        "sqrt(dx * dx + dy * dy) AS slen "
+        "FROM lines JOIN m ON m.minx <= x0 + dx AND m.maxx >= x0 "
+        "AND m.miny <= y0 + dy AND m.maxy >= y0), "
+        "agg AS (SELECT fid, sum(greatest(0.0, tout - tin) * slen) AS l "
+        "FROM j GROUP BY fid) "
+        "SELECT fid, round(l, 3) AS length FROM agg WHERE l > 0 ORDER BY fid"
+    )
+
+
 def _jpeg_fixture_rows():
     """Real libjpeg-encoded fixtures (tests/data, provenance in its README)
     plus two own-encoder baseline JFIF images — bytes built driver-side
@@ -2103,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "phash_neardup": q_phash_neardup,
         "jpeg_decode_checksums": q_jpeg_decode_checksums,
+        "line_clip_lengths": q_line_clip_lengths,
     }
 
 
@@ -2122,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "lcc_forward": q_lcc_forward_sql(),
         "phash_neardup": q_phash_neardup_sql(),
         "jpeg_decode_checksums": q_jpeg_decode_checksums_sql(),
+        "line_clip_lengths": q_line_clip_lengths_sql(),
         "simhash_pairs": q_simhash_pairs_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),
