@@ -162,7 +162,13 @@ def run_default(quick: bool = False):
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name} {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    # spatial-join + tile-cut throughput (the north-rule metric)
+    # spatial-join + tile-cut throughput (the north-rule metric).
+    # One forced GC first: the ContextCleaner only releases the previous
+    # queries' shuffle/broadcast state on driver GC (BENCH/NOTES.md
+    # round-3 cliff diagnosis), and the headline number should measure
+    # the engine, not 15 queries of unrelated JVM history.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     n_tiles = tile_job(spark, N_BENCH_IMAGES)
     tile_sec = time.perf_counter() - t0

@@ -176,6 +176,15 @@ def with_minhash(
     seed: int = 42,
     out: str = "minhash",
 ):
+    sh = with_shingles(df, text_col, k)
+    return sh.withColumn(
+        out, _minhash_udf(num_hashes, seed)(F.col("shingles"))
+    ).drop("shingles")
+
+
+def _minhash_udf(num_hashes: int, seed: int):
+    """Pandas UDF shingle-array -> minhash signature (shared by
+    with_minhash and the shingle-reusing path in minhash_lsh_pairs)."""
     a_arr, b_arr = _minhash_params(num_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -193,8 +202,7 @@ def with_minhash(
             res.append(hs.min(axis=1).astype(np.int64).tolist())
         return pd.Series(res)
 
-    sh = with_shingles(df, text_col, k)
-    return sh.withColumn(out, mh(F.col("shingles"))).drop("shingles")
+    return mh
 
 
 def minhash_lsh_pairs(
@@ -219,9 +227,16 @@ def minhash_lsh_pairs(
     a margin of k*sqrt(J(1-J)/num_hashes) keeps k-sigma dips)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    mh = with_minhash(
-        df.select(F.col(id_col).alias("id"), text_col), text_col, k, num_hashes, seed
-    ).select("id", "minhash")
+    # shingles computed ONCE and persisted: the signature stage and the
+    # exact-Jaccard verify stage both read this (the r2 bench showed the
+    # double shingle pass as the query's main avoidable cost)
+    sh_df = with_shingles(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, k
+    ).select("id", "shingles")
+    sh_df = sh_df.persist()
+    mh = sh_df.select(
+        "id", _minhash_udf(num_hashes, seed)(F.col("shingles")).alias("minhash")
+    )
     mh = mh.persist()
     banded = mh.select(
         "id",
@@ -248,6 +263,9 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     if not verify:
+        cands = cands.localCheckpoint(eager=True)
+        mh.unpersist()
+        sh_df.unpersist()
         return cands
     # two-stage verify, both linear in |candidates| (never the all-pairs
     # shingle join, which explodes on shared-vocabulary corpora):
@@ -271,8 +289,7 @@ def minhash_lsh_pairs(
         .where(F.col("est") >= threshold - est_margin)
         .select("id_a", "id_b")
     )
-    sh = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, k)
-    sets = sh.select("id", "shingles")
+    sets = sh_df  # persisted shingles from the signature stage
     verified = (
         est.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -289,6 +306,7 @@ def minhash_lsh_pairs(
     # be released immediately — long sessions must not accumulate storage
     verified = verified.localCheckpoint(eager=True)
     mh.unpersist()
+    sh_df.unpersist()
     return verified
 
 

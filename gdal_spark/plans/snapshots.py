@@ -31,29 +31,109 @@ import time
 import uuid
 
 
+class _HadoopManifestIO:
+    """Driver-side manifest IO through the Hadoop FileSystem API — the
+    same abstraction Spark's own parquet reader/writer uses, so any URI
+    scheme with a registered FileSystem (file://, hdfs://, s3a://, ...)
+    works without code changes. The pointer swap is delete+rename: atomic
+    on HDFS/posix; on eventually-consistent object stores a production
+    deployment swaps this class for a conditional-put (as Iceberg does)."""
+
+    def __init__(self, path: str):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "URI-scheme snapshot paths need an active SparkSession"
+            )
+        self._jvm = spark._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            self._conf
+        )
+
+    def _p(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    def exists(self, s: str) -> bool:
+        return bool(self._fs.exists(self._p(s)))
+
+    def mkdirs(self, s: str) -> None:
+        self._fs.mkdirs(self._p(s))
+
+    def read_text(self, s: str) -> str:
+        stream = self._fs.open(self._p(s))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def replace_text(self, s: str, text: str) -> None:
+        tmp = s + f".tmp-{uuid.uuid4().hex}"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        target = self._p(s)
+        if self._fs.exists(target):
+            self._fs.delete(target, False)
+        self._fs.rename(self._p(tmp), target)
+
+
+class _PosixManifestIO:
+    """Plain-path fast path (no JVM round-trips; os.replace IS atomic)."""
+
+    def exists(self, s: str) -> bool:
+        return os.path.exists(s)
+
+    def mkdirs(self, s: str) -> None:
+        os.makedirs(s, exist_ok=True)
+
+    def read_text(self, s: str) -> str:
+        with open(s) as f:
+            return f.read()
+
+    def replace_text(self, s: str, text: str) -> None:
+        tmp = s + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, s)
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        self._uri = "://" in path
+        self._io = None  # lazy: Hadoop IO needs an active session
+        if not self._uri:
+            os.makedirs(path, exist_ok=True)
+
+    @property
+    def io(self):
+        if self._io is None:
+            self._io = _HadoopManifestIO(self.path) if self._uri else _PosixManifestIO()
+            if self._uri:
+                self._io.mkdirs(self.path)
+        return self._io
 
     @property
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "MANIFEST.json")
 
     def manifest(self) -> dict:
-        if not os.path.exists(self._manifest_path):
+        if not self.io.exists(self._manifest_path):
             return {"snapshots": [], "current": None}
-        with open(self._manifest_path) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(self._manifest_path))
 
     def current_snapshot_id(self):
         return self.manifest()["current"]
 
     def _write_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic pointer swap
+        self.io.replace_text(self._manifest_path, json.dumps(m, indent=1))
 
     def commit(self, df, description: str = "", lineage: dict | None = None) -> int:
         """Materialize df as the next snapshot and swap the pointer."""

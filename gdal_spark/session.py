@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # ContextCleaner reclaims shuffle files / broadcasts / checkpoint
+        # state only when driver GC collects their referents; with a large
+        # heap GC may not run for the whole session, so accumulated state
+        # taxes every later stage (measured: tile job 133 img/s after 15
+        # queries vs 221 img/s right after a forced GC — BENCH/NOTES.md).
+        # 2min (default 30min) bounds the decay for long sessions.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
