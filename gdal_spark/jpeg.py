@@ -15,8 +15,18 @@ implements ITU-T T.81 *baseline* sequential DCT:
   quantization + Huffman tables, libjpeg-style quality scaling, 4:4:4 or
   4:2:0 chroma subsampling.
 
+Progressive (SOF2) decode is supported: multi-scan coefficient
+accumulation with spectral selection and successive approximation (DC
+first/refine, AC first with EOB runs, AC refinement with correction bits
+— T.81 Annex G.1.2), both interleaved DC scans and the mandatory
+single-component AC scans, restart markers resetting predictor + EOB run.
+The refinement path is validated bit-exactly: a built-in progressive
+encoder (encode_jpeg(..., progressive=True) — DC Al=1 + refinement, AC
+first + refinement scans) must reproduce the IDENTICAL quantized
+coefficients as the baseline encoding of the same image.
+
 Out of scope (raised as explicit errors, mirroring SURVEY's honesty rule):
-progressive (SOF2), arithmetic coding, hierarchical, 12-bit, CMYK/YCCK.
+arithmetic coding, hierarchical, lossless (SOF3), 12-bit, CMYK/YCCK.
 
 All constants below (zigzag order, Annex K quantization and Huffman
 tables) are published in ITU-T T.81 itself — public-domain spec values.
@@ -225,6 +235,20 @@ class _Component:
     __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "blocks", "bx", "by")
 
 
+def _alloc_blocks(comps, w, h):
+    """Allocate per-component coefficient grids at the interleaved-MCU
+    padded size (progressive scans accumulate into these across scans)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.bx = mcux * c.h
+        c.by = mcuy * c.v
+        c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+    return mcux, mcuy, hmax, vmax
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode baseline JFIF/JPEG bytes to (h,w) uint8 or (h,w,3) uint8 RGB."""
     if buf[:2] != b"\xff\xd8":
@@ -236,9 +260,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     restart_interval = 0
     adobe_transform = None
     jfif = False
+    progressive = False
+    allocated = False
     i = 2
     n = len(buf)
-    result_planes = None
+    got_scan = False
     while i < n - 1:
         if buf[i] != 0xFF:
             i += 1
@@ -277,10 +303,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + cnt])
                 htabs[(tc, th)] = _HuffLUT(bits, vals)
                 p += 17 + cnt
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
+            progressive = m == 0xC2
             prec = seg[0]
             if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG unsupported (8-bit baseline only)")
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported (8-bit only)")
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
             nc = seg[5]
@@ -293,36 +320,48 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comp.v = seg[7 + 3 * c] & 15
                 comp.tq = seg[8 + 3 * c]
                 comps.append(comp)
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG unsupported (baseline only)")
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"JPEG SOF marker 0x{m:02x} unsupported (baseline only)")
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{m:02x} unsupported (baseline + progressive only)"
+            )
         elif m == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
         elif m == 0xE0 and seg[:5] == b"JFIF\x00":
             jfif = True
         elif m == 0xEE and seg[:5] == b"Adobe":
             adobe_transform = seg[11] if len(seg) > 11 else 0
-        elif m == 0xDA:  # SOS — single interleaved baseline scan
+        elif m == 0xDA:  # SOS
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan (non-interleaved) JPEG unsupported")
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15
-                scan_tables[cs] = (td, ta)
-            for comp in comps:
-                comp.dc, comp.ac = scan_tables[comp.cid]
+                comp = next(cc for cc in comps if cc.cid == cs)
+                comp.dc, comp.ac = td, ta
+                scan_comps.append(comp)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if not allocated:
+                _alloc_blocks(comps, w, h)
+                allocated = True
             segments, i = _unstuff(buf, i + 2 + ln)
-            result_planes = _decode_scan(
-                comps, htabs, segments, restart_interval, w, h
-            )
+            if progressive:
+                _decode_scan_progressive(
+                    comps, scan_comps, htabs, segments, restart_interval,
+                    w, h, ss, se, ah, al,
+                )
+            else:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "multi-scan sequential JPEG unsupported"
+                    )
+                _decode_scan(comps, htabs, segments, restart_interval, w, h)
+            got_scan = True
             continue
         i += 2 + ln
-    if result_planes is None:
+    if not got_scan:
         raise ValueError("no SOS scan found")
-    return _assemble(result_planes, comps, qtabs, w, h, adobe_transform, jfif)
+    return _assemble(None, comps, qtabs, w, h, adobe_transform, jfif)
 
 
 def _decode_scan(comps, htabs, segments, restart_interval, w, h):
@@ -330,10 +369,6 @@ def _decode_scan(comps, htabs, segments, restart_interval, w, h):
     vmax = max(c.v for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    for c in comps:
-        c.bx = mcux * c.h
-        c.by = mcuy * c.v
-        c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
     n_mcus = mcux * mcuy
     preds = [0] * len(comps)
     seg_idx = 0
@@ -384,6 +419,160 @@ def _decode_scan(comps, htabs, segments, restart_interval, w, h):
                     bx = mx * c.h + hh
                     c.blocks[by * c.bx + bx] = coefs
     return True
+
+
+def _ac_first(br, coefs, lut, ss, se, al, state):
+    """Progressive AC scan, Ah=0 (T.81 G.1.2.2): EOB-run decoding of the
+    Al-point-transformed band."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        idx = br.peek16()
+        rs = int(lut.sym[idx])
+        l = int(lut.ln[idx])
+        if l == 0:
+            raise ValueError("corrupt JPEG: bad AC code (progressive)")
+        br.pos += l
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.get(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run overflow (progressive)")
+        coefs[k] = _extend(br.get(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(br, coefs, k, se, p1):
+    """Correction bits for already-nonzero coefficients in [k, se]."""
+    for j in range(k, se + 1):
+        c = int(coefs[j])
+        if c != 0 and br.get(1) and (c & p1) == 0:
+            coefs[j] = c + (p1 if c > 0 else -p1)
+
+
+def _ac_refine(br, coefs, lut, ss, se, al, state):
+    """Progressive AC refinement, Ah>0 (T.81 G.1.2.3): one new magnitude
+    bit per already-nonzero coefficient, newly-significant coefficients
+    inserted at +-2^Al, EOB runs carrying correction bits."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        _refine_nonzero(br, coefs, k, se, p1)
+        return
+    while k <= se:
+        idx = br.peek16()
+        rs = int(lut.sym[idx])
+        l = int(lut.ln[idx])
+        if l == 0:
+            raise ValueError("corrupt JPEG: bad AC code (refinement)")
+        br.pos += l
+        r, s = rs >> 4, rs & 15
+        newval = 0
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.get(r)
+                _refine_nonzero(br, coefs, k, se, p1)
+                return
+            # ZRL: skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("corrupt JPEG: refinement size != 1")
+            newval = p1 if br.get(1) else -p1
+        while k <= se:
+            c = int(coefs[k])
+            if c != 0:
+                if br.get(1) and (c & p1) == 0:
+                    coefs[k] = c + (p1 if c > 0 else -p1)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            coefs[k] = newval
+        k += 1
+
+
+def _decode_scan_progressive(
+    comps, scan_comps, htabs, segments, restart_interval, w, h, ss, se, ah, al
+):
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    interleaved = len(scan_comps) > 1
+    if ss != 0 and interleaved:
+        raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+    if interleaved or (ss == 0 and len(comps) == 1):
+        units = mcux * mcuy
+    else:
+        # non-interleaved: blocks row-major over the component's own
+        # ceil(size/8) grid (T.81 A.2.2 — NOT the MCU-padded grid)
+        c = scan_comps[0]
+        cw = -(-w * c.h // hmax)
+        ch = -(-h * c.v // vmax)
+        bw_ = -(-cw // 8)
+        bh_ = -(-ch // 8)
+        units = bw_ * bh_
+    state = {"eobrun": 0}
+    preds = {c.cid: 0 for c in scan_comps}
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    for u in range(units):
+        if restart_interval and u > 0 and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("truncated JPEG: missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            preds = {c.cid: 0 for c in scan_comps}
+            state["eobrun"] = 0
+        if interleaved or (ss == 0 and len(comps) == 1):
+            my, mx = divmod(u, mcux)
+            blocks = [
+                (c, (my * c.v + v) * c.bx + (mx * c.h + hh))
+                for c in scan_comps
+                for v in range(c.v)
+                for hh in range(c.h)
+            ]
+        else:
+            c = scan_comps[0]
+            by, bx = divmod(u, bw_)
+            blocks = [(c, by * c.bx + bx)]
+        for c, bi in blocks:
+            coefs = c.blocks[bi]
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    dc_lut = htabs[(0, c.dc)]
+                    idx = br.peek16()
+                    s = int(dc_lut.sym[idx])
+                    l = int(dc_lut.ln[idx])
+                    if l == 0:
+                        raise ValueError("corrupt JPEG: bad DC code (progressive)")
+                    br.pos += l
+                    diff = _extend(br.get(s), s) if s else 0
+                    preds[c.cid] += diff
+                    coefs[0] = preds[c.cid] << al
+                else:
+                    if br.get(1):
+                        coefs[0] = int(coefs[0]) + (1 << al)
+            else:
+                lut = htabs[(1, c.ac)]
+                if ah == 0:
+                    _ac_first(br, coefs, lut, ss, se, al, state)
+                else:
+                    _ac_refine(br, coefs, lut, ss, se, al, state)
 
 
 def _assemble(_, comps, qtabs, w, h, adobe_transform, jfif):
@@ -518,8 +707,20 @@ def _write_block(bw, zz_coefs, pred, dc_codes, dc_sizes, ac_codes, ac_sizes):
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0") -> bytes:
-    """Encode (h,w) gray or (h,w,3) RGB uint8 as baseline JFIF JPEG."""
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
+    progressive: bool = False,
+) -> bytes:
+    """Encode (h,w) gray or (h,w,3) RGB uint8 as JFIF JPEG.
+
+    ``progressive=True`` writes SOF2 with a 4-stage scan script (DC
+    Al=1 -> per-component AC 1-63 Al=1 -> DC refinement -> per-component
+    AC refinement). Because successive approximation is lossless over the
+    quantized coefficients, decoding the progressive stream MUST yield
+    bit-identical pixels to the baseline stream of the same image — the
+    round-trip test that validates the decoder's refinement path."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg takes uint8")
@@ -578,22 +779,29 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0") 
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += _marker(0xC0, sof)
+    out += _marker(0xC2 if progressive else 0xC0, sof)
     tables = [(0x00, DC_LUM), (0x10, AC_LUM)]
     if not gray:
         tables += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
     for tid, (bits, vals) in tables:
         out += _marker(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    dc_l = _enc_table(*DC_LUM)
+    ac_l = _enc_table(*AC_LUM)
+    dc_c = _enc_table(*DC_CHROMA)
+    ac_c = _enc_table(*AC_CHROMA)
+    if progressive:
+        out += _write_progressive_scans(
+            zz_per_comp, samp, mcux, mcuy, w, h,
+            (dc_l, dc_c), (ac_l, ac_c), nc,
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += b"\x00\x3f\x00"
     out += _marker(0xDA, sos)
     # entropy-coded data
-    dc_l = _enc_table(*DC_LUM)
-    ac_l = _enc_table(*AC_LUM)
-    dc_c = _enc_table(*DC_CHROMA)
-    ac_c = _enc_table(*AC_CHROMA)
     bw2 = _BitWriter()
     preds = [0] * nc
     for mcu in range(mcux * mcuy):
@@ -611,6 +819,147 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0") 
     bw2.flush()
     out += bw2.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _sos_header(comp_specs, ss, se, ah, al) -> bytes:
+    sos = bytes([len(comp_specs)])
+    for cid, tbl in comp_specs:
+        sos += bytes([cid, tbl])
+    return _marker(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+
+
+def _write_progressive_scans(zz_per_comp, samp, mcux, mcuy, w, h, dcs, acs, nc):
+    """4-stage scan script: DC(Al=1) -> AC first(Al=1) per comp ->
+    DC refine -> AC refine per comp. EOB runs are not accumulated across
+    blocks (EOB0 per block), which the standard Annex K tables encode."""
+    out = bytearray()
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def comp_blocks(ci):
+        """Block indices of component ci in row-major ceil-grid order
+        (the non-interleaved scan order of T.81 A.2.2)."""
+        sh, sv = samp[ci]
+        zz, bpr = zz_per_comp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        bw_ = -(-cw // 8)
+        bh_ = -(-ch // 8)
+        return [by * bpr + bx for by in range(bh_) for bx in range(bw_)]
+
+    # --- scan 1: DC first, interleaved, Al=1 ---------------------------
+    out += _sos_header([(ci + 1, 0x00 if ci == 0 else 0x10) for ci in range(nc)],
+                       0, 0, 0, 1)
+    bw2 = _BitWriter()
+    preds = [0] * nc
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            zz, bpr = zz_per_comp[ci]
+            codes, sizes = dcs[0] if ci == 0 else dcs[1]
+            for v in range(sv):
+                for hh in range(sh):
+                    bi = (my * sv + v) * bpr + (mx * sh + hh)
+                    val = int(zz[bi][0]) >> 1  # arithmetic point transform
+                    diff = val - preds[ci]
+                    preds[ci] = val
+                    if diff == 0:
+                        bw2.put(int(codes[0]), int(sizes[0]))
+                    else:
+                        s = abs(diff).bit_length()
+                        bw2.put(int(codes[s]), int(sizes[s]))
+                        bw2.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw2.flush()
+    out += bw2.out
+
+    # --- scans 2..: AC first, per component, Al=1 ----------------------
+    for ci in range(nc):
+        out += _sos_header([(ci + 1, 0x00 if ci == 0 else 0x11)], 1, 63, 0, 1)
+        codes, sizes = acs[0] if ci == 0 else acs[1]
+        zz, _bpr = zz_per_comp[ci]
+        bw2 = _BitWriter()
+        for bi in comp_blocks(ci):
+            blk = zz[bi]
+            run = 0
+            emitted_any = False
+            for k in range(1, 64):
+                c = int(blk[k])
+                t = (abs(c) >> 1)
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw2.put(int(codes[0xF0]), int(sizes[0xF0]))
+                    run -= 16
+                s = t.bit_length()
+                bw2.put(int(codes[(run << 4) | s]), int(sizes[(run << 4) | s]))
+                tv = t if c > 0 else -t
+                bw2.put(tv if tv > 0 else tv + (1 << s) - 1, s)
+                run = 0
+                emitted_any = True
+            if run > 0 or not emitted_any:
+                bw2.put(int(codes[0x00]), int(sizes[0x00]))  # EOB0
+        bw2.flush()
+        out += bw2.out
+
+    # --- DC refinement (no Huffman: one raw bit per block) -------------
+    out += _sos_header([(ci + 1, 0x00) for ci in range(nc)], 0, 0, 1, 0)
+    bw2 = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            zz, bpr = zz_per_comp[ci]
+            for v in range(sv):
+                for hh in range(sh):
+                    bi = (my * sv + v) * bpr + (mx * sh + hh)
+                    bw2.put(int(zz[bi][0]) & 1, 1)
+    bw2.flush()
+    out += bw2.out
+
+    # --- AC refinement, per component, Ah=1 Al=0 -----------------------
+    for ci in range(nc):
+        out += _sos_header([(ci + 1, 0x00 if ci == 0 else 0x11)], 1, 63, 1, 0)
+        codes, sizes = acs[0] if ci == 0 else acs[1]
+        zz, _bpr = zz_per_comp[ci]
+        bw2 = _BitWriter()
+        for bi in comp_blocks(ci):
+            blk = zz[bi]
+            absv = [abs(int(blk[k])) for k in range(64)]
+            eob = 0  # position after the last newly-significant coef
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k
+            run = 0
+            pending: list[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    bw2.put(int(codes[0xF0]), int(sizes[0xF0]))
+                    run -= 16
+                    for b in pending:
+                        bw2.put(b, 1)
+                    pending = []
+                if t > 1:  # history-nonzero: buffer the correction bit
+                    pending.append(t & 1)
+                    continue
+                bw2.put(int(codes[(run << 4) | 1]), int(sizes[(run << 4) | 1]))
+                bw2.put(1 if int(blk[k]) > 0 else 0, 1)
+                for b in pending:
+                    bw2.put(b, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                bw2.put(int(codes[0x00]), int(sizes[0x00]))  # EOB0
+                for b in pending:
+                    bw2.put(b, 1)
+        bw2.flush()
+        out += bw2.out
     return bytes(out)
 
 

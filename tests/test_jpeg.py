@@ -87,11 +87,66 @@ class TestRealJpegDecode:
         assert img.shape[:2] == (1024, 1024)
         assert int(np.asarray(img).max()) == 0
 
-    def test_progressive_rejected(self):
-        # minimal SOF2 stream must raise, not mis-decode
-        buf = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9) + b"\xff\xd9"
+    def test_real_progressive_fixture(self):
+        """SOF2 file from the wild (ArcGIS-written): constant-1 30x30
+        grayscale — an exact golden for the progressive scan plumbing."""
+        img = jpeg.decode_jpeg(_read("arcgis_geodataxform_gcp.jpg"))
+        assert img.shape == (30, 30)
+        assert np.array_equal(np.unique(img), [1])
+
+    def test_lossless_rejected(self):
+        # SOF3 (lossless) must raise, not mis-decode
         with pytest.raises(NotImplementedError):
-            jpeg.decode_jpeg(buf)
+            jpeg.decode_jpeg(_read("byte_lossless.jpg"))
+
+
+class TestProgressive:
+    """Successive approximation is lossless over quantized coefficients,
+    so progressive and baseline encodings of the same image MUST decode
+    bit-identically — this pins the refinement decode path (T.81 G.1.2.3)
+    exactly."""
+
+    def _img(self, h, w, noisy=False):
+        rng = np.random.default_rng(7)
+        if noisy:
+            return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+                128 + 60 * np.cos(xx / 13.0),
+                (xx * 2.5 + yy * 1.5) % 256,
+            ],
+            axis=-1,
+        )
+        return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+
+    @pytest.mark.parametrize("sub,q", [("4:4:4", 35), ("4:4:4", 95), ("4:2:0", 75)])
+    def test_bit_identical_to_baseline(self, sub, q):
+        img = self._img(61, 83)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, subsampling=sub))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_noise_stresses_refinement_bits(self):
+        img = self._img(37, 53, noisy=True)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=30, subsampling="4:4:4"))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=30, subsampling="4:4:4", progressive=True)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_gray_progressive(self):
+        img = self._img(40, 56)[:, :, 0]
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80, progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_sof2_marker_written(self):
+        buf = jpeg.encode_jpeg(self._img(16, 16), progressive=True)
+        assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf.split(b"\xff\xda")[0]
 
 
 class TestEncoderRoundTrip:
