@@ -319,7 +319,7 @@ def control_efficiency(n_units: int = 4096):
     import multiprocessing as mp
 
     acc: dict[int, list[float]] = {8: [], 32: []}
-    for procs in (8, 32, 8, 32):
+    for procs in (8, 32, 8, 32, 8, 32):
         t0 = time.perf_counter()
         with mp.Pool(procs) as p:
             p.map(_control_unit, [(i,) for i in range(n_units)], chunksize=4)
@@ -343,7 +343,7 @@ def run_scaling():
         N_BENCH_IMAGES = 8192
     images_path(N_BENCH_IMAGES)  # materialize input outside any timed leg
     times: dict[str, list[float]] = {"local[8]": [], "local[32]": []}
-    for master in ("local[8]", "local[32]", "local[8]", "local[32]"):
+    for master in ("local[8]", "local[32]") * 3:
         cmd = [sys.executable, __file__, "--job", "tile", "--master", master]
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_IMAGES"] = str(N_BENCH_IMAGES)

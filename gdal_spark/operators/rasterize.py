@@ -80,25 +80,50 @@ def touched_cells(rings_px: list[np.ndarray], h: int, w: int) -> np.ndarray:
     """Boolean mask of every pixel TOUCHED by a ring edge (exact
     supercover traversal: split each segment at every integer grid line,
     mark the cell containing each sub-segment midpoint) — the
-    GDALdllImageLineAllTouched path of llrasterize.cpp."""
+    GDALdllImageLineAllTouched path of llrasterize.cpp.
+
+    Fully vectorized over ALL segments of a ring at once: grid-crossing
+    parameters are built with repeat/arange bookkeeping, one lexsort
+    orders them per segment, and midpoints burn via one fancy-index —
+    no per-segment Python loop (10^6-segment ALL_TOUCHED stays numpy)."""
     mask = np.zeros((h, w), dtype=bool)
     for ring in rings_px:
         r = np.asarray(ring, dtype=np.float64)
-        for (x0, y0), (x1, y1) in zip(r[:-1], r[1:]):
-            ts = [0.0, 1.0]
-            dx, dy = x1 - x0, y1 - y0
-            if dx != 0:
-                for gx in range(int(np.ceil(min(x0, x1))), int(np.floor(max(x0, x1))) + 1):
-                    ts.append((gx - x0) / dx)
-            if dy != 0:
-                for gy in range(int(np.ceil(min(y0, y1))), int(np.floor(max(y0, y1))) + 1):
-                    ts.append((gy - y0) / dy)
-            t = np.unique(np.clip(np.asarray(ts), 0.0, 1.0))
-            tm = 0.5 * (t[:-1] + t[1:])
-            cx = np.floor(x0 + tm * dx).astype(np.int64)
-            cy = np.floor(y0 + tm * dy).astype(np.int64)
-            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
-            mask[cy[ok], cx[ok]] = True
+        if len(r) < 2:
+            continue
+        P, Q = r[:-1], r[1:]
+        S = len(P)
+        dx = Q[:, 0] - P[:, 0]
+        dy = Q[:, 1] - P[:, 1]
+        seg_ids = np.arange(S)
+        cand_t = [np.zeros(S), np.ones(S)]
+        cand_s = [seg_ids, seg_ids]
+        for axis, d in ((0, dx), (1, dy)):
+            lo = np.ceil(np.minimum(P[:, axis], Q[:, axis]))
+            hi = np.floor(np.maximum(P[:, axis], Q[:, axis]))
+            n = (hi - lo + 1).astype(np.int64)
+            n = np.where((d != 0) & (n > 0), n, 0)
+            tot = int(n.sum())
+            if tot == 0:
+                continue
+            seg = np.repeat(seg_ids, n)
+            starts = np.cumsum(n) - n
+            offs = np.arange(tot) - np.repeat(starts, n)
+            g = lo[seg] + offs
+            t = (g - P[seg, axis]) / d[seg]
+            cand_t.append(np.clip(t, 0.0, 1.0))
+            cand_s.append(seg)
+        t = np.concatenate(cand_t)
+        s = np.concatenate(cand_s)
+        order = np.lexsort((t, s))
+        t, s = t[order], s[order]
+        keep = (s[1:] == s[:-1]) & (t[1:] > t[:-1])  # per-seg, nonzero length
+        tm = 0.5 * (t[1:][keep] + t[:-1][keep])
+        sj = s[1:][keep]
+        cx = np.floor(P[sj, 0] + tm * dx[sj]).astype(np.int64)
+        cy = np.floor(P[sj, 1] + tm * dy[sj]).astype(np.int64)
+        ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        mask[cy[ok], cx[ok]] = True
     return mask
 
 
