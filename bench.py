@@ -292,18 +292,23 @@ def _control_unit(args):
                     continue
                 tile, av = cut
                 frag = codecs.encode_png(tile, level=1)
-                afrag = codecs.encode_png(av, level=1)
+                opaque = av.min() == 255  # mirrors _fragment_row's skip
+                afrag = None if opaque else codecs.encode_png(av, level=1)
                 dec = codecs.decode_png(frag)
                 if dec.ndim == 2:
                     dec = dec[:, :, None]
-                adec = codecs.decode_png(afrag)
                 buf = np.zeros((256, 256, dec.shape[2]), dtype=np.uint8)
                 am = np.zeros((256, 256), dtype=np.uint8)
-                m = adec > 0
-                buf[m] = dec[m]
-                am[m] = 255
+                if opaque:
+                    buf[:, :, :] = dec
+                    am[:, :] = 255
+                else:
+                    adec = codecs.decode_png(afrag)
+                    m = adec > 0
+                    buf[m] = dec[m]
+                    am[m] = 255
                 rgba = np.dstack([buf, am])
-                png = codecs.encode_png(rgba)
+                png = codecs.encode_png(rgba, level=3)
                 image_checksums(rgba)
                 n += 1
         if zz == 0:

@@ -225,3 +225,63 @@ def dem_tiles(
         .cogroup(halos.groupBy("tile_x", "tile_y"))
         .applyInPandas(compute, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# color-relief (gdaldem color-relief, apps/gdaldem_lib.cpp ColorAssociation)
+# ---------------------------------------------------------------------------
+
+
+def color_relief_array(band: np.ndarray, ramp) -> np.ndarray:
+    """Map elevations to RGB through a color ramp with linear
+    interpolation between entries (gdaldem color-relief default
+    COLOR_SELECTION_INTERPOLATE). ``ramp`` is a sequence of
+    (elevation, r, g, b) sorted by elevation; values outside the ramp
+    clamp to the end colors; NaN maps to (0,0,0)."""
+    ramp = sorted((float(e), int(r), int(g), int(b)) for e, r, g, b in ramp)
+    if not ramp:
+        raise ValueError("empty color ramp")
+    z = np.asarray(band, dtype=np.float64)
+    xs = np.array([e for e, *_ in ramp])
+    out = np.zeros(z.shape + (3,), dtype=np.uint8)
+    nan = np.isnan(z)
+    zc = np.where(nan, xs[0], z)
+    for ch in range(3):
+        ys = np.array([c[1 + ch] for c in ramp], dtype=np.float64)
+        v = np.interp(zc, xs, ys)  # clamps outside the ramp
+        out[:, :, ch] = np.where(nan, 0, np.clip(np.round(v), 0, 255)).astype(
+            np.uint8
+        )
+    return out
+
+
+def color_relief_images(images: DataFrame, ramp) -> DataFrame:
+    """Per-image color-relief: band 0 -> RGB via the broadcast ramp."""
+    ramp = [tuple(r) for r in ramp]
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if arr.ndim == 3:
+                    arr = arr[:, :, 0]
+                rgb = color_relief_array(arr.astype(np.float64), ramp)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "w": int(rgb.shape[1]), "h": int(rgb.shape[0]),
+                        "bytes": codecs.encode_png(rgb),
+                        "checksum": int(
+                            sum(gdal_checksum(rgb[:, :, c].astype(np.float64))
+                                for c in range(3)) % 65536
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "bytes", "checksum"]
+            )
+
+    return images.mapInPandas(
+        do, schema="image_id string, w int, h int, bytes binary, checksum int"
+    )

@@ -147,3 +147,38 @@ def rgb_to_pct(
     return images.mapInPandas(
         do, schema="image_id string, w int, h int, data binary, checksum int"
     )
+
+
+def pct_to_rgb(index_rasters: DataFrame, palette: np.ndarray) -> DataFrame:
+    """Expand palette-index rasters back to RGB (pct2rgb analog): one
+    fancy-index per image inside an Arrow pass; emits PNG bytes +
+    per-band checksum sum. Inverse of :func:`rgb_to_pct` up to the
+    palette quantization error."""
+    pal = np.asarray(palette, dtype=np.uint8)
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                idx = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+                    int(r.h), int(r.w)
+                )
+                rgb = pal[idx]
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "w": int(r.w), "h": int(r.h),
+                        "bytes": codecs.encode_png(rgb),
+                        "checksum": int(
+                            sum(gdal_checksum(rgb[:, :, c].astype(np.float64))
+                                for c in range(3)) % 65536
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "bytes", "checksum"]
+            )
+
+    return index_rasters.mapInPandas(
+        do, schema="image_id string, w int, h int, bytes binary, checksum int"
+    )

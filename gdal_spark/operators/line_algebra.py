@@ -25,6 +25,15 @@ overlapping method features cost an OR, not a boolean op.
 The per-pair splitting kernel is O(segments x ring edges) with full numpy
 broadcasting (no Python loop over edges), bounded per task by the
 candidate-pair grouping.
+
+Skew bound: the grouped clip/erase collect_lists one input line's
+candidate method geometries into a single task (like OGR, which
+accumulates the method layer per input feature). A line crossing 1e5+
+method features would need the chunked interval-merge generalization
+(per-chunk clip -> distributed interval union); the candidate count is
+bounded by pair_candidates' hot-cell salting in practice, and the
+polygon-side analog (_grouped_op's tree-reduce) shows the recipe if a
+workload ever hits it.
 """
 
 from __future__ import annotations

@@ -233,14 +233,17 @@ def _decode_rgb_alpha(raw: bytes, fmt: str):
 def _fragment_row(r, z, tx, ty, tile, alpha):
     # PNG, not raw: fragments cross a shuffle + a sort-based group
     # iterator + an Arrow->pandas conversion — payload size IS the cost
-    # there (level-1 zlib: ~10x smaller, ~1ms each way)
+    # there (level-1 zlib: ~10x smaller, ~1ms each way). Fully-opaque
+    # fragments (the common case: image covers the whole tile) ship an
+    # EMPTY alpha instead of a constant-255 PNG — skips one encode here
+    # and one decode in compose.
     return {
         "z": int(z),
         "tx": int(tx),
         "ty": int(ty),
         "image_id": r.image_id,
         "px": codecs.encode_png(tile, level=1),
-        "alpha": codecs.encode_png(alpha, level=1),
+        "alpha": b"" if alpha.min() == 255 else codecs.encode_png(alpha, level=1),
         "c": int(tile.shape[2]),
     }
 
@@ -307,15 +310,22 @@ def _compose_group(pdf, tile_size: int):
             tile = tile[:, :, None]
         if tile.shape[2] < c:  # gray fragment into RGB mosaic: replicate
             tile = np.repeat(tile[:, :, :1], c, axis=2)
-        fa = codecs.decode_png(bytes(r.alpha))
-        if fa.ndim == 3:
-            fa = fa[:, :, 0]
-        m = fa > 0
-        buf[m] = tile[m]
-        alpha[m] = 255
+        ab = bytes(r.alpha)
+        if len(ab) == 0:  # fully-opaque fragment marker
+            buf[:, :, :] = tile
+            alpha[:, :] = 255
+        else:
+            fa = codecs.decode_png(ab)
+            if fa.ndim == 3:
+                fa = fa[:, :, 0]
+            m = fa > 0
+            buf[m] = tile[m]
+            alpha[m] = 255
         src_ids.append(r.image_id)
     rgba = np.dstack([buf, alpha])
-    png = codecs.encode_png(rgba)
+    # level 3: ~2x faster than the zlib default for ~2% larger tiles
+    # (150 -> 154 KB measured on a photographic tile)
+    png = codecs.encode_png(rgba, level=3)
     sums = image_checksums(rgba)
     return pd.DataFrame(
         [
@@ -387,7 +397,7 @@ def _overview_group(pdf, tile_size: int):
     tile = np.clip(np.round(down), 0, 255).astype(np.uint8)
     # re-binarize alpha after averaging
     tile[:, :, 3] = np.where(tile[:, :, 3] >= 128, 255, 0)
-    png = codecs.encode_png(tile)
+    png = codecs.encode_png(tile, level=3)
     sums = image_checksums(tile)
     return pd.DataFrame(
         [

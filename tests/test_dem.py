@@ -74,3 +74,36 @@ class TestDemTiles:
                 got[t.tile_y * 16 : t.tile_y * 16 + 16, t.tile_x * 16 : t.tile_x * 16 + 16] = sub
             local = np.nan_to_num(dem_array(z, kind), nan=-9999.0)
             np.testing.assert_allclose(got, local, atol=1e-9, err_msg=kind)
+
+
+class TestColorRelief:
+    """gdaldem color-relief (ColorAssociation interpolation,
+    apps/gdaldem_lib.cpp)."""
+
+    def test_kernel_interpolation_and_clamps(self):
+        from gdal_spark.operators.dem import color_relief_array
+
+        ramp = [(0, 0, 0, 255), (100, 0, 255, 0), (200, 255, 0, 0)]
+        band = np.array([[-50.0, 0.0, 50.0], [100.0, 150.0, 250.0]])
+        rgb = color_relief_array(band, ramp)
+        assert rgb.shape == (2, 3, 3) and rgb.dtype == np.uint8
+        assert tuple(rgb[0, 0]) == (0, 0, 255)  # below ramp clamps to first
+        assert tuple(rgb[1, 2]) == (255, 0, 0)  # above ramp clamps to last
+        assert tuple(rgb[1, 0]) == (0, 255, 0)  # exact ramp point
+        exp = int(np.round(np.interp(50.0, [0, 100, 200], [0, 255, 0])))
+        assert rgb[0, 2, 1] == exp  # linear interpolation
+        nanband = np.array([[np.nan]])
+        assert tuple(color_relief_array(nanband, ramp)[0, 0]) == (0, 0, 0)
+
+    def test_images_pipeline(self, spark):
+        from gdal_spark import codecs
+        from gdal_spark.operators.dem import color_relief_array, color_relief_images
+
+        z = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+        row = ("c1", bytearray(codecs.encode_png(z)), "png")
+        df = spark.createDataFrame([row], "image_id string, bytes binary, fmt string")
+        ramp = [(0, 0, 0, 255), (128, 0, 255, 0), (255, 255, 0, 0)]
+        out = color_relief_images(df, ramp).collect()
+        assert len(out) == 1
+        rgb = codecs.decode_png(bytes(out[0]["bytes"]))
+        np.testing.assert_array_equal(rgb, color_relief_array(z.astype(float), ramp))

@@ -67,3 +67,24 @@ class TestDither:
         for r in out:
             idx = np.frombuffer(bytes(r.data), dtype=np.uint8)
             assert idx.max() < len(pal)
+
+
+class TestPctToRgb:
+    def test_roundtrip_exact_palette(self, spark):
+        """pct2rgb(rgb2pct(img)) == img when the image's colors all sit
+        exactly on the palette."""
+        from gdal_spark import codecs
+        from gdal_spark.operators.dither import pct_to_rgb
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+        )
+        idx_img = np.tile(np.arange(4, dtype=np.uint8), (8, 4))[:8, :16]
+        rgb_in = pal[idx_img]
+        row = ("p1", bytearray(codecs.encode_png(rgb_in)), "png")
+        df = spark.createDataFrame([row], "image_id string, bytes binary, fmt string")
+        quant = rgb_to_pct(df, pal, dither=False)
+        back = pct_to_rgb(quant, pal).collect()
+        assert len(back) == 1
+        out = codecs.decode_png(bytes(back[0]["bytes"]))
+        np.testing.assert_array_equal(out, rgb_in)
