@@ -162,3 +162,69 @@ def pixel_calc_images(images, func: str = "sqrt", scale: float = 1.0, offset: fl
             yield pd.DataFrame(rows)
 
     return images.mapInPandas(do, schema=IMAGE_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# nearblack (apps/nearblack_lib.cpp): collapse near-black/near-white
+# collar pixels scanned inward from the raster edges
+# ---------------------------------------------------------------------------
+
+
+def nearblack_mask(arr: np.ndarray, near: int = 15, white: bool = False) -> np.ndarray:
+    """Boolean mask of the edge collar: pixels within ``near`` of
+    black (or white) reachable from any raster edge by a straight
+    horizontal or vertical run of near-target pixels — the four
+    line-scan passes of nearblack_lib.cpp (it processes each line
+    from both ends, then each column)."""
+    c3 = arr[:, :, :3] if arr.ndim == 3 else arr[:, :, None]
+    target = 255 if white else 0
+    nb = (np.abs(c3.astype(np.int64) - target) <= near).all(axis=2)
+    h, w = nb.shape
+    mask = np.zeros((h, w), dtype=bool)
+    cols = np.arange(w)
+    rows = np.arange(h)
+    # left/right scans: leading run of near-target per row
+    first = np.where(nb.all(axis=1), w, np.argmin(nb, axis=1))
+    mask |= cols[None, :] < first[:, None]
+    last = np.where(nb.all(axis=1), 0, w - np.argmin(nb[:, ::-1], axis=1))
+    mask |= cols[None, :] >= last[:, None]
+    # top/bottom scans per column
+    firstc = np.where(nb.all(axis=0), h, np.argmin(nb, axis=0))
+    mask |= rows[:, None] < firstc[None, :]
+    lastc = np.where(nb.all(axis=0), 0, h - np.argmin(nb[::-1, :], axis=0))
+    mask |= rows[:, None] >= lastc[None, :]
+    return mask
+
+
+def nearblack_images(images, near: int = 15, white: bool = False):
+    """Per-image nearblack: collar pixels collapse to exact black/white
+    and the emitted alpha zeroes them (the -setalpha behavior). Output:
+    image_id, cleaned PNG (RGBA), n_collar, checksum."""
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                rgb = arr[:, :, :3].copy()
+                m = nearblack_mask(rgb, near=near, white=white)
+                rgb[m] = 255 if white else 0
+                alpha = np.where(m, 0, 255).astype(np.uint8)
+                rgba = np.dstack([rgb, alpha])
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": codecs.encode_png(rgba),
+                        "n_collar": int(m.sum()),
+                        "checksum": int(image_checksums(rgba)[0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "n_collar", "checksum"]
+            )
+
+    return images.mapInPandas(
+        do, schema="image_id string, bytes binary, n_collar long, checksum int"
+    )

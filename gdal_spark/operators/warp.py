@@ -196,6 +196,7 @@ def warp_images(
     dst_srid: int,
     resampling: str = "near",
     out_fmt: str | None = None,
+    cutline_wkb: bytes | None = None,
 ):
     """DataFrame operator: reproject every image row to ``dst_srid``.
 
@@ -205,12 +206,26 @@ def warp_images(
     this a single narrow stage, which is exactly the per-chunk parallelism
     of ChunkAndWarpImage (alg/gdalwarpoperation.cpp:1019) with executors
     in place of chunk threads.
+
+    ``cutline_wkb``: optional (multi)polygon in DESTINATION CRS
+    coordinates (gdalwarp -cutline semantics, apps/gdalwarp_lib.cpp
+    cutline -> validity-mask path): output pixels whose centers fall
+    outside the cutline are zeroed. The geometry ships in the task
+    closure; the per-image mask is the engine's own scanline fill.
     """
     import pandas as pd
 
     from ..fixtures import footprint_meters
 
+    cut_polys = None
+    if cutline_wkb is not None:
+        from .. import geom as _geom
+
+        cut_polys = _geom.parse_wkb(bytes(cutline_wkb)).polygons()
+
     def do(batches):
+        from .rasterize import fill_spans
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -223,6 +238,17 @@ def warp_images(
                     src, gt, r.srid, (out_h, out_w), dst_gt, dst_srid, resampling
                 )
                 arr = np.clip(np.round(out), 0, 255).astype(np.uint8)
+                if cut_polys is not None:
+                    inv = invert_gt(dst_gt)
+                    rings_px = [
+                        np.stack(apply_gt(inv, rg[:, 0], rg[:, 1]), axis=1)
+                        for poly in cut_polys
+                        for rg in poly
+                    ]
+                    inside = fill_spans(rings_px, out_h, out_w)
+                    arr = np.where(
+                        inside[:, :, None] if arr.ndim == 3 else inside, arr, 0
+                    )
                 fmt = out_fmt or r.fmt
                 if fmt == "jpg" and arr.ndim == 3 and arr.shape[2] == 4:
                     arr = arr[:, :, :3]

@@ -191,3 +191,30 @@ class TestAllTouched:
 
         m = touched_cells([np.array([[0.5, 0.5], [3.5, 3.5], [0.5, 0.5]])], 4, 4)
         assert m[0, 0] and m[1, 1] and m[2, 2] and m[3, 3]
+
+
+class TestNearblack:
+    def test_mask_kernel(self):
+        from gdal_spark.operators.stats import nearblack_mask
+
+        img = np.full((8, 10, 3), 200, np.uint8)
+        img[:, :2] = 3   # left collar
+        img[0, :] = 5    # top row
+        img[4, 5] = 0    # interior island must NOT join the collar
+        m = nearblack_mask(img, near=15)
+        assert m[:, :2].all() and m[0, :].all()
+        assert not m[4, 5] and not m[3, 4]
+
+    def test_images_pipeline(self, spark):
+        from gdal_spark import codecs
+        from gdal_spark.operators.stats import nearblack_images
+
+        img = np.full((16, 16, 3), 180, np.uint8)
+        img[:, :3] = 2
+        row = ("n1", bytearray(codecs.encode_png(img)), "png")
+        df = spark.createDataFrame([row], "image_id string, bytes binary, fmt string")
+        out = nearblack_images(df).collect()
+        assert len(out) == 1 and out[0]["n_collar"] == 16 * 3
+        rgba = codecs.decode_png(bytes(out[0]["bytes"]))
+        assert (rgba[:, :3, 3] == 0).all() and (rgba[:, 3:, 3] == 255).all()
+        assert (rgba[:, :3, :3] == 0).all()

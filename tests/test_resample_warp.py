@@ -285,3 +285,36 @@ class TestPansharpen:
         assert (r.w, r.h) == (16, 16)
         arr = C.decode_image(bytes(r.bytes), r.fmt)
         assert arr.shape == (16, 16, 3)
+
+
+class TestCutlineWarp:
+    def test_cutline_zeroes_outside(self, spark):
+        """gdalwarp -cutline: identity-CRS warp with a rectangle cutline
+        covering the left half — right-half pixels must be zero, left
+        half must match the no-cutline warp exactly."""
+        import numpy as np
+
+        from gdal_spark import codecs as C
+        from gdal_spark import geom as G
+        from gdal_spark.operators.warp import warp_images
+
+        arr = np.tile(np.arange(64, dtype=np.uint8) * 3 + 10, (64, 1))
+        gt = (1000.0, 10.0, 0.0, 2000.0, 0.0, -10.0)
+        row = ("c1", bytearray(C.encode_png(arr)), 64, 64, "png", "cap", 0,
+               *gt, 3857, 1000.0, 2000.0 - 640.0, 1000.0 + 640.0, 2000.0)
+        sch = ("image_id string, bytes binary, w int, h int, fmt string, "
+               "caption string, phash long, gt0 double, gt1 double, gt2 double, "
+               "gt3 double, gt4 double, gt5 double, srid int, minx double, "
+               "miny double, maxx double, maxy double")
+        df = spark.createDataFrame([row], sch)
+        # left half of the footprint, generous y-range
+        cut = G.wkb_rect(990.0, 1200.0, 1000.0 + 320.0, 2100.0)
+        plain = warp_images(df, 3857, resampling="near").collect()[0]
+        cutr = warp_images(df, 3857, resampling="near", cutline_wkb=cut).collect()[0]
+        a0 = C.decode_image(bytes(plain.bytes), plain.fmt)
+        a1 = C.decode_image(bytes(cutr.bytes), cutr.fmt)
+        assert a0.shape == a1.shape
+        h, w = a0.shape[:2]
+        np.testing.assert_array_equal(a1[:, : w // 2], a0[:, : w // 2])
+        assert (a1[:, w // 2 + 1 :] == 0).all()
+        assert (a0[:, w // 2 + 1 :] != 0).any()

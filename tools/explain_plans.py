@@ -174,6 +174,40 @@ def main():
         out,
     )
 
+    # 9. line algebra clip: the same salted cell equi-join feeding ONE
+    # grouped pandas pass — no cartesian, no Python before the join
+    import numpy as np
+
+    from gdal_spark.operators.line_algebra import line_layer_clip
+
+    ldf = spark.createDataFrame(
+        [
+            (
+                1,
+                bytearray(
+                    G.wkb_linestring(np.array([(0.0, 0.0), (50.0, 50.0)]))
+                ),
+                0.0, 0.0, 50.0, 50.0,
+            )
+        ],
+        "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+    )
+    lc = line_layer_clip(ldf, fdf)
+    audit(
+        "line_algebra_clip",
+        lc,
+        [
+            ("equi_join_on_cell",
+             lambda p: re.search(
+                 r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p
+             ) is not None and "cell#" in p),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            # grouped collect_list agg feeding one Arrow pass
+            ("agg_then_arrow", r"HashAggregate[\s\S]*MapInPandas|ObjectHashAggregate[\s\S]*MapInPandas"),
+        ],
+        out,
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
