@@ -272,6 +272,13 @@ def minhash_lsh_pairs(
     # 1. signature-agreement estimate (64 longs per side, cheap zip_with)
     #    culls the LSH false positives with a safety margin,
     # 2. exact shingle Jaccard only on the survivors.
+    # The verify joins attach per-doc arrays to CANDIDATE PAIRS, and the
+    # verify stage dominates this query's wall time when the corpus has
+    # large near-dup clusters (pairs are quadratic in cluster size; at
+    # sf0.1 ~772k pairs survive the est prefilter for 256 final pairs).
+    # NOTE: an explicit broadcast hint on the doc side was A/B-measured
+    # SLOWER than letting Catalyst/AQE choose (20-25s vs 15.5s at sf0.1,
+    # interleaved runs) — leave join selection to the optimizer.
     sig = mh
     est = (
         cands.join(sig.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
