@@ -2077,6 +2077,139 @@ def q_jpeg_decode_checksums_sql():
     )
 
 
+_CR_RAMP = ((0.0, 0, 0, 255), (100.0, 0, 255, 0), (200.0, 255, 128, 0), (255.0, 255, 255, 255))
+
+
+def _relief_band(k: int):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    return ((xx * (3 + k % 5) + yy * (2 + k % 3) + k * 7) % 256).astype(np.float64)
+
+
+def _local_color_relief_rows():
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.operators.dem import color_relief_array
+
+    rows = []
+    for k in range(1, 33):
+        rgb = color_relief_array(_relief_band(k), _CR_RAMP)
+        sums = image_checksums(rgb)
+        rows.append((k, sums[0], sums[1], sums[2]))
+    return rows
+
+
+def q_color_relief_checksums(spark, sf_dir):
+    """Distributed gdaldem color-relief (ramp interpolation,
+    apps/gdaldem_lib.cpp ColorAssociation) over part-key-derived
+    elevation bands; per-band GDAL checksums vs the local kernel."""
+    from gdal_spark import codecs
+
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_partkey") >= 1) & (F.col("p_partkey") <= 32)
+    ).select(F.col("p_partkey").alias("k"))
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                k = int(k)
+                band = _relief_band(k).astype(np.uint8)
+                rows.append((k, codecs.encode_png(band), "png"))
+            yield pd.DataFrame(rows, columns=["k", "bytes", "fmt"])
+
+    imgs = p.mapInPandas(fn, schema="k long, bytes binary, fmt string").withColumn(
+        "image_id", F.col("k").cast("string")
+    )
+    from gdal_spark.operators.dem import color_relief_images
+
+    out = color_relief_images(imgs, _CR_RAMP)
+
+    def sums(batches):
+        from gdal_spark.checksum import image_checksums
+        from gdal_spark.codecs import decode_png
+
+        for pdf in batches:
+            rows = []
+            for iid, b in zip(pdf["image_id"], pdf["bytes"]):
+                rgb = decode_png(bytes(b))
+                s = image_checksums(rgb)
+                rows.append((int(iid), s[0], s[1], s[2]))
+            yield pd.DataFrame(rows, columns=["k", "cs_r", "cs_g", "cs_b"])
+
+    return out.mapInPandas(
+        sums, schema="k long, cs_r int, cs_g int, cs_b int"
+    ).orderBy("k")
+
+
+def q_color_relief_checksums_sql():
+    return _vals_sql(
+        _local_color_relief_rows(), ["k", "cs_r", "cs_g", "cs_b"], "k"
+    )
+
+
+def _nearblack_image(k: int):
+    import numpy as np
+
+    img = np.full((20, 26, 3), 120 + (k % 50), dtype=np.uint8)
+    img[:, : 1 + k % 4] = k % 8           # left collar, near-black
+    img[: 1 + k % 3, :] = (k * 3) % 10    # top collar
+    img[10, 13] = 0                       # interior island — must survive
+    return img
+
+
+def _local_nearblack_rows():
+    import numpy as np
+
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.operators.stats import nearblack_mask
+
+    rows = []
+    for k in range(1, 33):
+        img = _nearblack_image(k)
+        m = nearblack_mask(img, near=15)
+        rgb = img.copy()
+        rgb[m] = 0
+        alpha = np.where(m, 0, 255).astype(np.uint8)
+        rgba = np.dstack([rgb, alpha])
+        rows.append((k, int(m.sum()), image_checksums(rgba)[0]))
+    return rows
+
+
+def q_nearblack_collars(spark, sf_dir):
+    """Distributed nearblack (apps/nearblack_lib.cpp line scans) over
+    part-key-derived collared images: collar pixel count + checksum of
+    the cleaned RGBA vs the local kernel. Interior near-black islands
+    must NOT join the collar."""
+    from gdal_spark import codecs
+
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_partkey") >= 1) & (F.col("p_partkey") <= 32)
+    ).select(F.col("p_partkey").alias("k"))
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                k = int(k)
+                rows.append((str(k), codecs.encode_png(_nearblack_image(k)), "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    imgs = p.mapInPandas(fn, schema="image_id string, bytes binary, fmt string")
+    from gdal_spark.operators.stats import nearblack_images
+
+    out = nearblack_images(imgs, near=15)
+    return out.select(
+        F.col("image_id").cast("long").alias("k"), "n_collar", "checksum"
+    ).orderBy("k")
+
+
+def q_nearblack_collars_sql():
+    return _vals_sql(_local_nearblack_rows(), ["k", "n_collar", "checksum"], "k")
+
+
 # ===========================================================================
 # contract
 # ===========================================================================
@@ -2175,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "jpeg_decode_checksums": q_jpeg_decode_checksums,
         "line_clip_lengths": q_line_clip_lengths,
+        "color_relief_checksums": q_color_relief_checksums,
+        "nearblack_collars": q_nearblack_collars,
     }
 
 
@@ -2195,6 +2330,8 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup": q_phash_neardup_sql(),
         "jpeg_decode_checksums": q_jpeg_decode_checksums_sql(),
         "line_clip_lengths": q_line_clip_lengths_sql(),
+        "color_relief_checksums": q_color_relief_checksums_sql(),
+        "nearblack_collars": q_nearblack_collars_sql(),
         "simhash_pairs": q_simhash_pairs_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),
