@@ -2077,6 +2077,43 @@ def q_jpeg_decode_checksums_sql():
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-pair graph -> duplicate CLUSTERS via distributed
+    connected components (dedup.dup_clusters reusing polygonize's
+    min-label propagation): one row per doc in any exact-Jaccard>=0.5
+    pair, with the component-min cluster id and the canonical keep flag.
+    Oracle: the SAME pair derivation in SQL + a recursive-CTE transitive
+    closure — fully independent of the Spark label-propagation loop."""
+    from gdal_spark.functions.dedup import dup_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, k=5)
+    return dup_clusters(pairs).orderBy("id")
+
+
+def q_dup_clusters_sql():
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return (
+        f"WITH RECURSIVE t AS (SELECT doc_id, {norm} AS s FROM documents), "
+        "idx AS (SELECT unnest(range(1, 20001)) AS i), "
+        "sh AS (SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g "
+        "FROM t JOIN idx ON i <= greatest(length(s) - 4, 1)), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni "
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "prs AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+        "WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5), "
+        "nodes AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM prs "
+        "UNION ALL SELECT id_b AS a, id_a AS b FROM prs), "
+        "reach(id, lab) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id) "
+        "SELECT id, min(lab) AS cluster, (id = min(lab)) AS keep "
+        "FROM reach GROUP BY id ORDER BY id"
+    )
+
+
 _CR_RAMP = ((0.0, 0, 0, 255), (100.0, 0, 255, 0), (200.0, 255, 128, 0), (255.0, 255, 255, 255))
 
 
@@ -2310,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_clip_lengths": q_line_clip_lengths,
         "color_relief_checksums": q_color_relief_checksums,
         "nearblack_collars": q_nearblack_collars,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -2332,6 +2370,7 @@ def oracle_sql() -> dict[str, str]:
         "line_clip_lengths": q_line_clip_lengths_sql(),
         "color_relief_checksums": q_color_relief_checksums_sql(),
         "nearblack_collars": q_nearblack_collars_sql(),
+        "dup_clusters": q_dup_clusters_sql(),
         "simhash_pairs": q_simhash_pairs_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),

@@ -569,3 +569,25 @@ def _with_cosine(pairs: DataFrame) -> DataFrame:
         )
     )
     return pairs.withColumn("cosine", dot / (na * nb))
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: distributed
+    connected components over the pair graph (reuses the min-label
+    propagation + pointer doubling of operators.polygonize.cc_labels —
+    nothing proportional to the edge count touches the driver). Output:
+    one row per doc that appears in any pair — (id, cluster, keep) where
+    cluster is the component-minimum doc id and keep marks the canonical
+    representative. Docs in no pair are implicitly kept (left-anti join
+    this table to drop duplicates from the corpus)."""
+    from ..operators.polygonize import cc_labels
+
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("key"), F.col(id_b).cast("long").alias("key_b")
+    )
+    labels = cc_labels(edges)
+    return labels.select(
+        F.col("key").alias("id"),
+        F.col("gkey0").alias("cluster"),
+        (F.col("key") == F.col("gkey0")).alias("keep"),
+    )

@@ -454,3 +454,29 @@ class TestIvfTopk:
         c2 = train_ivf_centroids(df, n_lists=8)
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+class TestDupClusters:
+    def test_matches_union_find(self, spark):
+        """Distributed CC over a pair graph with chains, stars and
+        singletons-by-absence vs a driver union-find."""
+        from gdal_spark.functions.dedup import dup_clusters
+
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22),
+                 (22, 20), (30, 31), (5, 40), (40, 6)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: (r["cluster"], r["keep"]) for r in dup_clusters(df).collect()}
+
+        parent = {}
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for e in edges for n in e}
+        expect = {n: (find(n), n == find(n)) for n in nodes}
+        assert got == expect
