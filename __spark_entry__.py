@@ -2077,6 +2077,29 @@ def q_jpeg_decode_checksums_sql():
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k with ZERO-quantization-error
+    codebooks (every distinct subvector is its own centroid), which makes
+    the ADC scores exact cosines — the same oracle trick as ivf_topk's
+    exhaustive probing. Production codebooks come from per-subspace
+    k-means (train_pq_codebooks; m bytes per vector instead of d floats);
+    the lossy path is recall-gated in tests."""
+    from gdal_spark.functions.simsearch import exact_pq_codebooks, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.where(F.col("vec_id") < 4).select("vec_id", "embedding")
+    queries = [(int(r[0]), [float(v) for v in r[1]]) for r in qdf.collect()]
+    books = exact_pq_codebooks(e, m=8)
+    out = pq_topk(e, queries, k=5, codebooks=books)
+    return out.select(
+        "qid", "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy("qid", F.col("cosine").desc(), "vec_id")
+
+
+def q_pq_topk_sql():
+    return q_cosine_topk_sql()
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-pair graph -> duplicate CLUSTERS via distributed
     connected components (dedup.dup_clusters reusing polygonize's
@@ -2348,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief_checksums": q_color_relief_checksums,
         "nearblack_collars": q_nearblack_collars,
         "dup_clusters": q_dup_clusters,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -2371,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
         "color_relief_checksums": q_color_relief_checksums_sql(),
         "nearblack_collars": q_nearblack_collars_sql(),
         "dup_clusters": q_dup_clusters_sql(),
+        "pq_topk": q_pq_topk_sql(),
         "simhash_pairs": q_simhash_pairs_sql(),
         "where_like_between": q_where_like_between_sql(),
         "first_match_left_join": q_first_match_left_join_sql(),

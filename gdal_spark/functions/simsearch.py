@@ -266,3 +266,135 @@ def lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN (ADC scan)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample: int = 4096,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means codebooks (the standard PQ training
+    recipe: bounded driver-side sample, distributed encoding). Vectors
+    are L2-normalized first so ADC inner products are cosines. Returns
+    (m, 2^nbits, dim/m)."""
+    k = 1 << nbits
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.zeros((m, k, dsub))
+    for sub in range(m):
+        S = X[:, sub * dsub : (sub + 1) * dsub]
+        # k-means++ init (L2)
+        cents = [S[rng.integers(n)]]
+        for _ in range(k - 1):
+            d2 = np.min(
+                ((S[:, None, :] - np.stack(cents)[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            s = d2.sum()
+            p = d2 / s if s > 0 else np.full(n, 1.0 / n)
+            cents.append(S[rng.choice(n, p=p)])
+        C = np.stack(cents)
+        for _ in range(iters):
+            a = np.argmin(((S[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+            for j in range(k):
+                msk = a == j
+                if msk.any():
+                    C[j] = S[msk].mean(axis=0)
+        books[sub] = C
+    return books
+
+
+def exact_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding", m: int = 8):
+    """ORACLE-GATED variant: codebooks = every distinct subvector of the
+    (normalized) corpus, so quantization error is exactly zero and
+    pq_topk == cosine_topk bit-for-bit in score space. Collects the
+    corpus — small-SF correctness harness only, never the scale path."""
+    rows = corpus.select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    dsub = d // m
+    books = []
+    for sub in range(m):
+        books.append(np.unique(X[:, sub * dsub : (sub + 1) * dsub], axis=0))
+    kmax = max(len(b) for b in books)
+    out = np.zeros((m, kmax, dsub))
+    for sub, b in enumerate(books):
+        out[sub, : len(b)] = b
+        out[sub, len(b) :] = b[-1]  # pad with copies (never argmin-unique)
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ + ADC top-k: corpus vectors encode to m uint codes (one Arrow
+    pass, one argmin-matmul per subspace — the stored corpus shrinks from
+    d floats to m bytes per row, the 10^12-scale memory path); each query
+    precomputes an (m, k) inner-product lookup table against the
+    codebooks, and scoring is m LUT gathers + a sum per corpus row. The
+    same map-side partial top-k as cosine_topk carries only k*nq rows to
+    the driver. With exact_pq_codebooks the ADC scores equal exact
+    cosines (zero quantization error) — the oracle setting."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col, m, nbits, seed=seed)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m_, kk, dsub = B.shape
+
+    Q = np.array([q[1] for q in queries], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    # per-query ADC tables: lut[qi, sub, code] = q_sub . c_code
+    lut = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), m_, dsub), B)
+
+    topk_schema = "qid long, vec_id long, cosine double"
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            # encode: per subspace argmin ||x - c||^2 = argmax(x.c - |c|^2/2)
+            codes = np.empty((len(Mn), m_), dtype=np.int64)
+            for sub in range(m_):
+                S = Mn[:, sub * dsub : (sub + 1) * dsub]
+                d2 = (S[:, None, :] - B[sub][None, :, :]) ** 2
+                codes[:, sub] = np.argmin(d2.sum(-1), axis=1)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = []
+            subs = np.arange(m_)
+            for qi in range(len(qids)):
+                sims = lut[qi][subs[None, :], codes].sum(axis=1)
+                take = min(k, len(sims))
+                part = np.argpartition(-sims, take - 1)[:take]
+                for j in part:
+                    rows.append((int(qids[qi]), int(ids[j]), float(sims[j])))
+            yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(scan, schema=topk_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return partial.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -480,3 +480,63 @@ class TestDupClusters:
         nodes = {n for e in edges for n in e}
         expect = {n: (find(n), n == find(n)) for n in nodes}
         assert got == expect
+
+
+class TestPqTopk:
+    """Product quantization: exact codebooks reproduce brute force
+    (zero quantization error); k-means codebooks trade recall for a
+    d-floats -> m-bytes corpus (the 10^12-scale memory path)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(v) for v in rng.standard_normal(32)]) for i in range(300)
+        ]
+        return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_exact_codebooks_equal_bruteforce(self, spark, corpus):
+        from gdal_spark.functions.simsearch import (
+            cosine_topk,
+            exact_pq_codebooks,
+            pq_topk,
+        )
+
+        rows, df = corpus
+        queries = [(i, rows[i][1]) for i in range(3)]
+        brute = {(r.qid, r.rank): r.vec_id for r in cosine_topk(df, queries, k=5).collect()}
+        books = exact_pq_codebooks(df, m=8)
+        pq = {(r.qid, r.rank): r.vec_id for r in pq_topk(
+            df, queries, k=5, codebooks=books
+        ).collect()}
+        assert pq == brute
+
+    def test_kmeans_codebooks_recall(self, spark, corpus):
+        from gdal_spark.functions.simsearch import (
+            cosine_topk,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        rows, df = corpus
+        queries = [(i, rows[i][1]) for i in range(4)]
+        truth = {(r.qid, r.vec_id) for r in cosine_topk(df, queries, k=5).collect()}
+        books = train_pq_codebooks(df, m=16, nbits=6, iters=10)
+        assert books.shape == (16, 64, 2)
+        got = {(r.qid, r.vec_id) for r in pq_topk(
+            df, queries, k=5, codebooks=books
+        ).collect()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.5, recall
+
+    def test_codebooks_deterministic(self, spark, corpus):
+        import numpy as np
+
+        from gdal_spark.functions.simsearch import train_pq_codebooks
+
+        _rows, df = corpus
+        b1 = train_pq_codebooks(df, m=8, nbits=4, iters=5)
+        b2 = train_pq_codebooks(df, m=8, nbits=4, iters=5)
+        np.testing.assert_array_equal(b1, b2)
