@@ -566,6 +566,74 @@ def q_lcc_forward_sql():
     )
 
 
+def q_aea_forward(spark, sf_dir):
+    """Albers Equal-Area Conic forward (EPSG:5070 Conus Albers,
+    gdal_spark.proj.AEA — Snyder PP-1395 / EPSG method 9822) of
+    customer-derived points over CONUS, checked against a FULLY
+    INDEPENDENT re-derivation in DuckDB SQL that computes e, m1, m2,
+    q1, q2, q0, n, C, rho0 from the raw EPSG parameters. Rounded to mm."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.proj import lonlat_to_aea
+
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = (k * 7 % 4500) / 100.0 - 120.0
+            lat = (k * 13 % 2400) / 100.0 + 25.0
+            e, n = lonlat_to_aea(lon, lat, 5070)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "easting": np.round(e, 3),
+                    "northing": np.round(n, 3),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, easting double, northing double"
+    ).orderBy("pid")
+
+
+def q_aea_forward_sql():
+    # EPSG:5070 registry parameters (GRS80) — the ONLY shared inputs;
+    # e, m1, m2, q1, q2, q0, n, C, rho0 are all re-derived inside SQL.
+    # Authalic q (Snyder 3-12) and parallel radius m (14-15):
+    q_of = (
+        "(1.0 - e * e) * (sin({phi}) / (1.0 - e * e * sin({phi}) * sin({phi})) "
+        "- (1.0 / (2.0 * e)) * ln((1.0 - e * sin({phi})) / (1.0 + e * sin({phi}))))"
+    )
+    m_of = "cos({phi}) / sqrt(1.0 - e * e * sin({phi}) * sin({phi}))"
+    return (
+        "WITH c0 AS (SELECT 6378137.0e0 AS a, 1.0 / 298.257222101e0 AS f, "
+        "radians(29.5) AS p1, radians(45.5) AS p2, radians(23.0) AS p0), "
+        "c1 AS (SELECT a, p1, p2, p0, sqrt(2.0 * f - f * f) AS e FROM c0), "
+        "c2 AS (SELECT a, e, "
+        f"{m_of.format(phi='p1')} AS m1, {m_of.format(phi='p2')} AS m2, "
+        f"{q_of.format(phi='p1')} AS q1, {q_of.format(phi='p2')} AS q2, "
+        f"{q_of.format(phi='p0')} AS q0 FROM c1), "
+        "c3 AS (SELECT a, e, (m1 * m1 - m2 * m2) / (q2 - q1) AS n, "
+        "m1, q1, q0 FROM c2), "
+        "c4 AS (SELECT a, e, n, m1 * m1 + n * q1 AS bigc, q0 FROM c3), "
+        "c5 AS (SELECT a, e, n, bigc, "
+        "a * sqrt(bigc - n * q0) / n AS rho0 FROM c4), "
+        "pts AS (SELECT c_custkey AS pid, "
+        "radians((c_custkey * 7 % 4500) / 100.0 - 120.0 - (-96.0)) AS dlam, "
+        "radians((c_custkey * 13 % 2400) / 100.0 + 25.0) AS phi FROM customer), "
+        "s1 AS (SELECT pid, dlam, "
+        f"a * sqrt(bigc - n * {q_of.format(phi='phi')}) / n AS rho, n, rho0 "
+        "FROM pts, c5), "
+        "s2 AS (SELECT pid, rho * sin(n * dlam) AS dx, "
+        "rho0 - rho * cos(n * dlam) AS dy FROM s1) "
+        "SELECT pid, round(dx, 3) AS easting, "
+        "round(dy, 3) AS northing FROM s2 ORDER BY pid"
+    )
+
+
 def _rect_from_bounds(df):
     """Attach rectangle WKB built executor-side (Arrow-batched) — the
     fixture layers never pass through the driver, so sf10 entry runs
@@ -2327,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_metrics": q_grid_metrics,
         "utm_forward": q_utm_forward,
         "lcc_forward": q_lcc_forward,
+        "aea_forward": q_aea_forward,
         # OGR SQL surface
         "where_like_between": q_where_like_between,
         "first_match_left_join": q_first_match_left_join,
@@ -2389,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
+        "aea_forward": q_aea_forward_sql(),
         "phash_neardup": q_phash_neardup_sql(),
         "jpeg_decode_checksums": q_jpeg_decode_checksums_sql(),
         "line_clip_lengths": q_line_clip_lengths_sql(),

@@ -30,16 +30,20 @@ def geo_transform_points(x, y, src_srid: int, dst_srid: int):
     """Closed-form coordinate transform between EPSG:4326, EPSG:3857,
     the UTM zones EPSG:326xx/327xx (Krueger-series transverse Mercator,
     gdal_spark.proj — sub-mm vs the independent Snyder series) and the
-    Lambert Conformal Conic systems in proj.LCC_PARAMS (2154/3978/3034).
+    Lambert Conformal Conic systems in proj.LCC_PARAMS (2154/3978/3034)
+    and the Albers Equal-Area systems in proj.AEA_PARAMS (5070/3577).
 
     Replaces OGRCreateCoordinateTransformation (ogr/ogrct.cpp:1003-1032)
     for the CRS the engine supports; vectorized. Pairs not involving
     4326 compose through it.
     """
     from ..proj import (
+        aea_to_lonlat,
+        is_aea,
         is_lcc,
         is_utm,
         lcc_to_lonlat,
+        lonlat_to_aea,
         lonlat_to_lcc,
         lonlat_to_utm,
         utm_to_lonlat,
@@ -64,7 +68,12 @@ def geo_transform_points(x, y, src_srid: int, dst_srid: int):
         return lonlat_to_lcc(x, y, dst_srid)
     if is_lcc(src_srid) and dst_srid == 4326:
         return lcc_to_lonlat(x, y, src_srid)
-    if is_utm(src_srid) or is_utm(dst_srid) or is_lcc(src_srid) or is_lcc(dst_srid):
+    if src_srid == 4326 and is_aea(dst_srid):
+        return lonlat_to_aea(x, y, dst_srid)
+    if is_aea(src_srid) and dst_srid == 4326:
+        return aea_to_lonlat(x, y, src_srid)
+    if (is_utm(src_srid) or is_utm(dst_srid) or is_lcc(src_srid)
+            or is_lcc(dst_srid) or is_aea(src_srid) or is_aea(dst_srid)):
         # compose via 4326
         lon, lat = geo_transform_points(x, y, src_srid, 4326)
         return geo_transform_points(lon, lat, 4326, dst_srid)

@@ -186,7 +186,111 @@ class LCC:
         return lon, np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic — EPSG method 9822
+# ---------------------------------------------------------------------------
+# Public formulas: Snyder, "Map Projections — A Working Manual" (USGS
+# Professional Paper 1395, 1987), pp. 98-103 (eqs 14-3..14-12, 3-16),
+# and the EPSG Guidance Note 7-2 restatement. Reference role:
+# ogr/ogrct.cpp -> PROJ ``aea``. Unlike LCC (conformal), AEA preserves
+# area exactly — the natural CRS for zonal-statistics / density work.
+
+
+class AEA:
+    """Ellipsoidal Albers Equal-Area Conic with two standard parallels.
+
+    Parameters are the EPSG 9822 set: ellipsoid (a, 1/f), standard
+    parallels phi1/phi2, latitude/longitude of false origin phi0/lon0,
+    false easting/northing e0/n0 — all angles in degrees.
+    """
+
+    def __init__(self, a, rf, phi1, phi2, phi0, lon0, e0, n0):
+        self.a = float(a)
+        f = 1.0 / float(rf)
+        self.e2 = 2.0 * f - f * f
+        self.e = np.sqrt(self.e2)
+        self.lon0 = float(lon0)
+        self.e0 = float(e0)
+        self.n0 = float(n0)
+        p1, p2, p0 = np.radians([phi1, phi2, phi0])
+        m1, m2 = self._m(p1), self._m(p2)
+        q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)  # Snyder 14-8
+        self.C = m1 * m1 + self.n * q1            # Snyder 14-9
+        self.rho0 = self.a * np.sqrt(self.C - self.n * q0) / self.n  # 14-12a
+
+    def _m(self, phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)  # Snyder 14-15
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * np.log((1.0 - self.e * s) / (1.0 + self.e * s))
+        )  # Snyder 3-12
+
+    def forward(self, lon, lat):
+        """(lon, lat) degrees -> (easting, northing), vectorized."""
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = self.a * np.sqrt(self.C - self.n * self._q(phi)) / self.n  # 14-12
+        theta = self.n * np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        return (
+            self.e0 + rho * np.sin(theta),             # 14-1
+            self.n0 + self.rho0 - rho * np.cos(theta),  # 14-2
+        )
+
+    def inverse(self, easting, northing):
+        """(easting, northing) -> (lon, lat) degrees, vectorized."""
+        x = np.asarray(easting, dtype=np.float64) - self.e0
+        y = self.rho0 - (np.asarray(northing, dtype=np.float64) - self.n0)
+        sgn = np.sign(self.n)
+        rho = sgn * np.hypot(x, y)                     # 14-10
+        theta = np.arctan2(sgn * x, sgn * y)           # 14-11
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n  # 14-19
+        # Snyder 3-16 fixed point for phi from authalic q; quadratic
+        # convergence, 6 rounds is double-precision safe for |phi|<89.
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(6):
+            s = np.sin(phi)
+            es = self.e * s
+            phi = phi + (1.0 - self.e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - self.e2)
+                - s / (1.0 - self.e2 * s * s)
+                + (1.0 / (2.0 * self.e)) * np.log((1.0 - es) / (1.0 + es))
+            )
+        lon = self.lon0 + np.degrees(theta / self.n)
+        return lon, np.degrees(phi)
+
+
 _GRS80_RF = 298.257222101
+
+# EPSG parameter sets (published registry values; GRS80 ellipsoid)
+AEA_PARAMS = {
+    # NAD83 / Conus Albers
+    5070: dict(a=6378137.0, rf=_GRS80_RF, phi1=29.5, phi2=45.5,
+               phi0=23.0, lon0=-96.0, e0=0.0, n0=0.0),
+    # GDA94 / Australian Albers
+    3577: dict(a=6378137.0, rf=_GRS80_RF, phi1=-18.0, phi2=-36.0,
+               phi0=0.0, lon0=132.0, e0=0.0, n0=0.0),
+}
+
+
+def is_aea(srid: int) -> bool:
+    return int(srid) in AEA_PARAMS
+
+
+def _aea(srid: int) -> AEA:
+    return AEA(**AEA_PARAMS[int(srid)])
+
+
+def lonlat_to_aea(lon, lat, srid: int):
+    return _aea(srid).forward(lon, lat)
+
+
+def aea_to_lonlat(easting, northing, srid: int):
+    return _aea(srid).inverse(easting, northing)
 
 # EPSG parameter sets (published registry values; GRS80 ellipsoid)
 LCC_PARAMS = {

@@ -180,3 +180,89 @@ class TestLCC:
         lon, lat = geo_transform_points(mx, my, 3857, 4326)
         assert float(lon[0]) == pytest.approx(2.3522, abs=1e-6)
         assert float(lat[0]) == pytest.approx(48.8566, abs=1e-6)
+
+class TestAEA:
+    """Albers Equal-Area Conic (EPSG 9822; Snyder PP-1395 pp.98-103)."""
+
+    def test_false_origin_maps_to_zero(self):
+        from gdal_spark.proj import lonlat_to_aea
+
+        e, n = lonlat_to_aea(-96.0, 23.0, 5070)   # Conus Albers origin
+        assert abs(float(e)) < 1e-6 and abs(float(n)) < 1e-6
+        e, n = lonlat_to_aea(132.0, 0.0, 3577)    # Australian Albers origin
+        assert abs(float(e)) < 1e-6 and abs(float(n)) < 1e-6
+
+    def test_roundtrip_all_systems(self):
+        from gdal_spark.proj import aea_to_lonlat, lonlat_to_aea
+
+        spans = {5070: (-125, -66, 24, 50), 3577: (110, 155, -45, -9)}
+        for srid, (lo0, lo1, la0, la1) in spans.items():
+            LON, LAT = np.meshgrid(np.linspace(lo0, lo1, 25),
+                                   np.linspace(la0, la1, 25))
+            E, N = lonlat_to_aea(LON, LAT, srid)
+            lon, lat = aea_to_lonlat(E, N, srid)
+            assert np.abs(lon - LON).max() < 1e-9, srid
+            assert np.abs(lat - LAT).max() < 1e-9, srid
+
+    def test_equal_area_property(self):
+        """The defining property: the Jacobian determinant of the
+        forward map equals the ellipsoidal area element M*N*cos(phi)
+        everywhere (not just at the standard parallels) — checked by
+        central finite differences on a CONUS grid."""
+        from gdal_spark.proj import AEA, AEA_PARAMS
+
+        prm = AEA_PARAMS[5070]
+        p = AEA(**prm)
+        e2 = p.e2
+        a = prm["a"]
+        d = 1e-5
+        for lon in (-120.0, -96.0, -75.0):
+            for lat in (26.0, 37.5, 48.0):
+                ex1, nx1 = p.forward(lon - d, lat)
+                ex2, nx2 = p.forward(lon + d, lat)
+                ey1, ny1 = p.forward(lon, lat - d)
+                ey2, ny2 = p.forward(lon, lat + d)
+                dd = np.radians(2 * d)
+                jac = abs(
+                    (ex2 - ex1) * (ny2 - ny1) - (ey2 - ey1) * (nx2 - nx1)
+                ) / (dd * dd)
+                s = np.sin(np.radians(lat))
+                bigm = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+                bign = a / np.sqrt(1 - e2 * s * s)
+                true = bigm * bign * np.cos(np.radians(lat))
+                assert jac == pytest.approx(true, rel=1e-6), (lon, lat)
+
+    def test_unit_scale_along_standard_parallels(self):
+        """k=1 along both standard parallels (29.5N, 45.5N for 5070)."""
+        from gdal_spark.proj import AEA, AEA_PARAMS
+
+        prm = AEA_PARAMS[5070]
+        p = AEA(**prm)
+        e2 = p.e2
+
+        def scale(phi_deg):
+            dl = 1e-4
+            e1, n1 = p.forward(-96.0, phi_deg)
+            e2_, n2 = p.forward(-96.0 + dl, phi_deg)
+            dist = float(np.hypot(e2_ - e1, n2 - n1))
+            s = np.sin(np.radians(phi_deg))
+            nu = prm["a"] / np.sqrt(1 - e2 * s * s)
+            true = np.radians(dl) * nu * np.cos(np.radians(phi_deg))
+            return dist / float(true)
+
+        assert scale(29.5) == pytest.approx(1.0, abs=1e-7)
+        assert scale(45.5) == pytest.approx(1.0, abs=1e-7)
+        assert scale(37.5) < 1.0
+        assert scale(25.0) > 1.0 and scale(49.0) > 1.0
+
+    def test_transform_chain_aea(self):
+        """geo_transform_points composes AEA <-> 3857 via 4326."""
+        from gdal_spark.operators.warp import geo_transform_points
+
+        x, y = geo_transform_points(
+            np.array([-104.99]), np.array([39.74]), 4326, 5070
+        )
+        mx, my = geo_transform_points(x, y, 5070, 3857)
+        lon, lat = geo_transform_points(mx, my, 3857, 4326)
+        assert float(lon[0]) == pytest.approx(-104.99, abs=1e-6)
+        assert float(lat[0]) == pytest.approx(39.74, abs=1e-6)
