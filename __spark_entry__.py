@@ -1198,6 +1198,43 @@ def q_token_count_sql():
     )
 
 
+def q_bm25_rank(spark, sf_dir):
+    """Okapi BM25 relevance of every document to a 5-term keyword query
+    (gdal_spark.functions.rank — one corpus scan, query-term filter
+    under the explode, broadcast term/corpus stats). The DuckDB oracle
+    recomputes BM25 from scratch in SQL with identical tokenization
+    (list_filter(string_split_regex)) and expression association."""
+    from gdal_spark.functions.rank import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    s = bm25_scores(d, ["spark", "join", "window", "hash", "vector"])
+    return s.select(
+        "doc_id", F.round(F.col("bm25"), 4).alias("bm25"), "n_hit_terms"
+    ).orderBy("doc_id")
+
+
+def q_bm25_rank_sql():
+    qterms = "('spark', 'join', 'window', 'hash', 'vector')"
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(coalesce(text, '')), "
+        "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+        "dls AS (SELECT doc_id, len(toks) AS dl, toks FROM base), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls), "
+        "hits AS (SELECT doc_id, dl, t, count(*) AS tf FROM "
+        "(SELECT doc_id, dl, unnest(toks) AS t FROM dls) "
+        f"WHERE t IN {qterms} GROUP BY doc_id, dl, t), "
+        "dft AS (SELECT t, count(*) AS dft FROM hits GROUP BY t), "
+        "scored AS (SELECT h.doc_id, "
+        "ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5)) "
+        "* (h.tf * (1.2 + 1.0)) "
+        "/ (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl)) AS ts "
+        "FROM hits h JOIN dft d USING (t) CROSS JOIN stats s) "
+        "SELECT doc_id, round(sum(ts), 4) AS bm25, "
+        "count(*) AS n_hit_terms FROM scored GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from gdal_spark.functions import text as T
 
@@ -1380,7 +1417,10 @@ def _vals_sql(rows, cols, order_by) -> str:
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, float):
-            return repr(v)
+            # plain decimal literals parse as DECIMAL in DuckDB (last-ulp
+            # drift vs the Python double); a string->DOUBLE cast is a
+            # correctly-rounded strtod, so repr round-trips exactly
+            return f"CAST('{v!r}' AS DOUBLE)"
         return str(int(v))
 
     vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
@@ -1830,6 +1870,50 @@ def q_world_tile_checksums(spark, sf_dir):
     tiles = tile_pyramid(world, 0, 1, resampling="bilinear", persist=False)
     return tiles.select("z", "tx", "ty", "y_xyz", "checksum", "n_src").orderBy(
         "z", "tx", "ty"
+    )
+
+
+def _local_xyz_rows():
+    """Replicate q_raster_xyz in-process with the unit-tested kernel:
+    decode each fixture image, run xyz_array at stride 32."""
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.translate import xyz_array
+
+    rows = []
+    for i in range(4):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        gt = tuple(rec[f"gt{j}"] for j in range(6))
+        px, py, xs, ys, bs, vs = xyz_array(arr, gt, stride=32)
+        rows.extend(
+            (rec["image_id"], int(a), int(b), float(c), float(d), int(e),
+             float(f))
+            for a, b, c, d, e, f in zip(px, py, xs, ys, bs, vs)
+        )
+    rows.sort()
+    return rows
+
+
+def q_raster_xyz(spark, sf_dir):
+    """gdal2xyz: raster -> pixel-center point table (stride 32, all
+    bands) over fixture images; narrow mapInPandas, no shuffle. Oracle
+    = the same unit-tested kernel run in-process (literal VALUES), so
+    the entry verifies the distributed decode + emit plumbing."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    imgs = fixtures.images_df(spark, 4, tier="t2", partitions=2)
+    return raster_to_xyz(imgs, stride=32).orderBy(
+        "image_id", "band", "py", "px"
+    )
+
+
+def q_raster_xyz_sql():
+    return _vals_sql(
+        _local_xyz_rows(),
+        ["image_id", "px", "py", "x", "y", "band", "value"],
+        "image_id, band, py, px",
     )
 
 
@@ -2420,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_lengths": q_contour_lengths,
         # training-data functions
         "token_count": q_token_count,
+        "bm25_rank": q_bm25_rank,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2431,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "world_tile_checksums": q_world_tile_checksums,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
+        "raster_xyz": q_raster_xyz,
         "warp_reproject": q_warp_reproject,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -2483,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_areas": q_simplify_areas_sql(),
         "zonal_stats": q_zonal_stats_sql(),
         "token_count": q_token_count_sql(),
+        "bm25_rank": q_bm25_rank_sql(),
         "text_stats": q_text_stats_sql(),
         "lang_id": q_lang_id_sql(),
         "exact_dup_groups": q_exact_dup_groups_sql(),
@@ -2491,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "world_tile_checksums": q_world_tile_checksums_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
+        "raster_xyz": q_raster_xyz_sql(),
         "warp_reproject": q_warp_reproject_sql(),
         "interpolate_at_points": q_interpolate_at_points_sql(),
         "rasterize_checksums": q_rasterize_checksums_sql(),

@@ -95,6 +95,81 @@ def translate_array(
     return arr[:, :, 0] if arr.shape[2] == 1 else arr
 
 
+def xyz_array(arr: np.ndarray, gt, stride: int = 1, bands=None,
+              skip_value=None):
+    """gdal2xyz kernel: one decoded raster -> pixel-center point rows.
+
+    Returns (px, py, x, y, band, value) numpy columns. Pixel centers per
+    the reference (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py):
+    x = gt0 + (col + 0.5) * gt1 + (row + 0.5) * gt2 (same for y).
+    `stride` subsamples every stride-th pixel in both axes;
+    `skip_value` drops rows whose value equals it (-skipnodata).
+    """
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    bsel = list(range(c)) if bands is None else list(bands)
+    cols = np.arange(0, w, stride)
+    rows = np.arange(0, h, stride)
+    C, R = np.meshgrid(cols, rows)
+    C, R = C.ravel(), R.ravel()
+    x = gt[0] + (C + 0.5) * gt[1] + (R + 0.5) * gt[2]
+    y = gt[3] + (C + 0.5) * gt[4] + (R + 0.5) * gt[5]
+    px = np.tile(C, len(bsel))
+    py = np.tile(R, len(bsel))
+    xs = np.tile(x, len(bsel))
+    ys = np.tile(y, len(bsel))
+    bs = np.repeat(np.array(bsel, dtype=np.int32), len(C))
+    vs = np.concatenate([arr[R, C, b].astype(np.float64) for b in bsel])
+    if skip_value is not None:
+        keep = vs != float(skip_value)
+        px, py, xs, ys, bs, vs = (a[keep] for a in (px, py, xs, ys, bs, vs))
+    return px, py, xs, ys, bs, vs
+
+
+XYZ_SCHEMA = (
+    "image_id string, px int, py int, x double, y double, "
+    "band int, value double"
+)
+
+
+def raster_to_xyz(images, stride: int = 1, bands=None, skip_value=None):
+    """DataFrame operator: raster table -> pixel-center point table
+    (the engine's gdal2xyz). Narrow stage (mapInPandas, no shuffle);
+    output feeds the point-side operators (IDW/kNN/rasterize round
+    trips). Row count is w*h*n_bands/stride^2 per image — at 100 TB
+    keep stride>1 or filter downstream so the scan stays the cost."""
+    import pandas as pd
+
+    def do(batches):
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
+                px, py, xs, ys, bs, vs = xyz_array(
+                    arr, gt, stride=stride, bands=bands,
+                    skip_value=skip_value,
+                )
+                frames.append(pd.DataFrame({
+                    "image_id": r.image_id,
+                    "px": px.astype("int32"), "py": py.astype("int32"),
+                    "x": xs, "y": ys,
+                    "band": bs, "value": vs,
+                }))
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    columns=["image_id", "px", "py", "x", "y", "band",
+                             "value"]
+                )
+            )
+
+    return images.mapInPandas(do, schema=XYZ_SCHEMA)
+
+
 def translate_images(
     images,
     srcwin=None,
