@@ -1235,6 +1235,124 @@ def q_bm25_rank_sql():
     )
 
 
+_PII_SUFFIX_SQL = (
+    "concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@ex', CAST(doc_id % 7 AS VARCHAR), '.org host 10.1.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.5 call +1415555', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+
+def _pii_text_col():
+    """documents.text with a deterministic synthesized PII suffix (the
+    raw table has none); identical expression in the SQL oracle."""
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org host 10.1."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".5 call +1415555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (gdal_spark.functions.redact): count + redact emails /
+    IPv4 / phones in one codegen projection. The oracle applies the
+    identical regex chain in DuckDB (RE2) — the test is dialect parity
+    of patterns, replacement order, and md5 of the redacted text."""
+    from gdal_spark.functions import redact as R
+
+    d = _t(spark, sf_dir, "documents").withColumn("text", _pii_text_col())
+    return (
+        R.with_pii(d)
+        .select(
+            "doc_id", "n_email", "n_ipv4", "n_phone",
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_redact_sql():
+    from gdal_spark.functions import redact as R
+
+    ex = R.oracle_exprs(_PII_SUFFIX_SQL)
+    return (
+        f"SELECT doc_id, {ex['n_email']} AS n_email, "
+        f"{ex['n_ipv4']} AS n_ipv4, {ex['n_phone']} AS n_phone, "
+        f"md5({ex['redacted']}) AS redacted_md5 "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-trained add-k bigram LM quality score per document
+    (gdal_spark.functions.lm — CCNet-style filter). DuckDB oracle
+    retrains the same model in SQL: bigrams via list_transform over
+    token indices, identical smoothing arithmetic."""
+    from gdal_spark.functions.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bigram_lm_scores(d)
+        .select(
+            "doc_id", "n_bigrams", F.round("avg_logp", 4).alias("avg_logp")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bigram_lm_sql():
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(coalesce(text, '')), "
+        "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+        "pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM "
+        "(SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+        "__j -> {'w1': toks[__j], 'w2': toks[__j + 1]})) AS p "
+        "FROM base WHERE len(toks) >= 2)), "
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1), "
+        "voc AS (SELECT count(DISTINCT t) AS v FROM "
+        "(SELECT unnest(toks) AS t FROM base)), "
+        "scored AS (SELECT p.doc_id, "
+        "ln((c.c12 + 0.1) / (h.c1 + 0.1 * voc.v)) AS lp "
+        "FROM pairs p JOIN c12 c USING (w1, w2) JOIN c1 h USING (w1) "
+        "CROSS JOIN voc) "
+        "SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp "
+        "FROM scored GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment
+    (gdal_spark.functions.sample) — reproducible across runs,
+    partitionings, and engines; the oracle folds the same md5 hex
+    digits arithmetically in DuckDB."""
+    from gdal_spark.functions.sample import hash_bucket, split_label
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        split_label(F.col("doc_id"), _SPLIT_WEIGHTS).alias("split"),
+    ).orderBy("doc_id")
+
+
+def q_hash_split_sql():
+    from gdal_spark.functions.sample import hash_bucket_sql, split_label_sql
+
+    return (
+        f"SELECT doc_id, {hash_bucket_sql('doc_id')} AS bucket, "
+        f"{split_label_sql('doc_id', _SPLIT_WEIGHTS)} AS split "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from gdal_spark.functions import text as T
 
@@ -1917,6 +2035,51 @@ def q_raster_xyz_sql():
     )
 
 
+def _local_histogram_rows():
+    """Replicate q_raster_histogram in-process: 16 fixed bins over
+    [0, 256) per band of 6 fixture images (numpy.histogram kernel,
+    the same one unit-tested in test_rasterize_stats)."""
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+
+    rows = []
+    edges = np.linspace(0.0, 256.0, 17)
+    for i in range(6):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = np.atleast_3d(C.decode_image(rec["bytes"], rec["fmt"]))
+        for b in range(arr.shape[2]):
+            cnt, _ = np.histogram(arr[:, :, b], bins=edges)
+            rows.extend(
+                (rec["image_id"], b, j, int(c)) for j, c in enumerate(cnt)
+            )
+    rows.sort()
+    return rows
+
+
+def q_raster_histogram(spark, sf_dir):
+    """gdalinfo -hist / GetHistogram analog (gcore/gdalrasterband.cpp
+    GetHistogram): per-image per-band fixed-bin pixel histograms in one
+    narrow mapInPandas stage; a corpus histogram is a groupBy rollup of
+    this output. Oracle = the same numpy kernel run in-process."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.stats import raster_histogram
+
+    imgs = fixtures.images_df(spark, 6, tier="t2", partitions=2)
+    return raster_histogram(imgs, bins=16, vmin=0.0, vmax=256.0).orderBy(
+        "image_id", "band", "bin"
+    )
+
+
+def q_raster_histogram_sql():
+    return _vals_sql(
+        _local_histogram_rows(),
+        ["image_id", "band", "bin", "count"],
+        "image_id, band, bin",
+    )
+
+
 def q_translate_window(spark, sf_dir):
     """gdal_translate srcwin+outsize+scale over fixture images; emits
     deterministic per-image output checksums (rows-only)."""
@@ -2505,6 +2668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data functions
         "token_count": q_token_count,
         "bm25_rank": q_bm25_rank,
+        "pii_redact": q_pii_redact,
+        "bigram_lm": q_bigram_lm,
+        "hash_split": q_hash_split,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2517,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
+        "raster_histogram": q_raster_histogram,
         "warp_reproject": q_warp_reproject,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -2570,6 +2737,9 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": q_zonal_stats_sql(),
         "token_count": q_token_count_sql(),
         "bm25_rank": q_bm25_rank_sql(),
+        "pii_redact": q_pii_redact_sql(),
+        "bigram_lm": q_bigram_lm_sql(),
+        "hash_split": q_hash_split_sql(),
         "text_stats": q_text_stats_sql(),
         "lang_id": q_lang_id_sql(),
         "exact_dup_groups": q_exact_dup_groups_sql(),
@@ -2579,6 +2749,7 @@ def oracle_sql() -> dict[str, str]:
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),
+        "raster_histogram": q_raster_histogram_sql(),
         "warp_reproject": q_warp_reproject_sql(),
         "interpolate_at_points": q_interpolate_at_points_sql(),
         "rasterize_checksums": q_rasterize_checksums_sql(),
