@@ -634,6 +634,65 @@ def q_aea_forward_sql():
     )
 
 
+def q_ps_forward(spark, sf_dir):
+    """Polar Stereographic variant B forward (EPSG:3413 NSIDC Sea Ice
+    North, gdal_spark.proj.PS — Snyder PP-1395 pp.160-162 / EPSG method
+    9829) of customer-derived points over the Arctic, checked against a
+    FULLY INDEPENDENT re-derivation in DuckDB SQL that computes e, t_c,
+    m_c and rho from the raw EPSG parameters. Rounded to mm."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.proj import lonlat_to_ps
+
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = (k * 7 % 720) / 2.0 - 180.0
+            lat = (k * 13 % 250) / 10.0 + 62.5
+            e, n = lonlat_to_ps(lon, lat, 3413)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "easting": np.round(e, 3),
+                    "northing": np.round(n, 3),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, easting double, northing double"
+    ).orderBy("pid")
+
+
+def q_ps_forward_sql():
+    # EPSG:3413 registry parameters (WGS84) — the ONLY shared inputs;
+    # e, t_c, m_c, and rho are all re-derived inside SQL (Snyder 15-9,
+    # 14-15, 21-30/31/34).
+    t_of = (
+        "tan(pi() / 4.0 - {phi} / 2.0) / "
+        "pow((1.0 - e * sin({phi})) / (1.0 + e * sin({phi})), e / 2.0)"
+    )
+    m_of = "cos({phi}) / sqrt(1.0 - e * e * sin({phi}) * sin({phi}))"
+    return (
+        "WITH c0 AS (SELECT 6378137.0e0 AS a, 1.0 / 298.257223563e0 AS f, "
+        "radians(70.0) AS pc), "
+        "c1 AS (SELECT a, pc, sqrt(2.0 * f - f * f) AS e FROM c0), "
+        f"c2 AS (SELECT a, e, {m_of.format(phi='pc')} AS mc, "
+        f"{t_of.format(phi='pc')} AS tc FROM c1), "
+        "c3 AS (SELECT e, a * mc / tc AS bigk FROM c2), "
+        "pts AS (SELECT c_custkey AS pid, "
+        "radians((c_custkey * 7 % 720) / 2.0 - 180.0 - (-45.0)) AS dlam, "
+        "radians((c_custkey * 13 % 250) / 10.0 + 62.5) AS phi FROM customer), "
+        "s1 AS (SELECT pid, dlam, "
+        f"bigk * {t_of.format(phi='phi')} AS rho FROM pts, c3) "
+        "SELECT pid, round(rho * sin(dlam), 3) AS easting, "
+        "round(-rho * cos(dlam), 3) AS northing FROM s1 ORDER BY pid"
+    )
+
+
 def _rect_from_bounds(df):
     """Attach rectangle WKB built executor-side (Arrow-batched) — the
     fixture layers never pass through the driver, so sf10 entry runs
@@ -2643,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_forward": q_utm_forward,
         "lcc_forward": q_lcc_forward,
         "aea_forward": q_aea_forward,
+        "ps_forward": q_ps_forward,
         # OGR SQL surface
         "where_like_between": q_where_like_between,
         "first_match_left_join": q_first_match_left_join,
@@ -2712,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
         "aea_forward": q_aea_forward_sql(),
+        "ps_forward": q_ps_forward_sql(),
         "phash_neardup": q_phash_neardup_sql(),
         "jpeg_decode_checksums": q_jpeg_decode_checksums_sql(),
         "line_clip_lengths": q_line_clip_lengths_sql(),

@@ -41,11 +41,14 @@ def geo_transform_points(x, y, src_srid: int, dst_srid: int):
         aea_to_lonlat,
         is_aea,
         is_lcc,
+        is_ps,
         is_utm,
         lcc_to_lonlat,
         lonlat_to_aea,
         lonlat_to_lcc,
+        lonlat_to_ps,
         lonlat_to_utm,
+        ps_to_lonlat,
         utm_to_lonlat,
     )
 
@@ -72,8 +75,13 @@ def geo_transform_points(x, y, src_srid: int, dst_srid: int):
         return lonlat_to_aea(x, y, dst_srid)
     if is_aea(src_srid) and dst_srid == 4326:
         return aea_to_lonlat(x, y, src_srid)
+    if src_srid == 4326 and is_ps(dst_srid):
+        return lonlat_to_ps(x, y, dst_srid)
+    if is_ps(src_srid) and dst_srid == 4326:
+        return ps_to_lonlat(x, y, src_srid)
     if (is_utm(src_srid) or is_utm(dst_srid) or is_lcc(src_srid)
-            or is_lcc(dst_srid) or is_aea(src_srid) or is_aea(dst_srid)):
+            or is_lcc(dst_srid) or is_aea(src_srid) or is_aea(dst_srid)
+            or is_ps(src_srid) or is_ps(dst_srid)):
         # compose via 4326
         lon, lat = geo_transform_points(x, y, src_srid, 4326)
         return geo_transform_points(lon, lat, 4326, dst_srid)

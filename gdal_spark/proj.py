@@ -187,6 +187,109 @@ class LCC:
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic (variant B) — EPSG method 9829
+# ---------------------------------------------------------------------------
+# Public formulas: Snyder, "Map Projections — A Working Manual" (USGS
+# Professional Paper 1395, 1987), pp. 160-162 (eqs 21-30..21-34, 15-9),
+# and the EPSG Guidance Note 7-2 restatement (variant B: standard
+# parallel + false origin). Reference role: ogr/ogrct.cpp -> PROJ
+# ``stere`` with lat_0=+-90. The polar-grid workhorse (NSIDC sea-ice,
+# Antarctic mosaics) that conic CRSs can't cover.
+
+
+class PS:
+    """Ellipsoidal Polar Stereographic with a standard parallel.
+
+    Parameters are the EPSG 9829 set: ellipsoid (a, 1/f), standard
+    parallel lat_ts (sign selects the aspect: >0 north pole, <0 south
+    pole), longitude of origin lon0, false easting/northing e0/n0 —
+    angles in degrees. South aspect per Snyder: run the north-pole
+    equations on (-phi, -dlam) and negate (x, y).
+    """
+
+    def __init__(self, a, rf, lat_ts, lon0, e0, n0):
+        self.a = float(a)
+        f = 1.0 / float(rf)
+        self.e = np.sqrt(2.0 * f - f * f)
+        self.south = lat_ts < 0
+        self.lon0 = float(lon0)
+        self.e0 = float(e0)
+        self.n0 = float(n0)
+        pc = np.radians(abs(float(lat_ts)))
+        # rho = a * m_c * t(phi) / t_c   (Snyder 21-34)
+        self.k = self.a * self._m(pc) / self._t(pc)
+
+    def _m(self, phi):  # Snyder 14-15
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - (self.e * s) ** 2)
+
+    def _t(self, phi):  # Snyder 15-9
+        s = self.e * np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - s) / (1.0 + s)) ** (
+            self.e / 2.0
+        )
+
+    def forward(self, lon, lat):
+        """(lon, lat) degrees -> (easting, northing), vectorized."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        sgn = -1.0 if self.south else 1.0
+        phi = np.radians(sgn * lat)
+        dlam = np.radians(sgn * (lon - self.lon0))
+        rho = self.k * self._t(phi)
+        x = rho * np.sin(dlam)          # Snyder 21-30
+        y = -rho * np.cos(dlam)         # Snyder 21-31
+        return self.e0 + sgn * x, self.n0 + sgn * y
+
+    def inverse(self, easting, northing):
+        """(easting, northing) -> (lon, lat) degrees, vectorized."""
+        sgn = -1.0 if self.south else 1.0
+        x = sgn * (np.asarray(easting, dtype=np.float64) - self.e0)
+        y = sgn * (np.asarray(northing, dtype=np.float64) - self.n0)
+        t = np.hypot(x, y) / self.k
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # Snyder 7-9 fixed point, double-precision safe
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0)
+            )
+        dlam = np.arctan2(x, -y)        # Snyder 20-16 polar form
+        return self.lon0 + sgn * np.degrees(dlam), sgn * np.degrees(phi)
+
+
+_WGS84_RF = 298.257223563
+
+# EPSG parameter sets (published registry values; WGS84 ellipsoid)
+PS_PARAMS = {
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    3413: dict(a=6378137.0, rf=_WGS84_RF, lat_ts=70.0, lon0=-45.0,
+               e0=0.0, n0=0.0),
+    # WGS 84 / Antarctic Polar Stereographic
+    3031: dict(a=6378137.0, rf=_WGS84_RF, lat_ts=-71.0, lon0=0.0,
+               e0=0.0, n0=0.0),
+    # WGS 84 / Australian Antarctic Polar Stereographic
+    3032: dict(a=6378137.0, rf=_WGS84_RF, lat_ts=-71.0, lon0=70.0,
+               e0=6000000.0, n0=6000000.0),
+}
+
+
+def is_ps(srid: int) -> bool:
+    return int(srid) in PS_PARAMS
+
+
+def _ps(srid: int) -> PS:
+    return PS(**PS_PARAMS[int(srid)])
+
+
+def lonlat_to_ps(lon, lat, srid: int):
+    return _ps(srid).forward(lon, lat)
+
+
+def ps_to_lonlat(easting, northing, srid: int):
+    return _ps(srid).inverse(easting, northing)
+
+
+# ---------------------------------------------------------------------------
 # Albers Equal-Area Conic — EPSG method 9822
 # ---------------------------------------------------------------------------
 # Public formulas: Snyder, "Map Projections — A Working Manual" (USGS

@@ -266,3 +266,89 @@ class TestAEA:
         lon, lat = geo_transform_points(mx, my, 3857, 4326)
         assert float(lon[0]) == pytest.approx(-104.99, abs=1e-6)
         assert float(lat[0]) == pytest.approx(39.74, abs=1e-6)
+
+
+class TestPS:
+    """Polar Stereographic variant B (EPSG 9829; Snyder pp.160-162)."""
+
+    def test_epsg_guidance_worked_example(self):
+        """EPSG Guidance Note 7-2, method 9829 example (EPSG:3032):
+        75S 120E -> E 7255380.79, N 7053389.56."""
+        from gdal_spark.proj import lonlat_to_ps
+
+        e, n = lonlat_to_ps(120.0, -75.0, 3032)
+        assert float(e) == pytest.approx(7255380.79, abs=0.01)
+        assert float(n) == pytest.approx(7053389.56, abs=0.01)
+
+    def test_pole_maps_to_origin(self):
+        from gdal_spark.proj import lonlat_to_ps
+
+        for srid, plat in ((3413, 90.0), (3031, -90.0)):
+            e, n = lonlat_to_ps(0.0, plat, srid)
+            assert float(e) == pytest.approx(0.0, abs=1e-6)
+            assert float(n) == pytest.approx(0.0, abs=1e-6)
+
+    def test_roundtrip_all_systems(self):
+        from gdal_spark.proj import PS_PARAMS, lonlat_to_ps, ps_to_lonlat
+
+        spans = {3413: (60.1, 89.9), 3031: (-89.9, -60.1),
+                 3032: (-89.9, -60.1)}
+        for srid, (la0, la1) in spans.items():
+            LON, LAT = np.meshgrid(np.linspace(-179.5, 179.5, 25),
+                                   np.linspace(la0, la1, 25))
+            E, N = lonlat_to_ps(LON, LAT, srid)
+            lon, lat = ps_to_lonlat(E, N, srid)
+            dl = (lon - LON + 540.0) % 360.0 - 180.0
+            assert np.abs(dl).max() < 1e-9, srid
+            assert np.abs(lat - LAT).max() < 1e-9, srid
+
+    def test_unit_scale_at_standard_parallel_and_conformality(self):
+        """True scale along lat_ts; k>1 poleward of it, k<1 equatorward
+        (stereographic scale grows away from the standard parallel
+        toward the projection's far side); meridian scale == parallel
+        scale everywhere (conformal)."""
+        from gdal_spark.proj import PS, PS_PARAMS
+
+        prm = PS_PARAMS[3413]
+        p = PS(**prm)
+        e2 = p.e**2
+
+        def scales(lon_deg, phi_deg):
+            d = 1e-4
+            x0, y0 = p.forward(lon_deg, phi_deg)
+            xp, yp = p.forward(lon_deg + d, phi_deg)
+            xm, ym = p.forward(lon_deg, phi_deg + d)
+            s = np.sin(np.radians(phi_deg))
+            nu = prm["a"] / np.sqrt(1 - e2 * s * s)
+            rho_m = prm["a"] * (1 - e2) / (1 - e2 * s * s) ** 1.5
+            k_par = float(np.hypot(xp - x0, yp - y0)) / (
+                np.radians(d) * nu * np.cos(np.radians(phi_deg))
+            )
+            k_mer = float(np.hypot(xm - x0, ym - y0)) / (np.radians(d) * rho_m)
+            return k_par, k_mer
+
+        kp, km = scales(10.0, 70.0)
+        assert kp == pytest.approx(1.0, abs=1e-6)
+        assert km == pytest.approx(1.0, abs=1e-6)
+        kp85, km85 = scales(10.0, 85.0)
+        kp60, km60 = scales(10.0, 60.0)
+        assert kp85 < 1.0 and kp60 > 1.0
+        # rel tol bounded by finite-difference truncation, not the math
+        assert kp85 == pytest.approx(km85, rel=1e-6)
+        assert kp60 == pytest.approx(km60, rel=1e-6)
+
+    def test_transform_chain_ps(self):
+        """geo_transform_points composes PS <-> 3857 via 4326 (north),
+        and 3031 <-> 3413 cross-pole via 4326."""
+        from gdal_spark.operators.warp import geo_transform_points
+
+        x, y = geo_transform_points(
+            np.array([-30.0]), np.array([75.0]), 4326, 3413
+        )
+        lon, lat = geo_transform_points(x, y, 3413, 4326)
+        assert float(lon[0]) == pytest.approx(-30.0, abs=1e-9)
+        assert float(lat[0]) == pytest.approx(75.0, abs=1e-9)
+        mx, my = geo_transform_points(x, y, 3413, 3857)
+        lon2, lat2 = geo_transform_points(mx, my, 3857, 4326)
+        assert float(lon2[0]) == pytest.approx(-30.0, abs=1e-6)
+        assert float(lat2[0]) == pytest.approx(75.0, abs=1e-6)
