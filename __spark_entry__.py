@@ -1976,6 +1976,65 @@ def q_dem_tri_checksums_sql():
     )
 
 
+_HS_KINDS = (
+    "hillshade_combined", "hillshade_multidirectional", "hillshade_igor"
+)
+
+
+def _local_hillshade_rows():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.operators.dem import dem_array
+
+    rows = []
+    for i in range(6):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        for kind in _HS_KINDS:
+            out = dem_array(
+                arr.astype(np.float64), kind,
+                xres=abs(float(rec["gt1"])), yres=abs(float(rec["gt5"])),
+            )
+            filled = np.nan_to_num(out, nan=-9999.0)
+            rows.append((rec["image_id"], kind, int(gdal_checksum(filled))))
+    rows.sort()
+    return rows
+
+
+def q_hillshade_variants(spark, sf_dir):
+    """gdaldem hillshade -combined / -multidirectional / -igor
+    (apps/gdaldem_lib.cpp:1137,1234,940) over fixture DEMs (band 0 as
+    elevation): per-image, per-variant output checksums from the
+    distributed narrow stage; oracle = the unit-tested local kernel."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.dem import dem_images
+
+    imgs = fixtures.images_df(spark, 6, tier="t2", partitions=2)
+    parts = [
+        dem_images(imgs, kind).select(
+            "image_id", F.lit(kind).alias("kind"), "checksum"
+        )
+        for kind in _HS_KINDS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("image_id", "kind")
+
+
+def q_hillshade_variants_sql():
+    return _vals_sql(
+        _local_hillshade_rows(),
+        ["image_id", "kind", "checksum"],
+        "image_id, kind",
+    )
+
+
 _CONTOUR_GT = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
 _CONTOUR_LEVELS = (-5.0, 0.0, 5.0)
 
@@ -2725,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_checksums": q_proximity_checksums,
         "dem_tri_checksums": q_dem_tri_checksums,
         "contour_lengths": q_contour_lengths,
+        "hillshade_variants": q_hillshade_variants,
         # training-data functions
         "token_count": q_token_count,
         "bm25_rank": q_bm25_rank,
@@ -2816,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_checksums": q_rasterize_checksums_sql(),
         "proximity_checksums": q_proximity_checksums_sql(),
         "dem_tri_checksums": q_dem_tri_checksums_sql(),
+        "hillshade_variants": q_hillshade_variants_sql(),
         "contour_lengths": q_contour_lengths_sql(),
         "cosine_topk": q_cosine_topk_sql(),
         "ivf_topk": q_cosine_topk_sql(),

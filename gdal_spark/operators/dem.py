@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame
 from .. import codecs
 from ..checksum import gdal_checksum
 
-KINDS = ("hillshade", "slope", "aspect", "tri", "tpi", "roughness")
+KINDS = (
+    "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
+    "hillshade_combined", "hillshade_multidirectional", "hillshade_igor",
+)
 
 
 def dem_array(
@@ -75,6 +78,72 @@ def dem_array(
                 az - np.pi / 2.0 + aspect
             )
             out[1:-1, 1:-1] = np.clip(np.round(254.0 * shade) + 1.0, 1.0, 255.0)
+    elif kind in (
+        "hillshade_combined", "hillshade_multidirectional", "hillshade_igor"
+    ):
+        # gdaldem hillshade -combined / -multidirectional / -igor
+        # semantics (apps/gdaldem_lib.cpp:1137-1166, 1234-1297, 940-997).
+        # Work in the reference's gradient convention for a north-up
+        # raster (nsres < 0): X = (west-east)/xres, Y = (south-north)/
+        # nsres, with the Horn /8 folded into zf = z_factor/8.
+        X = ((a + 2 * d + g) - (c + 2 * f + i)) / xres
+        Y = ((g + 2 * hh + i) - (a + 2 * b + c)) / (-yres)
+        zf = z_factor / 8.0
+        sin_alt = np.sin(np.radians(altitude))
+        cos_alt = np.cos(np.radians(altitude))
+        az = np.radians(azimuth)
+        xx_plus_yy = X * X + Y * Y
+        if kind == "hillshade_combined":
+            # standard shade cosine, then 1 - acos(shade)*atan(slope)
+            # * 4/pi^2 (oblique+slope blend), <=0 collapsing to 1
+            slope_sq = zf * zf * xx_plus_yy
+            shade = (
+                sin_alt
+                - (Y * np.cos(az) - X * np.sin(az)) * cos_alt * zf
+            ) / np.sqrt(1.0 + slope_sq)
+            cang = 1.0 - np.arccos(np.clip(shade, -1.0, 1.0)) * np.arctan(
+                np.sqrt(slope_sq)
+            ) * (4.0 / np.pi**2)
+            out[1:-1, 1:-1] = np.round(
+                np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+            )
+        elif kind == "hillshade_multidirectional":
+            # USGS OF 92-422: shades from az 225/270/315/360 weighted by
+            # sin^2(aspect - az); azimuth parameter is ignored
+            cz = cos_alt * zf
+            c225 = np.cos(np.radians(225.0)) * cz
+            v225 = np.maximum(0.0, sin_alt + (X - Y) * c225)
+            v270 = np.maximum(0.0, sin_alt - X * cz)
+            v315 = np.maximum(0.0, sin_alt + (X + Y) * c225)
+            v360 = np.maximum(0.0, sin_alt - Y * cz)
+            w225 = 0.5 * xx_plus_yy - X * Y
+            w270 = X * X
+            w315 = xx_plus_yy - w225
+            w360 = Y * Y
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cang = (
+                    (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+                    / xx_plus_yy
+                    / np.sqrt(1.0 + zf * zf * xx_plus_yy)
+                )
+            flat = xx_plus_yy == 0.0
+            out[1:-1, 1:-1] = np.round(
+                np.where(flat, 1.0 + 254.0 * sin_alt, 1.0 + 127.0 * cang)
+            )
+        else:  # hillshade_igor
+            # slope strength x aspect alignment with the light azimuth;
+            # aspect from UNSCALED Horn sums (reference quirk), altitude
+            # parameter is ignored
+            slope_deg = np.degrees(np.arctan(np.sqrt(xx_plus_yy) * zf))
+            dx_raw = (c + 2 * f + i) - (a + 2 * d + g)
+            dy_raw = (g + 2 * hh + i) - (a + 2 * b + c)
+            aspect = np.arctan2(dy_raw, -dx_raw)
+            two_pi = 2.0 * np.pi
+            target = np.pi * 1.5 - az
+            diff = np.abs(aspect % two_pi - target % two_pi)
+            diff = np.where(diff > np.pi, two_pi - diff, diff)
+            shadow = 1.0 - (slope_deg / 90.0) * (1.0 - diff / np.pi)
+            out[1:-1, 1:-1] = np.round(255.0 * shadow)
     elif kind == "tri":
         out[1:-1, 1:-1] = np.sqrt(
             (a - e) ** 2 + (b - e) ** 2 + (c - e) ** 2 + (d - e) ** 2

@@ -107,3 +107,126 @@ class TestColorRelief:
         assert len(out) == 1
         rgb = codecs.decode_png(bytes(out[0]["bytes"]))
         np.testing.assert_array_equal(rgb, color_relief_array(z.astype(float), ramp))
+
+
+class TestHillshadeVariants:
+    """gdaldem -combined / -multidirectional / -igor semantics
+    (apps/gdaldem_lib.cpp:1137,1234,940) vs a literal per-pixel
+    re-implementation of the reference formulas."""
+
+    @staticmethod
+    def _brute(z, kind, xres=1.0, yres=1.0, zf_in=1.0, az_deg=315.0,
+               alt_deg=45.0):
+        import math
+
+        h, w = z.shape
+        out = np.full((h, w), np.nan)
+        zf = zf_in / 8.0
+        sin_alt, cos_alt = math.sin(math.radians(alt_deg)), math.cos(
+            math.radians(alt_deg))
+        az = math.radians(az_deg)
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                win = [z[r - 1, c - 1], z[r - 1, c], z[r - 1, c + 1],
+                       z[r, c - 1], z[r, c], z[r, c + 1],
+                       z[r + 1, c - 1], z[r + 1, c], z[r + 1, c + 1]]
+                X = ((win[0] + 2 * win[3] + win[6])
+                     - (win[2] + 2 * win[5] + win[8])) / xres
+                Y = ((win[6] + 2 * win[7] + win[8])
+                     - (win[0] + 2 * win[1] + win[2])) / (-yres)
+                xxyy = X * X + Y * Y
+                if kind == "hillshade_combined":
+                    slope_sq = zf * zf * xxyy
+                    shade = (sin_alt - (Y * math.cos(az) - X * math.sin(az))
+                             * cos_alt * zf) / math.sqrt(1 + slope_sq)
+                    cang = 1 - math.acos(max(-1.0, min(1.0, shade))) \
+                        * math.atan(math.sqrt(slope_sq)) / ((math.pi ** 2) / 4)
+                    out[r, c] = round(1.0 if cang <= 0 else 1 + 254 * cang)
+                elif kind == "hillshade_multidirectional":
+                    if xxyy == 0:
+                        out[r, c] = round(1 + 254 * sin_alt)
+                        continue
+                    cz = cos_alt * zf
+                    c225 = math.cos(math.radians(225)) * cz
+                    v = [max(0.0, sin_alt + (X - Y) * c225),
+                         max(0.0, sin_alt - X * cz),
+                         max(0.0, sin_alt + (X + Y) * c225),
+                         max(0.0, sin_alt - Y * cz)]
+                    wts = [0.5 * xxyy - X * Y, X * X, None, Y * Y]
+                    wts[2] = xxyy - wts[0]
+                    cang = sum(a * b for a, b in zip(wts, v)) / xxyy \
+                        / math.sqrt(1 + zf * zf * xxyy)
+                    out[r, c] = round(1 + 127 * cang)
+                elif kind == "hillshade_igor":
+                    slope_deg = math.degrees(math.atan(math.sqrt(xxyy) * zf))
+                    dxr = (win[2] + 2 * win[5] + win[8]) - (
+                        win[0] + 2 * win[3] + win[6])
+                    dyr = (win[6] + 2 * win[7] + win[8]) - (
+                        win[0] + 2 * win[1] + win[2])
+                    aspect = math.atan2(dyr, -dxr)
+                    tgt = math.pi * 1.5 - az
+                    d = abs(aspect % (2 * math.pi) - tgt % (2 * math.pi))
+                    if d > math.pi:
+                        d = 2 * math.pi - d
+                    out[r, c] = round(255 * (1 - (slope_deg / 90)
+                                             * (1 - d / math.pi)))
+        return out
+
+    def test_matches_per_pixel_reference_formulas(self):
+        rng = np.random.default_rng(7)
+        z = rng.standard_normal((20, 24)).cumsum(axis=0).cumsum(axis=1) * 3
+        for kind in ("hillshade_combined", "hillshade_multidirectional",
+                     "hillshade_igor"):
+            got = dem_array(z, kind, xres=2.0, yres=1.5, z_factor=2.0,
+                            azimuth=290.0, altitude=40.0)
+            want = self._brute(z, kind, xres=2.0, yres=1.5, zf_in=2.0,
+                               az_deg=290.0, alt_deg=40.0)
+            inner = np.s_[1:-1, 1:-1]
+            np.testing.assert_allclose(got[inner], want[inner], atol=0,
+                                       err_msg=kind)
+
+    def test_flat_surface_values(self):
+        z = np.full((8, 8), 100.0)
+        md = dem_array(z, "hillshade_multidirectional")
+        cb = dem_array(z, "hillshade_combined")
+        ig = dem_array(z, "hillshade_igor")
+        assert md[2, 2] == round(1 + 254 * np.sin(np.radians(45.0)))
+        assert cb[2, 2] == 255.0  # atan(0) kills the slope term
+        assert ig[2, 2] == 255.0  # zero slope strength -> no shadow
+
+    def test_igor_light_alignment(self):
+        """A slope facing the 315-deg light is brighter than one facing
+        away; altitude is irrelevant for igor."""
+        y, x = np.mgrid[0:16, 0:16]
+        toward = ((x + y) * 2.0).astype(np.float64)  # aspect along the light
+        away = -toward
+        a = dem_array(toward, "hillshade_igor")[8, 8]
+        b = dem_array(away, "hillshade_igor")[8, 8]
+        assert a > b
+        assert dem_array(toward, "hillshade_igor", altitude=10.0)[8, 8] == a
+
+    def test_tiled_matches_local_for_variants(self, spark):
+        from gdal_spark.operators.dem import dem_tiles
+
+        rng = np.random.default_rng(11)
+        z = rng.standard_normal((32, 32)).cumsum(axis=0).cumsum(axis=1)
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                sub = z[ty * 16: ty * 16 + 16, tx * 16: tx * 16 + 16]
+                rows.append((tx, ty, 16, 16,
+                             bytearray(sub.astype(np.float64).tobytes())))
+        tiles = spark.createDataFrame(
+            rows, "tile_x int, tile_y int, w int, h int, data binary"
+        )
+        for kind in ("hillshade_combined", "hillshade_multidirectional",
+                     "hillshade_igor"):
+            out = dem_tiles(tiles, kind, tile_size=16).collect()
+            got = np.zeros((32, 32))
+            for t in out:
+                sub = np.frombuffer(bytes(t.data), dtype=np.float64
+                                    ).reshape(16, 16)
+                got[t.tile_y * 16: t.tile_y * 16 + 16,
+                    t.tile_x * 16: t.tile_x * 16 + 16] = sub
+            local = np.nan_to_num(dem_array(z, kind), nan=-9999.0)
+            np.testing.assert_allclose(got, local, atol=1e-9, err_msg=kind)
