@@ -693,6 +693,106 @@ def q_ps_forward_sql():
     )
 
 
+# 8 GCPs: affine gx=100+2px-0.5py, gy=50+0.3px*?  -- deliberately NOT
+# exactly affine (grid-snapped noise), so least squares is non-trivial.
+# All values are multiples of 1/8 -> exact doubles in both engines.
+_GCPS = [
+    (0.0, 0.0, 100.125, 50.0),
+    (100.0, 0.0, 300.0, 80.25),
+    (0.0, 80.0, 60.0, 186.125),
+    (100.0, 80.0, 260.25, 216.0),
+    (25.0, 60.0, 120.125, 159.5),
+    (75.0, 20.0, 240.0, 106.375),
+    (50.0, 40.0, 180.25, 133.0),
+    (12.5, 70.0, 90.5, 172.625),
+]
+
+
+def q_gcp_affine(spark, sf_dir):
+    """Order-1 GCP polynomial georeferencing (alg/gdal_crs.cpp
+    GDALCreateGCPTransformer): least-squares affine fitted from 8
+    non-exact GCPs (gdal_spark.operators.gcp, SVD solve), applied to
+    customer-derived pixel points. The DuckDB oracle solves the SAME
+    least-squares problem by a different algorithm — 3x3 normal
+    equations via Cramer's rule from aggregate sums. Rounded to 1e-4."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.operators.gcp import GCPTransform
+
+        t = GCPTransform(_GCPS, order=1)
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            px = (k * 7 % 1000) / 10.0
+            py = (k * 13 % 800) / 10.0
+            gx, gy = t.forward(px, py)
+            # +7.3e-6 tie-avoidance dither (identical in the oracle):
+            # grid-aligned GCPs can land outputs exactly on .00005
+            # boundaries where banker's vs half-up rounding diverge
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "gx": np.round(gx + 7.3e-6, 4),
+                    "gy": np.round(gy + 7.3e-6, 4),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, gx double, gy double"
+    ).orderBy("pid")
+
+
+def q_gcp_affine_sql():
+    def lit(v: float) -> str:
+        return f"{v!r}e0" if "e" not in repr(v) else repr(v)
+
+    vals = ", ".join(
+        f"({lit(px)}, {lit(py)}, {lit(gx)}, {lit(gy)})"
+        for px, py, gx, gy in _GCPS
+    )
+    # Cramer determinants for A=[[n,sx,sy],[sx,sxx,sxy],[sy,sxy,syy]]
+    det = (
+        "(n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) "
+        "+ sy * (sx * sxy - sxx * sy))"
+    )
+
+    def cramer(b0, b1, b2):
+        return (
+            f"({b0} * (sxx * syy - sxy * sxy) "
+            f"- sx * ({b1} * syy - sxy * {b2}) "
+            f"+ sy * ({b1} * sxy - sxx * {b2})) / det",
+            f"(n * ({b1} * syy - sxy * {b2}) "
+            f"- {b0} * (sx * syy - sxy * sy) "
+            f"+ sy * (sx * {b2} - {b1} * sy)) / det",
+            f"(n * (sxx * {b2} - {b1} * sxy) "
+            f"- sx * (sx * {b2} - {b1} * sy) "
+            f"+ {b0} * (sx * sxy - sxx * sy)) / det",
+        )
+    ax, bx, cx = cramer("sgx", "sxgx", "sygx")
+    ay, by, cy = cramer("sgy", "sxgy", "sygy")
+    return (
+        f"WITH g(px, py, gx, gy) AS (VALUES {vals}), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(px) AS sx, "
+        "sum(py) AS sy, sum(px * px) AS sxx, sum(px * py) AS sxy, "
+        "sum(py * py) AS syy, sum(gx) AS sgx, sum(px * gx) AS sxgx, "
+        "sum(py * gx) AS sygx, sum(gy) AS sgy, sum(px * gy) AS sxgy, "
+        "sum(py * gy) AS sygy FROM g), "
+        f"d AS (SELECT *, {det} AS det FROM s), "
+        f"cf AS (SELECT {ax} AS ax, {bx} AS bx, {cx} AS cx, "
+        f"{ay} AS ay, {by} AS by, {cy} AS cy FROM d), "
+        "pts AS (SELECT c_custkey AS pid, "
+        "(c_custkey * 7 % 1000) / 10.0 AS px, "
+        "(c_custkey * 13 % 800) / 10.0 AS py FROM customer) "
+        "SELECT pid, round(ax + bx * px + cx * py + 7.3e-6, 4) AS gx, "
+        "round(ay + by * px + cy * py + 7.3e-6, 4) AS gy "
+        "FROM pts CROSS JOIN cf ORDER BY pid"
+    )
+
+
 def _rect_from_bounds(df):
     """Attach rectangle WKB built executor-side (Arrow-batched) — the
     fixture layers never pass through the driver, so sf10 entry runs
@@ -2762,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_forward": q_lcc_forward,
         "aea_forward": q_aea_forward,
         "ps_forward": q_ps_forward,
+        "gcp_affine": q_gcp_affine,
         # OGR SQL surface
         "where_like_between": q_where_like_between,
         "first_match_left_join": q_first_match_left_join,
@@ -2833,6 +2934,7 @@ def oracle_sql() -> dict[str, str]:
         "lcc_forward": q_lcc_forward_sql(),
         "aea_forward": q_aea_forward_sql(),
         "ps_forward": q_ps_forward_sql(),
+        "gcp_affine": q_gcp_affine_sql(),
         "phash_neardup": q_phash_neardup_sql(),
         "jpeg_decode_checksums": q_jpeg_decode_checksums_sql(),
         "line_clip_lengths": q_line_clip_lengths_sql(),
