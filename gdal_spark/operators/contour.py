@@ -272,3 +272,104 @@ def contour_tiles(
         return pd.DataFrame(rows, columns=cols)
 
     return segs.groupBy("level").applyInPandas(build_lines, schema=OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Contour polygons (gdal_contour -p)
+# ---------------------------------------------------------------------------
+# Reference: apps/gdal_contour_lib.cpp polygon mode — polygons covering
+# each [level_i, level_i+1) band, with the below-first and above-last
+# bands included (attributes ELEV_FIELD_MIN/MAX). Re-expressed as a
+# composition: classify pixels into band indices (np.digitize), then the
+# engine's distributed polygonize produces the band polygons. (The
+# reference traces iso-rings directly; classification+polygonize yields
+# the same pixel-aligned region decomposition for raster input.)
+
+
+def classify_levels(band: np.ndarray, levels) -> np.ndarray:
+    """Pixel -> 1-based level-band index: 1 = below levels[0],
+    len(levels)+1 = above the last level. Bands are [lo, hi)."""
+    return np.digitize(np.asarray(band, dtype=np.float64),
+                       np.asarray(levels, dtype=np.float64)) + 1.0
+
+
+def band_bounds(levels):
+    """[(band_index, lo, hi)] with -inf/+inf end caps."""
+    edges = [float("-inf")] + [float(v) for v in levels] + [float("inf")]
+    return [(k + 1, edges[k], edges[k + 1]) for k in range(len(edges) - 1)]
+
+
+def contour_polygons_array(band: np.ndarray, gt, levels,
+                           connect8: bool = False):
+    """Local kernel/oracle: [(band_index, lo, hi, n_pixels, polygons)]
+    per connected region of one level band."""
+    from .polygonize import polygonize_array
+
+    cls = classify_levels(band, levels)
+    bounds = dict((k, (lo, hi)) for k, lo, hi in band_bounds(levels))
+    out = []
+    for value, n_px, polys in polygonize_array(cls, gt, connect8=connect8,
+                                               exclude=None):
+        k = int(value)
+        lo, hi = bounds[k]
+        out.append((k, lo, hi, n_px, polys))
+    return out
+
+
+def contour_polygons_tiles(
+    tiles_df: DataFrame,
+    gt,
+    levels,
+    tile_size: int = 256,
+    connect8: bool = False,
+    driver_cc_max_edges: int = 100_000,
+) -> DataFrame:
+    """Distributed contour polygons: classify each tile in a narrow
+    stage (float64 bytes in/out, no shuffle), then polygonize_tiles —
+    output rows are connected level-band regions with (band, lo, hi,
+    n_px, wkb, area). Inherits polygonize's distributed connected
+    components, so cross-tile bands stitch without driver state."""
+    from .polygonize import polygonize_tiles
+
+    lv = [float(v) for v in levels]
+
+    def classify(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(bytes(r.data), dtype=np.float64).reshape(
+                    r.h, r.w
+                )
+                rows.append(
+                    {
+                        "tile_x": int(r.tile_x), "tile_y": int(r.tile_y),
+                        "w": int(r.w), "h": int(r.h),
+                        "data": classify_levels(arr, lv).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["tile_x", "tile_y", "w", "h", "data"]
+            )
+
+    classified = tiles_df.select(
+        "tile_x", "tile_y", "w", "h", "data"
+    ).mapInPandas(
+        classify, schema="tile_x int, tile_y int, w int, h int, data binary"
+    )
+    polys = polygonize_tiles(
+        classified, gt, tile_size=tile_size, connect8=connect8,
+        exclude=(), driver_cc_max_edges=driver_cc_max_edges,
+    )
+    edges = band_bounds(lv)
+    lo_map = F.create_map(
+        *[F.lit(v) for k, lo, hi in edges for v in (float(k), lo)]
+    )
+    hi_map = F.create_map(
+        *[F.lit(v) for k, lo, hi in edges for v in (float(k), hi)]
+    )
+    return (
+        polys.withColumn("band", F.col("value").cast("int"))
+        .withColumn("lo", lo_map[F.col("value")])
+        .withColumn("hi", hi_map[F.col("value")])
+        .drop("value")
+    )

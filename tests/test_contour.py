@@ -103,3 +103,86 @@ class TestDistributedContour:
         out = contour_tiles(tiles, GT, [-6.0], tile_size=16).collect()
         closed = [r for r in out if r.closed]
         assert len(closed) == 1
+
+
+class TestContourPolygons:
+    """gdal_contour -p analog: level-band polygons via classify +
+    polygonize composition."""
+
+    GT = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+    LEVELS = (-5.0, 0.0, 5.0)
+
+    @staticmethod
+    def _band():
+        yy, xx = np.mgrid[0:64, 0:64]
+        return np.sin(xx / 7.0) * 10.0 + np.cos(yy / 9.0) * 8.0
+
+    def test_kernel_partitions_the_raster(self):
+        from gdal_spark.operators.contour import (
+            classify_levels,
+            contour_polygons_array,
+        )
+
+        band = self._band()
+        regions = contour_polygons_array(band, self.GT, self.LEVELS)
+        cls = classify_levels(band, self.LEVELS)
+        # pixel counts per level band match digitize exactly
+        got = {}
+        for k, lo, hi, n_px, _polys in regions:
+            got[k] = got.get(k, 0) + n_px
+            # bounds bracket the band's actual values
+            vals = band[cls == k]
+            assert vals.min() >= lo and vals.max() < hi
+        want = {int(k): int((cls == k).sum()) for k in np.unique(cls)}
+        assert got == want
+        # areas tile the raster: pixel-aligned regions, cell area 1
+        total_area = sum(
+            abs(__import__("gdal_spark.geom", fromlist=["x"])
+                .polygon_area_centroid(p)[0])
+            for *_x, p in regions
+        )
+        assert total_area == pytest.approx(64 * 64, rel=1e-12)
+
+    def test_distributed_matches_local(self, spark):
+        from gdal_spark.operators.contour import (
+            contour_polygons_array,
+            contour_polygons_tiles,
+        )
+
+        band = self._band()
+        rows = []
+        for ty in range(4):
+            for tx in range(4):
+                sub = band[ty * 16: ty * 16 + 16, tx * 16: tx * 16 + 16]
+                rows.append((tx, ty, 16, 16,
+                             bytearray(sub.astype(np.float64).tobytes())))
+        tiles = spark.createDataFrame(
+            rows, "tile_x int, tile_y int, w int, h int, data binary"
+        )
+        out = contour_polygons_tiles(
+            tiles, self.GT, self.LEVELS, tile_size=16,
+            driver_cc_max_edges=0,  # force the distributed CC path
+        ).collect()
+        got = {}
+        for r in out:
+            k = got.setdefault(r.band, [0, 0, 0.0])
+            k[0] += 1
+            k[1] += r.n_pixels
+            k[2] += r.area
+            assert np.isinf(r.lo) or r.lo in self.LEVELS
+            assert np.isinf(r.hi) or r.hi in self.LEVELS
+        want = {}
+        for k, lo, hi, n_px, polys in contour_polygons_array(
+            band, self.GT, self.LEVELS
+        ):
+            e = want.setdefault(k, [0, 0, 0.0])
+            e[0] += 1
+            e[1] += n_px
+            from gdal_spark.geom import polygon_area_centroid
+
+            e[2] += abs(polygon_area_centroid(polys)[0])
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], f"region count band {k}"
+            assert got[k][1] == want[k][1], f"pixel count band {k}"
+            assert got[k][2] == pytest.approx(want[k][2], rel=1e-12)
