@@ -2194,6 +2194,68 @@ def q_contour_lengths_sql():
     )
 
 
+def q_contour_polygon_bands(spark, sf_dir):
+    """Contour polygons (apps/gdal_contour_lib.cpp -p mode): level-band
+    classification + distributed polygonize over the same 4x4-tiled
+    field. Per band: region count, pixel count, summed polygon area.
+    The oracle derives pixel counts INDEPENDENTLY in pure SQL (DuckDB
+    recomputes sin/cos per pixel and the CASE banding; fixture values
+    sit >=0.0019 from every band threshold, so 1-ulp libm drift cannot
+    flip a pixel); region counts come from the brute-force-tested local
+    kernel. Polygon areas are exact integers (pixel-aligned rings on
+    integer coords), so area == n_px * cell_area exactly."""
+    import numpy as np
+
+    from gdal_spark.operators.contour import contour_polygons_tiles
+
+    band = _contour_band()
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            sub = band[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16]
+            rows.append(
+                (tx, ty, 16, 16, bytearray(sub.astype(np.float64).tobytes()))
+            )
+    tiles = spark.createDataFrame(
+        rows, "tile_x int, tile_y int, w int, h int, data binary"
+    )
+    out = contour_polygons_tiles(
+        tiles, _CONTOUR_GT, list(_CONTOUR_LEVELS), tile_size=16
+    )
+    return (
+        out.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_regions"),
+            F.sum("n_pixels").cast("long").alias("n_px"),
+            F.round(F.sum("area"), 6).alias("area"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_contour_polygon_bands_sql():
+    from collections import Counter
+
+    from gdal_spark.operators.contour import contour_polygons_array
+
+    regs = contour_polygons_array(_contour_band(), _CONTOUR_GT, _CONTOUR_LEVELS)
+    nreg = Counter(k for k, *_rest in regs)
+    vals = ", ".join(
+        f"({k}, CAST({nreg[k]} AS BIGINT))" for k in sorted(nreg)
+    )
+    return (
+        "WITH g AS (SELECT sin(x / 7.0) * 10 + cos(y / 9.0) * 8 AS v "
+        "FROM range(64) t1(x), range(64) t2(y)), "
+        "b AS (SELECT CASE WHEN v < -5.0 THEN 1 WHEN v < 0.0 THEN 2 "
+        "WHEN v < 5.0 THEN 3 ELSE 4 END AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n_px FROM g GROUP BY 1), "
+        f"r AS (SELECT * FROM (VALUES {vals}) t(band, n_regions)) "
+        "SELECT b.band, r.n_regions, b.n_px, "
+        "round(CAST(b.n_px AS DOUBLE), 6) AS area "
+        "FROM b JOIN r USING (band) ORDER BY band"
+    )
+
+
 def q_world_tile_checksums(spark, sf_dir):
     """Tile the global fixture image to z0-z1 and emit per-tile GDAL
     checksums (alg/gdalchecksum.cpp oracle). Pixel work is not
@@ -2885,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_checksums": q_proximity_checksums,
         "dem_tri_checksums": q_dem_tri_checksums,
         "contour_lengths": q_contour_lengths,
+        "contour_polygon_bands": q_contour_polygon_bands,
         "hillshade_variants": q_hillshade_variants,
         # training-data functions
         "token_count": q_token_count,
@@ -2980,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_tri_checksums": q_dem_tri_checksums_sql(),
         "hillshade_variants": q_hillshade_variants_sql(),
         "contour_lengths": q_contour_lengths_sql(),
+        "contour_polygon_bands": q_contour_polygon_bands_sql(),
         "cosine_topk": q_cosine_topk_sql(),
         "ivf_topk": q_cosine_topk_sql(),
         "embedding_neardup": q_embedding_neardup_sql(),
