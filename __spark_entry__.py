@@ -2256,6 +2256,97 @@ def q_contour_polygon_bands_sql():
     )
 
 
+_COMPARE_N = 6
+
+
+def _compare_perturb_local(arr, fmt):
+    """Deterministic 'new' image for the gdalcompare entry: xor a corner
+    block, re-encode in the source fmt (replicating any lossy round
+    trip), decode back."""
+    from gdal_spark import codecs as C
+
+    out = arr.copy()
+    out[:8, :8, ...] ^= 0x20
+    return C.decode_image(C.encode_image(out, fmt), fmt)
+
+
+def _local_compare_rows():
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.compare import compare_arrays
+
+    rows = []
+    for i in range(_COMPARE_N):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        narr = _compare_perturb_local(arr, rec["fmt"]) if i % 2 else arr
+        for r in compare_arrays(arr, narr):
+            rows.append(
+                (
+                    rec["image_id"],
+                    r["band"],
+                    int(r["checksum_match"]),
+                    r["diff_count"],
+                    round(r["max_diff"], 6),
+                    r["found_diff"],
+                )
+            )
+    rows.sort()
+    return rows
+
+
+def q_compare_report(spark, sf_dir):
+    """gdalcompare analog (osgeo_utils/gdalcompare.py compare_band):
+    golden fixtures vs a deterministically perturbed copy (odd ids get a
+    corner block xor + same-fmt re-encode), compared in ONE cogrouped
+    Arrow pass — per (image, band): checksum match, pixels differing,
+    max |delta|, found_diff count. Oracle = the unit-tested local kernel
+    over the identical construction."""
+    import pandas as pd
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.compare import compare_images
+
+    golden = fixtures.images_df(spark, _COMPARE_N, tier="t2", partitions=4)
+
+    def perturb(iterator):
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                buf, fmt = bytes(r.bytes), r.fmt
+                if int("".join(filter(str.isdigit, r.image_id))) % 2 == 1:
+                    arr = C.decode_image(buf, fmt).copy()
+                    arr[:8, :8, ...] ^= 0x20
+                    buf = C.encode_image(arr, fmt)
+                out.append(
+                    {"image_id": r.image_id, "bytes": buf, "fmt": fmt}
+                )
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "fmt"])
+
+    new = golden.select("image_id", "bytes", "fmt").mapInPandas(
+        perturb, schema="image_id string, bytes binary, fmt string"
+    )
+    out = compare_images(golden, new)
+    return out.select(
+        "image_id",
+        "band",
+        F.col("checksum_match").cast("int").alias("cs_match"),
+        "diff_count",
+        F.round("max_diff", 6).alias("max_diff"),
+        "found_diff",
+    ).orderBy("image_id", "band")
+
+
+def q_compare_report_sql():
+    return _vals_sql(
+        _local_compare_rows(),
+        ["image_id", "band", "cs_match", "diff_count", "max_diff",
+         "found_diff"],
+        "image_id, band",
+    )
+
+
 def q_world_tile_checksums(spark, sf_dir):
     """Tile the global fixture image to z0-z1 and emit per-tile GDAL
     checksums (alg/gdalchecksum.cpp oracle). Pixel work is not
@@ -2964,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # raster dataflow (rows-only: not SQL-expressible)
         "world_tile_checksums": q_world_tile_checksums,
+        "compare_report": q_compare_report,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3032,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": q_ngram_jaccard_sql(),
         "minhash_lsh": q_ngram_jaccard_sql(),
         "world_tile_checksums": q_world_tile_checksums_sql(),
+        "compare_report": q_compare_report_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),
