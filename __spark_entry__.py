@@ -2256,6 +2256,107 @@ def q_contour_polygon_bands_sql():
     )
 
 
+def q_gdalmove(spark, sf_dir):
+    """gdalmove analog (osgeo_utils/gdalmove.py move()): re-fit each
+    image's geotransform in EPSG:4326 from its reprojected UL/UR/LL
+    corners and report the residual at the center/LR — pure column math
+    + one vectorized numpy kernel, no pixel IO, no shuffle. Source
+    georefs are synthesized from customer keys in Catalyst; the oracle
+    re-derives the ENTIRE pipeline (inverse web-mercator, 3-point
+    refit, forward+inverse residuals) in closed-form DuckDB SQL — a
+    dual-implementation check like utm_forward."""
+    from gdal_spark.operators.move import move_georeference
+
+    k = F.col("c_custkey")
+    imgs = _t(spark, sf_dir, "customer").select(
+        k.cast("string").alias("image_id"),
+        (F.lit(100.0) + (k * 19 % 400) * 10.0).alias("gt1"),
+        (F.lit(-15000000.0) + (k * 37 % 3000) * 10000.0).alias("gt0"),
+        (F.lit(15000000.0) - (k * 53 % 3000) * 10000.0).alias("gt3"),
+    ).select(
+        "image_id",
+        "gt0",
+        "gt1",
+        F.lit(0.0).alias("gt2"),
+        "gt3",
+        F.lit(0.0).alias("gt4"),
+        (-F.col("gt1")).alias("gt5"),
+        F.lit(256).alias("w"),
+        F.lit(256).alias("h"),
+        F.lit(3857).alias("srid"),
+    )
+    out = move_georeference(imgs, 4326)
+    return out.select(
+        F.col("image_id").cast("long").alias("pid"),
+        F.round("ngt0", 9).alias("ngt0"),
+        F.round("ngt1", 9).alias("ngt1"),
+        F.round("ngt3", 9).alias("ngt3"),
+        F.round("ngt5", 9).alias("ngt5"),
+        F.round("err_geo", 9).alias("err_geo"),
+        F.round("err_px", 6).alias("err_px"),
+    ).orderBy("pid")
+
+
+def q_gdalmove_sql():
+    OS = "CAST('20037508.342789244' AS DOUBLE)"
+
+    def lon(v):
+        return f"(({v}) / {OS}) * 180.0"
+
+    def lat(v):
+        return (
+            f"(180.0 / pi()) * (2.0 * atan(exp((((({v}) / {OS}) * 180.0) "
+            "* pi()) / 180.0)) - pi() / 2.0)"
+        )
+
+    # sample x at px=0,256,128 ; sample y at py=0,256,128 (w=h=256,
+    # axis-aligned source gt => lon depends on px only, lat on py only)
+    sx = {0: "x0", 1: "x0 + 256.0 * res", 2: "x0 + 128.0 * res"}
+    sy = {0: "y0", 1: "y0 + 256.0 * (-res)", 2: "y0 + 128.0 * (-res)"}
+    lons = ", ".join(f"{lon(sx[i])} AS l{i}" for i in range(3))
+    lats = ", ".join(f"{lat(sy[i])} AS t{i}" for i in range(3))
+    # refit: ngt1=(l1-l0)/256, ngt5=(t1-t0)/256; residuals of the refit
+    # vs the true reprojection at the 5 reference points (UL/UR/LL are
+    # 0 by construction; x is linear so lat residuals dominate)
+    errs = [
+        "abs((l0 + 256.0 * ((l1 - l0) / 256.0)) - l1)",
+        "abs((l0 + 128.0 * ((l1 - l0) / 256.0)) - l2)",
+        "abs((t0 + 256.0 * ((t1 - t0) / 256.0)) - t1)",
+        "abs((t0 + 128.0 * ((t1 - t0) / 256.0)) - t2)",
+    ]
+    # pixel residuals via the inverted refit gt, same association as the
+    # kernel's bx = inv0 + x*inv1 (the off-diagonal inv terms are signed
+    # zeros that cannot change the sum)
+    perrs = [
+        "abs((i0 + l0 * v1) - 0.0)",
+        "abs((i0 + l1 * v1) - 256.0)",
+        "abs((i0 + l2 * v1) - 128.0)",
+        "abs((i3 + t0 * v5) - 0.0)",
+        "abs((i3 + t1 * v5) - 256.0)",
+        "abs((i3 + t2 * v5) - 128.0)",
+    ]
+    return (
+        "WITH p AS (SELECT c_custkey AS pid, "
+        "100.0 + (c_custkey * 19 % 400) * 10.0 AS res, "
+        "-15000000.0 + (c_custkey * 37 % 3000) * 10000.0 AS x0, "
+        "15000000.0 - (c_custkey * 53 % 3000) * 10000.0 AS y0 "
+        "FROM customer), "
+        f"t AS (SELECT pid, res, {lons}, {lats} FROM p), "
+        "g AS (SELECT pid, l0, l1, l2, t0, t1, t2, "
+        "(l1 - l0) / 256.0 AS ngt1, (t1 - t0) / 256.0 AS ngt5 FROM t), "
+        "iv AS (SELECT *, "
+        "(0.0 * t0 - l0 * ngt5) * (1.0 / (ngt1 * ngt5 - 0.0 * 0.0)) AS i0, "
+        "ngt5 * (1.0 / (ngt1 * ngt5 - 0.0 * 0.0)) AS v1, "
+        "(-(ngt1) * t0 + l0 * 0.0) * (1.0 / (ngt1 * ngt5 - 0.0 * 0.0)) AS i3, "
+        "ngt1 * (1.0 / (ngt1 * ngt5 - 0.0 * 0.0)) AS v5 FROM g) "
+        "SELECT pid, round(l0, 9) AS ngt0, round(ngt1, 9) AS ngt1, "
+        "round(t0, 9) AS ngt3, round(ngt5, 9) AS ngt5, "
+        f"round(greatest({', '.join(errs)}), 9) AS err_geo, "
+        f"round(greatest({', '.join(perrs)}), 6) AS err_px "
+        "FROM iv ORDER BY pid"
+    )
+
+
 _COMPARE_N = 6
 
 
@@ -3056,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # raster dataflow (rows-only: not SQL-expressible)
         "world_tile_checksums": q_world_tile_checksums,
         "compare_report": q_compare_report,
+        "gdalmove": q_gdalmove,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3125,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": q_ngram_jaccard_sql(),
         "world_tile_checksums": q_world_tile_checksums_sql(),
         "compare_report": q_compare_report_sql(),
+        "gdalmove": q_gdalmove_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),
