@@ -1339,6 +1339,37 @@ def q_events_window_sql():
     )
 
 
+def q_session_windows(spark, sf_dir):
+    """Sessionization via Spark's native session_window (merging state
+    windows, streaming-compatible) — the DuckDB oracle derives the same
+    sessions with the classic gaps-and-islands construction (break when
+    ts - lag(ts) > gap, running sum of breaks = session id): two
+    genuinely different algorithms, same answer."""
+    from gdal_spark.streaming.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(
+        e, gap="4 hours",
+        aggs=[F.round(F.sum("value"), 6).alias("sum_value")],
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+def q_session_windows_sql():
+    return (
+        "WITH o AS (SELECT user_id, ts, value, CASE WHEN ts - lag(ts) "
+        "OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '4 hours' "
+        "THEN 1 ELSE 0 END AS brk FROM events), "
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, min(ts) AS session_start, "
+        "max(ts) + INTERVAL '4 hours' AS session_end, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 6) AS sum_value "
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+    )
+
+
 # ------------------------- training-data functions ------------------------
 
 
@@ -3158,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "world_tile_checksums": q_world_tile_checksums,
         "compare_report": q_compare_report,
         "gdalmove": q_gdalmove,
+        "session_windows": q_session_windows,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3228,6 +3260,7 @@ def oracle_sql() -> dict[str, str]:
         "world_tile_checksums": q_world_tile_checksums_sql(),
         "compare_report": q_compare_report_sql(),
         "gdalmove": q_gdalmove_sql(),
+        "session_windows": q_session_windows_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),
