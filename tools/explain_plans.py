@@ -208,6 +208,77 @@ def main():
         out,
     )
 
+    # 10. gdalcompare: ONE cogroup bringing golden+new payloads together
+    # (one exchange per input side, no join row-duplication, no cartesian)
+    from gdal_spark.operators.compare import compare_images
+
+    cmp_df = compare_images(imgs8, imgs8.select("image_id", "bytes", "fmt"))
+    audit(
+        "compare_cogroup",
+        cmp_df,
+        [
+            ("cogroup", r"FlatMapCoGroupsInPandas"),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            # exactly one exchange per input side (tree nodes, not the
+            # duplicated detail section)
+            ("one_exchange_per_side",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 2),
+        ],
+        out,
+    )
+
+    # 11. gdalmove: georef refit is a SHUFFLE-FREE narrow projection —
+    # parquet scan -> column math -> one MapInPandas, no Exchange
+    from gdal_spark.operators.move import move_georeference
+
+    k = F.col("c_custkey")
+    geo = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .select(
+            k.cast("string").alias("image_id"),
+            (F.lit(-15000000.0) + (k * 37 % 3000) * 10000.0).alias("gt0"),
+            (F.lit(100.0) + (k * 19 % 400) * 10.0).alias("gt1"),
+            F.lit(0.0).alias("gt2"),
+            (F.lit(15000000.0) - (k * 53 % 3000) * 10000.0).alias("gt3"),
+            F.lit(0.0).alias("gt4"),
+            (-(F.lit(100.0) + (k * 19 % 400) * 10.0)).alias("gt5"),
+            F.lit(256).alias("w"),
+            F.lit(256).alias("h"),
+            F.lit(3857).alias("srid"),
+        )
+    )
+    mv = move_georeference(geo, 4326)
+    audit(
+        "gdalmove_no_shuffle",
+        mv,
+        [
+            ("no_exchange", lambda p: "Exchange" not in p),
+            ("single_arrow_pass",
+             lambda p: len(re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+            ("pruned_scan", r"ReadSchema:[^\n]*c_custkey"),
+        ],
+        out,
+    )
+
+    # 12. sessionization: native session_window operator — JVM-side
+    # merging-session aggregation (no Python), partial before the
+    # key exchange
+    from gdal_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    sess = sessionize(ev, gap="4 hours")
+    audit(
+        "session_window_native",
+        sess,
+        [
+            ("no_python", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+            ("session_agg", r"(?i)session"),
+            ("partial_agg", r"partial"),
+        ],
+        out,
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
