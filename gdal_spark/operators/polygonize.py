@@ -440,20 +440,26 @@ def polygonize_tiles(
         F.col("value").alias("value_b"), F.col("key").alias("key_b"),
     )
     pad = 1 if connect8 else 0  # 8-connect: runs may link diagonally
+    # value is part of the EQUI-join key: only same-value runs can merge,
+    # and it spreads the hash partitioning beyond the ~O(tiles) distinct
+    # grid lines. No .distinct(): duplicate edges (two regions touching
+    # along several runs) are harmless to both consumers — the driver
+    # union-find is idempotent and cc_labels aggregates with min() — so
+    # the extra shuffle bought nothing.
     pairs = (
         borders.join(
             b,
-            (borders["kind"] == b["kind_b"]) & (borders["a"] == F.col("coord_b")),
+            (borders["kind"] == b["kind_b"])
+            & (borders["a"] == F.col("coord_b"))
+            & (borders["value"] == F.col("value_b")),
             "inner",
         )
         .where(
             (F.col("key") < F.col("key_b"))
-            & (F.col("value") == F.col("value_b"))
             & (F.col("b") < F.col("pos1_b") + F.lit(pad))
             & (F.col("c") + F.lit(pad) > F.col("pos0_b"))
         )
         .select("key", "key_b")
-        .distinct()
     )
     # keys on opposite sides of the same grid line share `coord`; a tile's
     # own two sides never collide because left/right emit distinct coords
