@@ -382,7 +382,18 @@ def run_scaling():
     t32 = min(times["local[32]"])
     thr8 = N_BENCH_IMAGES / t8
     thr32 = N_BENCH_IMAGES / t32
-    eff = thr32 / (4.0 * thr8)
+    eff_min = thr32 / (4.0 * thr8)
+    # PAIRED estimator (headline): each adjacent (8, 32) pair ran
+    # back-to-back in the same drift regime, so its ratio cancels the
+    # sitting-scale swings this VM shows (3-6x hours apart, and a
+    # single lucky local[8] leg from a fast regime deflates the
+    # min-based ratio by construction). Median over pairs is robust to
+    # one bad pair while never cherry-picking the best one.
+    pair_effs = sorted(
+        a / (4.0 * b)
+        for a, b in zip(times["local[8]"], times["local[32]"])
+    )
+    eff = pair_effs[len(pair_effs) // 2]
     rel = eff / ctrl_eff if ctrl_eff else 0.0
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -392,13 +403,27 @@ def run_scaling():
             f"n={N_BENCH_IMAGES}, native-zoom base cut + one overview reduce) "
             "at two parallelism levels on the same machine, fresh JVM each "
             "(the sandbox stand-in for N vs 4N executors per the north "
-            "rule).\n\n"
-            "| run | wall sec | images/sec |\n|---|---|---|\n"
+            "rule). Levels run back-to-back in interleaved pairs; each "
+            "pair yields one efficiency sample measured in a single drift "
+            "regime.\n\n"
+            "| pair | local[8] sec | local[32] sec | pair efficiency |\n"
+            "|---|---|---|---|\n"
+            + "".join(
+                f"| {i + 1} | {a:.2f} | {b:.2f} | {a / (4.0 * b):.3f} |\n"
+                for i, (a, b) in enumerate(
+                    zip(times["local[8]"], times["local[32]"])
+                )
+            )
+            + "\n"
+            "| run | best wall sec | images/sec |\n|---|---|---|\n"
             f"| engine local[8] | {t8:.2f} | {thr8:.2f} |\n"
             f"| engine local[32] | {t32:.2f} | {thr32:.2f} |\n"
             f"| control mp-8 (same kernel, no Spark) | {ctrl_times[8]:.2f} | — |\n"
             f"| control mp-32 | {ctrl_times[32]:.2f} | — |\n\n"
-            f"- engine scaling efficiency = thr32 / (4 x thr8) = **{eff:.3f}**\n"
+            f"- engine scaling efficiency (median of paired samples) = "
+            f"**{eff:.3f}**; min-based cross-pair ratio = {eff_min:.3f} "
+            "(deflated when the best 8-thread and best 32-thread legs come "
+            "from different drift regimes)\n"
             f"- machine ceiling (pure multiprocessing, same numpy kernel) = "
             f"**{ctrl_eff:.3f}** — this single box shares one memory bus "
             "across all 32 threads, so even Spark-free numpy cannot reach "
@@ -417,6 +442,9 @@ def run_scaling():
                 "metric": "scaling efficiency local[8]->local[32]",
                 "value": round(eff, 4),
                 "unit": "ratio",
+                "estimator": "median of paired (8,32) samples",
+                "pair_effs": [round(e, 4) for e in pair_effs],
+                "eff_min_based": round(eff_min, 4),
                 "control_ceiling": round(ctrl_eff, 4),
                 "relative_to_ceiling": round(rel, 4),
                 "throughput_8": round(thr8, 2),
