@@ -2287,6 +2287,57 @@ def q_contour_polygon_bands_sql():
     )
 
 
+_RETILE_N = 4
+_RETILE_ARGS = dict(tile_w=48, tile_h=48, overlap=8, levels=1)
+
+
+def _local_retile_rows():
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.retile import retile_array
+
+    rows = []
+    for i in range(_RETILE_N):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        gt = tuple(rec[f"gt{j}"] for j in range(6))
+        for t in retile_array(
+            arr, gt, _RETILE_ARGS["tile_w"], _RETILE_ARGS["tile_h"],
+            overlap=_RETILE_ARGS["overlap"], levels=_RETILE_ARGS["levels"],
+        ):
+            rows.append(
+                (
+                    rec["image_id"], t["level"], t["tx"], t["ty"],
+                    t["w"], t["h"], t["checksum"],
+                )
+            )
+    rows.sort()
+    return rows
+
+
+def q_retile_grid(spark, sf_dir):
+    """gdal_retile analog (osgeo_utils/gdal_retile.py tile_info /
+    createTile / buildPyramid): overlapping source-space tiles + one
+    pyramid level, one shuffle-free Arrow pass, per-tile GDAL checksum.
+    Oracle = the unit-tested local kernel over identical fixtures."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.retile import retile_images
+
+    df = fixtures.images_df(spark, _RETILE_N, tier="t2", partitions=2)
+    out = retile_images(df, **_RETILE_ARGS)
+    return out.select(
+        "image_id", "level", "tx", "ty", "w", "h", "checksum"
+    ).orderBy("image_id", "level", "ty", "tx")
+
+
+def q_retile_grid_sql():
+    return _vals_sql(
+        _local_retile_rows(),
+        ["image_id", "level", "tx", "ty", "w", "h", "checksum"],
+        "image_id, level, ty, tx",
+    )
+
+
 def q_gdalmove(spark, sf_dir):
     """gdalmove analog (osgeo_utils/gdalmove.py move()): re-fit each
     image's geotransform in EPSG:4326 from its reprojected UL/UR/LL
@@ -3190,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_report": q_compare_report,
         "gdalmove": q_gdalmove,
         "session_windows": q_session_windows,
+        "retile_grid": q_retile_grid,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3261,6 +3313,7 @@ def oracle_sql() -> dict[str, str]:
         "compare_report": q_compare_report_sql(),
         "gdalmove": q_gdalmove_sql(),
         "session_windows": q_session_windows_sql(),
+        "retile_grid": q_retile_grid_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),
