@@ -90,3 +90,47 @@ class TestAgainstGapsAndIslands:
             assert pd.Timestamp(row.session_end) == w[2]
             assert row.n_events == w[3]
             assert row.sum_value == pytest.approx(w[4], abs=1e-6)
+
+
+class TestStreaming:
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        """The SAME sessionize() call runs as a Structured Streaming
+        query: two parquet files drained as separate micro-batches
+        (maxFilesPerTrigger=1), session state merged by the streaming
+        state store, final complete-mode result == the batch answer."""
+        src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        in_dir = str(tmp_path / "events_in")
+        src.repartition(2).write.parquet(in_dir)
+
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            # watermarks require TIMESTAMP (the table stores NTZ; the
+            # session pins UTC so the cast is value-preserving)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "0 seconds")
+        )
+        agg = sessionize(stream, gap="4 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_stream").collect()
+        }
+        want = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in sessionize(
+                src.withColumn("ts", F.col("ts").cast("timestamp")),
+                gap="4 hours",
+            ).collect()
+        }
+        assert got == want and len(got) > 100
