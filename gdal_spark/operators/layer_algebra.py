@@ -387,6 +387,35 @@ def _normalize_layer(layer: DataFrame, fid: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # the seven OGR layer-algebra operators
 # ---------------------------------------------------------------------------
+# The candidate pair set is SYMMETRIC in the two layers (envelope
+# intersection and the owner-cell rule don't depend on which side was
+# "input"), so multi-leg operators (Identity, Union, SymDifference)
+# compute it ONCE, cut lineage with an eager localCheckpoint, and feed
+# every leg — including the reverse-erase via a role swap — from the
+# same materialized pairs. Without this, Union re-ran the
+# explode+equi-join THREE times over both full layers.
+
+
+def _swap_cands(cands: DataFrame) -> DataFrame:
+    """Reverse the input/method roles of a candidate pair set."""
+    return cands.select(
+        F.col("m_fid").alias("in_fid"), F.col("m_wkb").alias("in_wkb"),
+        F.col("in_fid").alias("m_fid"), F.col("in_wkb").alias("m_wkb"),
+    )
+
+
+def _shared_cands(
+    input_layer, method_layer, input_fid, method_fid, cell_zoom
+) -> DataFrame:
+    """One candidate join, materialized (eager localCheckpoint) so every
+    leg of a multi-leg operator reads the pairs instead of re-running
+    the explode+join; blocks are released by the periodic driver GC."""
+    if cell_zoom is None:
+        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
+    cands = pair_candidates(
+        input_layer, method_layer, input_fid, method_fid, cell_zoom
+    )
+    return cands.localCheckpoint(eager=True)
 
 
 def layer_intersection(
@@ -395,11 +424,15 @@ def layer_intersection(
     input_fid: str = "fid",
     method_fid: str = "fid",
     cell_zoom: int | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """OGRLayer::Intersection (ogrlayer.cpp:3345): one row per
     envelope-candidate pair whose geometries truly intersect; geometry =
     the intersection piece (multipolygon, holes preserved)."""
-    cands = pair_candidates(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    if cands is None:
+        cands = pair_candidates(
+            input_layer, method_layer, input_fid, method_fid, cell_zoom
+        )
     return _pairwise_op(cands, "and")
 
 
@@ -409,11 +442,15 @@ def layer_erase(
     input_fid: str = "fid",
     method_fid: str = "fid",
     cell_zoom: int | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """OGRLayer::Erase (ogrlayer.cpp:5806): each input feature minus the
     union of all intersecting method features; features with no
     candidates pass through (normalized)."""
-    cands = pair_candidates(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    if cands is None:
+        cands = pair_candidates(
+            input_layer, method_layer, input_fid, method_fid, cell_zoom
+        )
     erased = _grouped_op(cands, "a_not_b")
     no_cand = input_layer.join(
         cands.select("in_fid").distinct(),
@@ -442,14 +479,22 @@ def layer_identity(
     input_fid: str = "fid",
     method_fid: str = "fid",
     cell_zoom: int | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """OGRLayer::Identity (ogrlayer.cpp:4730): input split by the method
     layer = intersection pieces (in_fid, m_fid) + the uncovered remainder
-    of each input feature (in_fid, NULL m_fid)."""
-    if cell_zoom is None:
-        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
-    pieces = layer_intersection(input_layer, method_layer, input_fid, method_fid, cell_zoom)
-    remainder = layer_erase(input_layer, method_layer, input_fid, method_fid, cell_zoom)
+    of each input feature (in_fid, NULL m_fid). One shared candidate
+    pass feeds both legs."""
+    if cands is None:
+        cands = _shared_cands(
+            input_layer, method_layer, input_fid, method_fid, cell_zoom
+        )
+    pieces = layer_intersection(
+        input_layer, method_layer, input_fid, method_fid, cands=cands
+    )
+    remainder = layer_erase(
+        input_layer, method_layer, input_fid, method_fid, cands=cands
+    )
     rem = remainder.select(
         F.col("fid").alias("in_fid"), F.lit(None).cast("long").alias("m_fid"),
         "wkb", "minx", "miny", "maxx", "maxy", "area",
@@ -466,11 +511,18 @@ def layer_union(
 ) -> DataFrame:
     """OGRLayer::Union (ogrlayer.cpp:3763): intersection pieces + the
     input-only remainders (m_fid NULL) + the method-only remainders
-    (in_fid NULL)."""
-    if cell_zoom is None:
-        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
-    ident = layer_identity(input_layer, method_layer, input_fid, method_fid, cell_zoom)
-    m_only = layer_erase(method_layer, input_layer, method_fid, input_fid, cell_zoom)
+    (in_fid NULL). All three legs read ONE materialized candidate join
+    (the reverse-erase swaps the pair roles)."""
+    cands = _shared_cands(
+        input_layer, method_layer, input_fid, method_fid, cell_zoom
+    )
+    ident = layer_identity(
+        input_layer, method_layer, input_fid, method_fid, cands=cands
+    )
+    m_only = layer_erase(
+        method_layer, input_layer, method_fid, input_fid,
+        cands=_swap_cands(cands),
+    )
     mo = m_only.select(
         F.lit(None).cast("long").alias("in_fid"), F.col("fid").alias("m_fid"),
         "wkb", "minx", "miny", "maxx", "maxy", "area",
@@ -486,14 +538,21 @@ def layer_symdifference(
     cell_zoom: int | None = None,
 ) -> DataFrame:
     """OGRLayer::SymDifference (ogrlayer.cpp:4300): input-only remainders
-    + method-only remainders (no intersection pieces)."""
-    if cell_zoom is None:
-        cell_zoom = _adaptive_cell_zoom(input_layer, method_layer)
-    a = layer_erase(input_layer, method_layer, input_fid, method_fid, cell_zoom).select(
+    + method-only remainders (no intersection pieces); both erases read
+    one materialized candidate join."""
+    cands = _shared_cands(
+        input_layer, method_layer, input_fid, method_fid, cell_zoom
+    )
+    a = layer_erase(
+        input_layer, method_layer, input_fid, method_fid, cands=cands
+    ).select(
         F.col("fid").alias("in_fid"), F.lit(None).cast("long").alias("m_fid"),
         "wkb", "minx", "miny", "maxx", "maxy", "area",
     )
-    b = layer_erase(method_layer, input_layer, method_fid, input_fid, cell_zoom).select(
+    b = layer_erase(
+        method_layer, input_layer, method_fid, input_fid,
+        cands=_swap_cands(cands),
+    ).select(
         F.lit(None).cast("long").alias("in_fid"), F.col("fid").alias("m_fid"),
         "wkb", "minx", "miny", "maxx", "maxy", "area",
     )
