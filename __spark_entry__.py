@@ -1370,6 +1370,67 @@ def q_session_windows_sql():
     )
 
 
+def q_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 Table A1,
+    re-derived on word n-grams): duplicate-word fraction (pure Column,
+    no shuffle), top-bigram char fraction and duplicate-5-gram char
+    fraction (one (doc, gram) shuffle with map-side combine). DuckDB
+    re-derives every formula with list/lambda SQL."""
+    from gdal_spark.functions.repetition import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_stats(d)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        "top_bigram",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+    ).orderBy("doc_id")
+
+
+def q_repetition_filters_sql():
+    g2 = "w[i] || ' ' || w[i + 1]"
+    g5 = (
+        "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] "
+        "|| ' ' || w[i + 4]"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, trim(text) AS t FROM documents), "
+        "b AS (SELECT doc_id, length(t) AS n_chars, "
+        "regexp_split_to_array(t, '\\s+') AS w FROM d), "
+        "base AS (SELECT doc_id, n_chars, len(w) AS n_words, "
+        "CASE WHEN len(w) <= 0 THEN 0.0 "
+        "ELSE 1.0 - len(list_distinct(w)) / len(w) END AS dup_word_frac, "
+        "CASE WHEN len(w) >= 2 THEN list_transform("
+        f"generate_series(1, len(w) - 1), i -> {g2}) ELSE [] END AS g2, "
+        "CASE WHEN len(w) >= 5 THEN list_transform("
+        f"generate_series(1, len(w) - 4), i -> {g5}) ELSE [] END AS g5 "
+        "FROM b), "
+        "c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM base, "
+        "unnest(g2) AS u(gram) GROUP BY doc_id, gram), "
+        "t2 AS (SELECT doc_id, gram AS top_bigram, "
+        "cnt * length(gram) AS top2_chars, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM c2), "
+        "c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM base, "
+        "unnest(g5) AS u(gram) GROUP BY doc_id, gram), "
+        "d5 AS (SELECT doc_id, sum(cnt * length(gram)) AS dup5_chars "
+        "FROM c5 WHERE cnt > 1 GROUP BY doc_id) "
+        "SELECT base.doc_id, CAST(n_words AS INT) AS n_words, "
+        "round(dup_word_frac, 6) AS dup_word_frac, "
+        "coalesce(t2.top_bigram, '') AS top_bigram, "
+        "round(CASE WHEN n_chars <= 0 THEN 0.0 "
+        "ELSE coalesce(t2.top2_chars, 0) / n_chars END, 6) "
+        "AS top_bigram_frac, "
+        "round(least(1.0, CASE WHEN n_chars <= 0 THEN 0.0 "
+        "ELSE coalesce(d5.dup5_chars, 0) / n_chars END), 6) "
+        "AS dup_5gram_frac "
+        "FROM base LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 "
+        "USING (doc_id) LEFT JOIN d5 USING (doc_id) ORDER BY doc_id"
+    )
+
+
 # ------------------------- training-data functions ------------------------
 
 
@@ -3242,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdalmove": q_gdalmove,
         "session_windows": q_session_windows,
         "retile_grid": q_retile_grid,
+        "repetition_filters": q_repetition_filters,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3314,6 +3376,7 @@ def oracle_sql() -> dict[str, str]:
         "gdalmove": q_gdalmove_sql(),
         "session_windows": q_session_windows_sql(),
         "retile_grid": q_retile_grid_sql(),
+        "repetition_filters": q_repetition_filters_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),
