@@ -2348,6 +2348,102 @@ def q_contour_polygon_bands_sql():
     )
 
 
+_HSV_N = 4
+
+
+def _local_hsv_rows():
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.hsv import hsv_merge_array
+    from gdal_spark.checksum import gdal_checksum
+
+    rows = []
+    for i in range(_HSV_N):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        g = 255 - (arr if arr.ndim == 2 else arr[:, :, 0])
+        out = hsv_merge_array(arr, g)
+        rows.append((rec["image_id"], int(gdal_checksum(out[:, :, 0]))))
+    rows.sort()
+    return rows
+
+
+def q_hsv_merge_checksums(spark, sf_dir):
+    """hsv_merge analog (samples/hsv_merge.py): drape the fixture color
+    images over an inverted-band-0 intensity raster via HSV V-swap; one
+    1:1 image-id join + one Arrow pass. Oracle = colorsys-validated
+    local kernel."""
+    import pandas as pd
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.hsv import hsv_merge_images
+
+    df = fixtures.images_df(spark, _HSV_N, tier="t2", partitions=2)
+
+    def greyify(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = C.decode_image(bytes(r.bytes), r.fmt)
+                g = arr if arr.ndim == 2 else arr[:, :, 0]
+                rows.append(
+                    {"image_id": r.image_id,
+                     "bytes": C.encode_png(255 - g), "fmt": "png"}
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    grey = df.select("image_id", "bytes", "fmt").mapInPandas(
+        greyify, schema="image_id string, bytes binary, fmt string"
+    )
+    out = hsv_merge_images(df, grey)
+    return out.select("image_id", "checksum").orderBy("image_id")
+
+
+def q_hsv_merge_checksums_sql():
+    return _vals_sql(_local_hsv_rows(), ["image_id", "checksum"], "image_id")
+
+
+def _local_minmax_rows():
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.hsv import minmax_location_array
+
+    rows = []
+    for i in range(_HSV_N):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        band = arr if arr.ndim == 2 else arr[:, :, 0]
+        r = minmax_location_array(band, tuple(rec[f"gt{j}"] for j in range(6)))
+        rows.append(
+            (rec["image_id"], r["min_val"], r["min_px"], r["min_py"],
+             r["min_x"], r["min_y"], r["max_val"], r["max_px"], r["max_py"],
+             r["max_x"], r["max_y"])
+        )
+    rows.sort()
+    return rows
+
+
+def q_minmax_location(spark, sf_dir):
+    """gdal_minmax_location analog (samples/gdal_minmax_location.py):
+    per image, band-1 min/max value + first-occurrence pixel and
+    georeferenced (pixel-center) location; shuffle-free Arrow pass."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.hsv import minmax_location_images
+
+    df = fixtures.images_df(spark, _HSV_N, tier="t2", partitions=2)
+    return minmax_location_images(df).orderBy("image_id")
+
+
+def q_minmax_location_sql():
+    return _vals_sql(
+        _local_minmax_rows(),
+        ["image_id", "min_val", "min_px", "min_py", "min_x", "min_y",
+         "max_val", "max_px", "max_py", "max_x", "max_y"],
+        "image_id",
+    )
+
+
 _RETILE_N = 4
 _RETILE_ARGS = dict(tile_w=48, tile_h=48, overlap=8, levels=1)
 
@@ -3304,6 +3400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "retile_grid": q_retile_grid,
         "repetition_filters": q_repetition_filters,
+        "hsv_merge_checksums": q_hsv_merge_checksums,
+        "minmax_location": q_minmax_location,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3377,6 +3475,8 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": q_session_windows_sql(),
         "retile_grid": q_retile_grid_sql(),
         "repetition_filters": q_repetition_filters_sql(),
+        "hsv_merge_checksums": q_hsv_merge_checksums_sql(),
+        "minmax_location": q_minmax_location_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),
