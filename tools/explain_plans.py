@@ -279,6 +279,40 @@ def main():
         out,
     )
 
+    # 13. retile: decode-once source-space tiling is embarrassingly
+    # parallel — no Exchange in the whole plan
+    from gdal_spark.operators.retile import retile_images
+
+    rt = retile_images(imgs8, 48, 48, overlap=8, levels=1)
+    audit(
+        "retile_no_shuffle",
+        rt,
+        [
+            ("no_exchange", lambda p: "Exchange" not in p),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
+    # 14. repetition filters: dup-word fraction never shuffles; the
+    # n-gram stats aggregate with map-side combine before ONE (doc,
+    # gram) exchange — and no Python anywhere (pure Column math)
+    from gdal_spark.functions.repetition import repetition_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rep = repetition_stats(docs)
+    audit(
+        "repetition_pure_column",
+        rep,
+        [
+            ("no_python", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+            ("partial_agg", r"partial"),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
