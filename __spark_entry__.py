@@ -2348,6 +2348,69 @@ def q_contour_polygon_bands_sql():
     )
 
 
+_CALC_EXPR = "where(A > 128, A, (A + B) / 2.0)"
+
+
+def _local_calc_rows():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.operators.stats import compile_calc
+
+    fn = compile_calc(_CALC_EXPR, ["A", "B"])
+    rows = []
+    for i in range(4):
+        rec = fixtures.image_record(i, tier="t2")
+        a = C.decode_image(rec["bytes"], rec["fmt"]).astype(np.float64)
+        out = np.clip(np.round(fn({"A": a, "B": 255.0 - a})), 0, 255).astype(
+            np.uint8
+        )
+        band = out if out.ndim == 2 else out[:, :, 0]
+        rows.append((rec["image_id"], int(gdal_checksum(band))))
+    rows.sort()
+    return rows
+
+
+def q_gdal_calc(spark, sf_dir):
+    """gdal_calc analog (osgeo_utils/gdal_calc.py): two-raster
+    letter-bound expression through the AST-whitelisted compiler,
+    1:1 joins + one Arrow pass. B = inverted A; oracle = the same
+    unit-tested kernel locally."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.stats import calc_images
+
+    a_df = fixtures.images_df(spark, 4, tier="t2", partitions=2)
+
+    def invert(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = C.decode_image(bytes(r.bytes), r.fmt)
+                rows.append(
+                    {"image_id": r.image_id,
+                     "bytes": C.encode_png(
+                         (255 - np.asarray(arr)).astype(np.uint8)),
+                     "fmt": "png"}
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    b_df = a_df.select("image_id", "bytes", "fmt").mapInPandas(
+        invert, schema="image_id string, bytes binary, fmt string"
+    )
+    out = calc_images({"A": a_df, "B": b_df}, _CALC_EXPR)
+    return out.select("image_id", "checksum").orderBy("image_id")
+
+
+def q_gdal_calc_sql():
+    return _vals_sql(_local_calc_rows(), ["image_id", "checksum"], "image_id")
+
+
 _HSV_N = 4
 
 
@@ -3402,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": q_repetition_filters,
         "hsv_merge_checksums": q_hsv_merge_checksums,
         "minmax_location": q_minmax_location,
+        "gdal_calc": q_gdal_calc,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3477,6 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filters": q_repetition_filters_sql(),
         "hsv_merge_checksums": q_hsv_merge_checksums_sql(),
         "minmax_location": q_minmax_location_sql(),
+        "gdal_calc": q_gdal_calc_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),

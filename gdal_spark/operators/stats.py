@@ -228,3 +228,128 @@ def nearblack_images(images, near: int = 15, white: bool = False):
     return images.mapInPandas(
         do, schema="image_id string, bytes binary, n_collar long, checksum int"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_calc: multi-raster band algebra
+# ---------------------------------------------------------------------------
+# Reference: swig/python/gdal-utils/osgeo_utils/gdal_calc.py — letters
+# A..Z bind input rasters, the --calc expression is evaluated with numpy
+# broadcasting. The reference evals arbitrary Python; this engine
+# compiles the expression through an AST WHITELIST instead (arithmetic,
+# comparisons, ternary where(), and the PIXEL_FUNCS names only), so no
+# attacker-controlled code ever runs in an executor.
+
+import ast as _ast
+
+_CALC_FUNCS = dict(PIXEL_FUNCS)
+_CALC_FUNCS.update(
+    {
+        "minimum": np.minimum,
+        "maximum": np.maximum,
+        "where": np.where,
+        "power": np.power,
+        "floor": np.floor,
+        "ceil": np.ceil,
+        "round": np.round,
+    }
+)
+
+_ALLOWED_NODES = (
+    _ast.Expression, _ast.BinOp, _ast.UnaryOp, _ast.Compare, _ast.Call,
+    _ast.Name, _ast.Load, _ast.Constant,
+    _ast.Add, _ast.Sub, _ast.Mult, _ast.Div, _ast.FloorDiv, _ast.Mod,
+    _ast.Pow, _ast.USub, _ast.UAdd,
+    _ast.Lt, _ast.LtE, _ast.Gt, _ast.GtE, _ast.Eq, _ast.NotEq,
+    _ast.BitAnd, _ast.BitOr, _ast.BitXor,
+)
+
+
+def compile_calc(expr: str, letters):
+    """Validate + compile a gdal_calc expression against the whitelist;
+    returns fn(dict[letter -> ndarray]) -> ndarray."""
+    tree = _ast.parse(expr, mode="eval")
+    for node in _ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"calc expression node not allowed: {type(node).__name__}"
+            )
+        if isinstance(node, _ast.Call):
+            if not isinstance(node.func, _ast.Name) or node.func.id not in _CALC_FUNCS:
+                raise ValueError("only whitelisted functions may be called")
+        if isinstance(node, _ast.Name) and node.id not in _CALC_FUNCS:
+            if node.id not in letters:
+                raise ValueError(f"unknown name {node.id!r} in calc expression")
+    code = compile(tree, "<calc>", "eval")
+
+    def fn(env):
+        scope = dict(_CALC_FUNCS)
+        scope.update(env)
+        return eval(code, {"__builtins__": {}}, scope)  # noqa: S307 — AST-whitelisted
+
+    return fn
+
+
+def calc_images(
+    inputs: dict,
+    expr: str,
+    out_fmt: str = "png",
+):
+    """Distributed gdal_calc: ``inputs`` maps letters (A, B, ...) to
+    image DataFrames (image_id, bytes, fmt); all sides join 1:1 on
+    image_id (bytes cross the shuffle once per input) and ONE Arrow
+    pass evaluates the compiled expression per image. Output is clipped
+    to uint8 (gdal_calc's default Byte type) with a band-1 checksum."""
+    letters = sorted(inputs)
+    fn = compile_calc(expr, letters)
+
+    base = None
+    for letter in letters:
+        side = inputs[letter].select(
+            F.col("image_id").alias(f"{letter}_id"),
+            F.col("bytes").alias(f"{letter}_bytes"),
+            F.col("fmt").alias(f"{letter}_fmt"),
+        )
+        if base is None:
+            base = side.withColumnRenamed(f"{letter}_id", "image_id")
+        else:
+            base = base.join(
+                side, base["image_id"] == side[f"{letter}_id"], "inner"
+            ).drop(f"{letter}_id")
+
+    def do(batches):
+        from gdal_spark.checksum import gdal_checksum
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                env = {}
+                for letter in letters:
+                    env[letter] = codecs.decode_image(
+                        bytes(getattr(r, f"{letter}_bytes")),
+                        getattr(r, f"{letter}_fmt"),
+                    ).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = fn(env)
+                out = np.nan_to_num(
+                    np.asarray(out, dtype=np.float64),
+                    nan=0.0, posinf=255.0, neginf=0.0,
+                )
+                out8 = np.clip(np.round(out), 0, 255).astype(np.uint8)
+                band = out8 if out8.ndim == 2 else out8[:, :, 0]
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": codecs.encode_image(out8, out_fmt),
+                        "w": band.shape[1], "h": band.shape[0],
+                        "checksum": int(gdal_checksum(band)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "checksum"]
+            )
+
+    return base.mapInPandas(
+        do,
+        schema="image_id string, bytes binary, w int, h int, checksum long",
+    )

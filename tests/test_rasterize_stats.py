@@ -218,3 +218,70 @@ class TestNearblack:
         rgba = codecs.decode_png(bytes(out[0]["bytes"]))
         assert (rgba[:, :3, 3] == 0).all() and (rgba[:, 3:, 3] == 255).all()
         assert (rgba[:, :3, :3] == 0).all()
+
+
+class TestGdalCalc:
+    """gdal_calc analog (stats.calc_images) — reference:
+    osgeo_utils/gdal_calc.py letter-bound numpy expressions."""
+
+    def test_expression_safety(self):
+        import pytest as _pytest
+
+        from gdal_spark.operators.stats import compile_calc
+
+        for bad in (
+            "__import__('os').system('x')",
+            "A.tobytes()",
+            "[x for x in A]",
+            "lambda: 1",
+            "open('/etc/passwd')",
+        ):
+            with _pytest.raises(ValueError):
+                compile_calc(bad, ["A"])
+
+    def test_two_raster_calc_matches_local(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark import codecs, fixtures
+        from gdal_spark.checksum import gdal_checksum
+        from gdal_spark.operators.stats import calc_images, compile_calc
+
+        a_df = fixtures.images_df(spark, 4, tier="t2", partitions=2)
+
+        def invert(it):
+            for pdf in it:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                    rows.append(
+                        {"image_id": r.image_id,
+                         "bytes": codecs.encode_png(
+                             (255 - np.asarray(arr)).astype(np.uint8)),
+                         "fmt": "png"}
+                    )
+                yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+        b_df = a_df.select("image_id", "bytes", "fmt").mapInPandas(
+            invert, schema="image_id string, bytes binary, fmt string"
+        )
+        expr = "where(A > 128, A, (A + B) / 2.0)"
+        got = {
+            r.image_id: r
+            for r in calc_images({"A": a_df, "B": b_df}, expr).collect()
+        }
+        fn = compile_calc(expr, ["A", "B"])
+        assert len(got) == 4
+        for i in range(4):
+            rec = fixtures.image_record(i, tier="t2")
+            a = codecs.decode_image(rec["bytes"], rec["fmt"]).astype(np.float64)
+            b = (255.0 - a)
+            out = np.clip(np.round(fn({"A": a, "B": b})), 0, 255).astype(
+                np.uint8
+            )
+            band = out if out.ndim == 2 else out[:, :, 0]
+            r = got[rec["image_id"]]
+            assert r.checksum == gdal_checksum(band), i
+            np.testing.assert_array_equal(
+                codecs.decode_image(bytes(r.bytes), "png"), out
+            )
