@@ -2348,6 +2348,38 @@ def q_contour_polygon_bands_sql():
     )
 
 
+def q_ogrmerge(spark, sf_dir):
+    """ogrmerge -single analog: the two rect fixture layers concatenated
+    with a src_layer tag (unionByName), summarized per source — pure
+    Catalyst; the oracle is the same UNION ALL in SQL."""
+    from gdal_spark.operators.vector import merge_layers
+
+    inputs, methods = _rect_layers(spark, sf_dir)
+    merged = merge_layers({"inputs": inputs, "methods": methods})
+    return (
+        merged.groupBy("src_layer")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum((F.col("maxx") - F.col("minx"))
+                      * (F.col("maxy") - F.col("miny"))) / 1.0e6, 4
+            ).alias("env_area_km2"),
+        )
+        .orderBy("src_layer")
+    )
+
+
+def q_ogrmerge_sql():
+    return (
+        f"WITH i AS ({_RECT_IN_SQL}), m AS ({_RECT_M_SQL}), "
+        "u AS (SELECT 'inputs' AS src_layer, minx, miny, maxx, maxy FROM i "
+        "UNION ALL SELECT 'methods', minx, miny, maxx, maxy FROM m) "
+        "SELECT src_layer, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum((maxx - minx) * (maxy - miny)) / 1.0e6, 4) "
+        "AS env_area_km2 FROM u GROUP BY src_layer ORDER BY src_layer"
+    )
+
+
 _CALC_EXPR = "where(A > 128, A, (A + B) / 2.0)"
 
 
@@ -3466,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hsv_merge_checksums": q_hsv_merge_checksums,
         "minmax_location": q_minmax_location,
         "gdal_calc": q_gdal_calc,
+        "ogrmerge": q_ogrmerge,
         "geodetic_tiles": q_geodetic_tiles,
         "translate_window": q_translate_window,
         "raster_xyz": q_raster_xyz,
@@ -3542,6 +3575,7 @@ def oracle_sql() -> dict[str, str]:
         "hsv_merge_checksums": q_hsv_merge_checksums_sql(),
         "minmax_location": q_minmax_location_sql(),
         "gdal_calc": q_gdal_calc_sql(),
+        "ogrmerge": q_ogrmerge_sql(),
         "geodetic_tiles": q_geodetic_tiles_sql(),
         "translate_window": q_translate_window_sql(),
         "raster_xyz": q_raster_xyz_sql(),

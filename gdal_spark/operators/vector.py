@@ -393,3 +393,21 @@ def with_centroids(df: DataFrame) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(do, schema=out_schema)
+
+
+def merge_layers(layers: dict, src_field: str = "src_layer"):
+    """ogrmerge -single analog (osgeo_utils/ogrmerge.py): concatenate
+    feature layers into one, tagging each row with its source layer name
+    (-src_layer_field_name/-src_layer_field_content semantics, the
+    "%(DS_BASENAME)s" default). Columns are aligned by name
+    (unionByName with allowMissingColumns — absent fields become NULL,
+    matching OGR's unioned field schema). Pure Catalyst: a UNION of
+    scans, no shuffle until the caller aggregates."""
+    from functools import reduce
+
+    tagged = [
+        df.withColumn(src_field, F.lit(name)) for name, df in sorted(layers.items())
+    ]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged
+    )
