@@ -17,10 +17,13 @@ Re-derivation of the Gopher repetition heuristics (Rae et al. 2021,
   approximation orders documents almost identically and stays exactly
   SQL-expressible.
 
-Scale shape: ``dup_word_frac`` is pure Column math (no shuffle at all);
-the n-gram statistics explode to (doc, gram) rows and aggregate with
-map-side combine — ONE shuffle keyed by (doc_id, gram), then a tiny
-per-doc reduction. Nothing is quadratic and nothing collects.
+Scale shape: ``dup_word_frac`` is pure Column math (no shuffle in its
+own derivation); both n-gram statistics come from ONE explode pass
+(each gram size tagged in the same (n, gram) stream) aggregated with
+map-side combine on (doc_id, n, gram), then per-doc reductions (a
+window for the top bigram, a sum for dup-5-grams) and two per-doc
+joins back onto the base row. The source is scanned twice total (base
+row + gram stream); nothing is quadratic and nothing collects.
 
 Every formula is replicated verbatim in the DuckDB oracle
 (q_repetition_filters_sql) — integer counts and single-division
@@ -78,21 +81,33 @@ def repetition_stats(
         dup_word_frac(F.col(text_col)).alias("dup_word_frac"),
     ).withColumn("n_words", F.size("words"))
 
-    def gram_counts(n: int):
-        return (
-            base.select(
-                "id", F.explode(ngrams_col(F.col("words"), n)).alias("gram")
+    # ONE explode pass emits both gram sizes as (n, gram) structs, so
+    # the source is scanned and split once for all n-gram statistics
+    # (instead of once per gram size), and one combine-shuffle on
+    # (id, n, gram) feeds both downstream reductions
+    grams = base.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    ngrams_col(F.col("words"), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    ngrams_col(F.col("words"), 5),
+                    lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram")),
+                ),
             )
-            .groupBy("id", "gram")
-            .agg(F.count("*").alias("cnt"))
-        )
+        ).alias("g"),
+    ).select("id", "g.n", "g.gram")
+    counts = grams.groupBy("id", "n", "gram").agg(F.count("*").alias("cnt"))
 
     # top bigram by (count desc, gram asc)
     w2 = Window.partitionBy("id").orderBy(
         F.col("cnt").desc(), F.col("gram").asc()
     )
     top2 = (
-        gram_counts(2)
+        counts.where(F.col("n") == 2)
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") == 1)
         .select(
@@ -103,8 +118,7 @@ def repetition_stats(
     )
 
     dup5 = (
-        gram_counts(5)
-        .where(F.col("cnt") > 1)
+        counts.where((F.col("n") == 5) & (F.col("cnt") > 1))
         .groupBy("id")
         .agg(F.sum(F.col("cnt") * F.length("gram")).alias("dup5_chars"))
     )

@@ -102,14 +102,14 @@ def compare_images(
 
     def compare_group(gpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        gmap = {
-            r.image_id: (bytes(r.bytes), r.fmt)
-            for r in gpdf.itertuples(index=False)
-        }
-        nmap = {
-            r.image_id: (bytes(r.bytes), r.fmt)
-            for r in npdf.itertuples(index=False)
-        }
+        # ids are expected unique per table; if a duplicate sneaks in,
+        # keep the FIRST occurrence deterministically (dict insertion
+        # order preserves the frame order) rather than an arbitrary one
+        gmap, nmap = {}, {}
+        for r in gpdf.itertuples(index=False):
+            gmap.setdefault(r.image_id, (bytes(r.bytes), r.fmt))
+        for r in npdf.itertuples(index=False):
+            nmap.setdefault(r.image_id, (bytes(r.bytes), r.fmt))
         for iid in sorted(set(gmap) | set(nmap)):
             if iid not in gmap or iid not in nmap:
                 row = dict.fromkeys(_COLS)
@@ -119,12 +119,16 @@ def compare_images(
                 continue
             gbuf, gfmt = gmap[iid]
             nbuf, nfmt = nmap[iid]
+            # a format difference is ONE image-level finding (counted on
+            # the first band row only), matching find_diff's single
+            # driver/format difference — not one per band
             fmt_diff = 0 if gfmt == nfmt else 1
             for row in compare_arrays(
                 codecs.decode_image(gbuf, gfmt), codecs.decode_image(nbuf, nfmt)
             ):
                 row["image_id"] = iid
                 row["found_diff"] += fmt_diff
+                fmt_diff = 0
                 rows.append(row)
         return pd.DataFrame(rows, columns=_COLS)
 

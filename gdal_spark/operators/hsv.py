@@ -60,7 +60,9 @@ def hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
     r = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
     g = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
     b = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
-    return np.stack([r, g, b], axis=2).astype(np.uint8)
+    # clip before the cast: v > 255 (e.g. a 16-bit intensity raster)
+    # must saturate, not wrap modulo 256
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
 def hsv_merge_array(rgb: np.ndarray, grey: np.ndarray) -> np.ndarray:
@@ -73,6 +75,11 @@ def hsv_merge_array(rgb: np.ndarray, grey: np.ndarray) -> np.ndarray:
         rgb = np.repeat(rgb[:, :, :1], 3, axis=2)
     h, s, _v = rgb_to_hsv(rgb[:, :, :3])
     g = grey if grey.ndim == 2 else grey[:, :, 0]
+    if g.shape != h.shape:
+        raise ValueError(
+            f"color {h.shape} and intensity {g.shape} rasters differ in "
+            "size (the reference CLI refuses mismatched inputs too)"
+        )
     return hsv_to_rgb(h, s, g.astype(np.float64))
 
 
@@ -101,7 +108,10 @@ def hsv_merge_images(
             for r in pdf.itertuples(index=False):
                 rgb = codecs.decode_image(bytes(r.c_bytes), r.c_fmt)
                 grey = codecs.decode_image(bytes(r.g_bytes), r.g_fmt)
-                out = hsv_merge_array(rgb, grey)
+                try:
+                    out = hsv_merge_array(rgb, grey)
+                except ValueError as ex:
+                    raise ValueError(f"image {r.image_id}: {ex}") from ex
                 rows.append(
                     {
                         "image_id": r.image_id,
@@ -129,8 +139,17 @@ def minmax_location_array(band: np.ndarray, gt) -> dict:
     """Min/max value + first-occurrence pixel and geo location
     (samples/gdal_minmax_location.py semantics; geo = pixel CENTER)."""
     band = np.asarray(band)
-    flat_min = int(band.argmin())
-    flat_max = int(band.argmax())
+    if band.dtype.kind == "f" and np.isnan(band).any():
+        # skip NaN (nodata) pixels like the reference; argmin/argmax
+        # would otherwise both land on the first NaN
+        if np.isnan(band).all():
+            flat_min = flat_max = 0
+        else:
+            flat_min = int(np.nanargmin(band))
+            flat_max = int(np.nanargmax(band))
+    else:
+        flat_min = int(band.argmin())
+        flat_max = int(band.argmax())
     h, w = band.shape
     out = {}
     for tag, flat, val in (

@@ -38,6 +38,11 @@ _COLS = [f.split(" ")[0] for f in OUT_SCHEMA.split(", ")]
 def retile_counts(xsize: int, ysize: int, tile_w: int, tile_h: int,
                   overlap: int = 0) -> tuple[int, int]:
     """tile_info's grid shape (gdal_retile.py:84-103), exact formula."""
+    if overlap >= min(tile_w, tile_h):
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than the tile size "
+            f"({tile_w}x{tile_h})"
+        )
     count_x = 1
     if xsize > tile_w:
         count_x += (xsize - tile_w + (tile_w - overlap) - 1) // (
@@ -59,12 +64,21 @@ def _level_arrays(arr: np.ndarray, levels: int):
 
     yield 0, arr, 1
     cur = arr
+    src_dtype = np.asarray(arr).dtype
     for lv in range(1, levels + 1):
         h, w = cur.shape[:2]
         nh, nw = max(1, (h + 1) // 2), max(1, (w + 1) // 2)
-        cur = np.clip(
-            np.round(resize_average(cur, nh, nw)), 0, 255
-        ).astype(np.uint8)
+        down = resize_average(cur, nh, nw)
+        # preserve the SOURCE dtype at every level (no silent uint8
+        # squash of uint16/float rasters): integer dtypes round and
+        # clip to their own range, float dtypes keep the averages
+        if np.issubdtype(src_dtype, np.integer):
+            info = np.iinfo(src_dtype)
+            cur = np.clip(np.round(down), info.min, info.max).astype(
+                src_dtype
+            )
+        else:
+            cur = down.astype(src_dtype)
         yield lv, cur, 2 ** lv
 
 

@@ -150,3 +150,26 @@ class TestDistributed:
         rows = compare_images(golden, new2).filter("band = 0").collect()
         assert len(rows) == 1
         assert rows[0].found_diff == 1 and rows[0].size_match is False
+
+
+class TestReviewRegressions:
+    def test_fmt_diff_counted_once_per_image(self, spark):
+        import pandas as pd
+
+        arr = _img(21)
+        golden = spark.createDataFrame(
+            pd.DataFrame(
+                {"image_id": ["img_a"],
+                 "bytes": [codecs.encode_png(arr)], "fmt": ["png"]}
+            )
+        )
+        new = spark.createDataFrame(
+            pd.DataFrame(
+                {"image_id": ["img_a"],
+                 "bytes": [codecs.encode_image(arr, "raw")], "fmt": ["raw"]}
+            )
+        )
+        rows = compare_images(golden, new).collect()
+        assert len(rows) == 3  # 3 bands
+        assert sum(r.found_diff for r in rows) == 1  # fmt diff ONCE
+        assert all(r.checksum_match for r in rows)

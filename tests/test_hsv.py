@@ -122,3 +122,23 @@ class TestDistributed:
             m = mm[rec["image_id"]]
             for k, v in wrec.items():
                 assert getattr(m, k) == pytest.approx(v), (i, k)
+
+
+class TestReviewRegressions:
+    def test_hsv_clips_over_255_intensity(self):
+        rgb = np.full((4, 4, 3), 100, dtype=np.uint8)
+        grey = np.full((4, 4), 300.0)  # 16-bit-style intensity
+        out = hsv_merge_array(rgb, grey)
+        assert out.max() == 255  # saturates, no modulo wrap
+
+    def test_hsv_size_mismatch_raises(self):
+        with pytest.raises(ValueError, match="differ in size"):
+            hsv_merge_array(
+                np.zeros((8, 8, 3), np.uint8), np.zeros((4, 4), np.uint8)
+            )
+
+    def test_minmax_skips_nan(self):
+        band = np.array([[np.nan, 5.0], [9.0, 1.0]])
+        rec = minmax_location_array(band, (0.0, 1.0, 0.0, 2.0, 0.0, -1.0))
+        assert rec["min_val"] == 1.0 and rec["max_val"] == 9.0
+        assert (rec["min_px"], rec["min_py"]) == (1, 1)

@@ -129,3 +129,30 @@ class TestDistributed:
             np.testing.assert_array_equal(
                 codecs.decode_image(bytes(r.data), "png"), w["data"]
             )
+
+
+class TestReviewRegressions:
+    GT = (0.0, 1.0, 0.0, 100.0, 0.0, -1.0)
+
+    def test_overlap_ge_tile_raises(self):
+        with pytest.raises(ValueError):
+            retile_counts(512, 512, 256, 256, overlap=256)
+        with pytest.raises(ValueError):
+            retile_array(np.zeros((64, 64), np.uint8), self.GT, 32, 32,
+                         overlap=40)
+
+    def test_pyramid_preserves_uint16(self):
+        arr = (np.arange(64 * 64, dtype=np.uint16) * 17 % 60000).reshape(
+            64, 64
+        )
+        tiles = retile_array(arr, self.GT, 64, 64, levels=1)
+        l1 = next(t for t in tiles if t["level"] == 1)
+        assert l1["data"].dtype == np.uint16
+        assert l1["data"].max() > 255  # no uint8 squash
+
+    def test_pyramid_preserves_float(self):
+        arr = np.linspace(0.0, 9000.0, 32 * 32).reshape(32, 32)
+        tiles = retile_array(arr, self.GT, 32, 32, levels=1)
+        l1 = next(t for t in tiles if t["level"] == 1)
+        assert l1["data"].dtype == np.float64
+        assert l1["data"].max() > 255.0
