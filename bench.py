@@ -370,14 +370,24 @@ def run_scaling():
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_IMAGES"] = str(N_BENCH_IMAGES)
         proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        sec = json.loads(line)["sec"]
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            print(
+                f"# {master} leg FAILED (rc={proc.returncode}): "
+                f"{proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            continue
+        sec = json.loads(lines[-1])["sec"]
         times[master].append(sec)
         print(f"# {master}: {sec}s", file=sys.stderr)
 
     ctrl_eff, ctrl_times = control_efficiency()
     print(f"# control (pure mp) eff: {ctrl_eff:.3f} {ctrl_times}", file=sys.stderr)
 
+    if not times["local[8]"] or not times["local[32]"]:
+        raise SystemExit("scaling legs failed on at least one level — "
+                         "see stderr above")
     t8 = min(times["local[8]"])
     t32 = min(times["local[32]"])
     thr8 = N_BENCH_IMAGES / t8
@@ -395,8 +405,10 @@ def run_scaling():
     )
     eff = pair_effs[len(pair_effs) // 2]
     rel = eff / ctrl_eff if ctrl_eff else 0.0
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # anchor the report next to this file, not the caller's cwd
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — two-parallelism scaling evidence\n\n"
             "Identical tile-cut job (materialized deterministic image table, "
@@ -432,9 +444,11 @@ def run_scaling():
             f"- engine efficiency relative to the machine ceiling = "
             f"**{rel:.3f}** (target >= 0.8 of what the hardware allows)\n"
         )
-    notes = "/root/repo/BENCH/NOTES.md"
+    notes = os.path.join(bench_dir, "NOTES.md")
     if os.path.exists(notes):
-        with open(notes) as nf, open("BENCH/BASELINE.md", "a") as f:
+        with open(notes) as nf, open(
+            os.path.join(bench_dir, "BASELINE.md"), "a"
+        ) as f:
             f.write(nf.read())
     print(
         json.dumps(

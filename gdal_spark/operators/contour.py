@@ -52,7 +52,14 @@ def cell_segments(band: np.ndarray, level: float, origin=(0, 0)):
     def interp(v0, v1):
         return (level - v0) / (v1 - v0)
 
-    ys, xs = np.nonzero((case != 0) & (case != 15))
+    # cells touching a non-finite corner are SKIPPED, like
+    # GDALContourGenerate skips nodata cells — this also makes the tile
+    # halo exact: a missing neighbor strip stays NaN and exactly the
+    # cells that need it drop out (no rectangle truncation)
+    finite = (
+        np.isfinite(tl) & np.isfinite(tr) & np.isfinite(bl) & np.isfinite(br)
+    )
+    ys, xs = np.nonzero((case != 0) & (case != 15) & finite)
     for r, c in zip(ys.tolist(), xs.tolist()):
         v_tl, v_tr = float(tl[r, c]), float(tr[r, c])
         v_bl, v_br = float(bl[r, c]), float(br[r, c])
@@ -178,7 +185,16 @@ def contour_tiles(
     """Distributed contour over the tiled layout: 1-node halo exchange
     (right column + bottom row + corner), per-tile marching squares in
     global node coords, then groupBy(level) chains segments whose
-    interior duplicates are bitwise-equal."""
+    interior duplicates are bitwise-equal.
+
+    Scale bound: chaining groups ALL of one level's segments into one
+    task (parallelism = number of levels). Segment count is
+    O(iso-line length), so a continent-scale raster with few levels
+    serializes chaining onto few cores — the polygonize-style fix
+    (distributed CC over per-tile chains, then per-line groups) is the
+    upgrade path if that becomes the bottleneck; for polygon output use
+    contour_polygons_tiles, which already inherits polygonize's
+    distributed connected components."""
     src = tiles_df.select("tile_x", "tile_y", "w", "h", "data")
     lvls = [float(v) for v in levels]
 
@@ -218,24 +234,20 @@ def contour_tiles(
         arr = np.frombuffer(bytes(r["data"]), dtype=np.float64).reshape(h, w)
         ext = np.full((h + 1, w + 1), np.nan)
         ext[:h, :w] = arr
-        have_right = have_bottom = have_corner = False
         for n in halo_pdf.itertuples(index=False):
             v = np.frombuffer(bytes(n.vals), dtype=np.float64)
             if n.kind == "col" and len(v) >= h:
                 ext[:h, w] = v[:h]
-                have_right = True
             elif n.kind == "row" and len(v) >= w:
                 ext[h, :w] = v[:w]
-                have_bottom = True
             elif n.kind == "corner":
                 ext[h, w] = v[0]
-                have_corner = True
-        hh = h + (1 if have_bottom else 0)
-        ww = w + (1 if have_right else 0)
-        if have_bottom and have_right and not have_corner:
-            hh, ww = h, w  # missing diagonal: skip the corner cell only
-        sub = ext[:hh, :ww]
-        sub = np.nan_to_num(sub, nan=-np.inf)
+        # missing halo strips stay NaN; cell_segments' finite-corner
+        # mask then skips EXACTLY the cells that depend on them (a
+        # sparse layout missing only the diagonal neighbor loses only
+        # the corner cell, and nodata NaN inside the tile is skipped
+        # like the reference does) — no rectangle truncation
+        sub = ext
         ox = int(r["tile_x"]) * tile_size
         oy = int(r["tile_y"]) * tile_size
         rows = []
@@ -288,9 +300,14 @@ def contour_tiles(
 
 def classify_levels(band: np.ndarray, levels) -> np.ndarray:
     """Pixel -> 1-based level-band index: 1 = below levels[0],
-    len(levels)+1 = above the last level. Bands are [lo, hi)."""
-    return np.digitize(np.asarray(band, dtype=np.float64),
-                       np.asarray(levels, dtype=np.float64)) + 1.0
+    len(levels)+1 = above the last level. Bands are [lo, hi). Non-finite
+    (nodata) pixels map to band 0, which the polygonize stage excludes —
+    np.digitize would otherwise put NaN past the last edge and inflate
+    the top band (gdal_contour -p excludes nodata)."""
+    b = np.asarray(band, dtype=np.float64)
+    cls = np.digitize(b, np.asarray(levels, dtype=np.float64)) + 1.0
+    cls[~np.isfinite(b)] = 0.0
+    return cls
 
 
 def band_bounds(levels):
@@ -309,7 +326,7 @@ def contour_polygons_array(band: np.ndarray, gt, levels,
     bounds = dict((k, (lo, hi)) for k, lo, hi in band_bounds(levels))
     out = []
     for value, n_px, polys in polygonize_array(cls, gt, connect8=connect8,
-                                               exclude=None):
+                                               exclude=(0.0,)):
         k = int(value)
         lo, hi = bounds[k]
         out.append((k, lo, hi, n_px, polys))
@@ -358,7 +375,7 @@ def contour_polygons_tiles(
     )
     polys = polygonize_tiles(
         classified, gt, tile_size=tile_size, connect8=connect8,
-        exclude=(), driver_cc_max_edges=driver_cc_max_edges,
+        exclude=(0.0,), driver_cc_max_edges=driver_cc_max_edges,
     )
     edges = band_bounds(lv)
     lo_map = F.create_map(

@@ -150,12 +150,14 @@ def pair_candidates(
     cell is always shared), which is what makes the zoom a pure
     performance knob.
 
-    Hot-cell salting: cells holding more than ``hot_cell_threshold``
-    method rows get ceil(n/threshold) (capped at ``max_salts``) salt
-    buckets; method rows hash-scatter across them and input rows
-    replicate, so no single join task sees an unbounded method side.
-    The hot-cell table is output of a count agg (bounded by
-    rows/threshold) and travels as a broadcast — nothing collects to the
+    Hot-cell salting (2-D): cells holding more than
+    ``hot_cell_threshold`` rows ON EITHER SIDE get ceil(n/threshold)
+    (capped at ``max_salts``) salt buckets per side; each side
+    hash-scatters over its own salts and replicates across the other
+    side's, and the join key is (cell, salt_i, salt_m) — per-task pair
+    count is bounded by (n_i/nsalt_i) x (n_m/nsalt_m) whichever side is
+    hot. The hot-cell tables are count-agg outputs (bounded by
+    rows/threshold) and travel as broadcasts — nothing collects to the
     driver. Columns: in_fid, in_wkb, m_fid, m_wkb."""
     i_env = input_layer.select(
         F.col(input_fid).alias("in_fid"), F.col("wkb").alias("in_wkb"),
@@ -178,33 +180,67 @@ def pair_candidates(
         F.col("maxx").alias("m_maxx"), F.col("maxy").alias("m_maxy"),
     )
 
-    # hot cells: computed on envelope metadata only (no wkb in the agg)
-    hot = (
-        with_envelope_cells(
-            m_env.select("m_fid", "minx", "miny", "maxx", "maxy"),
-            cell_zoom, out="cell",
+    # hot cells: computed on envelope metadata only (no wkb in the agg).
+    # 2-D salting — a hot cell on EITHER side gets its rows scattered,
+    # the other side replicates across those salts, and the join key is
+    # (cell, salt_i, salt_m): every task's pair count is bounded by
+    # (n_i / nsalt_i) x (n_m / nsalt_m), so a million input features in
+    # one cell can no longer funnel into a single task either
+    def _hot(env, fid_col, alias):
+        return (
+            with_envelope_cells(
+                env.select(fid_col, "minx", "miny", "maxx", "maxy"),
+                cell_zoom, out="cell",
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > hot_cell_threshold)
+            .select(
+                "cell",
+                F.least(
+                    F.ceil(F.col("n") / hot_cell_threshold), F.lit(max_salts)
+                ).cast("int").alias(alias),
+            )
         )
-        .groupBy("cell")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > hot_cell_threshold)
-        .select(
-            "cell",
-            F.least(
-                F.ceil(F.col("n") / hot_cell_threshold), F.lit(max_salts)
-            ).cast("int").alias("nsalt"),
+
+    hot_m = _hot(m_env, "m_fid", "nsalt_m")
+    hot_i = _hot(i_env, "in_fid", "nsalt_i")
+    m = (
+        m.join(F.broadcast(hot_m), "cell", "left")
+        .join(F.broadcast(hot_i), "cell", "left")
+        .withColumn(
+            "salt_m",
+            F.when(
+                F.col("nsalt_m").isNotNull(),
+                F.pmod(F.xxhash64("m_fid"), F.col("nsalt_m")).cast("int"),
+            ).otherwise(F.lit(0)),
         )
+        .withColumn(
+            "salt_i",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("nsalt_i"), F.lit(1)) - 1)
+            ),
+        )
+        .drop("nsalt_m", "nsalt_i")
     )
-    m = m.join(F.broadcast(hot), "cell", "left").withColumn(
-        "salt",
-        F.when(
-            F.col("nsalt").isNotNull(),
-            F.pmod(F.xxhash64("m_fid"), F.col("nsalt")).cast("int"),
-        ).otherwise(F.lit(0)),
-    ).drop("nsalt")
-    i = i.join(F.broadcast(hot), "cell", "left").withColumn(
-        "salt",
-        F.explode(F.sequence(F.lit(0), F.coalesce(F.col("nsalt"), F.lit(1)) - 1)),
-    ).drop("nsalt")
+    i = (
+        i.join(F.broadcast(hot_m), "cell", "left")
+        .join(F.broadcast(hot_i), "cell", "left")
+        .withColumn(
+            "salt_i",
+            F.when(
+                F.col("nsalt_i").isNotNull(),
+                F.pmod(F.xxhash64("in_fid"), F.col("nsalt_i")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "salt_m",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("nsalt_m"), F.lit(1)) - 1)
+            ),
+        )
+        .drop("nsalt_m", "nsalt_i")
+    )
 
     overlap = (
         (F.col("i_minx") <= F.col("m_maxx")) & (F.col("i_maxx") >= F.col("m_minx"))
@@ -214,7 +250,7 @@ def pair_candidates(
         F.greatest("i_minx", "m_minx"), F.greatest("i_miny", "m_miny"), cell_zoom
     )
     return (
-        i.join(m, ["cell", "salt"])
+        i.join(m, ["cell", "salt_i", "salt_m"])
         .where(overlap & (F.col("cell") == owner))
         .select("in_fid", "in_wkb", "m_fid", "m_wkb")
     )

@@ -284,6 +284,21 @@ def _tile_rows(pdf_iter, tile_size, connect8, exclude):
             labels, n = label_components(arr, connect8, exclude)
             if n == 0:
                 continue
+            # key layout: tile_x[20] | tile_y[20] | label[22] — validate
+            # the packing instead of silently colliding (a 2048^2 tile's
+            # worst-case checkerboard has 2^21 regions < 2^22; larger
+            # tiles or out-of-range tile indices would overflow fields)
+            if not (0 <= int(r.tile_x) < 1 << 20
+                    and 0 <= int(r.tile_y) < 1 << 20):
+                raise ValueError(
+                    f"tile index ({r.tile_x}, {r.tile_y}) outside the "
+                    "20-bit key field"
+                )
+            if n >= 1 << 22:
+                raise ValueError(
+                    f"{n} regions in one tile overflow the 22-bit label "
+                    "field — use tile_size <= 2048"
+                )
             tkey = (int(r.tile_x) << 20 | int(r.tile_y)) << 22
             ox, oy = int(r.tile_x) * tile_size, int(r.tile_y) * tile_size
 
@@ -399,6 +414,8 @@ def cc_labels(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new
+        if s is None:
+            break  # empty edge set: nothing to propagate, done
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s

@@ -107,7 +107,11 @@ def reclassify_array(arr: np.ndarray, mapping: list[tuple[float, float, float]],
 
 
 def reclassify_images(images, mapping, default=None, out_fmt: str = "raw"):
-    """DataFrame reclassify: decode -> np.select -> re-encode (raw)."""
+    """DataFrame reclassify: decode -> np.select -> re-encode. The raw
+    sink stores float64 UNCLIPPED, so class codes outside 0..255
+    (nodata=-9999, large category ids) survive — `gdal raster
+    reclassify` preserves the output type. uint8 sinks (png/jpg) clip
+    to their own range."""
     from .warp import IMAGE_OUT_SCHEMA
 
     def do(batches):
@@ -116,9 +120,12 @@ def reclassify_images(images, mapping, default=None, out_fmt: str = "raw"):
             for r in pdf.itertuples(index=False):
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
                 out = reclassify_array(arr, mapping, default)
-                out8 = np.clip(np.round(out), 0, 255).astype(np.uint8)
+                if out_fmt == "raw":
+                    enc = out  # float64, full range
+                else:
+                    enc = np.clip(np.round(out), 0, 255).astype(np.uint8)
                 d = r._asdict()
-                d["bytes"] = codecs.encode_image(out8, out_fmt)
+                d["bytes"] = codecs.encode_image(enc, out_fmt)
                 d["fmt"] = out_fmt
                 rows.append(d)
             yield pd.DataFrame(rows)

@@ -186,3 +186,75 @@ class TestContourPolygons:
             assert got[k][0] == want[k][0], f"region count band {k}"
             assert got[k][1] == want[k][1], f"pixel count band {k}"
             assert got[k][2] == pytest.approx(want[k][2], rel=1e-12)
+
+
+class TestReviewRegressions:
+    GT = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+
+    def test_nan_nodata_cells_skipped(self):
+        from gdal_spark.operators.contour import cell_segments
+
+        band = np.array([[np.nan, 10.0], [10.0, 10.0]])
+        assert cell_segments(band, 5.0) == []
+        # a clean cell elsewhere still contours
+        band2 = np.array(
+            [[np.nan, 10.0, 10.0], [0.0, 0.0, 10.0], [0.0, 0.0, 10.0]]
+        )
+        segs = cell_segments(band2, 5.0)
+        assert segs and all(np.isfinite(np.array(segs)).all() for _ in [0])
+
+    def test_classify_levels_nan_is_band0(self):
+        from gdal_spark.operators.contour import classify_levels
+
+        cls = classify_levels(
+            np.array([[np.nan, 0.5], [1.5, 2.5]]), [1.0, 2.0]
+        )
+        assert cls[0, 0] == 0.0 and cls[1, 1] == 3.0
+
+    def test_polygons_exclude_nan(self):
+        from gdal_spark.operators.contour import contour_polygons_array
+
+        band = np.full((8, 8), 10.0)
+        band[:2, :2] = np.nan
+        regions = contour_polygons_array(
+            band, self.GT, (-5.0, 0.0, 5.0)
+        )
+        # NaN block is excluded: pixel counts cover only finite pixels
+        assert sum(n for *_a, n, _p in [(r[0], r[1], r[2], r[3], r[4])
+                                        for r in regions]) == 64 - 4
+
+    def test_sparse_layout_missing_diagonal_drops_corner_only(self, spark):
+        """Tiles right+bottom present but diagonal absent: only the ONE
+        corner cell may be missing, not the whole shared edge."""
+        from gdal_spark.operators.contour import contour_tiles
+
+        yy, xx = np.mgrid[0:32, 0:32]
+        band = (xx + yy).astype(np.float64)
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                if (tx, ty) == (1, 1):
+                    continue  # diagonal neighbor of (0,0) missing
+                sub = band[ty*16:ty*16+16, tx*16:tx*16+16]
+                rows.append((tx, ty, 16, 16,
+                             bytearray(sub.astype(np.float64).tobytes())))
+        tiles = spark.createDataFrame(
+            rows, "tile_x int, tile_y int, w int, h int, data binary"
+        )
+        out = contour_tiles(tiles, self.GT, [20.0], tile_size=16).collect()
+        # expected: the full-raster contour minus cells inside the
+        # missing tile AND minus the single corner cell (15,15)
+        total = sum(r.length for r in out)
+        from gdal_spark.operators.contour import cell_segments
+        ref = band.copy()
+        ref[16:, 16:] = np.nan  # missing tile
+        segs = cell_segments(ref, 20.0)
+        # corner cell (15,15) has all four corners finite in ref but its
+        # br corner comes from the missing diagonal in the tiled run
+        want = 0.0
+        for x0, y0, x1, y1 in segs:
+            if max(x0, x1) > 15.0 and max(y0, y1) > 15.0 and \
+               min(x0, x1) >= 15.0 and min(y0, y1) >= 15.0:
+                continue  # the one corner cell
+            want += float(np.hypot(x1 - x0, y1 - y0))
+        assert total == pytest.approx(want, rel=1e-12)

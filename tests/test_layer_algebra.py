@@ -276,3 +276,45 @@ class TestSkewHardening:
         # clip = A intersect union(B): complementary area, same paths
         out2 = layer_clip(inputs, methods).collect()
         assert out2[0].area == pytest.approx((n_side * n_side) * 25)
+
+
+class TestInputSideSalting:
+    def test_hot_input_cell_scatters(self, spark):
+        """1e4 input features in ONE cell vs 10 methods: 2-D salting must
+        split the input side across salt buckets (join stays correct)."""
+        import numpy as np
+
+        from gdal_spark import geom as G
+        from gdal_spark.operators.layer_algebra import pair_candidates
+
+        rows_i = []
+        for k in range(2000):
+            x = 1000.0 + (k % 50) * 10.0
+            y = 1000.0 + (k // 50) * 10.0
+            rows_i.append(
+                (k, bytearray(G.wkb_rect(x, y, x + 8.0, y + 8.0)),
+                 x, y, x + 8.0, y + 8.0)
+            )
+        rows_m = []
+        for j in range(10):
+            x = 1000.0 + j * 50.0
+            rows_m.append(
+                (j, bytearray(G.wkb_rect(x, 1000.0, x + 60.0, 1500.0)),
+                 x, 1000.0, x + 60.0, 1500.0)
+            )
+        schema = ("fid long, wkb binary, minx double, miny double, "
+                  "maxx double, maxy double")
+        inputs = spark.createDataFrame(rows_i, schema)
+        methods = spark.createDataFrame(rows_m, schema)
+        cands = pair_candidates(
+            inputs, methods, cell_zoom=2, hot_cell_threshold=100,
+            max_salts=8,
+        )
+        got = {(r.in_fid, r.m_fid) for r in cands.collect()}
+        # brute-force envelope pairs
+        want = set()
+        for k, _w, ix0, iy0, ix1, iy1 in rows_i:
+            for j, _w2, mx0, my0, mx1, my1 in rows_m:
+                if ix0 <= mx1 and ix1 >= mx0 and iy0 <= my1 and iy1 >= my0:
+                    want.add((k, j))
+        assert got == want

@@ -285,3 +285,18 @@ class TestGdalCalc:
             np.testing.assert_array_equal(
                 codecs.decode_image(bytes(r.bytes), "png"), out
             )
+
+
+class TestReclassifyRange:
+    def test_raw_sink_preserves_out_of_range_codes(self, spark, images16):
+        import numpy as np
+
+        from gdal_spark import codecs as C
+
+        one = images16.limit(1)
+        out = reclassify_images(
+            one, [(0, 128, -9999.0), (128, 256, 70000.0)]
+        ).collect()[0]
+        arr = C.decode_image(bytes(out.bytes), "raw")
+        vals = set(np.unique(arr).tolist())
+        assert vals <= {-9999.0, 70000.0} and len(vals) >= 1
