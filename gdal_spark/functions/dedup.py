@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from .text import norm_text
 
@@ -51,9 +51,13 @@ def _fnv1a(data: bytes) -> int:
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
     """Groups of byte-identical (after normalization) documents:
-    (fp, n_dups, keep_id, dup_ids). keep = min id (deterministic)."""
+    (fp, n_dups, keep_id, dup_ids). keep = min id (deterministic).
+    NULL-text rows are excluded — md5(NULL) is NULL and groupBy would
+    otherwise collapse every image-only / failed-extraction record into
+    one bogus duplicate cluster."""
     return (
-        df.select(F.col(id_col).alias("id"), F.md5(norm_text(F.col(text_col))).alias("fp"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.md5(norm_text(F.col(text_col))).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_dups"),
@@ -66,14 +70,21 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
     """Keep one row (min id) per normalized-text group. Implemented as a
-    window-free groupBy + semi join (scales; no global sort)."""
+    window-free groupBy + semi join (scales; no global sort). NULL-text
+    rows are never duplicates of each other — they all pass through."""
+    with_text = df.where(F.col(text_col).isNotNull())
     keep = (
-        df.select(F.col(id_col).alias("_id"), F.md5(norm_text(F.col(text_col))).alias("_fp"))
+        with_text.select(
+            F.col(id_col).alias("_id"),
+            F.md5(norm_text(F.col(text_col))).alias("_fp"),
+        )
         .groupBy("_fp")
         .agg(F.min("_id").alias(id_col))
         .select(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    return with_text.join(keep, id_col, "left_semi").unionByName(
+        df.where(F.col(text_col).isNull())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -127,9 +138,12 @@ def ngram_jaccard_pairs(
     explode(shingles) -> self equi-join on the shingle -> per-pair
     intersection count -> Jaccard. The shingle join key distributes; the
     |A| / |B| sizes come from a tiny per-doc side table."""
+    # shingles computed ONCE: sizes + the explode + the two size joins
+    # all read this persisted stage (the O(len*k) shingle hashing is the
+    # most expensive part of the query — same lesson as minhash_lsh)
     sh = with_shingles(
         df.select(F.col(id_col).alias("id"), text_col), text_col, k
-    ).select("id", F.col("shingles"))
+    ).select("id", F.col("shingles")).persist()
     sizes = sh.select("id", F.size("shingles").alias("sz"))
     ex = sh.select("id", F.explode("shingles").alias("s"))
     a = ex.withColumnRenamed("id", "id_a")
@@ -522,15 +536,25 @@ def embedding_neardup_pairs(
             bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
             sig = bit if sig is None else sig * 2 + bit
         reps.append(F.struct(F.lit(rep).alias("rep"), sig.alias("bucket")))
+    # ids ONLY through the bucket join: the vectors would otherwise be
+    # replicated n_repetitions times on both sides of the shuffle and
+    # again through dropDuplicates; the deduped pair list re-attaches
+    # each vector exactly once for the verify stage (same shape as the
+    # minhash verify)
     bucketed = base.select(
-        "id", "v", F.explode(F.array(*reps)).alias("rb")
-    ).select("id", "v", "rb.rep", "rb.bucket")
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "rep", "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "rep", "bucket")
-    cands = (
+        "id", F.explode(F.array(*reps)).alias("rb")
+    ).select("id", "rb.rep", "rb.bucket")
+    a = bucketed.select(F.col("id").alias("id_a"), "rep", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "rep", "bucket")
+    cand_ids = (
         a.join(b, ["rep", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = cand_ids.join(
+        base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
     )
     return _with_cosine(cands).where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
@@ -582,6 +606,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
     this table to drop duplicates from the corpus)."""
     from ..operators.polygonize import cc_labels
 
+    for col in (id_a, id_b):
+        if not isinstance(pairs.schema[col].dataType, (LongType, IntegerType)):
+            # cast('long') on a non-numeric id (e.g. 'doc-0012') yields
+            # NULL silently and the CC propagates garbage — fail loudly;
+            # hash or dictionary-encode string ids upstream instead
+            raise TypeError(
+                f"dup_clusters needs integer ids; {col} is "
+                f"{pairs.schema[col].dataType.simpleString()}"
+            )
     edges = pairs.select(
         F.col(id_a).cast("long").alias("key"), F.col(id_b).cast("long").alias("key_b")
     )

@@ -100,6 +100,64 @@ class GCPTransform:
         return out[:, 0].reshape(shape), out[:, 1].reshape(shape)
 
 
+def _inverse_grid(gcps, out_gt, out_w: int, out_h: int, order: int):
+    """Fit the GCP polynomial and evaluate the inverse transform over
+    the full output pixel-center grid ONCE — this is the expensive,
+    image-independent part of the warp (hoisted out of per-image loops)."""
+    t = GCPTransform(gcps, order)
+    cols = np.arange(out_w) + 0.5
+    rows = np.arange(out_h) + 0.5
+    C, R = np.meshgrid(cols, rows)
+    gx = out_gt[0] + C * out_gt[1] + R * out_gt[2]
+    gy = out_gt[3] + C * out_gt[4] + R * out_gt[5]
+    return t.inverse(gx, gy)
+
+
+def _sample_grid(arr3, sx, sy, resample: str, nodata: float):
+    """Sample one source image at precomputed source coordinates.
+    Bilinear clamps its 2x2 neighborhood at the edges (like the
+    engine's resample.py samplers and GDAL's bilinear), so the last
+    row/column interpolate against themselves instead of nodata-filling."""
+    h, w, bands = arr3.shape
+    out_h, out_w = sx.shape
+    out = np.full((out_h, out_w, bands), nodata, dtype=np.float64)
+    if resample == "near":
+        ix = np.floor(sx).astype(np.int64)
+        iy = np.floor(sy).astype(np.int64)
+        ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        out[ok] = arr3[iy[ok], ix[ok], :]
+    elif resample == "bilinear":
+        fx = sx - 0.5
+        fy = sy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        wx = fx - x0
+        wy = fy - y0
+        # valid where the sample CENTER is inside the source; the 2x2
+        # neighborhood clamps at the borders
+        ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+        x0c = np.clip(x0, 0, w - 1)
+        x1c = np.clip(x0 + 1, 0, w - 1)
+        y0c = np.clip(y0, 0, h - 1)
+        y1c = np.clip(y0 + 1, 0, h - 1)
+        v00 = arr3[y0c, x0c, :]
+        v01 = arr3[y0c, x1c, :]
+        v10 = arr3[y1c, x0c, :]
+        v11 = arr3[y1c, x1c, :]
+        wxe = wx[..., None]
+        wye = wy[..., None]
+        val = (
+            v00 * (1 - wxe) * (1 - wye)
+            + v01 * wxe * (1 - wye)
+            + v10 * (1 - wxe) * wye
+            + v11 * wxe * wye
+        )
+        out[ok] = val[ok]
+    else:
+        raise ValueError(f"unsupported resample {resample!r}")
+    return out
+
+
 def warp_array_gcp(
     arr: np.ndarray,
     gcps,
@@ -114,45 +172,9 @@ def warp_array_gcp(
     for every output pixel center, geo -> (inverse poly) -> source
     pixel, then nearest/bilinear sample. Out-of-source pixels get
     `nodata`."""
-    t = GCPTransform(gcps, order)
     arr3 = np.atleast_3d(np.asarray(arr))
-    h, w, bands = arr3.shape
-    cols = np.arange(out_w) + 0.5
-    rows = np.arange(out_h) + 0.5
-    C, R = np.meshgrid(cols, rows)
-    gx = out_gt[0] + C * out_gt[1] + R * out_gt[2]
-    gy = out_gt[3] + C * out_gt[4] + R * out_gt[5]
-    sx, sy = t.inverse(gx, gy)
-    out = np.full((out_h, out_w, bands), nodata, dtype=np.float64)
-    if resample == "near":
-        ix = np.floor(sx).astype(np.int64)
-        iy = np.floor(sy).astype(np.int64)
-        ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        out[ok] = arr3[iy[ok], ix[ok], :]
-    elif resample == "bilinear":
-        fx = sx - 0.5
-        fy = sy - 0.5
-        x0 = np.floor(fx).astype(np.int64)
-        y0 = np.floor(fy).astype(np.int64)
-        wx = fx - x0
-        wy = fy - y0
-        ok = (x0 >= 0) & (x0 + 1 < w) & (y0 >= 0) & (y0 + 1 < h)
-        x0c, y0c = np.clip(x0, 0, w - 2), np.clip(y0, 0, h - 2)
-        v00 = arr3[y0c, x0c, :]
-        v01 = arr3[y0c, x0c + 1, :]
-        v10 = arr3[y0c + 1, x0c, :]
-        v11 = arr3[y0c + 1, x0c + 1, :]
-        wxe = wx[..., None]
-        wye = wy[..., None]
-        val = (
-            v00 * (1 - wxe) * (1 - wye)
-            + v01 * wxe * (1 - wye)
-            + v10 * (1 - wxe) * wye
-            + v11 * wxe * wye
-        )
-        out[ok] = val[ok]
-    else:
-        raise ValueError(f"unsupported resample {resample!r}")
+    sx, sy = _inverse_grid(gcps, out_gt, out_w, out_h, order)
+    out = _sample_grid(arr3, sx, sy, resample, nodata)
     return out[:, :, 0] if out.shape[2] == 1 else out
 
 
@@ -166,23 +188,24 @@ def warp_images_gcp(
     resample: str = "near",
     nodata: float = 0.0,
 ) -> DataFrame:
-    """Distributed GCP warp: one narrow mapInPandas stage, the GCP fit
-    is recomputed per task from the (tiny, closure-captured) GCP list —
-    cheaper than broadcasting a fitted object and keeps tasks pure."""
+    """Distributed GCP warp: one narrow mapInPandas stage. The GCP fit
+    and the inverse-transform grid are computed ONCE per task (they are
+    image-independent) from the tiny closure-captured GCP list, and
+    each image only pays the actual sampling — cheaper than broadcasting
+    a fitted object and keeps tasks pure."""
     from ..checksum import gdal_checksum
 
     gcps = [tuple(map(float, g)) for g in gcps]
 
     def do(batches):
+        sx, sy = _inverse_grid(gcps, out_gt, out_w, out_h, order)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
-                out = warp_array_gcp(
-                    arr, gcps, out_gt, out_w, out_h,
-                    order=order, resample=resample, nodata=nodata,
+                out3 = _sample_grid(
+                    np.atleast_3d(np.asarray(arr)), sx, sy, resample, nodata
                 )
-                out3 = np.atleast_3d(out)
                 rows.append(
                     {
                         "image_id": r.image_id,

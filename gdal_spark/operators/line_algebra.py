@@ -124,7 +124,17 @@ def clip_polyline(line: np.ndarray, polys, keep_inside: bool = True):
             for k in range(S):
                 lo, hi = bounds[k], bounds[k + 1]
                 if hi > lo:
-                    cross_ts[k] = np.unique(tv[lo:hi])
+                    ts = np.unique(tv[lo:hi])
+                    if len(ts) > 1:
+                        # a crossing exactly through a ring VERTEX is
+                        # registered by both incident edges with
+                        # FP-different t — drop the near-duplicate so no
+                        # zero-length sliver with an on-boundary
+                        # midpoint reaches classification
+                        ts = ts[np.concatenate(
+                            ([True], np.diff(ts) > 1e-12)
+                        )]
+                    cross_ts[k] = ts
 
     # sub-segment midpoints -> classification, then chain merge
     pieces: list[np.ndarray] = []
@@ -133,6 +143,11 @@ def clip_polyline(line: np.ndarray, polys, keep_inside: bool = True):
     for k in range(S):
         ts = np.concatenate([[0.0], cross_ts[k], [1.0]])
         pts = P[k] + (Q[k] - P[k])[None, :] * ts[:, None]
+        # snap the endpoints exactly: fl(P + fl(Q-P)) can differ from Q
+        # by an ulp, which would break the exact-equality chain merge at
+        # uncut vertices (the next segment starts at the true Q)
+        pts[0] = P[k]
+        pts[-1] = Q[k]
         mids = (pts[:-1] + pts[1:]) / 2.0
         keep = _inside_any(mids[:, 0], mids[:, 1], polys)
         if not keep_inside:
@@ -183,10 +198,8 @@ def _line_rows(batches, keep_inside: bool, pairwise: bool):
             }
             if pairwise:
                 rec.update(in_fid=int(r.in_fid), m_fid=int(r.m_fid))
-                cols = ["in_fid", "m_fid", "wkb", "minx", "miny", "maxx", "maxy", "length"]
             else:
                 rec.update(fid=int(r.in_fid))
-                cols = ["fid", "wkb", "minx", "miny", "maxx", "maxy", "length"]
             rows.append(rec)
         yield pd.DataFrame(
             rows,

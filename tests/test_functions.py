@@ -540,3 +540,31 @@ class TestPqTopk:
         b1 = train_pq_codebooks(df, m=8, nbits=4, iters=5)
         b2 = train_pq_codebooks(df, m=8, nbits=4, iters=5)
         np.testing.assert_array_equal(b1, b2)
+
+
+class TestDedupNullText:
+    def test_null_text_rows_pass_through(self, spark):
+        from gdal_spark.functions.dedup import dedup_exact, exact_duplicates
+
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, None), (4, None),
+             (5, None)],
+            "doc_id long, text string",
+        )
+        kept = dedup_exact(df).collect()
+        ids = sorted(r.doc_id for r in kept)
+        # one of the two dup rows survives; ALL null-text rows survive
+        assert ids == [1, 3, 4, 5]
+        groups = exact_duplicates(df).collect()
+        assert len(groups) == 1 and groups[0].n_dups == 2
+
+    def test_dup_clusters_rejects_string_ids(self, spark):
+        import pytest as _pytest
+
+        from gdal_spark.functions.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [("doc-1", "doc-2")], "id_a string, id_b string"
+        )
+        with _pytest.raises(TypeError, match="integer ids"):
+            dup_clusters(pairs)

@@ -134,3 +134,23 @@ class TestWarp:
             arr = C.decode_image(rec["bytes"], rec["fmt"])
             out = np.atleast_3d(warp_array_gcp(arr, g, gt, 24, 24, order=1))
             assert got[rec["image_id"]] == int(gdal_checksum(out[:, :, 0]))
+
+
+class TestBilinearEdges:
+    def test_identity_bilinear_keeps_last_row_col(self):
+        import numpy as np
+
+        from gdal_spark.operators.gcp import warp_array_gcp
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        # identity mapping: gcps pin pixel (px,py) -> geo (px,py)
+        gcps = [(0.0, 0.0, 0.0, 0.0), (16.0, 0.0, 16.0, 0.0),
+                (0.0, 16.0, 0.0, 16.0), (16.0, 16.0, 16.0, 16.0)]
+        out = warp_array_gcp(
+            arr, gcps, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), 16, 16,
+            order=1, resample="bilinear", nodata=-1.0,
+        )
+        # edge clamping: the identity warp reproduces EVERY pixel,
+        # including the last row/column (previously nodata-filled)
+        np.testing.assert_allclose(out, arr.astype(np.float64), atol=1e-9)
