@@ -97,6 +97,10 @@ def decode_png(buf: bytes) -> np.ndarray:
             idat.append(data)
         elif tag == b"IEND":
             break
+    if color not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+    if bitdepth < 8:
+        raise ValueError(f"sub-byte PNG bit depth {bitdepth} unsupported")
     c = _CHANNELS[color]
     sample_bytes = bitdepth // 8
     bpp = c * sample_bytes

@@ -18,6 +18,14 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """Row-normalize; zero-norm rows (which have no direction) divide by
+    1 instead of 0 so they score cosine 0 against everything rather than
+    poisoning results with NaN."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0.0, 1.0, n)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]] | DataFrame,
@@ -34,7 +42,7 @@ def cosine_topk(
         queries = [(r[0], list(r[1])) for r in queries.collect()]
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     Q = np.array([q[1] for q in queries], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit_rows(Q)
 
     schema = "qid long, vec_id long, cosine double"
 
@@ -45,15 +53,19 @@ def cosine_topk(
             if len(M) == 0:
                 yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
                 continue
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _unit_rows(M)
             sims = Mn @ Qn.T  # (n, nq)
             kk = min(k, len(ids))
-            # local top-k per query via argpartition (no full sort)
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            # local top-k per query via partition (no full sort) — keep
+            # ALL rows tied with the kk-th score so the global
+            # (cosine desc, vec_id asc) window sees every tied candidate
+            # and the result never depends on partition row order
+            thresh = -np.partition(-sims, kk - 1, axis=0)[kk - 1]  # (nq,)
+            ridx, qidx = np.nonzero(sims >= thresh[None, :])
             rows = {
-                "qid": np.repeat(qids, kk),
-                "vec_id": ids[idx.T.ravel()],
-                "cosine": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                "qid": qids[qidx],
+                "vec_id": ids[ridx],
+                "cosine": sims[ridx, qidx],
             }
             yield pd.DataFrame(rows)
 
@@ -108,7 +120,7 @@ def train_ivf_centroids(
     centroids."""
     rows = corpus.select(vec_col).limit(sample).collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = _unit_rows(X)
     rng = np.random.Generator(np.random.PCG64(seed))
     # k-means++ init on cosine distance
     cents = [Xn[rng.integers(len(Xn))]]
@@ -124,7 +136,7 @@ def train_ivf_centroids(
             m = assign == j
             if m.any():
                 v = Xn[m].mean(axis=0)
-                n = np.linalg.norm(v)
+                n = np.linalg.norm(v) or 1.0
                 if n > 0:
                     C[j] = v / n
     return C
@@ -158,18 +170,24 @@ def ivf_topk(
                 yield pd.DataFrame(columns=["list_id", id_col, vec_col])
                 continue
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _unit_rows(M)
             lid = np.argmax(Mn @ C.T, axis=1)
             out = pdf[[id_col, vec_col]].copy()
             out.insert(0, "list_id", lid.astype(np.int64))
             yield out
 
+    # re-emit the id/vector columns with their ORIGINAL types — a
+    # hardcoded array<float> schema would silently truncate
+    # array<double> embeddings before the exact re-rank
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
     listed = corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"list_id long, {id_col} long, {vec_col} array<float>"
+        assign,
+        schema=f"list_id long, {id_col} {id_type}, {vec_col} {vec_type}",
     )
 
     Q = np.array([q[1] for q in queries], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit_rows(Q)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
     probe_rows = [
         (int(qid), int(lst))
@@ -188,12 +206,13 @@ def ivf_topk(
                 yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
                 continue
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _unit_rows(M)
             sims = np.empty(len(pdf))
             for qid in pdf["qid"].unique():
                 m = (pdf["qid"] == qid).to_numpy()
                 qv = qmap[int(qid)]
-                qv = qv / np.linalg.norm(qv)
+                qn = np.linalg.norm(qv)
+                qv = qv / (qn if qn else 1.0)
                 sims[m] = Mn[m] @ qv
             yield pd.DataFrame(
                 {"qid": pdf["qid"], "vec_id": pdf[id_col], "cosine": sims}
@@ -250,12 +269,13 @@ def lsh_topk(
                 yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
                 continue
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _unit_rows(M)
             sims = np.empty(len(pdf))
             for qid in pdf["qid"].unique():
                 m = (pdf["qid"] == qid).to_numpy()
                 qv = qmap[int(qid)]
-                qv = qv / np.linalg.norm(qv)
+                qn = np.linalg.norm(qv)
+                qv = qv / (qn if qn else 1.0)
                 sims[m] = Mn[m] @ qv
             yield pd.DataFrame(
                 {"qid": pdf["qid"], "vec_id": pdf[id_col], "cosine": sims}
@@ -289,7 +309,7 @@ def train_pq_codebooks(
     k = 1 << nbits
     rows = corpus.select(vec_col).limit(sample).collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X = _unit_rows(X)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -325,7 +345,7 @@ def exact_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding", m: int = 8
     corpus — small-SF correctness harness only, never the scale path."""
     rows = corpus.select(vec_col).collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X = _unit_rows(X)
     d = X.shape[1]
     dsub = d // m
     books = []
@@ -364,7 +384,7 @@ def pq_topk(
     m_, kk, dsub = B.shape
 
     Q = np.array([q[1] for q in queries], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit_rows(Q)
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     # per-query ADC tables: lut[qi, sub, code] = q_sub . c_code
     lut = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), m_, dsub), B)
@@ -377,21 +397,26 @@ def pq_topk(
                 yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
                 continue
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            # encode: per subspace argmin ||x - c||^2 = argmax(x.c - |c|^2/2)
+            Mn = _unit_rows(M)
+            # encode: argmin ||x - c||^2 == argmax(x.c - |c|^2/2) — the
+            # identity form is one (n, k) matmul per subspace instead of
+            # an (n, k, dsub) difference tensor (at nbits=8, dsub=16 the
+            # tensor was ~330 MB per 10k-row batch)
             codes = np.empty((len(Mn), m_), dtype=np.int64)
             for sub in range(m_):
                 S = Mn[:, sub * dsub : (sub + 1) * dsub]
-                d2 = (S[:, None, :] - B[sub][None, :, :]) ** 2
-                codes[:, sub] = np.argmin(d2.sum(-1), axis=1)
+                half = 0.5 * (B[sub] ** 2).sum(axis=1)  # (k,)
+                codes[:, sub] = np.argmax(S @ B[sub].T - half[None, :], axis=1)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             rows = []
             subs = np.arange(m_)
             for qi in range(len(qids)):
                 sims = lut[qi][subs[None, :], codes].sum(axis=1)
                 take = min(k, len(sims))
-                part = np.argpartition(-sims, take - 1)[:take]
-                for j in part:
+                # keep boundary TIES so the global window decides
+                # deterministically (same rationale as cosine_topk)
+                thresh = -np.partition(-sims, take - 1)[take - 1]
+                for j in np.nonzero(sims >= thresh)[0]:
                     rows.append((int(qids[qi]), int(ids[j]), float(sims[j])))
             yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
 

@@ -345,17 +345,22 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 _alloc_blocks(comps, w, h)
                 allocated = True
             segments, i = _unstuff(buf, i + 2 + ln)
-            if progressive:
-                _decode_scan_progressive(
-                    comps, scan_comps, htabs, segments, restart_interval,
-                    w, h, ss, se, ah, al,
-                )
-            else:
-                if ns != len(comps):
-                    raise NotImplementedError(
-                        "multi-scan sequential JPEG unsupported"
+            try:
+                if progressive:
+                    _decode_scan_progressive(
+                        comps, scan_comps, htabs, segments, restart_interval,
+                        w, h, ss, se, ah, al,
                     )
-                _decode_scan(comps, htabs, segments, restart_interval, w, h)
+                else:
+                    if ns != len(comps):
+                        raise NotImplementedError(
+                            "multi-scan sequential JPEG unsupported"
+                        )
+                    _decode_scan(comps, htabs, segments, restart_interval, w, h)
+            except IndexError as ex:
+                # the bit reader ran past its zero padding — the entropy
+                # data ends before the block grid does
+                raise ValueError("truncated JPEG: entropy data exhausted") from ex
             got_scan = True
             continue
         i += 2 + ln
@@ -364,7 +369,69 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     return _assemble(None, comps, qtabs, w, h, adobe_transform, jfif)
 
 
+def _decode_block_seq(br, dc_lut, ac_lut, pred):
+    """One sequential 8x8 block: DC diff + AC run-lengths. Returns
+    (coefs, new_pred)."""
+    coefs = np.zeros(64, dtype=np.int32)
+    idx = br.peek16()
+    s = int(dc_lut.sym[idx])
+    l = int(dc_lut.ln[idx])
+    if l == 0:
+        raise ValueError("corrupt JPEG: bad DC code")
+    br.pos += l
+    diff = _extend(br.get(s), s) if s else 0
+    pred += diff
+    coefs[0] = pred
+    k = 1
+    while k < 64:
+        idx = br.peek16()
+        rs = int(ac_lut.sym[idx])
+        l = int(ac_lut.ln[idx])
+        if l == 0:
+            raise ValueError("corrupt JPEG: bad AC code")
+        br.pos += l
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run overflow")
+        coefs[k] = _extend(br.get(s), s)
+        k += 1
+    return coefs, pred
+
+
 def _decode_scan(comps, htabs, segments, restart_interval, w, h):
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # data unit is one 8x8 block over the component's own
+        # ceil(size/8) grid, and the declared sampling factors do NOT
+        # make MCUs (a grayscale JPEG with 2x2 factors still codes
+        # ceil(w/8) x ceil(h/8) blocks)
+        c = comps[0]
+        dc_lut = htabs[(0, c.dc)]
+        ac_lut = htabs[(1, c.ac)]
+        nbx = (w + 7) // 8
+        nby = (h + 7) // 8
+        pred = 0
+        seg_idx = 0
+        br = _BitReader(segments[0])
+        for u in range(nbx * nby):
+            if restart_interval and u > 0 and u % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("truncated JPEG: missing restart segment")
+                br = _BitReader(segments[seg_idx])
+                pred = 0
+            by, bx = divmod(u, nbx)
+            coefs, pred = _decode_block_seq(br, dc_lut, ac_lut, pred)
+            c.blocks[by * c.bx + bx] = coefs
+        if br.pos > br.nbits:
+            raise ValueError("truncated JPEG: scan consumed past entropy data")
+        return
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -386,38 +453,14 @@ def _decode_scan(comps, htabs, segments, restart_interval, w, h):
             ac_lut = htabs[(1, c.ac)]
             for v in range(c.v):
                 for hh in range(c.h):
-                    coefs = np.zeros(64, dtype=np.int32)
-                    idx = br.peek16()
-                    s = int(dc_lut.sym[idx])
-                    l = int(dc_lut.ln[idx])
-                    if l == 0:
-                        raise ValueError("corrupt JPEG: bad DC code")
-                    br.pos += l
-                    diff = _extend(br.get(s), s) if s else 0
-                    preds[ci] += diff
-                    coefs[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        idx = br.peek16()
-                        rs = int(ac_lut.sym[idx])
-                        l = int(ac_lut.ln[idx])
-                        if l == 0:
-                            raise ValueError("corrupt JPEG: bad AC code")
-                        br.pos += l
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC run overflow")
-                        coefs[k] = _extend(br.get(s), s)
-                        k += 1
+                    coefs, preds[ci] = _decode_block_seq(
+                        br, dc_lut, ac_lut, preds[ci]
+                    )
                     by = my * c.v + v
                     bx = mx * c.h + hh
                     c.blocks[by * c.bx + bx] = coefs
+    if br.pos > br.nbits:
+        raise ValueError("truncated JPEG: scan consumed past entropy data")
     return True
 
 
@@ -515,7 +558,7 @@ def _decode_scan_progressive(
     interleaved = len(scan_comps) > 1
     if ss != 0 and interleaved:
         raise ValueError("corrupt JPEG: interleaved progressive AC scan")
-    if interleaved or (ss == 0 and len(comps) == 1):
+    if interleaved:
         units = mcux * mcuy
     else:
         # non-interleaved: blocks row-major over the component's own
@@ -538,7 +581,7 @@ def _decode_scan_progressive(
             br = _BitReader(segments[seg_idx])
             preds = {c.cid: 0 for c in scan_comps}
             state["eobrun"] = 0
-        if interleaved or (ss == 0 and len(comps) == 1):
+        if interleaved:
             my, mx = divmod(u, mcux)
             blocks = [
                 (c, (my * c.v + v) * c.bx + (mx * c.h + hh))
@@ -724,6 +767,14 @@ def encode_jpeg(
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg takes uint8")
+    # JFIF has no alpha: LA keeps the luma channel, RGBA keeps RGB —
+    # explicit policy instead of an IndexError (LA) / silent mystery
+    if arr.ndim == 3 and arr.shape[2] == 2:
+        arr = arr[:, :, 0]
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    elif arr.ndim == 3 and arr.shape[2] not in (1, 3):
+        raise ValueError(f"encode_jpeg: unsupported channel count {arr.shape[2]}")
     gray = arr.ndim == 2 or arr.shape[2] == 1
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]

@@ -253,3 +253,47 @@ class TestSparkPlumbing:
         for r in out:
             arr = codecs.decode_png(bytes(r["bytes"]))
             assert arr.shape == (16, 16, 3)
+
+
+class TestNonInterleavedSingleComponent:
+    """T.81 A.2.2: a single-component scan is non-interleaved — the
+    sampling factors declared in SOF do not group blocks into MCUs."""
+
+    def test_gray_with_2x2_sampling_factors(self):
+        import numpy as np
+
+        from gdal_spark.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        buf = bytearray(encode_jpeg(img, quality=90))
+        # find SOF0 (FFC0) and patch the single component's sampling
+        # byte from 0x11 to 0x22 — entropy data is unchanged and per
+        # spec the decode result must be identical
+        i = buf.find(b"\xff\xc0")
+        assert i > 0
+        # SOF: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then per
+        # component: id(1) sampling(1) qtab(1)
+        scomp = i + 2 + 2 + 1 + 2 + 2 + 1
+        assert buf[scomp + 1] == 0x11
+        ref = decode_jpeg(bytes(buf))
+        buf[scomp + 1] = 0x22
+        got = decode_jpeg(bytes(buf))
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestTruncation:
+    def test_truncated_scan_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from gdal_spark.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        buf = encode_jpeg(img, quality=90)
+        # cut 30% of the entropy data (keep headers: SOS comes early)
+        sos = buf.find(b"\xff\xda")
+        cut = sos + (len(buf) - sos) * 7 // 10
+        with _pytest.raises(ValueError, match="truncated|corrupt"):
+            decode_jpeg(buf[:cut] + b"\xff\xd9")
