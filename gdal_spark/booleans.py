@@ -221,6 +221,14 @@ def _traps_area(traps) -> float:
     return a
 
 
+# Known behavior: at a multi-way junction vertex (two result parts
+# touching at a single quantized point), chaining may traverse through
+# the junction and emit ONE self-touching ring instead of two separate
+# rings. Under the nonzero-winding classification used throughout this
+# engine the area/containment semantics are identical (same reason
+# figure-eight rings are kept — see MakeValid), but consumers that
+# require strict OGC ring validity should split self-touching rings
+# downstream.
 def _reconstruct_rings(traps):
     """Chain the uncancelled trapezoid boundary into closed rings.
 

@@ -144,10 +144,15 @@ def phash64(arr: np.ndarray) -> int:
 
 
 def footprint_meters(gt, w: int, h: int, srid: int):
-    """(minx, miny, maxx, maxy) of the image footprint in EPSG:3857 meters.
+    """(minx, miny, maxx, maxy) of the image footprint in EPSG:3857
+    meters — ALWAYS mercator meters, whatever the source CRS (the
+    schema contract every tile-range/assignment consumer relies on).
 
     North-up affine corners per apps/gdaltindex_lib.cpp:1112-1124; 4326
-    corners go through the closed-form mercator transform.
+    corners go through the closed-form mercator transform; any other
+    supported CRS (UTM/LCC/AEA/PS) routes through geo_transform_points.
+    Corner-only envelopes slightly under-cover curved edges, the same
+    caveat gdaltindex has.
     """
     xs = np.array([0.0, w, 0.0, w])
     ys = np.array([0.0, 0.0, h, h])
@@ -156,6 +161,12 @@ def footprint_meters(gt, w: int, h: int, srid: int):
     if srid == 4326:
         lat = np.clip(Y, -85.05112878, 85.05112878)
         X, Y = _MERC.latlon_to_meters(lat, X)
+    elif srid != 3857:
+        from .operators.warp import geo_transform_points
+
+        lon, lat = geo_transform_points(X, Y, srid, 4326)
+        lat = np.clip(lat, -85.05112878, 85.05112878)
+        X, Y = _MERC.latlon_to_meters(lat, lon)
     return float(X.min()), float(Y.min()), float(X.max()), float(Y.max())
 
 

@@ -163,7 +163,12 @@ def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resamp
     bminx, bminy, bmaxx, bmaxy = (float(v) for v in b)
 
     if r.srid == 3857 and gt[2] == 0.0 and gt[4] == 0.0:
-        # gdal2tiles base-tile path: geo_query read/write windows
+        # gdal2tiles base-tile path: geo_query read/write windows.
+        # NOTE: for read windows >2x the write window this path uses the
+        # exact area-average reducer REGARDLESS of `resampling` (the
+        # oversample+shrink gdal2tiles performs converges to the area
+        # integral; point kernels on a >2x decimation would alias) —
+        # the per-tile WARP branch below honors the kernel literally.
         # (gdal2tiles.py:2964-3006, create_base_tile 1283-1436). gdal2tiles
         # oversamples to querysize=4*ts then downsamples; we resize the read
         # window straight to the write window in one pass — same integral
@@ -189,6 +194,18 @@ def _cut_one(arr, alpha_src, r, z: int, tx: int, ty: int, tile_size: int, resamp
         tile = np.clip(np.round(out), 0, 255).astype(np.uint8)
         if tile.ndim == 2:
             tile = tile[:, :, None]
+        if alpha_src is not None:
+            # source transparency must survive the warp: resample the
+            # source alpha through the same transform and AND it into
+            # the coverage mask (same 127.5 threshold as _cut_window)
+            a_out, _cov = warp_array(
+                alpha_src.astype(np.float64), gt, r.srid, (ts, ts),
+                dst_gt, 3857, samp,
+            )
+            a2 = np.atleast_3d(a_out)[:, :, 0]
+            alpha = np.where(
+                (alpha > 0) & (a2 >= 127.5), 255, 0
+            ).astype(np.uint8)
     if tile.ndim == 2:
         tile = tile[:, :, None]
     if not alpha.any():
@@ -568,6 +585,16 @@ def _cut_one_geodetic(arr, alpha_src, r, z, tx, ty, tile_size, resampling, grid)
         tile = np.clip(np.round(out), 0, 255).astype(np.uint8)
         if tile.ndim == 2:
             tile = tile[:, :, None]
+        if alpha_src is not None:
+            # same source-transparency AND as the mercator warp branch
+            a_out, _cov = warp_array(
+                alpha_src.astype(np.float64), gt, r.srid, (ts, ts),
+                dst_gt, 4326, samp,
+            )
+            a2 = np.atleast_3d(a_out)[:, :, 0]
+            alpha = np.where(
+                (alpha > 0) & (a2 >= 127.5), 255, 0
+            ).astype(np.uint8)
     if tile.ndim == 2:
         tile = tile[:, :, None]
     if not alpha.any():

@@ -132,7 +132,23 @@ def warp_array(
     def to_src_px(ppx, ppy):
         gx, gy = apply_gt(dst_gt, ppx, ppy)
         sx, sy = geo_transform_points(gx, gy, dst_srid, src_srid)
-        return apply_gt(inv, sx, sy)
+        rx, ry = apply_gt(inv, sx, sy)
+        if src_srid == 3857 and dst_srid != 3857:
+            # destination points above the mercator domain (|lat| >
+            # 85.051...) have NO source: without this they clip onto the
+            # source's edge row and smear it across the polar area —
+            # GDAL's transformer fails those points and the masker
+            # writes nodata, so push them far out of bounds instead
+            lat = (
+                gy
+                if dst_srid == 4326
+                else geo_transform_points(gx, gy, dst_srid, 4326)[1]
+            )
+            oob = np.abs(lat) > MAX_LAT
+            if np.any(oob):
+                rx = np.where(oob, -1e18, rx)
+                ry = np.where(oob, -1e18, ry)
+        return rx, ry
 
     if resampling in WINDOW_KERNELS:
         # window kernels (GRA_Average..GRA_RMS): per-dest-pixel source

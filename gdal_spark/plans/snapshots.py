@@ -78,10 +78,23 @@ class _HadoopManifestIO:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        # Hadoop rename cannot atomically replace, so: back up the live
+        # manifest, rename the new one in, then drop the backup. Every
+        # rename's BOOLEAN return is checked (HDFS reports most failures
+        # that way, not by throwing), and a failed swap restores the
+        # backup instead of leaving the table pointer destroyed.
         target = self._p(s)
-        if self._fs.exists(target):
-            self._fs.delete(target, False)
-        self._fs.rename(self._p(tmp), target)
+        bak = self._p(s + f".bak-{uuid.uuid4().hex}")
+        had_old = bool(self._fs.exists(target))
+        if had_old and not self._fs.rename(target, bak):
+            self._fs.delete(self._p(tmp), False)
+            raise IOError(f"manifest swap: could not back up {s}")
+        if not self._fs.rename(self._p(tmp), target):
+            if had_old:
+                self._fs.rename(bak, target)  # restore the old pointer
+            raise IOError(f"manifest swap: rename into {s} failed")
+        if had_old:
+            self._fs.delete(bak, False)
 
 
 class _PosixManifestIO:
@@ -135,8 +148,18 @@ class SnapshotTable:
     def _write_manifest(self, m: dict) -> None:
         self.io.replace_text(self._manifest_path, json.dumps(m, indent=1))
 
-    def commit(self, df, description: str = "", lineage: dict | None = None) -> int:
-        """Materialize df as the next snapshot and swap the pointer."""
+    def commit(
+        self,
+        df,
+        description: str = "",
+        lineage: dict | None = None,
+        base_dirs: list[str] | None = None,
+    ) -> int:
+        """Materialize df as the next snapshot and swap the pointer.
+        ``base_dirs``: prior data directories this snapshot ALSO covers
+        (Iceberg-style append — the new dir holds only the new rows and
+        the manifest records the full file list, so incremental commits
+        write O(new), not O(table))."""
         m = self.manifest()
         snap_id = (m["current"] or 0) + 1
         snap_dir = os.path.join(self.path, f"snap-{snap_id}")
@@ -145,6 +168,7 @@ class SnapshotTable:
             {
                 "id": snap_id,
                 "dir": f"snap-{snap_id}",
+                "dirs": list(base_dirs or []) + [f"snap-{snap_id}"],
                 "ts": time.time(),
                 "description": description,
                 "lineage": lineage or {},
@@ -154,12 +178,22 @@ class SnapshotTable:
         self._write_manifest(m)
         return snap_id
 
+    def _entry(self, m: dict, sid: int) -> dict | None:
+        for e in m["snapshots"]:
+            if e["id"] == sid:
+                return e
+        return None
+
     def read(self, spark, snapshot_id: int | None = None):
         m = self.manifest()
         sid = snapshot_id if snapshot_id is not None else m["current"]
         if sid is None:
             return None
-        return spark.read.parquet(os.path.join(self.path, f"snap-{sid}"))
+        e = self._entry(m, sid)
+        dirs = (e.get("dirs") if e else None) or [f"snap-{sid}"]
+        return spark.read.parquet(
+            *[os.path.join(self.path, d) for d in dirs]
+        )
 
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None
@@ -173,12 +207,18 @@ class SnapshotTable:
         return df.join(cur.select(*keys).dropDuplicates(keys), keys, "left_anti")
 
     def append(self, df, keys: list[str], description: str = "") -> int:
-        """Incremental append: only not-yet-committed keys are added; the
-        result is a brand-new immutable snapshot (never in-place)."""
+        """Incremental append: only not-yet-committed keys are written
+        (one new data dir per commit, O(new rows) IO); the new snapshot's
+        manifest entry references the prior snapshot's data dirs plus the
+        new one, so reads still see one immutable table per snapshot and
+        a k-batch incremental run writes O(total), not O(k * total)."""
         spark = df.sparkSession
+        m = self.manifest()
+        cur_id = m["current"]
         cur = self.read(spark)
         if cur is None:
             return self.commit(df, description)
         new = df.join(cur.select(*keys).dropDuplicates(keys), keys, "left_anti")
-        merged = cur.unionByName(new, allowMissingColumns=True)
-        return self.commit(merged, description)
+        prev = self._entry(m, cur_id)
+        base_dirs = (prev.get("dirs") if prev else None) or [f"snap-{cur_id}"]
+        return self.commit(new, description, base_dirs=base_dirs)

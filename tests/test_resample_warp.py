@@ -318,3 +318,53 @@ class TestCutlineWarp:
         np.testing.assert_array_equal(a1[:, : w // 2], a0[:, : w // 2])
         assert (a1[:, w // 2 + 1 :] == 0).all()
         assert (a0[:, w // 2 + 1 :] != 0).any()
+
+
+class TestFootprintContract:
+    def test_utm_target_footprint_is_mercator_meters(self, spark):
+        """warp_images to a UTM zone must still emit minx..maxy in
+        EPSG:3857 meters (the tile-assignment contract) — previously the
+        columns silently carried native UTM meters."""
+        import numpy as np
+
+        from gdal_spark import fixtures
+        from gdal_spark.grid import MercatorGrid
+        from gdal_spark.operators.warp import geo_transform_points, warp_images
+
+        df = fixtures.images_df(spark, 2, tier="t2", partitions=1)
+        out = warp_images(df, 32631).collect()
+        merc = MercatorGrid()
+        for r in out:
+            # sanity: footprint must be consistent with transforming the
+            # output gt corners UTM->4326->3857
+            xs = np.array([0.0, r.w, 0.0, r.w])
+            ys = np.array([0.0, 0.0, r.h, r.h])
+            X = r.gt0 + xs * r.gt1 + ys * r.gt2
+            Y = r.gt3 + xs * r.gt4 + ys * r.gt5
+            lon, lat = geo_transform_points(X, Y, 32631, 4326)
+            mx, my = merc.latlon_to_meters(np.clip(lat, -85.05, 85.05), lon)
+            assert r.minx == pytest.approx(float(mx.min()), rel=1e-9)
+            assert r.maxy == pytest.approx(float(my.max()), rel=1e-9)
+
+
+class TestPolarNodata:
+    def test_mercator_source_gives_nodata_above_domain(self):
+        """Warping a full-extent 3857 source to 4326: pixels above
+        +-85.051 deg have NO mercator source and must come back as
+        nodata (alpha 0), not a smeared copy of the source's edge row."""
+        import numpy as np
+
+        from gdal_spark.grid import ORIGIN_SHIFT
+        from gdal_spark.operators.warp import warp_array
+
+        src = np.full((64, 64), 200, dtype=np.uint8)
+        src_gt = (-ORIGIN_SHIFT, 2 * ORIGIN_SHIFT / 64, 0.0,
+                  ORIGIN_SHIFT, 0.0, -2 * ORIGIN_SHIFT / 64)
+        # destination: full geodetic world, 64x32 (lat 90..-90)
+        dst_gt = (-180.0, 360.0 / 64, 0.0, 90.0, 0.0, -180.0 / 32)
+        out, alpha = warp_array(src, src_gt, 3857, (32, 64), dst_gt, 4326,
+                                "bilinear")
+        # top row: lat centers 87.1875 -> outside mercator -> nodata
+        assert (alpha[0] == 0).all()
+        # equator row fully covered
+        assert (alpha[16] == 255).all()

@@ -76,3 +76,35 @@ def test_snapshot_over_hadoop_fs_uri(spark, world, tmp_path):
     assert m["snapshots"][0]["description"] == "partial run before crash"
     # time travel to the pre-resume snapshot still works over the URI
     assert table.read(spark, snapshot_id=1).count() == 8
+
+
+class TestAppendOnlyCommits:
+    def test_append_writes_only_new_rows(self, spark, tmp_path):
+        """Each append materializes ONLY the new rows (manifest lists
+        prior dirs), so k incremental batches write O(total) bytes, not
+        O(k * total)."""
+        import glob
+        import os
+
+        from gdal_spark.plans.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "tbl"))
+        df1 = spark.range(0, 100).withColumnRenamed("id", "k")
+        t.append(df1, ["k"])
+        df2 = spark.range(50, 160).withColumnRenamed("id", "k")
+        sid = t.append(df2, ["k"])
+        # read() sees the deduped union
+        got = t.read(spark)
+        assert got.count() == 160
+        # the second snapshot dir holds only the 60 new rows
+        import pandas as pd
+
+        snap2 = spark.read.parquet(str(tmp_path / "tbl" / f"snap-{sid}"))
+        assert snap2.count() == 60
+        # and the manifest references both dirs for the current snapshot
+        m = t.manifest()
+        entry = [e for e in m["snapshots"] if e["id"] == sid][0]
+        assert len(entry["dirs"]) == 2
+        # a third no-op append commits an empty dir, read unchanged
+        t.append(df1, ["k"])
+        assert t.read(spark).count() == 160

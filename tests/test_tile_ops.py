@@ -247,3 +247,43 @@ class TestWarpTranslateDF:
         arr = codecs.decode_image(bytes(out.bytes), out.fmt)
         assert arr.shape[:2] == (10, 10)
         assert arr.max() <= 100
+
+
+class TestWarpPathAlpha:
+    def test_transparent_source_stays_transparent_in_warp_branch(self):
+        """A 4326 RGBA source with a fully transparent half must emit
+        transparent pixels through the per-tile WARP branch (the alpha
+        channel was previously dropped for non-north-up-3857 sources)."""
+        import numpy as np
+
+        from gdal_spark import codecs
+        from gdal_spark.operators.tile import _MERC, _cut_one
+
+        h = w = 64
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        rgba[:, :, :3] = 200
+        rgba[:, : w // 2, 3] = 255  # left half opaque, right transparent
+        # 4326 image covering a small box on the equator
+        gt = (0.0, 0.01, 0.0, 0.32, 0.0, -0.01)
+
+        class R:
+            pass
+
+        r = R()
+        r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5 = gt
+        r.srid = 4326
+        r.w, r.h = w, h
+        z = 10
+        # find a tile covering the image center
+        mx, my = _MERC.latlon_to_meters(
+            np.array([0.16]), np.array([0.32])
+        )
+        tx, ty = _MERC.meters_to_tile(float(mx[0]), float(my[0]), z)
+        arr = rgba[:, :, :3]
+        alpha_src = rgba[:, :, 3]
+        cut = _cut_one(arr, alpha_src, r, z, int(tx), int(ty), 256, "near")
+        assert cut is not None
+        _tile, alpha = cut
+        # both opaque and transparent source pixels land in this tile
+        assert (alpha == 255).any()
+        assert (alpha == 0).any()
