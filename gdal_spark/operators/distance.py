@@ -103,14 +103,26 @@ def proximity_tiles(
     tile_size: int = 256,
 ) -> DataFrame:
     """Distributed exact proximity over the tiled layout (halo exchange
-    of target-mask strips of width ceil(max_distance))."""
+    of target-mask strips of width ceil(max_distance)). Requires
+    ``max_distance <= tile_size``: masks are exchanged with the 8
+    immediate neighbors only, so a larger search radius would silently
+    miss targets two tiles away — use a larger tile_size for larger
+    radii (multi-ring halo export is the general fix)."""
     halo = int(np.ceil(max_distance))
+    if halo > tile_size:
+        raise ValueError(
+            f"max_distance ({max_distance}) exceeds tile_size "
+            f"({tile_size}): the 1-ring halo exchange cannot see targets "
+            "beyond the adjacent tile — raise tile_size"
+        )
     spark = tiles_df.sparkSession
     src = tiles_df.select("tile_x", "tile_y", "w", "h", "data")
     tvals = tuple(float(v) for v in target_values)
 
-    # export: each tile emits its full mask once per neighbor (strips are
-    # cropped on the receive side; masks are boolean-packed, tiny)
+    # export: each tile emits, per neighbor direction, only the
+    # halo-width STRIP of its mask facing that neighbor (off_x/off_y =
+    # the strip's position inside the source tile) — the shuffle carries
+    # O(halo * edge) bytes per direction instead of 8 full-mask copies
     def export(batches):
         for pdf in batches:
             rows = []
@@ -119,27 +131,43 @@ def proximity_tiles(
                 mask = np.isin(arr, np.asarray(tvals))
                 if not mask.any():
                     continue
-                packed = np.packbits(mask, axis=None).tobytes()
+                hh, ww = int(r.h), int(r.w)
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         if dx == 0 and dy == 0:
+                            continue
+                        # the receiver R = S + (dx,dy) sees the part of S
+                        # within `halo` of the shared border
+                        x0 = max(0, ww - halo) if dx == 1 else 0
+                        x1 = min(halo, ww) if dx == -1 else ww
+                        y0 = max(0, hh - halo) if dy == 1 else 0
+                        y1 = min(halo, hh) if dy == -1 else hh
+                        strip = mask[y0:y1, x0:x1]
+                        if not strip.any():
                             continue
                         rows.append(
                             {
                                 "tile_x": int(r.tile_x) + dx,
                                 "tile_y": int(r.tile_y) + dy,
                                 "src_dx": -dx, "src_dy": -dy,
-                                "w": int(r.w), "h": int(r.h),
-                                "mask": packed,
+                                "off_x": x0, "off_y": y0,
+                                "w": int(strip.shape[1]),
+                                "h": int(strip.shape[0]),
+                                "mask": np.packbits(strip, axis=None).tobytes(),
                             }
                         )
             yield pd.DataFrame(
-                rows, columns=["tile_x", "tile_y", "src_dx", "src_dy", "w", "h", "mask"]
+                rows,
+                columns=["tile_x", "tile_y", "src_dx", "src_dy",
+                         "off_x", "off_y", "w", "h", "mask"],
             )
 
     halos = src.mapInPandas(
         export,
-        schema="tile_x int, tile_y int, src_dx int, src_dy int, w int, h int, mask binary",
+        schema=(
+            "tile_x int, tile_y int, src_dx int, src_dy int, "
+            "off_x int, off_y int, w int, h int, mask binary"
+        ),
     )
 
     def compute(tile_pdf: pd.DataFrame, halo_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -156,9 +184,10 @@ def proximity_tiles(
             m = np.unpackbits(
                 np.frombuffer(bytes(n.mask), dtype=np.uint8), count=nh * nw
             ).reshape(nh, nw).astype(bool)
-            # neighbor sits at offset (src_dx, src_dy) tiles from this one
-            oy = halo + int(n.src_dy) * tile_size
-            ox = halo + int(n.src_dx) * tile_size
+            # neighbor sits at offset (src_dx, src_dy) tiles from this
+            # one; the strip starts at (off_x, off_y) inside it
+            oy = halo + int(n.src_dy) * tile_size + int(n.off_y)
+            ox = halo + int(n.src_dx) * tile_size + int(n.off_x)
             y0, x0 = max(0, oy), max(0, ox)
             y1 = min(h + 2 * halo, oy + nh)
             x1 = min(w + 2 * halo, ox + nw)
@@ -232,12 +261,20 @@ def fillnodata_array(
     out = np.where(dist <= max_search_dist, out, np.nan)
     for _ in range(smoothing_iterations):
         filled_zone = ~valid & ~np.isnan(out)
+        # NaN-aware 3x3 mean: the beyond-max-search-dist core is still
+        # NaN, and a plain sum would eat legitimately filled border
+        # pixels back into nodata
         padded = np.pad(out, 1, mode="edge")
         sm = np.zeros_like(out)
+        cnt = np.zeros_like(out)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                sm += padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-        sm /= 9.0
+                v = padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                ok = ~np.isnan(v)
+                sm += np.where(ok, v, 0.0)
+                cnt += ok
+        with np.errstate(invalid="ignore"):
+            sm = np.where(cnt > 0, sm / cnt, np.nan)
         out = np.where(filled_zone, sm, out)
     return np.where(np.isnan(out), nodata, out)
 

@@ -45,6 +45,22 @@ def interpolate_at_points(
     pts = points.select(
         F.col(point_key).alias("pid"), F.col(x).alias("_px"), F.col(y).alias("_py")
     )
+    # the phase-1 envelope predicate compares against footprint columns
+    # that are ALWAYS EPSG:3857 meters (fixtures.footprint_meters
+    # contract) — convert 4326 point coords to meters FOR THE JOIN
+    # (column math, no UDF); phase 2 keeps the original coords and does
+    # its own per-image CRS chain
+    if point_srid == 4326:
+        from ..grid import col_lonlat_to_meters
+
+        jx, jy = col_lonlat_to_meters(F.col("_px"), F.col("_py"))
+        pts = pts.withColumn("_jx", jx).withColumn("_jy", jy)
+    elif point_srid == 3857:
+        pts = pts.withColumn("_jx", F.col("_px")).withColumn(
+            "_jy", F.col("_py")
+        )
+    else:
+        raise ValueError(f"unsupported point_srid {point_srid}")
     # rename the key on the metadata side: pairs and payload both derive
     # from `images`, and Spark's ambiguous-self-join check rejects the
     # cogroup if the two lineages share the attribute
@@ -52,10 +68,10 @@ def interpolate_at_points(
         F.col("image_id").alias("_img"), "minx", "miny", "maxx", "maxy"
     )
     cond = (
-        (F.col("_px") >= F.col("minx"))
-        & (F.col("_px") <= F.col("maxx"))
-        & (F.col("_py") >= F.col("miny"))
-        & (F.col("_py") <= F.col("maxy"))
+        (F.col("_jx") >= F.col("minx"))
+        & (F.col("_jx") <= F.col("maxx"))
+        & (F.col("_jy") >= F.col("miny"))
+        & (F.col("_jy") <= F.col("maxy"))
     )
     pairs = pts.join(F.broadcast(meta), cond, "inner").select(
         "pid", "_px", "_py", "_img"

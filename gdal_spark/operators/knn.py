@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..grid import EARTH_RADIUS, ORIGIN_SHIFT
-from .spatial_join import col_cell
 
 
 def _tile_coord(m, zoom: int, tile_size: int = 256):
@@ -123,10 +122,19 @@ def knn_join(
         done_keys = counts.where(
             (F.col("_n") >= k) & (F.col("_maxd") <= guaranteed)
         ).select("_qk")
-        if max_search_dist is not None and max_search_dist <= guaranteed:
+        bounded_complete = (
+            max_search_dist is not None and max_search_dist <= guaranteed
+        )
+        if bounded_complete:
             done_keys = counts.select("_qk")  # search radius fully covered
         done = topk.join(done_keys, "_qk", "left_semi")
         results = done if results is None else results.unionByName(done)
+        if bounded_complete:
+            # EVERY query's bounded neighborhood is fully scanned now —
+            # zero-result queries are not in `counts` and would
+            # otherwise churn through the remaining doubling rounds
+            # producing nothing
+            break
         remaining = remaining.join(
             done_keys, remaining["_qk"] == done_keys["_qk"], "left_anti"
         ).localCheckpoint(eager=True)
@@ -285,10 +293,19 @@ def idw_interpolate(
     vals = points.select(F.col(point_key).alias("_vpk"), F.col(value_col).alias("_val"))
     j = nn.join(vals, nn[point_key] == vals["_vpk"], "inner")
     d2 = F.col("dist") * F.col("dist") + F.lit(smoothing * smoothing)
+    if smoothing != 0.0:
+        # GDAL only short-circuits when d2 ~ 0; with smoothing the
+        # coincident point gets a FINITE weight and averages with the
+        # rest (gdalgrid.cpp:170-188)
+        j = j.withColumn("_w", F.pow(d2, -power / 2.0))
+        return j.groupBy(query_key).agg(
+            (F.sum(F.col("_w") * F.col("_val")) / F.sum("_w")).alias("idw")
+        )
     w = F.when(d2 == 0, F.lit(None)).otherwise(F.pow(d2, -power / 2.0))
     j = j.withColumn("_w", w)
+    # deterministic exact hit: the coincident point with the smallest key
     exact = j.where(F.col("dist") == 0).groupBy(query_key).agg(
-        F.first("_val").alias("idw")
+        F.min_by("_val", "_vpk").alias("idw")
     )
     approx = (
         j.where(F.col("dist") > 0)

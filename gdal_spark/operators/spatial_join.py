@@ -197,7 +197,8 @@ def point_in_polygon_join(
             ).drop("_rn")
         poly_cols = [c for c in polygons.columns if c not in points.columns]
         right = refined.select(*keys, *poly_cols)
-        return points.join(right, keys, "left")
+        left_side = points.drop("_pcell") if cell_zoom is not None else points
+        return left_side.join(right, keys, "left")
     raise ValueError(f"unsupported how={how!r}")
 
 
@@ -221,7 +222,14 @@ def _wkb_is_rect(bb: bytes) -> bool:
             if len(r) == 5:
                 xs = sorted(set(r[:, 0].tolist()))
                 ys = sorted(set(r[:, 1].tolist()))
-                return len(xs) == 2 and len(ys) == 2
+                if len(xs) != 2 or len(ys) != 2:
+                    return False
+                # every edge must be axis-aligned (exactly one coord
+                # changes): a bowtie like (0,0)(2,2)(0,2)(2,0) has the
+                # same vertex SET as a rectangle but diagonal edges —
+                # fast-accepting its envelope would be wrong
+                d = np.diff(r, axis=0)
+                return bool(np.all((d[:, 0] == 0) != (d[:, 1] == 0)))
     except Exception:
         pass
     return False

@@ -217,12 +217,15 @@ def translate_images(
                 wsy = win[3] if win is not None else r.h
                 ngt0 = gt[0] + xoff * gt[1] + yoff * gt[2]
                 ngt3 = gt[3] + xoff * gt[4] + yoff * gt[5]
+                # gdal_translate scales the ROTATION terms too
+                # (gdal_translate_lib.cpp adfGeoTransform[2] *= ysize/oh,
+                # [4] *= xsize/ow) — skipping them skews rotated rasters
                 ngt = (
                     ngt0,
                     gt[1] * (wsx / ow),
-                    gt[2],
+                    gt[2] * (wsy / oh),
                     ngt3,
-                    gt[4],
+                    gt[4] * (wsx / ow),
                     gt[5] * (wsy / oh),
                 )
                 fmt = out_fmt or r.fmt

@@ -80,3 +80,31 @@ def test_points_outside_footprints_drop(spark, imgs):
         ).select("pid").collect()
     }
     assert {r.pid for r in rows} == contained
+
+
+class TestPointSrid4326:
+    def test_4326_points_match_mercator_envelopes(self, spark):
+        """Phase-1 envelope join must convert 4326 point coords to the
+        footprint's mercator meters (previously degrees were compared
+        against meters and nothing ever matched)."""
+        import numpy as np
+
+        from gdal_spark import codecs, fixtures
+        from gdal_spark.grid import MercatorGrid
+        from gdal_spark.operators.interpolate import interpolate_at_points
+
+        imgs = fixtures.images_df(spark, 4, tier="t2", partitions=2)
+        # build 4326 query points at each image's center
+        merc = MercatorGrid()
+        rows = []
+        for i in range(4):
+            rec = fixtures.image_record(i, tier="t2")
+            cx = (rec["minx"] + rec["maxx"]) / 2.0
+            cy = (rec["miny"] + rec["maxy"]) / 2.0
+            lat, lon = merc.meters_to_latlon(np.array([cx]), np.array([cy]))
+            rows.append((i, float(lon[0]), float(lat[0])))
+        pts = spark.createDataFrame(rows, "pid long, x double, y double")
+        out = interpolate_at_points(pts, imgs, point_srid=4326).collect()
+        assert len(out) > 0
+        assert {r.pid for r in out} == {0, 1, 2, 3}
+        assert all(r.valid for r in out)
