@@ -1625,7 +1625,7 @@ def q_text_stats_sql():
         "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
         "length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END, 6) AS digit_r, "
         "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
-        "length(replace(trim(text), ' ', '')) * 1.0 / "
+        "length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) * 1.0 / "
         "len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS mwl "
         "FROM documents"
     )
@@ -1641,11 +1641,13 @@ def q_lang_id(spark, sf_dir):
 def q_lang_id_sql():
     from gdal_spark.functions.text import LANG_MARKERS
 
-    pad = "(' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ')"
+    # exact token matching (list_filter), mirroring text.token_matches —
+    # padded replace-counting missed every second ADJACENT marker
+    toks = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         terms = [
-            f"CAST((length({pad}) - length(replace({pad}, '{m}', ''))) / {len(m)} AS INT)"
+            f"len(list_filter({toks}, x -> x = '{m.strip()}'))"
             for m in markers
         ]
         scores[lang] = "(" + " + ".join(terms) + ")"

@@ -273,7 +273,10 @@ def image_resize(
             for b, f in zip(pdf[bytes_col], pdf[fmt_col]):
                 try:
                     arr = decode_any(bytes(b), f)
-                except NotImplementedError:
+                except Exception:
+                    # data-cleaning semantics: one corrupt/truncated
+                    # buffer (or a stub format) null-pads its row rather
+                    # than failing the whole normalization pass
                     new_bytes.append(None)
                     new_fmt.append(f)
                     continue

@@ -70,19 +70,29 @@ def punct_ratio(col: Column) -> Column:
 
 
 def mean_word_len(col: Column) -> Column:
-    t = F.trim(col)
+    # char count on NORMALIZED text: tabs/newlines are whitespace, not
+    # word characters (a literal-space strip counted them as letters)
     nt = token_count(col)
-    chars = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    chars = F.length(F.replace(norm_text(col), F.lit(" "), F.lit("")))
     return F.when(nt == 0, F.lit(0.0)).otherwise(chars / nt)
 
 
+def token_matches(col: Column, word: str) -> Column:
+    """Exact count of tokens equal to ``word`` via split + filter —
+    replace-counting on padded text misses every second ADJACENT
+    occurrence ('the the the' -> 2, the shared delimiter space is
+    consumed by the previous match). Same list-lambda form exists in
+    DuckDB (list_filter)."""
+    toks = F.split(norm_text(col), " ")
+    return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+
 def stopword_ratio(col: Column) -> Column:
-    """Fraction of tokens that are (English) stopwords, via padded
-    replace-counting on the normalized text."""
-    padded = F.concat(F.lit(" "), norm_text(col), F.lit(" "))
+    """Fraction of tokens that are (English) stopwords (exact token
+    matching)."""
     cnt = None
     for w in STOPWORDS:
-        c = count_occurrences(padded, f" {w} ")
+        c = token_matches(col, w)
         cnt = c if cnt is None else cnt + c
     nt = token_count(col)
     return F.when(nt == 0, F.lit(0.0)).otherwise(cnt / nt)
@@ -102,12 +112,11 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
-    padded = F.concat(F.lit(" "), norm_text(col), F.lit(" "))
     out = {}
     for lang, markers in LANG_MARKERS.items():
         s = None
         for m in markers:
-            c = count_occurrences(padded, m)
+            c = token_matches(col, m.strip())
             s = c if s is None else s + c
         out[lang] = s
     return out

@@ -145,9 +145,10 @@ def _parse_at(mv, off):
     (gtype,) = struct.unpack_from(bo + "I", mv, off + 1)
     has_z = bool(gtype & 0x80000000) or (1000 <= (gtype & 0xFFFF) < 2000)
     has_m = bool(gtype & 0x40000000) or (2000 <= (gtype & 0xFFFF) < 4000)
-    base = gtype & 0xFF
-    if base > 100:
-        base = base % 1000
+    # ISO Z/M type codes are 1001..3007 — mask 16 bits BEFORE the
+    # %1000 normalization (an 8-bit mask made it a dead no-op and
+    # rejected every ISO PointZ/LineStringZM etc.)
+    base = (gtype & 0xFFFF) % 1000
     ndim = 2 + int(has_z) + int(has_m)
     off += 5
 

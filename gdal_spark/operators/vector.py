@@ -89,15 +89,9 @@ def _geom_map(df: DataFrame, fn, extra_cols: dict | None = None) -> DataFrame:
 
 
 def _build_wkb(g: geom.Geometry) -> bytes:
-    if g.kind == geom.WKB_POLYGON:
-        return geom.wkb_polygon(g.parts)
-    if g.kind == geom.WKB_MULTIPOLYGON:
-        return geom.wkb_multipolygon(g.parts)
-    if g.kind == geom.WKB_POINT:
-        return geom.wkb_point(float(g.parts[0, 0]), float(g.parts[0, 1]))
-    if g.kind == geom.WKB_LINESTRING:
-        return geom.wkb_linestring(g.parts[0])
-    raise ValueError(f"cannot rebuild WKB kind {g.kind}")
+    # geom.geometry_to_wkb serializes ALL six kinds (the local subset
+    # this used to re-implement failed on multipoint/multilinestring)
+    return geom.geometry_to_wkb(g)
 
 
 def reproject_features(df: DataFrame, src_srid: int, dst_srid: int) -> DataFrame:
@@ -297,6 +291,35 @@ def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
     return np.vstack([out, out[0]])
 
 
+def simplify_line(line: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker on an OPEN polyline: endpoints are anchors and
+    are always kept — no synthetic closing edge (simplify_ring would
+    fabricate one and turn the polyline into a loop)."""
+    pts = np.asarray(line, dtype=np.float64)
+    if len(pts) <= 2:
+        return pts
+
+    def dp(chain: np.ndarray) -> np.ndarray:
+        if len(chain) <= 2:
+            return chain
+        a, b = chain[0], chain[-1]
+        ab = b - a
+        L2 = float(ab @ ab)
+        rel = chain[1:-1] - a
+        if L2 == 0:
+            d = np.sqrt((rel ** 2).sum(axis=1))
+        else:
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / np.sqrt(L2)
+        i = int(d.argmax())
+        if d[i] <= tolerance:
+            return np.vstack([a, b])
+        left = dp(chain[: i + 2])
+        right = dp(chain[i + 1 :])
+        return np.vstack([left[:-1], right])
+
+    return dp(pts)
+
+
 def simplify_features(df: DataFrame, tolerance: float) -> DataFrame:
     """-simplify (ogr2ogr_lib.cpp:265): Douglas-Peucker each ring with
     the given tolerance; rings collapsing below 4 points (or to zero
@@ -308,7 +331,13 @@ def simplify_features(df: DataFrame, tolerance: float) -> DataFrame:
     def simp(g: geom.Geometry):
         if g.kind not in (geom.WKB_POLYGON, geom.WKB_MULTIPOLYGON):
             if g.kind == geom.WKB_LINESTRING:
-                return geom.Geometry(g.kind, [simplify_ring(g.parts[0], tolerance)])
+                # OPEN-chain DP — a ring simplifier would append a
+                # synthetic closing vertex and loop the polyline
+                return geom.Geometry(g.kind, [simplify_line(g.parts[0], tolerance)])
+            if g.kind == geom.WKB_MULTILINESTRING:
+                return geom.Geometry(
+                    g.kind, [simplify_line(p, tolerance) for p in g.parts]
+                )
             return g
         polys_out = []
         for rings in g.polygons():

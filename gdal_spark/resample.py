@@ -236,10 +236,19 @@ def sample_window_reduce(src, bx0, by0, bx1, by1, kind: str):
     # first source center >= box start: center j+0.5 >= bx0 -> j >= bx0-0.5
     jx0 = np.ceil(bx0 - 0.5).astype(np.int64)
     jy0 = np.ceil(by0 - 0.5).astype(np.int64)
-    sx = int(min(_MAX_GATHER, max(1, np.ceil((bx1 - bx0).max() + 1))))
-    sy = int(min(_MAX_GATHER, max(1, np.ceil((by1 - by0).max() + 1))))
-    ox = np.arange(sx, dtype=np.int64)
-    oy = np.arange(sy, dtype=np.int64)
+    # windows wider than the gather cap cover the FULL box with a
+    # uniform stride (previously they truncated to the top-left corner,
+    # silently biasing med/min/max/mode at extreme downsample factors);
+    # stats on the strided subsample are an unbiased approximation and
+    # `sum` is rescaled by the sampling fraction below
+    need_x = int(max(1, np.ceil((bx1 - bx0).max() + 1)))
+    need_y = int(max(1, np.ceil((by1 - by0).max() + 1)))
+    stride_x = max(1, int(np.ceil(need_x / _MAX_GATHER)))
+    stride_y = max(1, int(np.ceil(need_y / _MAX_GATHER)))
+    sx = int(np.ceil(need_x / stride_x))
+    sy = int(np.ceil(need_y / stride_y))
+    ox = np.arange(sx, dtype=np.int64) * stride_x
+    oy = np.arange(sy, dtype=np.int64) * stride_y
     gx = jx0[..., None, None] + ox[None, :]            # (..., 1, sx) broadcast
     gy = jy0[..., None, None] + oy[:, None]            # (..., sy, 1)
     gxc = np.clip(gx, 0, w - 1)
@@ -261,7 +270,11 @@ def sample_window_reduce(src, bx0, by0, bx1, by1, kind: str):
         if kind == "average":
             out = np.where(m3, flat_vals, 0.0).sum(axis=-2) / n
         elif kind == "sum":
-            out = np.where(m3, flat_vals, 0.0).sum(axis=-2)
+            # strided windows see 1/(stride_x*stride_y) of the pixels —
+            # rescale so the sum estimates the full-window total
+            out = np.where(m3, flat_vals, 0.0).sum(axis=-2) * float(
+                stride_x * stride_y
+            )
         elif kind == "min":
             out = np.where(m3, flat_vals, np.inf).min(axis=-2)
             out = np.where(np.isfinite(out), out, np.nan)

@@ -27,11 +27,14 @@ from . import geom
 
 
 def _per_poly(wkbs: pd.Series, xs: pd.Series, ys: pd.Series, fn):
-    out = np.zeros(len(wkbs), dtype=np.float64)
+    # SQL semantics: NULL geometry in -> NaN/False out, never a crash
+    out = np.full(len(wkbs), np.nan, dtype=np.float64)
     px = xs.to_numpy(dtype=float)
     py = ys.to_numpy(dtype=float)
     groups: dict[bytes, list[int]] = {}
     for i, b in enumerate(wkbs):
+        if b is None:
+            continue
         groups.setdefault(bytes(b), []).append(i)
     for wkb, idxs in groups.items():
         g = geom.parse_wkb(wkb)
@@ -43,7 +46,8 @@ def _per_poly(wkbs: pd.Series, xs: pd.Series, ys: pd.Series, fn):
 @F.pandas_udf(BooleanType())
 def _st_contains(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
     vals = _per_poly(wkbs, xs, ys, lambda g, px, py: geom.points_in_geometry(px, py, g))
-    return pd.Series(vals.astype(bool))
+    # NaN (NULL geometry) must read as False, not astype-True
+    return pd.Series(vals == 1.0)
 
 
 @F.pandas_udf(DoubleType())
@@ -59,12 +63,12 @@ def _st_distance(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def _st_centroid_x(wkbs: pd.Series) -> pd.Series:
-    return pd.Series([_centroid(bytes(b))[0] for b in wkbs])
+    return pd.Series([None if b is None else _centroid(bytes(b))[0] for b in wkbs])
 
 
 @F.pandas_udf(DoubleType())
 def _st_centroid_y(wkbs: pd.Series) -> pd.Series:
-    return pd.Series([_centroid(bytes(b))[1] for b in wkbs])
+    return pd.Series([None if b is None else _centroid(bytes(b))[1] for b in wkbs])
 
 
 def _centroid(wkb: bytes):
@@ -80,7 +84,8 @@ def _centroid(wkb: bytes):
 @F.pandas_udf(StringType())
 def _st_astext(wkbs: pd.Series) -> pd.Series:
     return pd.Series(
-        [geom.geometry_to_wkt(geom.parse_wkb(bytes(b))) for b in wkbs]
+        [None if b is None else geom.geometry_to_wkt(geom.parse_wkb(bytes(b)))
+         for b in wkbs]
     )
 
 
@@ -96,7 +101,9 @@ def _st_asgeojson(wkbs: pd.Series) -> pd.Series:
     import json
 
     return pd.Series(
-        [json.dumps(geom.geometry_to_geojson(geom.parse_wkb(bytes(b)))) for b in wkbs]
+        [None if b is None
+         else json.dumps(geom.geometry_to_geojson(geom.parse_wkb(bytes(b))))
+         for b in wkbs]
     )
 
 
@@ -111,9 +118,43 @@ def _st_geomfromgeojson(js: pd.Series) -> pd.Series:
 def _st_area(wkbs: pd.Series) -> pd.Series:
     out = []
     for b in wkbs:
+        if b is None:
+            out.append(None)
+            continue
         a, _c = geom.polygon_area_centroid(geom.parse_wkb(bytes(b)).polygons())
         out.append(a)
     return pd.Series(out)
+
+
+def _boundaries_touch(ga, gb) -> bool:
+    """OGC Intersects includes pure boundary contact (shared edge or
+    vertex) even when the overlap AREA is zero: test every edge pair
+    with inclusive parameters, plus vertex-on-boundary containment."""
+    ra = [np.asarray(r, dtype=np.float64) for poly in ga.polygons() for r in poly]
+    rb = [np.asarray(r, dtype=np.float64) for poly in gb.polygons() for r in poly]
+    if not ra or not rb:
+        return False
+    A = np.vstack([r[:-1] for r in ra]); B = np.vstack([r[1:] for r in ra])
+    C = np.vstack([r[:-1] for r in rb]); D = np.vstack([r[1:] for r in rb])
+    r = B - A; s = D - C
+    den = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    dpx = C[None, :, 0] - A[:, None, 0]
+    dpy = C[None, :, 1] - A[:, None, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (dpx * s[None, :, 1] - dpy * s[None, :, 0]) / den
+        u = (dpx * r[:, None, 1] - dpy * r[:, None, 0]) / den
+    hit = (den != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    if bool(hit.any()):
+        return True
+    # collinear overlap / vertex containment: any vertex of one inside
+    # (or on) the other
+    for g1, g2 in ((ga, gb), (gb, ga)):
+        for poly in g1.polygons():
+            for ring in poly:
+                px, py = ring[:, 0], ring[:, 1]
+                if bool(np.any(geom.points_in_geometry(px, py, g2))):
+                    return True
+    return False
 
 
 @F.pandas_udf(BooleanType())
@@ -122,13 +163,20 @@ def _st_intersects(wa: pd.Series, wb: pd.Series) -> pd.Series:
 
     out = []
     for ba, bb in zip(wa, wb):
+        if ba is None or bb is None:
+            out.append(False)
+            continue
         ga = geom.parse_wkb(bytes(ba))
         gb = geom.parse_wkb(bytes(bb))
         ea, eb = ga.envelope(), gb.envelope()
         if ea[0] > eb[2] or ea[2] < eb[0] or ea[1] > eb[3] or ea[3] < eb[1]:
             out.append(False)
             continue
-        out.append(boolean_area(ga.polygons(), gb.polygons(), "and") > 0)
+        if boolean_area(ga.polygons(), gb.polygons(), "and") > 0:
+            out.append(True)
+            continue
+        # OGC semantics: touching boundaries intersect too
+        out.append(_boundaries_touch(ga, gb))
     return pd.Series(out)
 
 
@@ -138,7 +186,9 @@ def _st_intersection_area(wa: pd.Series, wb: pd.Series) -> pd.Series:
 
     return pd.Series(
         [
-            boolean_area(
+            None
+            if ba is None or bb is None
+            else boolean_area(
                 geom.parse_wkb(bytes(ba)).polygons(),
                 geom.parse_wkb(bytes(bb)).polygons(),
                 "and",
@@ -154,6 +204,9 @@ def _st_buffer(wkbs: pd.Series, dists: pd.Series) -> pd.Series:
 
     out = []
     for b, d in zip(wkbs, dists):
+        if b is None:
+            out.append(None)
+            continue
         polys = buffer_polys(geom.parse_wkb(bytes(b)).polygons(), float(d))
         out.append(geom.wkb_multipolygon(polys) if polys else None)
     return pd.Series(out)
@@ -161,11 +214,29 @@ def _st_buffer(wkbs: pd.Series, dists: pd.Series) -> pd.Series:
 
 @F.pandas_udf(BinaryType())
 def _st_simplify(wkbs: pd.Series, tols: pd.Series) -> pd.Series:
-    from .operators.vector import simplify_ring
+    from .operators.vector import simplify_line, simplify_ring
 
     out = []
     for b, tol in zip(wkbs, tols):
+        if b is None:
+            out.append(None)
+            continue
         g = geom.parse_wkb(bytes(b))
+        # OGR Simplify: points pass through; linestrings use open-chain
+        # DP; only polygonal kinds go through the ring simplifier
+        if g.kind == geom.WKB_POINT:
+            out.append(bytes(b))
+            continue
+        if g.kind in (geom.WKB_LINESTRING, geom.WKB_MULTILINESTRING):
+            parts = g.parts if g.kind == geom.WKB_MULTILINESTRING else [g.parts[0]]
+            simped = [simplify_line(np.asarray(pp, dtype=np.float64), float(tol))
+                      for pp in parts]
+            out.append(
+                geom.geometry_to_wkb(geom.Geometry(g.kind, simped if g.kind == geom.WKB_MULTILINESTRING else simped))
+                if g.kind == geom.WKB_MULTILINESTRING
+                else geom.wkb_linestring(simped[0])
+            )
+            continue
         polys = []
         for rings in g.polygons():
             rs = [simplify_ring(np.asarray(r, dtype=np.float64), float(tol)) for r in rings]
@@ -182,6 +253,9 @@ def _st_makevalid(wkbs: pd.Series) -> pd.Series:
 
     out = []
     for b in wkbs:
+        if b is None:
+            out.append(None)
+            continue
         g = geom.parse_wkb(bytes(b))
         polys, area = boolean_full(g.polygons(), [], "or")
         out.append(geom.wkb_multipolygon(polys) if polys and area > 0 else None)

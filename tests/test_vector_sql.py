@@ -358,3 +358,73 @@ class TestSqlGeometryFunctions:
         assert out.mv_area == pytest.approx(8.0)
         assert abs(out.buf_area - (100 + 40 + np.pi)) < 4.0
         assert out.simp_area == pytest.approx(100.0)
+
+
+class TestReviewRegressions:
+    def test_simplify_line_stays_open(self):
+        import numpy as np
+
+        from gdal_spark.operators.vector import simplify_line
+
+        line = np.array([[0.0, 0.0], [5.0, 0.1], [10.0, 0.0]])
+        out = simplify_line(line, 1.0)
+        np.testing.assert_array_equal(out, [[0.0, 0.0], [10.0, 0.0]])
+        # endpoints kept, NOT closed back to the start
+        assert not np.array_equal(out[0], out[-1])
+
+    def test_parse_iso_wkb_z(self):
+        import struct
+
+        import numpy as np
+
+        from gdal_spark import geom
+
+        # ISO WKB PointZ: type code 1001, 3 doubles
+        buf = struct.pack("<BIddd", 1, 1001, 3.0, 4.0, 5.0)
+        g = geom.parse_wkb(buf)
+        assert g.kind == geom.WKB_POINT
+        assert float(g.parts[0, 0]) == 3.0 and float(g.parts[0, 1]) == 4.0
+
+    def test_st_intersects_touching_edges(self, spark):
+        from gdal_spark import geom
+        from gdal_spark.sql import execute_sql
+
+        a = geom.wkb_rect(0, 0, 1, 1)
+        b = geom.wkb_rect(1, 0, 2, 1)  # shares the x=1 edge, zero overlap
+        c = geom.wkb_rect(5, 5, 6, 6)  # disjoint
+        df = spark.createDataFrame(
+            [(1, bytearray(a), bytearray(b)), (2, bytearray(a), bytearray(c))],
+            "id long, wa binary, wb binary",
+        )
+        out = {
+            r.id: r.hit
+            for r in execute_sql(
+                spark,
+                "SELECT id, st_intersects(wa, wb) AS hit FROM t",
+                {"t": df},
+            ).collect()
+        }
+        assert out == {1: True, 2: False}  # OGC: touching intersects
+
+    def test_st_null_geometry_safe(self, spark):
+        from gdal_spark.sql import execute_sql
+
+        df = spark.createDataFrame(
+            [(1, None)], "id long, wkb binary"
+        )
+        out = execute_sql(
+            spark,
+            "SELECT st_area(wkb) AS a, st_contains(wkb, 0.0, 0.0) AS c, "
+            "st_astext(wkb) AS t FROM n",
+            {"n": df},
+        ).collect()[0]
+        assert out.a is None and out.c is False and out.t is None
+
+    def test_stopword_adjacent_runs_counted(self, spark):
+        from pyspark.sql import functions as F
+
+        from gdal_spark.functions.text import stopword_ratio
+
+        df = spark.createDataFrame([("the the the",)], "text string")
+        r = df.select(stopword_ratio(F.col("text")).alias("r")).collect()[0]
+        assert r.r == 1.0  # replace-counting gave 2/3
