@@ -193,6 +193,13 @@ def run_default(quick: bool = False):
     total = sum(timings.values())
     out = {
         "metric": "spatial-join + tile-cut + headline query wall time",
+        # schema 2 (round 3+): "value" is the SUM OF PER-QUERY MINIMA over
+        # `passes` interleaved passes (one-pass-equivalent time), not a
+        # single-pass wall total as in schema-1 rounds; "wall_sec" is the
+        # real elapsed time of all passes. Compare schema-2 values only
+        # with other schema-2 values (BENCH_r03 onwards).
+        "bench_schema": 2,
+        "estimator": f"sum of per-query minima over {passes} interleaved passes",
         "value": round(total, 3),
         "unit": "sec",
         "wall_sec": round(wall, 3),

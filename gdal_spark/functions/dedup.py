@@ -164,6 +164,11 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the result and release the shingle cache eagerly (same
+    # discipline as minhash_lsh_pairs) so storage blocks don't linger in
+    # long sessions waiting for the periodic driver GC
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

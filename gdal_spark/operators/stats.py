@@ -177,33 +177,118 @@ def pixel_calc_images(images, func: str = "sqrt", scale: float = 1.0, offset: fl
 # ---------------------------------------------------------------------------
 
 
-def nearblack_mask(arr: np.ndarray, near: int = 15, white: bool = False) -> np.ndarray:
-    """Boolean mask of the edge collar: pixels within ``near`` of
-    black (or white) reachable from any raster edge by a straight
-    horizontal or vertical run of near-target pixels — the four
-    line-scan passes of nearblack_lib.cpp (it processes each line
-    from both ends, then each column)."""
-    c3 = arr[:, :, :3] if arr.ndim == 3 else arr[:, :, None]
-    target = 255 if white else 0
-    nb = (np.abs(c3.astype(np.int64) - target) <= near).all(axis=2)
-    h, w = nb.shape
+def _nearblack_pass(
+    rgb: np.ndarray,
+    near: int,
+    target: int,
+    max_nonblack: int,
+    bottom_up: bool,
+) -> np.ndarray:
+    """One full nearblack sweep (vertical check + left->right + right->left
+    horizontal line scans over every line, in top-down or bottom-up order) —
+    the exact ProcessLine state machine of apps/nearblack_lib.cpp:545-741,
+    vectorized across lines. Mutates ``rgb`` in place (replaced pixels become
+    ``target``) and returns the boolean mask of pixels replaced this pass.
+
+    Semantics preserved from the reference:
+    - per-column counters (panLastLineCounts): a column stops being collar
+      once it has accumulated more than ``max_nonblack`` non-near pixels;
+      tolerated non-near pixels ARE collapsed (the nMaxNonBlack behavior)
+    - first-line special (nearblack_lib.cpp:611): valid data on the very
+      first processed line kills the column immediately (nothing replaced)
+      when max_nonblack > 0
+    - horizontal scans re-enter collar state where the vertical counter is
+      still 0 (nearblack_lib.cpp:735), which is what lets collars bend
+      around corners; the L->R scan excludes the last column and the R->L
+      scan the first (both covered by the opposite direction), and a
+      non-near pixel at the scan's starting edge disables it
+      (nearblack_lib.cpp:708)
+    - on a bottom-up pass the HORIZONTAL tolerance is forced to 0
+      (nearblack_lib.cpp:647); the vertical check keeps max_nonblack
+    """
+    view = rgb[::-1] if bottom_up else rgb
+    h, w = view.shape[:2]
+    nb = (np.abs(view.astype(np.int16) - target) > near).any(axis=2)
     mask = np.zeros((h, w), dtype=bool)
-    cols = np.arange(w)
-    rows = np.arange(h)
-    # left/right scans: leading run of near-target per row
-    first = np.where(nb.all(axis=1), w, np.argmin(nb, axis=1))
-    mask |= cols[None, :] < first[:, None]
-    last = np.where(nb.all(axis=1), 0, w - np.argmin(nb[:, ::-1], axis=1))
-    mask |= cols[None, :] >= last[:, None]
-    # top/bottom scans per column
-    firstc = np.where(nb.all(axis=0), h, np.argmin(nb, axis=0))
-    mask |= rows[:, None] < firstc[None, :]
-    lastc = np.where(nb.all(axis=0), 0, h - np.argmin(nb[::-1, :], axis=0))
-    mask |= rows[:, None] >= lastc[None, :]
-    return mask
+
+    # --- vertical check (all lines at once; per-column effective counts) ---
+    cum = np.cumsum(nb, axis=0, dtype=np.int64)
+    prev = np.vstack([np.zeros((1, w), np.int64), cum[:-1]])
+    if max_nonblack > 0:
+        dead0 = nb[0]  # valid data on the first processed line: column dead
+        big = max_nonblack + 1
+        cum = np.where(dead0[None, :], big, cum)
+        prev = np.where(dead0[None, :], big, prev)
+        prev[0] = 0
+    rep_v = (prev <= max_nonblack) & ~(nb & (cum > max_nonblack))
+    view[rep_v] = target
+    nb[rep_v] = False
+    mask |= rep_v
+    counts_after = cum  # counter value as of each line's horizontal scan
+
+    # --- horizontal scans (state machine over columns, vectorized across
+    #     all lines; hmax forced to 0 on the bottom-up pass) ---
+    hmax = 0 if bottom_up else max_nonblack
+
+    def hscan(cols_iter, i_start):
+        do_test = np.ones(h, dtype=bool)
+        nnb = np.zeros(h, dtype=np.int64)
+        for i in cols_iter:
+            col_nb = nb[:, i]
+            ca = counts_after[:, i]
+            act = do_test
+            # grey columns (vertical counter still tolerant) reset the run
+            nnb_new = np.where(col_nb, np.where(ca <= hmax, ca, nnb + 1), nnb)
+            exceeded = nnb_new > hmax
+            edge = col_nb & (hmax > 0) & (i == i_start)
+            rep = act & ~exceeded & ~edge
+            nnb = np.where(act, nnb_new, nnb)
+            do_test = np.where(act, ~(exceeded | edge), do_test)
+            reen = ~act & (ca == 0)
+            do_test |= reen
+            nnb = np.where(reen, 0, nnb)
+            view[rep, i] = target
+            nb[rep, i] = False
+            mask[rep, i] = True
+
+    if w > 1:
+        hscan(range(0, w - 1), 0)
+        hscan(range(w - 1, 0, -1), w - 1)
+    return mask[::-1] if bottom_up else mask
 
 
-def nearblack_images(images, near: int = 15, white: bool = False):
+def nearblack_collapse(
+    arr: np.ndarray,
+    near: int = 15,
+    white: bool = False,
+    max_nonblack: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full nearblack: (cleaned_rgb, collar_mask) with the reference's exact
+    two-sweep structure (apps/nearblack_lib.cpp:395-530) — a top-down sweep
+    over the source, then a bottom-up sweep over the ALREADY-CLEANED output
+    with fresh column counters. ``max_nonblack`` defaults to the reference
+    CLI default (nearblack_lib.h:39: nMaxNonBlack = 2)."""
+    c3 = arr[:, :, :3] if arr.ndim == 3 else np.repeat(arr[:, :, None], 3, axis=2)
+    rgb = c3.copy()
+    m1 = _nearblack_pass(rgb, near, 255 if white else 0, max_nonblack, False)
+    m2 = _nearblack_pass(rgb, near, 255 if white else 0, max_nonblack, True)
+    return rgb, m1 | m2
+
+
+def nearblack_mask(
+    arr: np.ndarray,
+    near: int = 15,
+    white: bool = False,
+    max_nonblack: int = 2,
+) -> np.ndarray:
+    """Boolean mask of the edge collar per apps/nearblack_lib.cpp semantics
+    (see nearblack_collapse): line-to-line counter propagation, bent-collar
+    re-entry, and the nMaxNonBlack non-near tolerance (default 2 as in the
+    reference CLI)."""
+    return nearblack_collapse(arr, near=near, white=white, max_nonblack=max_nonblack)[1]
+
+
+def nearblack_images(images, near: int = 15, white: bool = False, max_nonblack: int = 2):
     """Per-image nearblack: collar pixels collapse to exact black/white
     and the emitted alpha zeroes them (the -setalpha behavior). Output:
     image_id, cleaned PNG (RGBA), n_collar, checksum."""
@@ -213,11 +298,9 @@ def nearblack_images(images, near: int = 15, white: bool = False):
             rows = []
             for r in pdf.itertuples(index=False):
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
-                if arr.ndim == 2:
-                    arr = np.repeat(arr[:, :, None], 3, axis=2)
-                rgb = arr[:, :, :3].copy()
-                m = nearblack_mask(rgb, near=near, white=white)
-                rgb[m] = 255 if white else 0
+                rgb, m = nearblack_collapse(
+                    arr, near=near, white=white, max_nonblack=max_nonblack
+                )
                 alpha = np.where(m, 0, 255).astype(np.uint8)
                 rgba = np.dstack([rgb, alpha])
                 rows.append(

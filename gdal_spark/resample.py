@@ -226,7 +226,15 @@ def sample_window_reduce(src, bx0, by0, bx1, by1, kind: str):
     statistic — the GWKAverageOrMode family (alg/gdalwarpkernel.cpp
     GRA_Average/Sum/Min/Max/Med/Q1/Q3/RMS/Mode). Boxes with no source
     center degrade to the nearest pixel (upsampling), like the point
-    kernels degrade at edges. Returns (values, valid)."""
+    kernels degrade at edges. Returns (values, valid).
+
+    Approximation note: windows wider than ``_MAX_GATHER`` (64) pixels per
+    axis are sampled on a uniform stride covering the full box; statistics
+    are then computed on the strided subsample. For ``kind='sum'`` the
+    subsample total is rescaled by ``stride_x*stride_y`` — an unbiased
+    ESTIMATE of the exact full-window total GDAL computes, not the exact
+    value. At downsample factors <= 64x per axis (every tile-pyramid /
+    overview level in this engine) the path is exact."""
     src3, squeeze = _as3d(np.asarray(src, dtype=np.float64))
     h, w, c = src3.shape
     bx0 = np.asarray(bx0, dtype=np.float64)

@@ -46,8 +46,11 @@ def _per_poly(wkbs: pd.Series, xs: pd.Series, ys: pd.Series, fn):
 @F.pandas_udf(BooleanType())
 def _st_contains(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
     vals = _per_poly(wkbs, xs, ys, lambda g, px, py: geom.points_in_geometry(px, py, g))
-    # NaN (NULL geometry) must read as False, not astype-True
-    return pd.Series(vals == 1.0)
+    # SQL three-valued logic: NaN (NULL geometry) propagates as NULL, so
+    # NOT st_contains(...) does not resurrect NULL-geometry rows
+    out = pd.array(vals == 1.0, dtype="boolean")
+    out[np.isnan(vals)] = pd.NA
+    return pd.Series(out)
 
 
 @F.pandas_udf(DoubleType())
@@ -164,7 +167,9 @@ def _st_intersects(wa: pd.Series, wb: pd.Series) -> pd.Series:
     out = []
     for ba, bb in zip(wa, wb):
         if ba is None or bb is None:
-            out.append(False)
+            # SQL three-valued logic: NULL operand yields NULL (matches OGR
+            # SQL; a False here would flip under NOT and keep NULL rows)
+            out.append(None)
             continue
         ga = geom.parse_wkb(bytes(ba))
         gb = geom.parse_wkb(bytes(bb))

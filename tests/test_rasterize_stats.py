@@ -205,6 +205,47 @@ class TestNearblack:
         assert m[:, :2].all() and m[0, :].all()
         assert not m[4, 5] and not m[3, 4]
 
+    def test_max_nonblack_zero_straight_runs(self):
+        """nMaxNonBlack=0: only straight near-black runs from the edges."""
+        from gdal_spark.operators.stats import nearblack_mask
+
+        img = np.full((8, 10, 3), 200, np.uint8)
+        img[:, :2] = 3
+        img[0, :] = 5
+        m = nearblack_mask(img, near=15, max_nonblack=0)
+        assert m[:, :2].all() and m[0, :].all()
+        assert int(m.sum()) == 8 * 2 + 10 - 2  # no tolerance bleed
+
+    def test_speckled_collar_collapses_with_default_tolerance(self):
+        """A non-black speckle inside the collar is collapsed under the
+        reference default nMaxNonBlack=2 (nearblack_lib.cpp:606) but kept
+        by the 0-tolerance straight-run scan."""
+        from gdal_spark.operators.stats import nearblack_collapse
+
+        img = np.full((8, 10, 3), 200, np.uint8)
+        img[:3, :] = 4           # 3-row top collar ...
+        img[1, 4] = 200          # ... with a valid-data speckle inside it
+        _, m0 = nearblack_collapse(img, near=15, max_nonblack=0)
+        assert not m0[1, 4]
+        rgb, m = nearblack_collapse(img, near=15)  # default = 2
+        assert m[1, 4] and (rgb[1, 4] == 0).all()
+        # columns whose FIRST line holds valid data are killed immediately
+        # (nearblack_lib.cpp:611) -> bottom edge (valid everywhere) intact
+        assert not m[7, :].any()
+
+    def test_bent_collar_propagates_across_lines(self):
+        """An L-shaped (stepped) collar: rows whose near-black run does not
+        start at the scan edge still join via the per-column counter
+        re-entry (nearblack_lib.cpp:735)."""
+        from gdal_spark.operators.stats import nearblack_collapse
+
+        img = np.full((8, 12, 3), 200, np.uint8)
+        img[:, :2] = 3           # left collar spine
+        img[3, 2:7] = 3          # bent arm reaching inward on row 3
+        _, m = nearblack_collapse(img, near=15, max_nonblack=0)
+        assert m[3, 2:7].all()   # arm joins through the spine
+        assert not m[3, 8]
+
     def test_images_pipeline(self, spark):
         from gdal_spark import codecs
         from gdal_spark.operators.stats import nearblack_images
@@ -213,11 +254,24 @@ class TestNearblack:
         img[:, :3] = 2
         row = ("n1", bytearray(codecs.encode_png(img)), "png")
         df = spark.createDataFrame([row], "image_id string, bytes binary, fmt string")
-        out = nearblack_images(df).collect()
+        out = nearblack_images(df, max_nonblack=0).collect()
         assert len(out) == 1 and out[0]["n_collar"] == 16 * 3
         rgba = codecs.decode_png(bytes(out[0]["bytes"]))
         assert (rgba[:, :3, 3] == 0).all() and (rgba[:, 3:, 3] == 255).all()
         assert (rgba[:, :3, :3] == 0).all()
+
+    def test_images_pipeline_default_tolerance(self, spark):
+        """Default nMaxNonBlack=2 eats up to 2 valid pixels past the collar
+        (reference CLI default) — 3 black columns mask as 5."""
+        from gdal_spark import codecs
+        from gdal_spark.operators.stats import nearblack_images
+
+        img = np.full((16, 16, 3), 180, np.uint8)
+        img[:, :3] = 2
+        row = ("n1", bytearray(codecs.encode_png(img)), "png")
+        df = spark.createDataFrame([row], "image_id string, bytes binary, fmt string")
+        out = nearblack_images(df).collect()
+        assert len(out) == 1 and out[0]["n_collar"] == 16 * 5
 
 
 class TestGdalCalc:

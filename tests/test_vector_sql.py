@@ -339,6 +339,31 @@ class TestSqlGeometryFunctions:
         assert out[1].ix and out[1].ia == pytest.approx(25.0)
         assert not out[2].ix and out[2].ia == pytest.approx(0.0)
 
+    def test_null_geometry_three_valued_logic(self, spark):
+        """NULL operands yield NULL (not False) from boolean st_* predicates,
+        so NOT st_intersects(...) does not resurrect NULL-geometry rows —
+        OGR SQL / ANSI three-valued logic."""
+        a = geom.wkb_rect(0, 0, 10, 10)
+        df = spark.createDataFrame(
+            [(1, bytearray(a), bytearray(a)), (2, bytearray(a), None)],
+            "fid long, ga binary, gb binary",
+        )
+        out = {r.fid: r for r in execute_sql(
+            spark,
+            "SELECT fid, st_intersects(ga, gb) AS ix, "
+            "st_contains(gb, 1.0, 1.0) AS ct FROM t",
+            layers={"t": df},
+        ).collect()}
+        assert out[1].ix is True and out[1].ct is True
+        assert out[2].ix is None and out[2].ct is None
+        # a NOT-filter must drop NULL rows, not keep them
+        kept = execute_sql(
+            spark,
+            "SELECT fid FROM t WHERE NOT st_intersects(ga, gb)",
+            layers={"t": df},
+        ).collect()
+        assert kept == []
+
     def test_buffer_simplify_makevalid_sql(self, spark):
         bow = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], dtype=float)
         dense = np.array(
@@ -418,7 +443,9 @@ class TestReviewRegressions:
             "st_astext(wkb) AS t FROM n",
             {"n": df},
         ).collect()[0]
-        assert out.a is None and out.c is False and out.t is None
+        # NULL geometry propagates as NULL through boolean predicates too
+        # (ADVICE r3: False flipped under NOT and kept NULL rows)
+        assert out.a is None and out.c is None and out.t is None
 
     def test_stopword_adjacent_runs_counted(self, spark):
         from pyspark.sql import functions as F
