@@ -178,23 +178,95 @@ def contour_levels(base: float, interval: float, vmin: float, vmax: float):
 
 OUT_SCHEMA = "level double, n_points int, closed boolean, wkb binary, length double"
 
+# chain-key packing bounds (documented, asserted): tile coords < 2^18 per
+# axis, < 512 levels, < 65536 partial chains per (tile, level) — 62 bits
+_CKEY_TILE_MAX = 1 << 18
+_CKEY_LVL_MAX = 512
+_CKEY_IDX_MAX = 1 << 16
+
+
+def _pack_ckey(tx: int, ty: int, lvl_idx: int, idx: int) -> int:
+    if not (0 <= tx < _CKEY_TILE_MAX and 0 <= ty < _CKEY_TILE_MAX):
+        raise ValueError(
+            f"tile coords ({tx},{ty}) outside [0, 2^18) — enlarge tiles or "
+            "extend the chain-key packing"
+        )
+    if lvl_idx >= _CKEY_LVL_MAX:
+        raise ValueError("more than 511 contour levels — extend key packing")
+    if idx >= _CKEY_IDX_MAX:
+        raise ValueError("more than 65535 partial chains in one (tile, level)")
+    return ((ty * _CKEY_TILE_MAX + tx) * _CKEY_LVL_MAX + lvl_idx) * _CKEY_IDX_MAX + idx
+
+
+def merge_chains(chains: list[np.ndarray]) -> list[np.ndarray]:
+    """Merge partial polylines that share exact endpoints into maximal
+    polylines — the cross-tile analog of :func:`chain_polylines`, with
+    each partial chain acting as one segment that carries its interior
+    points. Greedy at degree>2 junctions (same policy as the local
+    chainer)."""
+    adj: dict[tuple, list] = defaultdict(list)
+    for i, pts in enumerate(chains):
+        adj[tuple(pts[0])].append((i, 0))
+        adj[tuple(pts[-1])].append((i, 1))
+    used = [False] * len(chains)
+    lines = []
+
+    def walk(i0: int, end0: int) -> np.ndarray:
+        used[i0] = True
+        first = chains[i0] if end0 == 0 else chains[i0][::-1]
+        parts = [first]
+        cur = tuple(parts[-1][-1])
+        while True:
+            nxt = None
+            for j, e in adj[cur]:
+                if not used[j]:
+                    nxt = (j, e)
+                    break
+            if nxt is None:
+                break
+            j, e = nxt
+            used[j] = True
+            p = chains[j] if e == 0 else chains[j][::-1]
+            parts.append(p[1:])  # junction point already emitted
+            cur = tuple(p[-1])
+        return np.concatenate(parts)
+
+    # open lines start at degree-1 endpoints
+    for pt in sorted(adj):
+        lst = adj[pt]
+        if len(lst) == 1:
+            i, e = lst[0]
+            if not used[i]:
+                lines.append(walk(i, e))
+    # remaining partial chains belong to closed rings (or junction cycles)
+    for i in range(len(chains)):
+        if not used[i]:
+            lines.append(walk(i, 0))
+    return lines
+
 
 def contour_tiles(
-    tiles_df: DataFrame, gt, levels, tile_size: int = 256
+    tiles_df: DataFrame,
+    gt,
+    levels,
+    tile_size: int = 256,
+    driver_cc_max_edges: int = 100_000,
 ) -> DataFrame:
     """Distributed contour over the tiled layout: 1-node halo exchange
     (right column + bottom row + corner), per-tile marching squares in
-    global node coords, then groupBy(level) chains segments whose
-    interior duplicates are bitwise-equal.
+    global node coords, chained into partial polylines WITHIN each
+    (tile, level) group, then merged across tile borders by connected
+    components over exact endpoint-equality edges (endpoints of adjacent
+    tiles are bitwise-identical floats — same two corner values, same
+    interpolation — so the equi-join is exact, no tolerance).
 
-    Scale bound: chaining groups ALL of one level's segments into one
-    task (parallelism = number of levels). Segment count is
-    O(iso-line length), so a continent-scale raster with few levels
-    serializes chaining onto few cores — the polygonize-style fix
-    (distributed CC over per-tile chains, then per-line groups) is the
-    upgrade path if that becomes the bottleneck; for polygon output use
-    contour_polygons_tiles, which already inherits polygonize's
-    distributed connected components."""
+    Scale posture: no stage groups a whole level into one task. Chaining
+    parallelism is O(tiles x levels); the border merge reuses
+    :func:`polygonize.cc_labels` (driver union-find fast path under
+    ``driver_cc_max_edges``, LIMIT-bounded, else fully distributed
+    min-label propagation); final assembly is one task per OUTPUT line
+    holding only chain endpoints + interior points of that line — the
+    same accepted bound as polygonize's per-region assembly."""
     src = tiles_df.select("tile_x", "tile_y", "w", "h", "data")
     lvls = [float(v) for v in levels]
 
@@ -223,10 +295,13 @@ def contour_tiles(
         halo_export, schema="tile_x int, tile_y int, kind string, vals binary"
     )
 
-    seg_schema = "level double, x0 double, y0 double, x1 double, y1 double"
+    chain_schema = (
+        "level double, ckey long, pts binary, "
+        "x0 double, y0 double, x1 double, y1 double, closed boolean"
+    )
 
-    def tile_segments(tile_pdf: pd.DataFrame, halo_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["level", "x0", "y0", "x1", "y1"]
+    def tile_chains(key, tile_pdf: pd.DataFrame, halo_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["level", "ckey", "pts", "x0", "y0", "x1", "y1", "closed"]
         if len(tile_pdf) == 0:
             return pd.DataFrame(columns=cols)
         r = tile_pdf.iloc[0]
@@ -247,43 +322,147 @@ def contour_tiles(
         # sparse layout missing only the diagonal neighbor loses only
         # the corner cell, and nodata NaN inside the tile is skipped
         # like the reference does) — no rectangle truncation
-        sub = ext
-        ox = int(r["tile_x"]) * tile_size
-        oy = int(r["tile_y"]) * tile_size
+        tx, ty = int(key[0]), int(key[1])
+        ox = tx * tile_size
+        oy = ty * tile_size
         rows = []
-        for lv in lvls:
-            for x0, y0, x1, y1 in cell_segments(sub, lv, origin=(ox, oy)):
-                rows.append({"level": lv, "x0": x0, "y0": y0, "x1": x1, "y1": y1})
+        for li, lv in enumerate(lvls):
+            segs = cell_segments(ext, lv, origin=(ox, oy))
+            for idx, line in enumerate(chain_polylines(segs)):
+                pts = np.ascontiguousarray(line, dtype=np.float64)
+                rows.append(
+                    {
+                        "level": lv,
+                        "ckey": _pack_ckey(tx, ty, li, idx),
+                        "pts": pts.tobytes(),
+                        "x0": float(pts[0, 0]), "y0": float(pts[0, 1]),
+                        "x1": float(pts[-1, 0]), "y1": float(pts[-1, 1]),
+                        "closed": bool(np.array_equal(pts[0], pts[-1])),
+                    }
+                )
         return pd.DataFrame(rows, columns=cols)
 
-    segs = (
+    # partial chains per (tile, level) — parallelism O(tiles x levels);
+    # materialized once (3 downstream consumers)
+    chains = (
         src.groupBy("tile_x", "tile_y")
         .cogroup(halos.groupBy("tile_x", "tile_y"))
-        .applyInPandas(tile_segments, schema=seg_schema)
+        .applyInPandas(tile_chains, schema=chain_schema)
+        .localCheckpoint(eager=True)
     )
 
-    def build_lines(pdf: pd.DataFrame) -> pd.DataFrame:
+    def finalize(levels_s, pts_groups):
+        rows = []
+        for lv, node_lines in zip(levels_s, pts_groups):
+            for line in node_lines:
+                g = _nodes_to_geo(line, gt)
+                rows.append(
+                    {
+                        "level": float(lv),
+                        "n_points": len(g),
+                        "closed": bool(np.array_equal(g[0], g[-1])),
+                        "wkb": geom.wkb_linestring(g),
+                        "length": float(np.hypot(*(np.diff(g, axis=0).T)).sum()),
+                    }
+                )
+        cols = ["level", "n_points", "closed", "wkb", "length"]
+        return pd.DataFrame(rows, columns=cols)
+
+    # rings closed within one tile finalize in a narrow pass (no shuffle)
+    def finalize_closed(batches):
+        for pdf in batches:
+            yield finalize(
+                pdf["level"],
+                [
+                    [np.frombuffer(b, dtype=np.float64).reshape(-1, 2)]
+                    for b in pdf["pts"]
+                ],
+            )
+
+    closed_out = chains.where(F.col("closed")).mapInPandas(
+        finalize_closed, schema=OUT_SCHEMA
+    )
+
+    open_chains = chains.where(~F.col("closed"))
+    ep = open_chains.select(
+        "ckey", "level", F.col("x0").alias("x"), F.col("y0").alias("y")
+    ).union(
+        open_chains.select(
+            "ckey", "level", F.col("x1").alias("x"), F.col("y1").alias("y")
+        )
+    )
+    ep_b = ep.select(
+        F.col("level").alias("level_b"), F.col("x").alias("x_b"),
+        F.col("y").alias("y_b"), F.col("ckey").alias("key_b"),
+    )
+    # endpoints of adjacent tiles' chains are bitwise-identical, so this
+    # is an exact equi-join; level is part of the key (spreads hashing,
+    # and only same-level chains may merge). Typical endpoint degree <= 2
+    # so no .distinct() is needed.
+    pairs = (
+        ep.join(
+            ep_b,
+            (ep["level"] == F.col("level_b"))
+            & (ep["x"] == F.col("x_b"))
+            & (ep["y"] == F.col("y_b")),
+        )
+        .where(F.col("ckey") < F.col("key_b"))
+        .select(F.col("ckey").alias("key"), "key_b")
+    )
+
+    # driver union-find fast path under the LIMIT-bounded cap, else the
+    # fully distributed min-label propagation (polygonize.cc_labels)
+    from .polygonize import cc_labels
+
+    spark = tiles_df.sparkSession
+    head = (
+        pairs.limit(driver_cc_max_edges + 1).collect()
+        if driver_cc_max_edges
+        else []
+    )
+    if driver_cc_max_edges and len(head) <= driver_cc_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for e in head:
+            ru, rv = find(int(e.key)), find(int(e.key_b))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        mapping = [(k, find(k)) for k in parent]
+        labels = (
+            F.broadcast(spark.createDataFrame(mapping, "key long, gkey0 long"))
+            if mapping
+            else None
+        )
+    else:
+        labels = cc_labels(pairs)
+
+    if labels is not None:
+        labeled = open_chains.join(
+            labels, open_chains["ckey"] == labels["key"], "left"
+        ).withColumn("gkey", F.coalesce(F.col("gkey0"), F.col("ckey")))
+    else:
+        labeled = open_chains.withColumn("gkey", F.col("ckey"))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["level", "n_points", "closed", "wkb", "length"]
         if len(pdf) == 0:
             return pd.DataFrame(columns=cols)
-        lv = float(pdf["level"].iloc[0])
-        seg_list = list(
-            zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"])
-        )
-        rows = []
-        for line in chain_polylines(seg_list):
-            g = _nodes_to_geo(line, gt)
-            closed = bool(np.array_equal(g[0], g[-1]))
-            length = float(np.hypot(*(np.diff(g, axis=0).T)).sum())
-            rows.append(
-                {
-                    "level": lv, "n_points": len(g), "closed": closed,
-                    "wkb": geom.wkb_linestring(g), "length": length,
-                }
-            )
-        return pd.DataFrame(rows, columns=cols)
+        parts = [
+            np.frombuffer(b, dtype=np.float64).reshape(-1, 2)
+            for b in pdf["pts"]
+        ]
+        return finalize([float(pdf["level"].iloc[0])], [merge_chains(parts)])
 
-    return segs.groupBy("level").applyInPandas(build_lines, schema=OUT_SCHEMA)
+    merged = labeled.select("level", "gkey", "pts").groupBy("gkey").applyInPandas(
+        assemble, schema=OUT_SCHEMA
+    )
+    return merged.unionByName(closed_out)
 
 
 # ---------------------------------------------------------------------------
