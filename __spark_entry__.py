@@ -368,6 +368,70 @@ def q_idw(spark, sf_dir):
     return out.select("qid", F.round(F.col("idw"), 3).alias("idw")).orderBy("qid")
 
 
+def _grid_linear_fixture():
+    """sf-independent TIN fixture: exact integer-multiple coordinates so
+    the Spark Column math and the in-process oracle produce bitwise-equal
+    doubles. Generic position (no cocircular quads) -> unique Delaunay."""
+    import numpy as np
+
+    ks = np.arange(1, 241)
+    px = (ks * 48271 % 1000).astype(np.float64) * 3000.0 - 1500000.0
+    py = (ks * 16807 % 997).astype(np.float64) * 3000.0 - 1490000.0
+    pz = (ks * 69621 % 887).astype(np.float64) * 0.25
+    qi = np.arange(64)
+    qx = (qi % 8).astype(np.float64) * 380000.0 - 1330000.0
+    qy = (qi // 8).astype(np.float64) * 380000.0 - 1330000.0
+    return px, py, pz, qi, qx, qy
+
+
+def _local_grid_linear_rows():
+    import numpy as np
+
+    from gdal_spark.operators.tin import grid_linear_local
+
+    px, py, pz, qi, qx, qy = _grid_linear_fixture()
+    # same deterministic dedup as the distributed kernel (no-op for this
+    # fixture — coordinates are distinct — kept for exact parity)
+    pxyz = np.stack([px, py, pz], axis=1)
+    pxyz = pxyz[np.lexsort((pxyz[:, 2], pxyz[:, 1], pxyz[:, 0]))]
+    xy, first = np.unique(pxyz[:, :2], axis=0, return_index=True)
+    vals = grid_linear_local(xy, pxyz[first, 2], np.stack([qx, qy], axis=1))
+    return [
+        (int(q), round(float(v), 6))
+        for q, v in zip(qi, vals)
+        if np.isfinite(v)
+    ]
+
+
+def q_grid_linear(spark, sf_dir):
+    """gdal_grid -a linear (alg/gdalgrid.cpp GDALGridLinear): distributed
+    per-cell Bowyer-Watson Delaunay + barycentric facet interpolation with
+    halo certainty + retry; NN fallback outside the hull (radius=-1, the
+    reference default). Oracle = the brute-tested local kernel over the
+    same fixture (distributed == global is bitwise by canonical facet
+    ordering)."""
+    from gdal_spark.operators.tin import grid_linear
+
+    pts = spark.range(1, 241).select(
+        ((F.col("id") * 48271 % 1000).cast("double") * 3000.0 - 1500000.0).alias("x"),
+        ((F.col("id") * 16807 % 997).cast("double") * 3000.0 - 1490000.0).alias("y"),
+        ((F.col("id") * 69621 % 887).cast("double") * 0.25).alias("z"),
+    )
+    qs = spark.range(0, 64).select(
+        F.col("id").alias("qid"),
+        ((F.col("id") % 8).cast("double") * 380000.0 - 1330000.0).alias("x"),
+        ((F.col("id") / 8).cast("long").cast("double") * 380000.0 - 1330000.0).alias("y"),
+    )
+    out = grid_linear(qs, pts, zoom=6)
+    return out.select(
+        "qid", F.round(F.col("linear_z"), 6).alias("linear_z")
+    ).orderBy("qid")
+
+
+def q_grid_linear_sql():
+    return _vals_sql(_local_grid_linear_rows(), ["qid", "linear_z"], "qid")
+
+
 def q_idw_sql():
     qrows = " UNION ALL ".join(
         f"SELECT {q} AS qid, {q * 3100000.0 - 12000001.5} AS qx, "
@@ -3465,6 +3529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearblack_collars": q_nearblack_collars,
         "dup_clusters": q_dup_clusters,
         "pq_topk": q_pq_topk,
+        # --- new in round 4 ---
+        "grid_linear": q_grid_linear,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -3532,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_pentagon": q_pip_pentagon_sql(),
         "knn": q_knn_sql(),
         "idw": q_idw_sql(),
+        "grid_linear": q_grid_linear_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -35,6 +35,7 @@ def footprint_array(
     nodata: float | None = None,
     min_ring_area: float = 0.0,
     simplify_tolerance: float | None = None,
+    convex_hull: bool = False,
 ):
     """Footprint polygons of one decoded image. Mask rule: alpha > 0 if
     an alpha plane exists, else band0 != nodata (nodata defaults to 0).
@@ -62,7 +63,16 @@ def footprint_array(
         a, _c = geom.ring_area_centroid(gr)
         if abs(a) >= min_ring_area and len(gr) >= 4:
             geo_rings.append(gr)
-    return assemble_polygons(geo_rings), n, valid_frac
+    polys = assemble_polygons(geo_rings)
+    if convex_hull and polys:
+        # gdal footprint -convex_hull (apps/gdal_footprint_lib.cpp:88-183):
+        # hull of the assembled footprint geometry, holes discarded
+        from .hull import convex_hull_xy
+
+        h = convex_hull_xy(np.vstack([r for rings in polys for r in rings]))
+        if len(h) >= 3:
+            polys = [[np.vstack([h, h[:1]])]]
+    return polys, n, valid_frac
 
 
 def footprint_images(
@@ -70,6 +80,7 @@ def footprint_images(
     nodata: float | None = None,
     min_ring_area: float = 0.0,
     simplify_tolerance: float | None = None,
+    convex_hull: bool = False,
 ) -> DataFrame:
     """One footprint row per image (narrow stage, no shuffle)."""
 
@@ -87,7 +98,8 @@ def footprint_images(
                 alpha = arr[:, :, 3] if arr.shape[2] == 4 else None
                 gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
                 polys, n, vf = footprint_array(
-                    arr, alpha, gt, nodata, min_ring_area, simplify_tolerance
+                    arr, alpha, gt, nodata, min_ring_area, simplify_tolerance,
+                    convex_hull,
                 )
                 if not polys:
                     continue

@@ -253,6 +253,13 @@ def _st_simplify(wkbs: pd.Series, tols: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(BinaryType())
+def _st_convexhull(wkbs: pd.Series) -> pd.Series:
+    from .operators.hull import convex_hull_wkb
+
+    return pd.Series([convex_hull_wkb(b) for b in wkbs])
+
+
+@F.pandas_udf(BinaryType())
 def _st_makevalid(wkbs: pd.Series) -> pd.Series:
     from .booleans import boolean_full
 
@@ -283,6 +290,7 @@ def register_functions(spark: SparkSession) -> None:
     spark.udf.register("st_buffer", _st_buffer)
     spark.udf.register("st_simplify", _st_simplify)
     spark.udf.register("st_makevalid", _st_makevalid)
+    spark.udf.register("st_convexhull", _st_convexhull)
 
 
 def execute_sql(
