@@ -698,6 +698,78 @@ def q_aea_forward_sql():
     )
 
 
+def q_laea_forward(spark, sf_dir):
+    """Lambert Azimuthal Equal-Area forward (EPSG:3035 LAEA Europe,
+    gdal_spark.proj.LAEA — Snyder PP-1395 pp. 187-190 / EPSG method 9820)
+    of customer-derived points over Europe, checked against a FULLY
+    INDEPENDENT re-derivation in DuckDB SQL that computes e, qp, beta0,
+    Rq, D and the per-point beta/B from the raw EPSG parameters.
+    Rounded to mm."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.proj import lonlat_to_laea
+
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = (k * 7 % 3000) / 100.0 - 5.0
+            lat = (k * 13 % 2500) / 100.0 + 35.0
+            e, n = lonlat_to_laea(lon, lat, 3035)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "easting": np.round(e, 3),
+                    "northing": np.round(n, 3),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, easting double, northing double"
+    ).orderBy("pid")
+
+
+def q_laea_forward_sql():
+    # EPSG:3035 registry parameters (GRS80) — the ONLY shared inputs;
+    # e, qp, beta0, Rq, D, beta, B are all re-derived inside SQL.
+    q_of = (
+        "(1.0 - e2) * (sin({phi}) / (1.0 - e2 * sin({phi}) * sin({phi})) "
+        "- (1.0 / (2.0 * e)) * ln((1.0 - e * sin({phi})) / (1.0 + e * sin({phi}))))"
+    )
+    return (
+        "WITH c0 AS (SELECT 6378137.0e0 AS a, 1.0 / 298.257222101e0 AS f, "
+        "radians(52.0) AS p0), "
+        "c1 AS (SELECT a, p0, 2.0 * f - f * f AS e2, "
+        "sqrt(2.0 * f - f * f) AS e FROM c0), "
+        "c2 AS (SELECT a, p0, e, e2, "
+        "(1.0 - e2) * (1.0 / (1.0 - e2) - (1.0 / (2.0 * e)) * "
+        "ln((1.0 - e) / (1.0 + e))) AS qp, "
+        f"{q_of.format(phi='p0')} AS q0, "
+        "cos(p0) / sqrt(1.0 - e2 * sin(p0) * sin(p0)) AS m0 FROM c1), "
+        "c3 AS (SELECT a, e, e2, qp, asin(q0 / qp) AS b0, "
+        "a * sqrt(qp / 2.0) AS rq, m0 FROM c2), "
+        "c4 AS (SELECT a, e, e2, qp, b0, rq, "
+        "a * m0 / (rq * cos(b0)) AS d FROM c3), "
+        "pts AS (SELECT c_custkey AS pid, "
+        "radians((c_custkey * 7 % 3000) / 100.0 - 5.0 - 10.0) AS dlam, "
+        "radians((c_custkey * 13 % 2500) / 100.0 + 35.0) AS phi FROM customer), "
+        "s1 AS (SELECT pid, dlam, "
+        f"asin({q_of.format(phi='phi')} / qp) AS beta, b0, rq, d "
+        "FROM pts, c4), "
+        "s2 AS (SELECT pid, dlam, beta, b0, d, "
+        "rq * sqrt(2.0 / (1.0 + sin(b0) * sin(beta) "
+        "+ cos(b0) * cos(beta) * cos(dlam))) AS bigb FROM s1), "
+        "s3 AS (SELECT pid, bigb * d * cos(beta) * sin(dlam) AS dx, "
+        "(bigb / d) * (cos(b0) * sin(beta) "
+        "- sin(b0) * cos(beta) * cos(dlam)) AS dy FROM s2) "
+        "SELECT pid, round(4321000.0 + dx, 3) AS easting, "
+        "round(3210000.0 + dy, 3) AS northing FROM s3 ORDER BY pid"
+    )
+
+
 def q_ps_forward(spark, sf_dir):
     """Polar Stereographic variant B forward (EPSG:3413 NSIDC Sea Ice
     North, gdal_spark.proj.PS — Snyder PP-1395 pp.160-162 / EPSG method
@@ -3531,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         # --- new in round 4 ---
         "grid_linear": q_grid_linear,
+        "laea_forward": q_laea_forward,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -3599,6 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": q_knn_sql(),
         "idw": q_idw_sql(),
         "grid_linear": q_grid_linear_sql(),
+        "laea_forward": q_laea_forward_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -35,22 +35,11 @@ def geo_transform_points(x, y, src_srid: int, dst_srid: int):
 
     Replaces OGRCreateCoordinateTransformation (ogr/ogrct.cpp:1003-1032)
     for the CRS the engine supports; vectorized. Pairs not involving
-    4326 compose through it.
+    4326 compose through it. Dispatch is data-driven: any srid in
+    proj.CRS_TABLE (UTM zones implicit; arbitrary parameter sets via
+    proj.register_crs) resolves to its family transformer.
     """
-    from ..proj import (
-        aea_to_lonlat,
-        is_aea,
-        is_lcc,
-        is_ps,
-        is_utm,
-        lcc_to_lonlat,
-        lonlat_to_aea,
-        lonlat_to_lcc,
-        lonlat_to_ps,
-        lonlat_to_utm,
-        ps_to_lonlat,
-        utm_to_lonlat,
-    )
+    from ..proj import get_transformer
 
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -63,25 +52,15 @@ def geo_transform_points(x, y, src_srid: int, dst_srid: int):
     if src_srid == 3857 and dst_srid == 4326:
         lat, lon = _MERC.meters_to_latlon(x, y)
         return lon, lat
-    if src_srid == 4326 and is_utm(dst_srid):
-        return lonlat_to_utm(x, y, dst_srid)
-    if is_utm(src_srid) and dst_srid == 4326:
-        return utm_to_lonlat(x, y, src_srid)
-    if src_srid == 4326 and is_lcc(dst_srid):
-        return lonlat_to_lcc(x, y, dst_srid)
-    if is_lcc(src_srid) and dst_srid == 4326:
-        return lcc_to_lonlat(x, y, src_srid)
-    if src_srid == 4326 and is_aea(dst_srid):
-        return lonlat_to_aea(x, y, dst_srid)
-    if is_aea(src_srid) and dst_srid == 4326:
-        return aea_to_lonlat(x, y, src_srid)
-    if src_srid == 4326 and is_ps(dst_srid):
-        return lonlat_to_ps(x, y, dst_srid)
-    if is_ps(src_srid) and dst_srid == 4326:
-        return ps_to_lonlat(x, y, src_srid)
-    if (is_utm(src_srid) or is_utm(dst_srid) or is_lcc(src_srid)
-            or is_lcc(dst_srid) or is_aea(src_srid) or is_aea(dst_srid)
-            or is_ps(src_srid) or is_ps(dst_srid)):
+    t_src = get_transformer(src_srid) if src_srid != 4326 else None
+    t_dst = get_transformer(dst_srid) if dst_srid != 4326 else None
+    if src_srid == 4326 and t_dst is not None:
+        return t_dst.forward(x, y)
+    if t_src is not None and dst_srid == 4326:
+        return t_src.inverse(x, y)
+    if (t_src is not None or src_srid == 3857) and (
+        t_dst is not None or dst_srid == 3857
+    ):
         # compose via 4326
         lon, lat = geo_transform_points(x, y, src_srid, 4326)
         return geo_transform_points(lon, lat, 4326, dst_srid)

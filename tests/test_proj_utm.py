@@ -352,3 +352,108 @@ class TestPS:
         lon2, lat2 = geo_transform_points(mx, my, 3857, 4326)
         assert float(lon2[0]) == pytest.approx(-30.0, abs=1e-6)
         assert float(lat2[0]) == pytest.approx(75.0, abs=1e-6)
+
+
+class TestLAEA:
+    """Lambert Azimuthal Equal-Area (EPSG method 9820, Snyder pp. 187-190)."""
+
+    def test_epsg_worked_example(self):
+        # EPSG Guidance Note 7-2, method 9820 worked example (ETRS89 LAEA):
+        # 50N 5E -> 3962799.45 E, 2999718.85 N
+        from gdal_spark.proj import laea_to_lonlat, lonlat_to_laea
+
+        e, n = lonlat_to_laea(np.array([5.0]), np.array([50.0]), 3035)
+        assert abs(e[0] - 3962799.45) < 0.02
+        assert abs(n[0] - 2999718.85) < 0.02
+        lon, lat = laea_to_lonlat(e, n, 3035)
+        assert abs(lon[0] - 5.0) < 1e-9 and abs(lat[0] - 50.0) < 1e-9
+
+    def test_false_origin_and_equal_area(self):
+        from gdal_spark.proj import LAEA, LAEA_PARAMS
+
+        t = LAEA(**LAEA_PARAMS[3035])
+        e, n = t.forward(10.0, 52.0)
+        assert abs(float(e) - 4321000.0) < 1e-6
+        assert abs(float(n) - 3210000.0) < 1e-6
+        # equal-area: the projected area of a small geodetic quad equals
+        # its ellipsoidal area (authalic-sphere quad area) to 1e-9 rel
+        lon0, lat0, d = 24.0, 44.0, 0.01
+        corners = [(lon0, lat0), (lon0 + d, lat0), (lon0 + d, lat0 + d),
+                   (lon0, lat0 + d)]
+        xs, ys = zip(*[t.forward(np.array([lo]), np.array([la]))
+                       for lo, la in corners])
+        xs = [float(x[0]) for x in xs]
+        ys = [float(y[0]) for y in ys]
+        proj_area = 0.5 * abs(sum(
+            xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i] for i in range(4)
+        ))
+        # ellipsoidal quad area via the authalic q (same Snyder 3-12)
+        q = t._q(np.radians(np.array([lat0, lat0 + d])))
+        a = 6378137.0
+        ell_area = (a * a / 2.0) * (q[1] - q[0]) * np.radians(d)
+        # tolerance bounded by the straight-edge discretization of the
+        # 0.01-degree quad, not by the projection (which is exactly
+        # equal-area): O(d^2) ~ 5e-9 here
+        assert abs(proj_area / ell_area - 1.0) < 1e-7
+
+
+class TestRegistry:
+    """Parameter-driven CRS registry: any-params round-trips, custom
+    registration, generic TM == UTM module functions."""
+
+    @pytest.mark.parametrize("family,params,pts", [
+        ("lcc", dict(a=6378137.0, rf=298.257222101, phi1=33.0, phi2=45.0,
+                     phi0=39.0, lon0=-98.0, e0=123456.0, n0=654321.0),
+         [(-100.0, 40.0), (-90.5, 33.3), (-104.25, 48.9)]),
+        ("aea", dict(a=6378137.0, rf=298.257223563, phi1=-5.0, phi2=-42.0,
+                     phi0=-32.0, lon0=-60.0, e0=5000000.0, n0=10000000.0),
+         [(-58.0, -20.0), (-70.0, -45.5), (-45.0, -3.25)]),
+        ("laea", dict(a=6378137.0, rf=298.257222101, phi0=-15.0, lon0=135.0,
+                      e0=0.0, n0=0.0),
+         [(120.0, -30.0), (150.0, 5.0), (135.5, -15.5)]),
+        ("ps", dict(a=6378137.0, rf=298.257223563, lat_ts=-80.0, lon0=150.0,
+                    e0=300000.0, n0=200000.0),
+         [(140.0, -85.0), (0.0, -75.0), (-120.0, -88.8)]),
+        ("tm", dict(a=6377563.396, rf=299.3249646, lon0=-2.0,
+                    k0=0.9996012717, e0=400000.0, n0=-100000.0),
+         [(-1.0, 54.5), (-5.2, 50.1), (1.5, 52.0)]),
+    ])
+    def test_any_params_roundtrip(self, family, params, pts):
+        from gdal_spark.proj import _FAMILIES
+
+        t = _FAMILIES[family](**params)
+        for lon, lat in pts:
+            e, n = t.forward(np.array([lon]), np.array([lat]))
+            lo, la = t.inverse(e, n)
+            dlon = (lo[0] - lon + 180.0) % 360.0 - 180.0  # wrap-safe
+            assert abs(dlon) < 1e-8 and abs(la[0] - lat) < 1e-8
+
+    def test_register_crs_and_warp_dispatch(self):
+        from gdal_spark.operators.warp import geo_transform_points
+        from gdal_spark.proj import get_transformer, register_crs
+
+        register_crs(990001, "laea", a=6378137.0, rf=298.257222101,
+                     phi0=45.0, lon0=-100.0, e0=0.0, n0=0.0)
+        t = get_transformer(990001)
+        assert t is not None
+        # composed pair through 4326 (registered custom <-> UTM)
+        x, y = geo_transform_points(
+            np.array([0.0]), np.array([0.0]), 990001, 32614)
+        lon, lat = geo_transform_points(x, y, 32614, 4326)
+        assert abs(lon[0] + 100.0) < 1e-7 and abs(lat[0] - 45.0) < 1e-7
+        with pytest.raises(ValueError):
+            register_crs(990002, "nope")
+
+    def test_generic_tm_matches_utm_module(self):
+        from gdal_spark.proj import get_transformer, lonlat_to_utm, utm_to_lonlat
+
+        lon = np.array([14.2, 9.01, 17.9])
+        lat = np.array([48.1, 60.0, -33.5])
+        for srid in (32633, 32733):
+            t = get_transformer(srid)
+            e1, n1 = t.forward(lon, lat)
+            e2, n2 = lonlat_to_utm(lon, lat, srid)
+            assert np.array_equal(e1, e2) and np.array_equal(n1, n2)
+            lo1, la1 = t.inverse(e1, n1)
+            lo2, la2 = utm_to_lonlat(e1, n1, srid)
+            assert np.array_equal(lo1, lo2) and np.array_equal(la1, la2)
