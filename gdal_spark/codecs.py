@@ -5,11 +5,12 @@ The reference dispatches ~110 raster format drivers from GDALOpenEx
 a decode/encode function selected by the ``fmt`` column inside an Arrow
 pandas UDF:
 
-- ``png``: real PNG (RFC 2083) — 8/16-bit gray/LA/RGB/RGBA, filters
-  None/Sub/Up/Average/Paeth on decode, Sub on encode (Sub and Up unfilter
-  as modular cumsums, so decode stays vectorized). Reference codec:
-  frmts/png/pngdataset.cpp (filter set also in
-  apps/gdalalg_raster_tile.cpp:481-505).
+- ``png``: real PNG (RFC 2083) — 8/16-bit gray/LA/RGB/RGBA plus palette
+  (color type 3, bit depths 1/2/4/8, PLTE->RGB with optional tRNS alpha,
+  expanded pct2rgb-style), filters None/Sub/Up/Average/Paeth on decode,
+  Sub on encode (Sub and Up unfilter as modular cumsums, so decode stays
+  vectorized). Reference codec: frmts/png/pngdataset.cpp (filter set also
+  in apps/gdalalg_raster_tile.cpp:481-505).
 - ``raw``: trivial header + row-major pixels (uncompressed baseline).
 - ``jpg``: our own lossy 8x8 block-DCT codec ("GSJ1"), quality-scaled
   quantization like baseline JPEG (frmts/jpeg/jpgdataset.cpp is the
@@ -81,6 +82,7 @@ def decode_png(buf: bytes) -> np.ndarray:
     off = 8
     w = h = bitdepth = color = None
     idat = []
+    plte = trns = None
     n = len(buf)
     while off < n:
         (length,) = struct.unpack_from(">I", buf, off)
@@ -93,18 +95,34 @@ def decode_png(buf: bytes) -> np.ndarray:
             )
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
             break
-    if color not in _CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color} (palette?)")
-    if bitdepth < 8:
-        raise ValueError(f"sub-byte PNG bit depth {bitdepth} unsupported")
-    c = _CHANNELS[color]
-    sample_bytes = bitdepth // 8
-    bpp = c * sample_bytes
-    stride = w * bpp
+    if color == 3:
+        # palette (frmts/png/pngdataset.cpp color-table path): indices ->
+        # PLTE RGB, expanded pct2rgb-style; tRNS adds the alpha plane.
+        # Sub-byte depths (1/2/4) are spec-required for palette images.
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if bitdepth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette PNG bit depth {bitdepth}")
+        c = 1
+        stride = (w * bitdepth + 7) // 8
+        bpp = 1  # PNG filter bpp: bytes per pixel rounded UP to one
+    else:
+        if color not in _CHANNELS:
+            raise ValueError(f"unsupported PNG color type {color}")
+        if bitdepth < 8:
+            raise ValueError(f"sub-byte PNG bit depth {bitdepth} unsupported")
+        c = _CHANNELS[color]
+        sample_bytes = bitdepth // 8
+        bpp = c * sample_bytes
+        stride = w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     raw = raw.reshape(h, 1 + stride)
     ftypes = raw[:, 0]
@@ -115,14 +133,14 @@ def decode_png(buf: bytes) -> np.ndarray:
     # per-row Python loop)
     if (ftypes == 0).all():
         out = raw[:, 1:].copy()
-        return _png_finish(out, h, w, c, bitdepth, stride)
+        return _png_finish(out, h, w, c, bitdepth, stride, plte, trns)
     if (ftypes == 1).all():  # Sub: prefix sum within each row per byte lane
-        lanes = data.reshape(h, w, bpp)
+        lanes = data.reshape(h, stride // bpp, bpp)
         out = (lanes.cumsum(axis=1) % 256).astype(np.uint8).reshape(h, stride)
-        return _png_finish(out, h, w, c, bitdepth, stride)
+        return _png_finish(out, h, w, c, bitdepth, stride, plte, trns)
     if (ftypes == 2).all():  # Up: prefix sum down columns
         out = (data.cumsum(axis=0) % 256).astype(np.uint8)
-        return _png_finish(out, h, w, c, bitdepth, stride)
+        return _png_finish(out, h, w, c, bitdepth, stride, plte, trns)
 
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
@@ -132,7 +150,7 @@ def decode_png(buf: bytes) -> np.ndarray:
         if ft == 0:
             cur = line
         elif ft == 1:  # Sub: modular cumsum per byte lane
-            cur = line.reshape(w, bpp).cumsum(axis=0) % 256
+            cur = line.reshape(stride // bpp, bpp).cumsum(axis=0) % 256
             cur = cur.reshape(stride)
         elif ft == 2:  # Up
             cur = (line + prev) % 256
@@ -151,10 +169,30 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ft}")
         out[y] = cur
         prev = cur
-    return _png_finish(out, h, w, c, bitdepth, stride)
+    return _png_finish(out, h, w, c, bitdepth, stride, plte, trns)
 
 
-def _png_finish(out, h, w, c, bitdepth, stride):
+def _png_finish(out, h, w, c, bitdepth, stride, plte=None, trns=None):
+    if plte is not None:
+        # palette indices -> RGB(A). Sub-byte rows unpack MSB-first with
+        # trailing pad bits dropped (PNG spec 7.2); the palette math is
+        # the pct2rgb expansion.
+        if bitdepth == 8:
+            idx = out
+        else:
+            bits = np.unpackbits(out, axis=1).reshape(h, stride * 8 // bitdepth,
+                                                      bitdepth)
+            weights = 1 << np.arange(bitdepth - 1, -1, -1, dtype=np.uint8)
+            idx = (bits * weights).sum(axis=2).astype(np.uint8)
+        idx = idx[:, :w]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of PLTE range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
     if bitdepth == 16:
         arr = out.reshape(h, w, c, 2).astype(np.uint16)
         arr = (arr[..., 0] << 8) | arr[..., 1]

@@ -362,3 +362,124 @@ class TestWktGeojsonIO:
         ).collect()[0]
         assert out.wkt.startswith("POLYGON ((0 0, 4 0")
         assert abs(out.cx - 2.0) < 1e-12
+
+
+# ------------------------------------------------- palette PNG (ctype 3)
+
+def _palette_png(idx, plte, bitdepth, trns=None, filters=None):
+    """INDEPENDENT palette PNG writer (struct+zlib only): packs sub-byte
+    indices MSB-first with row pad bits, arbitrary per-row filter types —
+    shares nothing with codecs.decode_png."""
+    import struct
+    import zlib as _z
+
+    h, w = idx.shape
+    stride = (w * bitdepth + 7) // 8
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        acc = bits = 0
+        pos = 0
+        for x in range(w):
+            acc = (acc << bitdepth) | int(idx[y, x])
+            bits += bitdepth
+            if bits == 8:
+                rows[y, pos] = acc
+                acc = bits = 0
+                pos += 1
+        if bits:
+            rows[y, pos] = acc << (8 - bits)  # pad LSBs of final byte
+    filters = filters or [0] * h
+    scans = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y].astype(np.int64)
+        ft = filters[y]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:  # Sub (bpp=1)
+            enc = (cur - np.concatenate([[0], cur[:-1]])) % 256
+        elif ft == 2:  # Up
+            enc = (cur - prev) % 256
+        elif ft == 3:  # Average
+            enc = (cur - (np.concatenate([[0], cur[:-1]]) + prev) // 2) % 256
+        else:  # Paeth
+            enc = np.empty_like(cur)
+            for x in range(stride):
+                a = cur[x - 1] if x >= 1 else 0
+                b = prev[x]
+                cc = prev[x - 1] if x >= 1 else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[x] = (cur[x] - pred) % 256
+        scans.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, 3, 0, 0, 0)
+    out = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", bytes(plte.ravel()))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", _z.compress(b"".join(scans))) + chunk(b"IEND", b"")
+
+
+def test_palette_png_8bit_with_trns():
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(13, 9), dtype=np.uint8)
+    trns = np.array([0, 128, 255, 7], dtype=np.uint8)  # shorter than PLTE
+    got = codecs.decode_png(_palette_png(idx, plte, 8, trns=trns))
+    assert got.shape == (13, 9, 4)
+    assert np.array_equal(got[:, :, :3], plte[idx])
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:4] = trns
+    assert np.array_equal(got[:, :, 3], alpha[idx])
+
+
+@pytest.mark.parametrize("bitdepth,w", [(1, 13), (2, 7), (4, 9), (8, 6)])
+def test_palette_png_bitdepths_odd_widths(bitdepth, w):
+    """Sub-byte index unpack incl. row pad bits (PNG spec 7.2)."""
+    rng = np.random.default_rng(100 + bitdepth)
+    ncol = 1 << bitdepth
+    plte = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(5, w), dtype=np.uint8)
+    got = codecs.decode_png(_palette_png(idx, plte, bitdepth))
+    assert got.shape == (5, w, 3)
+    assert np.array_equal(got, plte[idx])
+
+
+def test_palette_png_all_filters():
+    rng = np.random.default_rng(42)
+    plte = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(5, 17), dtype=np.uint8)
+    buf = _palette_png(idx, plte, 8, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(codecs.decode_png(buf), plte[idx])
+
+
+def test_palette_png_errors():
+    rng = np.random.default_rng(1)
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 3), dtype=np.uint8)
+    buf = _palette_png(idx, plte, 8)
+    # strip the PLTE chunk -> must raise
+    import struct as _s
+    pl_at = buf.index(b"PLTE") - 4
+    (pl_len,) = _s.unpack_from(">I", buf, pl_at)
+    no_plte = buf[:pl_at] + buf[pl_at + 12 + pl_len:]
+    with pytest.raises(ValueError, match="PLTE"):
+        codecs.decode_png(no_plte)
+    # index beyond the palette -> must raise, not wrap
+    idx_bad = np.full((3, 3), 9, dtype=np.uint8)
+    with pytest.raises(ValueError, match="index"):
+        codecs.decode_png(_palette_png(idx_bad, plte, 8))
+
+
+def test_palette_png_via_decode_image_dispatch():
+    rng = np.random.default_rng(77)
+    plte = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    arr = codecs.decode_image(_palette_png(idx, plte, 8), "png")
+    assert np.array_equal(arr, plte[idx])
