@@ -20,15 +20,25 @@ Spark mapping: the raster arrives as the engine's tiled layout
    pointer doubling (``cc_labels``) — labels converge to the component
    minimum in O(log n) rounds of join+agg, no driver-side O(data)
    structure. The pixel data never leaves the executors either way.
-3. Final groupBy(global label): directed boundary segments of one region
-   meet in one task; opposite-direction duplicates along interior tile
-   borders cancel exactly (integer coordinates), the survivors chain
-   into rings (outer + holes), and the geo transform maps pixel corners
-   to world coordinates.
+3. Per-tile fragment chaining (inside pass 1): each tile chains its own
+   interior boundary edges into compacted polyline fragments
+   (``chain_fragments`` + collinear dropping — O(turns), bounded by the
+   tile). Unit edges ON tile border lines ship separately ('w' rows).
+4. Wall cancellation: an interior-border unit edge is emitted by BOTH
+   adjacent tiles in opposite directions iff the region continues across
+   the border; a groupBy (gkey, edge) direction-sum cancels those in a
+   well-spread shuffle. Survivors are real boundary.
+5. Final groupBy(global label): one region's pre-chained FRAGMENTS meet
+   in one task and merge endpoint-to-endpoint into rings
+   (``merge_fragments`` — integer endpoints, exact), then
+   assemble_polygons + the geo transform.
 
-The per-region ring build holds one region's boundary in memory — same
-contract as the reference's RPolygonizer. Giant regions are the skew
-case; their *boundary* is what shuffles, not their area.
+The per-region merge holds one region's compacted boundary (turn
+vertices, not perimeter pixels) in memory — strictly less than the
+reference's RPolygonizer contract, and the unit-edge chaining work is
+distributed per tile instead of serialized per region. A
+continent-spanning region's WKB row is still O(its vertices): that
+serialization floor is inherent to emitting one geometry per region.
 """
 
 from __future__ import annotations
@@ -210,6 +220,114 @@ def chain_rings(segments) -> list[np.ndarray]:
     return rings
 
 
+def chain_fragments(segments):
+    """Chain directed unit segments (no duplicates — one tile's one
+    region never emits opposite edges) into (closed_rings, open_chains)
+    as integer-vertex point lists. Deterministic: open chains start at
+    out-surplus vertices in sorted order, rings at the min remaining
+    vertex; the successor choice pops the largest next vertex (the same
+    rule as :func:`chain_rings`)."""
+    adj: dict[tuple, list] = defaultdict(list)
+    bal: dict[tuple, int] = defaultdict(int)
+    for x0, y0, x1, y1 in segments:
+        a, b = (int(x0), int(y0)), (int(x1), int(y1))
+        adj[a].append(b)
+        bal[a] += 1
+        bal[b] -= 1
+    for v in adj.values():
+        v.sort()
+    starts = []
+    for k, d in bal.items():
+        starts.extend([k] * max(0, d))
+    chains = []
+    for s in sorted(starts):
+        if not adj.get(s):
+            continue
+        chain = [s]
+        cur = s
+        while adj.get(cur):
+            cur = adj[cur].pop()
+            chain.append(cur)
+        if len(chain) >= 2:
+            chains.append(chain)
+    rings = []
+    while True:
+        rem = [k for k, v in adj.items() if v]
+        if not rem:
+            break
+        s = min(rem)
+        ring = [s]
+        cur = adj[s].pop()
+        ring.append(cur)
+        while cur != s:
+            nxt = adj[cur]
+            if not nxt:
+                break  # broken chain: drop
+            cur = nxt.pop()
+            ring.append(cur)
+        if cur == s and len(ring) >= 4:
+            rings.append(ring)
+    return rings, chains
+
+
+def _compact_polyline(pts) -> np.ndarray:
+    """Open polyline: drop interior collinear vertices, keep endpoints."""
+    a = np.asarray(pts, dtype=np.float64)
+    if len(a) <= 2:
+        return a
+    d1 = a[1:-1] - a[:-2]
+    d2 = a[2:] - a[1:-1]
+    cross = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:-1] = cross != 0
+    return a[keep]
+
+
+def merge_fragments(frags: list[np.ndarray]) -> list[np.ndarray]:
+    """Merge directed open fragments (post wall-cancellation the endpoint
+    graph is per-vertex balanced) into closed rings. At junctions the
+    successor fragment with the largest second vertex wins — for
+    axis-aligned boundary runs that ordering equals the unit-step
+    ordering :func:`chain_rings` uses, independent of run length."""
+    adj: dict[tuple, list] = defaultdict(list)
+    for i, f in enumerate(frags):
+        if len(f) >= 2:
+            adj[tuple(f[0])].append(i)
+    for k in adj:
+        adj[k].sort(key=lambda i: tuple(frags[i][1]))
+    used = [False] * len(frags)
+    rings = []
+    order = sorted(
+        (i for i in range(len(frags)) if len(frags[i]) >= 2),
+        key=lambda i: (tuple(frags[i][0]), tuple(frags[i][1])),
+    )
+    for i0 in order:
+        if used[i0]:
+            continue
+        used[i0] = True
+        parts = [frags[i0]]
+        start = tuple(frags[i0][0])
+        cur = tuple(frags[i0][-1])
+        ok = True
+        while cur != start:
+            j = None
+            lst = adj.get(cur)
+            while lst:
+                cand = lst.pop()
+                if not used[cand]:
+                    j = cand
+                    break
+            if j is None:
+                ok = False  # broken chain: drop (mirrors chain_rings)
+                break
+            used[j] = True
+            parts.append(frags[j][1:])  # junction vertex emitted once
+            cur = tuple(frags[j][-1])
+        if ok and sum(len(p) for p in parts) >= 4:
+            rings.append(np.vstack(parts))
+    return rings
+
+
 def _drop_collinear(ring: np.ndarray) -> np.ndarray:
     """Remove interior collinear vertices (unit-edge chains -> runs)."""
     if len(ring) < 4:
@@ -259,14 +377,17 @@ def _px_ring_to_geo(ring: np.ndarray, gt) -> np.ndarray:
 # distributed operator
 # ---------------------------------------------------------------------------
 
-# One unified local pass emits three row kinds (single decode + label per
+# One unified local pass emits these row kinds (single decode + label per
 # tile, vs two full passes in the earlier design):
-#   kind 's' (segment):    key, a=x0 b=y0 c=x1 d=y1
+#   kind 'f' (fragment):   key, pts = open boundary polyline (compacted)
+#   kind 'r' (ring):       key, pts = closed boundary ring (compacted)
+#   kind 'w' (wall):       key, a=x0 b=y0 c=x1 d=y1 — unit edge ON a tile
+#                          border line; cancels by parity across tiles
 #   kind 'n' (region row): key, value, npix          (one per local region)
 #   kind 'v'/'h' (border): key, value, a=coord b=pos0 c=pos1
 _ROW_SCHEMA = (
     "kind string, key long, value double, npix long, "
-    "a long, b long, c long, d long"
+    "a long, b long, c long, d long, pts binary"
 )
 
 OUT_SCHEMA = (
@@ -276,7 +397,7 @@ OUT_SCHEMA = (
 
 
 def _tile_rows(pdf_iter, tile_size, connect8, exclude):
-    cols = ["kind", "key", "value", "npix", "a", "b", "c", "d"]
+    cols = ["kind", "key", "value", "npix", "a", "b", "c", "d", "pts"]
     for pdf in pdf_iter:
         frames = []
         for r in pdf.itertuples(index=False):
@@ -302,17 +423,57 @@ def _tile_rows(pdf_iter, tile_size, connect8, exclude):
             tkey = (int(r.tile_x) << 20 | int(r.tile_y)) << 22
             ox, oy = int(r.tile_x) * tile_size, int(r.tile_y) * tile_size
 
-            # segments (vectorized O(perimeter))
+            # segments (vectorized O(perimeter)) -> chained IN-TILE into
+            # compacted fragments (O(turns), bounded by the tile), so no
+            # downstream task ever chains a whole region's unit edges.
+            # Edges ON the tile's border lines stay unit ('w'): they may
+            # cancel against the neighbor tile's opposite emission.
             L, x0, y0, x1, y1 = boundary_segment_arrays(labels, origin=(ox, oy))
+            h, w = labels.shape
+            is_wall = ((x0 == x1) & ((x0 == ox) | (x0 == ox + w))) | (
+                (y0 == y1) & ((y0 == oy) | (y0 == oy + h))
+            )
             frames.append(
                 pd.DataFrame(
                     {
-                        "kind": "s", "key": tkey | L, "value": 0.0,
-                        "npix": 0, "a": x0, "b": y0, "c": x1, "d": y1,
+                        "kind": "w", "key": tkey | L[is_wall], "value": 0.0,
+                        "npix": 0, "a": x0[is_wall], "b": y0[is_wall],
+                        "c": x1[is_wall], "d": y1[is_wall], "pts": None,
                     },
                     columns=cols,
                 )
             )
+            inner = ~is_wall
+            Li = L[inner]
+            seg_i = np.stack(
+                [x0[inner], y0[inner], x1[inner], y1[inner]], axis=1
+            )
+            frag_rows = []
+            if len(Li):
+                lorder = np.argsort(Li, kind="stable")
+                Ls = Li[lorder]
+                seg_s = seg_i[lorder]
+                cut = np.nonzero(Ls[1:] != Ls[:-1])[0] + 1
+                for lab, block in zip(
+                    Ls[np.concatenate([[0], cut])],
+                    np.split(seg_s, cut),
+                ):
+                    rings, chains = chain_fragments(block.tolist())
+                    k = tkey | int(lab)
+                    for rg in rings:
+                        p = _drop_collinear(
+                            np.asarray(rg, dtype=np.float64)
+                        )
+                        frag_rows.append(
+                            ("r", k, 0.0, 0, 0, 0, 0, 0, p.tobytes())
+                        )
+                    for ch in chains:
+                        p = _compact_polyline(ch)
+                        frag_rows.append(
+                            ("f", k, 0.0, 0, 0, 0, 0, 0, p.tobytes())
+                        )
+            if frag_rows:
+                frames.append(pd.DataFrame(frag_rows, columns=cols))
             # one region row per label: pixel count + representative value
             counts = np.bincount(labels.ravel(), minlength=n + 1)
             uniq, first_idx = np.unique(labels.ravel(), return_index=True)
@@ -324,7 +485,7 @@ def _tile_rows(pdf_iter, tile_size, connect8, exclude):
                     {
                         "kind": "n", "key": tkey | labs,
                         "value": firstval[1:], "npix": counts[1 : n + 1],
-                        "a": 0, "b": 0, "c": 0, "d": 0,
+                        "a": 0, "b": 0, "c": 0, "d": 0, "pts": None,
                     },
                     columns=cols,
                 )
@@ -347,6 +508,7 @@ def _tile_rows(pdf_iter, tile_size, connect8, exclude):
                         (
                             side, tkey | lab, float(line_val[s[k]]), 0,
                             int(coord), int(s[k]) + off, int(e[k]) + off, 0,
+                            None,
                         )
                     )
             if brows:
@@ -364,6 +526,7 @@ def _tile_rows(pdf_iter, tile_size, connect8, exclude):
                     "b": pd.Series(dtype=np.int64),
                     "c": pd.Series(dtype=np.int64),
                     "d": pd.Series(dtype=np.int64),
+                    "pts": pd.Series(dtype=object),
                 }
             )
 
@@ -506,7 +669,7 @@ def polygonize_tiles(
     else:
         mapping_df = cc_labels(pairs)
 
-    segs = rows.where(F.col("kind").isin("s", "n"))
+    segs = rows.where(F.col("kind").isin("f", "r", "w", "n"))
     if mapping_df is not None:
         m = F.broadcast(mapping_df) if broadcast_map else mapping_df
         remapped = (
@@ -517,7 +680,46 @@ def polygonize_tiles(
     else:
         remapped = segs.withColumn("gkey", F.col("key"))
 
-    # pass 2: one region per group -> chain rings, emit polygon
+    # wall parity: a unit edge on an interior tile border is emitted by
+    # BOTH adjacent tiles in opposite directions iff the region continues
+    # across — those cancel here (sum of directions = 0), in a shuffle
+    # keyed by (gkey, edge), never inside a per-region task. Survivors
+    # (region boundary that happens to lie on a tile line, incl. the
+    # raster edge) rejoin the fragment stream as 2-point fragments.
+    walls = remapped.where(F.col("kind") == "w")
+    fwd = (F.col("a") < F.col("c")) | (
+        (F.col("a") == F.col("c")) & (F.col("b") < F.col("d"))
+    )
+    wcan = walls.select(
+        "gkey",
+        F.when(fwd, F.col("a")).otherwise(F.col("c")).alias("cx0"),
+        F.when(fwd, F.col("b")).otherwise(F.col("d")).alias("cy0"),
+        F.when(fwd, F.col("c")).otherwise(F.col("a")).alias("cx1"),
+        F.when(fwd, F.col("d")).otherwise(F.col("b")).alias("cy1"),
+        F.when(fwd, F.lit(1)).otherwise(F.lit(-1)).alias("dir"),
+    )
+    surv = (
+        wcan.groupBy("gkey", "cx0", "cy0", "cx1", "cy1")
+        .agg(F.sum("dir").alias("net"))
+        .where(F.col("net") != 0)
+        .select(
+            "gkey",
+            F.lit("w").alias("kind"),
+            F.lit(0.0).alias("value"),
+            F.lit(0).cast("long").alias("npix"),
+            F.when(F.col("net") > 0, F.col("cx0")).otherwise(F.col("cx1")).alias("a"),
+            F.when(F.col("net") > 0, F.col("cy0")).otherwise(F.col("cy1")).alias("b"),
+            F.when(F.col("net") > 0, F.col("cx1")).otherwise(F.col("cx0")).alias("c"),
+            F.when(F.col("net") > 0, F.col("cy1")).otherwise(F.col("cy0")).alias("d"),
+            F.lit(None).cast("binary").alias("pts"),
+        )
+    )
+    final_in = remapped.where(F.col("kind") != "w").select(
+        "gkey", "kind", "value", "npix", "a", "b", "c", "d", "pts"
+    ).unionByName(surv)
+
+    # pass 2: one region per group -> merge pre-chained fragments into
+    # rings (O(turn vertices), not O(perimeter pixels)), emit polygon
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = [
             "fid", "value", "n_pixels", "wkb",
@@ -525,15 +727,21 @@ def polygonize_tiles(
         ]
         if len(pdf) == 0:
             return pd.DataFrame(columns=cols)
-        sp = pdf[pdf["kind"] == "s"]
         np_ = pdf[pdf["kind"] == "n"]
-        ss = list(
-            zip(
-                sp["a"].astype(int), sp["b"].astype(int),
-                sp["c"].astype(int), sp["d"].astype(int),
-            )
+        frags = [
+            np.frombuffer(b, dtype=np.float64).reshape(-1, 2)
+            for b in pdf.loc[pdf["kind"] == "f", "pts"]
+        ]
+        wp = pdf[pdf["kind"] == "w"]
+        frags.extend(
+            np.array([[r.a, r.b], [r.c, r.d]], dtype=np.float64)
+            for r in wp.itertuples(index=False)
         )
-        rings = chain_rings(ss)
+        rings = [
+            np.frombuffer(b, dtype=np.float64).reshape(-1, 2)
+            for b in pdf.loc[pdf["kind"] == "r", "pts"]
+        ]
+        rings.extend(_drop_collinear(rg) for rg in merge_fragments(frags))
         geo_rings = [_px_ring_to_geo(r, gt) for r in rings]
         polys = assemble_polygons(geo_rings)
         if not polys:
@@ -557,7 +765,7 @@ def polygonize_tiles(
             columns=cols,
         )
 
-    out = remapped.groupBy("gkey").applyInPandas(build, schema=OUT_SCHEMA)
+    out = final_in.groupBy("gkey").applyInPandas(build, schema=OUT_SCHEMA)
     # materialize so the persisted pass-1 rows can be released eagerly
     out = out.localCheckpoint(eager=True)
     rows.unpersist()
