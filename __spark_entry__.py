@@ -698,6 +698,56 @@ def q_aea_forward_sql():
     )
 
 
+def q_buffer_areas(spark, sf_dir):
+    """Exact vector buffer (OGRGeometry::Buffer / GEOS quad_segs
+    semantics, ogr/ogrgeometry.cpp:6368; gdal_spark.operators.buffer
+    buffer_polys_exact): dilate per-key rectangles by d with
+    quad_segs=8. The dilated area of a convex polygon has the CLOSED
+    FORM w*h + d*2*(w+h) + (n/2) d^2 sin(2 pi/n) with n = 32 — the
+    oracle re-derives it in SQL from the raw fixture parameters (unit
+    scale keeps float error ~1e-13, far off the 1e-6 rounding ties)."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey").where(
+        F.col("c_custkey") <= 400
+    )
+
+    def buf(batches):
+        import numpy as np
+
+        from gdal_spark.geom import polygon_area_centroid
+        from gdal_spark.operators.buffer import buffer_polys_exact
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["c_custkey"].astype(int):
+                w = (k * 7 % 50) / 10.0 + 1.0
+                h = (k * 13 % 40) / 10.0 + 1.0
+                d = (k * 3 % 20) / 10.0 + 0.5
+                rect = np.array(
+                    [[0.0, 0.0], [w, 0.0], [w, h], [0.0, h], [0.0, 0.0]]
+                )
+                out = buffer_polys_exact([[rect]], d, quad_segs=8)
+                a, _c2 = polygon_area_centroid(out)
+                rows.append({"pid": k, "buf_area": round(float(a), 6)})
+            yield pd.DataFrame(rows, columns=["pid", "buf_area"])
+
+    return c.mapInPandas(buf, schema="pid long, buf_area double").orderBy("pid")
+
+
+def q_buffer_areas_sql():
+    return (
+        "WITH pts AS (SELECT c_custkey AS pid, "
+        "(c_custkey * 7 % 50) / 10.0 + 1.0 AS w, "
+        "(c_custkey * 13 % 40) / 10.0 + 1.0 AS h, "
+        "(c_custkey * 3 % 20) / 10.0 + 0.5 AS d "
+        "FROM customer WHERE c_custkey <= 400) "
+        "SELECT pid, round(w * h + d * 2.0 * (w + h) "
+        "+ 0.5 * 32.0 * d * d * sin(2.0 * pi() / 32.0), 6) AS buf_area "
+        "FROM pts ORDER BY pid"
+    )
+
+
 def q_laea_forward(spark, sf_dir):
     """Lambert Azimuthal Equal-Area forward (EPSG:3035 LAEA Europe,
     gdal_spark.proj.LAEA — Snyder PP-1395 pp. 187-190 / EPSG method 9820)
@@ -3604,6 +3654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 ---
         "grid_linear": q_grid_linear,
         "laea_forward": q_laea_forward,
+        "buffer_areas": q_buffer_areas,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -3673,6 +3724,7 @@ def oracle_sql() -> dict[str, str]:
         "idw": q_idw_sql(),
         "grid_linear": q_grid_linear_sql(),
         "laea_forward": q_laea_forward_sql(),
+        "buffer_areas": q_buffer_areas_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -205,14 +205,14 @@ def _st_intersection_area(wa: pd.Series, wb: pd.Series) -> pd.Series:
 
 @F.pandas_udf(BinaryType())
 def _st_buffer(wkbs: pd.Series, dists: pd.Series) -> pd.Series:
-    from .operators.buffer import buffer_polys
+    from .operators.buffer import buffer_polys_exact
 
     out = []
     for b, d in zip(wkbs, dists):
         if b is None:
             out.append(None)
             continue
-        polys = buffer_polys(geom.parse_wkb(bytes(b)).polygons(), float(d))
+        polys = buffer_polys_exact(geom.parse_wkb(bytes(b)).polygons(), float(d))
         out.append(geom.wkb_multipolygon(polys) if polys else None)
     return pd.Series(out)
 
