@@ -698,6 +698,149 @@ def q_aea_forward_sql():
     )
 
 
+_RPC_FIX = dict(
+    line_off=8000.0, samp_off=7000.0, lat_off=33.0, long_off=44.0,
+    height_off=500.0, line_scale=8500.0, samp_scale=7500.0,
+    lat_scale=0.1, long_scale=0.12, height_scale=501.0,
+    line_num_coeff=[0.003, 0.02, -1.01, 0.004, -0.0007, 3e-05, -0.0003,
+                    1.2e-05, -4.5e-04, 2e-06, 1e-06, 2e-07, -3e-06, 1e-07,
+                    4e-06, -2e-06, 5e-07, 3e-07, -1e-07, 2e-08],
+    line_den_coeff=[1.0, -0.0004, 0.0009, -0.0002, 2e-06, -1e-06, 3e-06,
+                    1e-07, -2e-07, 1e-08, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0],
+    samp_num_coeff=[-0.002, 1.02, 0.01, -0.003, 0.0005, -2e-05, 0.0002,
+                    3.1e-04, -1.5e-05, 3e-06, -1e-06, 3e-06, 2e-07, -1e-07,
+                    -2e-06, 1e-07, -3e-07, 2e-07, 1e-07, -1e-08],
+    samp_den_coeff=[1.0, 0.0003, -0.0007, 0.0001, -1e-06, 2e-06, -2e-06,
+                    2e-07, 1e-07, -1e-08, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0],
+)
+
+
+def q_rpc_forward(spark, sf_dir):
+    """RPC00B ground->image (alg/gdalrpc.cpp RPCTransformPoint;
+    gdal_spark.operators.rpc): evaluate a synthetic-but-plausible RPC
+    coefficient set at customer-derived (lon, lat, height). The oracle
+    re-evaluates the full 20-term rational cubic in SQL from the raw
+    coefficients, same term order (NITF RPC00B spec). Rounded to 1e-6
+    pixel."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey").where(
+        F.col("c_custkey") <= 500
+    )
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.operators.rpc import RPCTransform
+
+        t = RPCTransform(_RPC_FIX)
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = 44.0 + (k * 7 % 200) / 1000.0 - 0.1
+            lat = 33.0 + (k * 13 % 180) / 1000.0 - 0.09
+            h = (k * 3 % 900).astype(np.float64)
+            col, row = t.ground_to_image(lon, lat, h)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "col": np.round(col, 6),
+                    "row_": np.round(row, 6),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, col double, row_ double"
+    ).orderBy("pid")
+
+
+def q_rpc_forward_sql():
+    # independent SQL evaluation of the same public RPC00B term order;
+    # the coefficient VALUES are the only shared inputs
+    terms = [
+        "1.0", "L", "P", "H", "L*P", "L*H", "P*H", "L*L", "P*P", "H*H",
+        "P*L*H", "L*L*L", "L*P*P", "L*H*H", "L*L*P", "P*P*P", "P*H*H",
+        "L*L*H", "P*P*H", "H*H*H",
+    ]
+
+    def poly(coeffs):
+        parts = [f"({c!r}) * {t}" for c, t in zip(coeffs, terms) if c != 0.0]
+        return " + ".join(parts) if parts else "0.0"
+
+    r = _RPC_FIX
+    return (
+        "WITH pts AS (SELECT c_custkey AS pid, "
+        "44.0 + (c_custkey * 7 % 200) / 1000.0 - 0.1 AS lon, "
+        "33.0 + (c_custkey * 13 % 180) / 1000.0 - 0.09 AS lat, "
+        "CAST(c_custkey * 3 % 900 AS DOUBLE) AS hgt "
+        "FROM customer WHERE c_custkey <= 500), "
+        f"norm AS (SELECT pid, (lat - {r['lat_off']!r}) / {r['lat_scale']!r} AS P, "
+        f"(lon - {r['long_off']!r}) / {r['long_scale']!r} AS L, "
+        f"(hgt - {r['height_off']!r}) / {r['height_scale']!r} AS H FROM pts) "
+        f"SELECT pid, "
+        f"round(({poly(r['samp_num_coeff'])}) / ({poly(r['samp_den_coeff'])}) "
+        f"* {r['samp_scale']!r} + {r['samp_off']!r}, 6) AS col, "
+        f"round(({poly(r['line_num_coeff'])}) / ({poly(r['line_den_coeff'])}) "
+        f"* {r['line_scale']!r} + {r['line_off']!r}, 6) AS row_ "
+        "FROM norm ORDER BY pid"
+    )
+
+
+def q_tps_forward(spark, sf_dir):
+    """Thin plate spline GCP transform (gdalwarp -tps, alg/gdal_tps.cpp;
+    gdal_spark.operators.gcp.TPSTransform): a TPS fitted to 64 GCPs with
+    a NONLINEAR target field must INTERPOLATE every GCP exactly — the
+    defining property the polynomial fit lacks. The oracle computes the
+    target field directly in SQL; the Spark side must reproduce it
+    through the full solve+apply pipeline. Rounded to 1e-6."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey").where(
+        F.col("c_custkey") <= 300
+    )
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.operators.gcp import TPSTransform
+
+        i = np.arange(64, dtype=np.float64)
+        px = (i * 17) % 101
+        py = (i * 29) % 97
+        gx = 2.0 * px + 0.25 * py + 0.001 * px * py
+        gy = -0.5 * px + 3.0 * py + 0.002 * px * px
+        t = TPSTransform(np.stack([px, py, gx, gy], axis=1))
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            j = k % 64
+            fx, fy = t.forward(px[j], py[j])
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "gx": np.round(fx, 6),
+                    "gy": np.round(fy, 6),
+                }
+            )
+
+    return c.mapInPandas(fwd, schema="pid long, gx double, gy double").orderBy(
+        "pid"
+    )
+
+
+def q_tps_forward_sql():
+    return (
+        "WITH pts AS (SELECT c_custkey AS pid, "
+        "CAST((c_custkey % 64) * 17 % 101 AS DOUBLE) AS px, "
+        "CAST((c_custkey % 64) * 29 % 97 AS DOUBLE) AS py "
+        "FROM customer WHERE c_custkey <= 300) "
+        "SELECT pid, "
+        "round(2.0 * px + 0.25 * py + 0.001 * px * py, 6) AS gx, "
+        "round(-0.5 * px + 3.0 * py + 0.002 * px * px, 6) AS gy "
+        "FROM pts ORDER BY pid"
+    )
+
+
 def q_buffer_areas(spark, sf_dir):
     """Exact vector buffer (OGRGeometry::Buffer / GEOS quad_segs
     semantics, ogr/ogrgeometry.cpp:6368; gdal_spark.operators.buffer
@@ -3655,6 +3798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_linear": q_grid_linear,
         "laea_forward": q_laea_forward,
         "buffer_areas": q_buffer_areas,
+        "rpc_forward": q_rpc_forward,
+        "tps_forward": q_tps_forward,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -3725,6 +3870,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_linear": q_grid_linear_sql(),
         "laea_forward": q_laea_forward_sql(),
         "buffer_areas": q_buffer_areas_sql(),
+        "rpc_forward": q_rpc_forward_sql(),
+        "tps_forward": q_tps_forward_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

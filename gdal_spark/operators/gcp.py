@@ -100,11 +100,95 @@ class GCPTransform:
         return out[:, 0].reshape(shape), out[:, 1].reshape(shape)
 
 
-def _inverse_grid(gcps, out_gt, out_w: int, out_h: int, order: int):
-    """Fit the GCP polynomial and evaluate the inverse transform over
+class TPSTransform:
+    """Thin-plate-spline transform fitted from GCPs — the gdalwarp -tps
+    path (reference: alg/gdal_tps.cpp -> VizGeorefSpline2D). Radial
+    basis U(r) = r^2 log r^2 plus an affine part; the spline
+    INTERPOLATES every GCP exactly (vs the polynomial's least-squares
+    fit). Forward and inverse are independently-fitted splines, exactly
+    like the reference. Solve is a dense (n+3) system on mean-centered,
+    scale-normalized coordinates — GCP sets are tiny, so this is
+    driver/task-local numpy."""
+
+    def __init__(self, gcps):
+        g = np.asarray(gcps, dtype=np.float64)
+        if g.ndim != 2 or g.shape[1] != 4:
+            raise ValueError("gcps must be (n, 4): pixel, line, gx, gy")
+        if len(g) < 3:
+            raise ValueError("TPS needs >= 3 GCPs")
+        self._fwd = self._fit(g[:, 0:2], g[:, 2:4])
+        self._inv = self._fit(g[:, 2:4], g[:, 0:2])
+        fx, fy = self._apply(self._fwd, g[:, 0], g[:, 1])
+        d = np.stack([fx, fy], axis=1) - g[:, 2:4]
+        self.rms = float(np.sqrt((d * d).sum(axis=1).mean()))
+
+    @staticmethod
+    def _fit(src: np.ndarray, dst: np.ndarray):
+        mean = src.mean(axis=0)
+        scale = max(float(np.abs(src - mean).max()), 1e-12)
+        s = (src - mean) / scale
+        n = len(s)
+        d2 = ((s[:, None, :] - s[None, :, :]) ** 2).sum(-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            K = d2 * np.log(d2)
+        K[d2 == 0.0] = 0.0
+        A = np.zeros((n + 3, n + 3))
+        A[:n, :n] = K
+        P = np.column_stack([np.ones(n), s])
+        A[:n, n:] = P
+        A[n:, :n] = P.T
+        rhs = np.zeros((n + 3, 2))
+        rhs[:n] = dst
+        try:
+            coef = np.linalg.solve(A, rhs)
+        except np.linalg.LinAlgError as exc:  # duplicate source points
+            raise ValueError(f"degenerate TPS GCP layout: {exc}") from exc
+        return (mean, scale, s, coef)
+
+    @staticmethod
+    def _apply(fit, x, y):
+        mean, scale, s, coef = fit
+        shape = np.shape(x)
+        q = np.stack(
+            [
+                (np.asarray(x, dtype=np.float64).ravel() - mean[0]) / scale,
+                (np.asarray(y, dtype=np.float64).ravel() - mean[1]) / scale,
+            ],
+            axis=1,
+        )
+        d2 = ((q[:, None, :] - s[None, :, :]) ** 2).sum(-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = d2 * np.log(d2)
+        U[d2 == 0.0] = 0.0
+        n = len(s)
+        out = (
+            U @ coef[:n]
+            + coef[n]
+            + q[:, 0:1] * coef[n + 1]
+            + q[:, 1:2] * coef[n + 2]
+        )
+        return out[:, 0].reshape(shape), out[:, 1].reshape(shape)
+
+    def forward(self, pixel, line):
+        return self._apply(self._fwd, pixel, line)
+
+    def inverse(self, geo_x, geo_y):
+        return self._apply(self._inv, geo_x, geo_y)
+
+
+def _fit_transform(gcps, order):
+    """order 1/2/3 -> polynomial (gdal_crs.cpp); order='tps' -> thin
+    plate spline (gdal_tps.cpp)."""
+    if order == "tps":
+        return TPSTransform(gcps)
+    return GCPTransform(gcps, order)
+
+
+def _inverse_grid(gcps, out_gt, out_w: int, out_h: int, order):
+    """Fit the GCP transform and evaluate the inverse transform over
     the full output pixel-center grid ONCE — this is the expensive,
     image-independent part of the warp (hoisted out of per-image loops)."""
-    t = GCPTransform(gcps, order)
+    t = _fit_transform(gcps, order)
     cols = np.arange(out_w) + 0.5
     rows = np.arange(out_h) + 0.5
     C, R = np.meshgrid(cols, rows)
@@ -164,7 +248,7 @@ def warp_array_gcp(
     out_gt,
     out_w: int,
     out_h: int,
-    order: int = 1,
+    order=1,
     resample: str = "near",
     nodata: float = 0.0,
 ) -> np.ndarray:
@@ -184,7 +268,7 @@ def warp_images_gcp(
     out_gt,
     out_w: int,
     out_h: int,
-    order: int = 1,
+    order=1,
     resample: str = "near",
     nodata: float = 0.0,
 ) -> DataFrame:

@@ -154,3 +154,123 @@ class TestBilinearEdges:
         # edge clamping: the identity warp reproduces EVERY pixel,
         # including the last row/column (previously nodata-filled)
         np.testing.assert_allclose(out, arr.astype(np.float64), atol=1e-9)
+
+
+class TestTPS:
+    """Thin plate spline (gdalwarp -tps; alg/gdal_tps.cpp)."""
+
+    def _gcps(self):
+        rng = np.random.default_rng(3)
+        px = rng.random(12) * 100
+        py = rng.random(12) * 80
+        gx = 2 * px + 0.3 * py + 0.002 * px * py + 5
+        gy = -0.5 * px + 3 * py + np.sin(px / 20) * 4
+        return np.stack([px, py, gx, gy], axis=1)
+
+    def test_interpolates_gcps_exactly(self):
+        from gdal_spark.operators.gcp import TPSTransform
+
+        g = self._gcps()
+        t = TPSTransform(g)
+        fx, fy = t.forward(g[:, 0], g[:, 1])
+        assert np.abs(fx - g[:, 2]).max() < 1e-9
+        assert np.abs(fy - g[:, 3]).max() < 1e-9
+        assert t.rms < 1e-9  # spline INTERPOLATES (poly fit would not)
+        ix, iy = t.inverse(g[:, 2], g[:, 3])
+        assert np.abs(ix - g[:, 0]).max() < 1e-9
+
+    def test_affine_gcps_reproduce_affine_everywhere(self):
+        from gdal_spark.operators.gcp import TPSTransform
+
+        rng = np.random.default_rng(5)
+        px, py = rng.random(8) * 50, rng.random(8) * 50
+        g = np.stack([px, py, 2 * px + 3 * py + 1, px - py + 4], axis=1)
+        t = TPSTransform(g)
+        qx, qy = rng.random(20) * 50, rng.random(20) * 50
+        fx, fy = t.forward(qx, qy)
+        assert np.abs(fx - (2 * qx + 3 * qy + 1)).max() < 1e-8
+        assert np.abs(fy - (qx - qy + 4)).max() < 1e-8
+
+    def test_warp_with_tps_matches_order1_on_affine(self):
+        from gdal_spark.operators.gcp import warp_array_gcp
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 255, size=(40, 40)).astype(np.float64)
+        px = np.array([0.0, 40.0, 0.0, 40.0, 20.0])
+        py = np.array([0.0, 0.0, 40.0, 40.0, 20.0])
+        g = np.stack([px, py, 10 + 2 * px, 100 - 2 * py], axis=1)
+        gt = (10.0, 2.0, 0.0, 100.0, 0.0, -2.0)
+        w1 = warp_array_gcp(arr, g, gt, 40, 40, order=1)
+        wt = warp_array_gcp(arr, g, gt, 40, 40, order="tps")
+        assert np.array_equal(w1, wt)
+
+    def test_degenerate_raises(self):
+        from gdal_spark.operators.gcp import TPSTransform
+
+        g = np.array([[0, 0, 0, 0], [0, 0, 1, 1], [1, 1, 2, 2]], float)
+        with pytest.raises(ValueError):
+            TPSTransform(g)
+
+
+RPC_FIX = dict(
+    line_off=8000.0, samp_off=7000.0, lat_off=33.0, long_off=44.0,
+    height_off=500.0, line_scale=8500.0, samp_scale=7500.0,
+    lat_scale=0.1, long_scale=0.12, height_scale=501.0,
+    line_num_coeff=[0.003, 0.02, -1.01, 0.004, -0.0007, 3e-05, -0.0003,
+                    1.2e-05, -4.5e-04, 2e-06, 1e-06, 2e-07, -3e-06, 1e-07,
+                    4e-06, -2e-06, 5e-07, 3e-07, -1e-07, 2e-08],
+    line_den_coeff=[1.0, -0.0004, 0.0009, -0.0002, 2e-06, -1e-06, 3e-06,
+                    1e-07, -2e-07, 1e-08, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0],
+    samp_num_coeff=[-0.002, 1.02, 0.01, -0.003, 0.0005, -2e-05, 0.0002,
+                    3.1e-04, -1.5e-05, 3e-06, -1e-06, 3e-06, 2e-07, -1e-07,
+                    -2e-06, 1e-07, -3e-07, 2e-07, 1e-07, -1e-08],
+    samp_den_coeff=[1.0, 0.0003, -0.0007, 0.0001, -1e-06, 2e-06, -2e-06,
+                    2e-07, 1e-07, -1e-08, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0],
+)
+
+
+class TestRPC:
+    """RPC00B rational polynomial transformer (alg/gdalrpc.cpp)."""
+
+    def test_center_point_closed_form(self):
+        from gdal_spark.operators.rpc import RPCTransform
+
+        t = RPCTransform(RPC_FIX)
+        col, row = t.ground_to_image(44.0, 33.0, 500.0)
+        # P = L = H = 0: ratio is coeff[0]/den[0]
+        assert row == pytest.approx(8000.0 + 0.003 * 8500.0)
+        assert col == pytest.approx(7000.0 - 0.002 * 7500.0)
+
+    def test_inverse_roundtrip_vectorized(self):
+        from gdal_spark.operators.rpc import RPCTransform
+
+        t = RPCTransform(RPC_FIX)
+        rng = np.random.default_rng(11)
+        lon = 44.0 + (rng.random(200) - 0.5) * 0.2
+        lat = 33.0 + (rng.random(200) - 0.5) * 0.18
+        h = rng.random(200) * 900
+        col, row = t.ground_to_image(lon, lat, h)
+        lon2, lat2 = t.image_to_ground(col, row, h)
+        c2, r2 = t.ground_to_image(lon2, lat2, h)
+        assert np.abs(c2 - col).max() < 1e-8  # sub-1e-8-pixel closure
+        assert np.abs(r2 - row).max() < 1e-8
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+    def test_height_matters(self):
+        from gdal_spark.operators.rpc import RPCTransform
+
+        t = RPCTransform(RPC_FIX)
+        c0, r0 = t.ground_to_image(44.05, 33.05, 0.0)
+        c1, r1 = t.ground_to_image(44.05, 33.05, 900.0)
+        assert abs(c1 - c0) > 1.0 or abs(r1 - r0) > 1.0
+
+    def test_missing_key_raises(self):
+        from gdal_spark.operators.rpc import RPCTransform
+
+        bad = dict(RPC_FIX)
+        del bad["line_den_coeff"]
+        with pytest.raises(ValueError, match="missing"):
+            RPCTransform(bad)
