@@ -156,9 +156,13 @@ def buffer_features(
     """ogr2ogr/`gdal vector buffer` analog: buffer every feature; fully
     eroded features drop. Schema preserved + refreshed envelopes.
     ``method='vector'`` (default) is the exact Minkowski path;
-    ``method='grid'`` keeps the EDT raster-mask fast path."""
+    ``method='grid'`` keeps the EDT raster-mask fast path. Passing a
+    ``resolution`` selects the grid path (it is meaningless for the
+    vector path — callers who set it predate the vector default)."""
     if method not in ("vector", "grid"):
         raise ValueError(f"unknown buffer method {method!r}")
+    if resolution is not None:
+        method = "grid"
 
     def do(batches):
         for pdf in batches:

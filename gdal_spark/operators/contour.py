@@ -266,7 +266,13 @@ def contour_tiles(
     ``driver_cc_max_edges``, LIMIT-bounded, else fully distributed
     min-label propagation); final assembly is one task per OUTPUT line
     holding only chain endpoints + interior points of that line — the
-    same accepted bound as polygonize's per-region assembly."""
+    same accepted bound as polygonize's per-region assembly.
+    NOTE: this operator executes EAGERLY at call time — the per-tile
+    chain stage is localCheckpoint(eager=True)-materialized (it feeds
+    both the closed-ring and the open-chain legs) and the border
+    endpoint-pair graph is collected up to the driver cap. The returned
+    DataFrame is cheap to re-use but the heavy compute has already run.
+    """
     src = tiles_df.select("tile_x", "tile_y", "w", "h", "data")
     lvls = [float(v) for v in levels]
 

@@ -25,11 +25,21 @@ alg/delaunay.c); this engine re-expresses the operator Spark-first:
   uncertain after the retry keep the locally-Delaunay answer — only
   reachable when a triangle's circumcircle spans >4 cells, i.e. data
   sparser than the grid itself;
-- float determinism: barycentric weights are evaluated with the
-  triangle's vertices in canonical (x, y)-sorted order and facets are
-  scanned in canonical coordinate order, so the same node produces the
-  BITWISE-same value whether the triangle came from a per-cell or a
-  global triangulation (the oracle relies on this).
+- float determinism: points enter Bowyer-Watson in canonical (lexsorted)
+  order, barycentric weights are evaluated with the triangle's vertices
+  in canonical (x, y)-sorted order, and facets are scanned in canonical
+  coordinate order, so the same node produces the BITWISE-same value
+  whether the triangle came from a per-cell or a global triangulation
+  (the oracle relies on this);
+- COCIRCULAR caveat: on exactly-cocircular configurations (e.g. points
+  on a regular grid) the Delaunay triangulation is not unique — any
+  implementation (the reference's qhull included) picks a diagonal
+  arbitrarily, and a per-cell certificate can legitimately pick the
+  other diagonal than a global run when the gathered subsets differ.
+  Values at nodes inside such quads may then differ between this
+  operator and another Delaunay implementation by the diagonal choice;
+  the canonical insertion order above guarantees self-consistency
+  whenever two kernels see the same point set.
 """
 
 from __future__ import annotations
@@ -169,22 +179,52 @@ def tin_interpolate(
     nn_dist = np.full(nq, np.nan)
     if nq == 0:
         return vals, out_cc, out_r2, nn_dist
-    tris = _canonical(P, delaunay(P)) if len(P) >= 3 else np.empty((0, 3), np.int64)
+    if len(P) >= 3:
+        # canonical (lexsorted) insertion order: any two callers seeing
+        # the same point SET triangulate identically even when cocircular
+        # ties make Bowyer-Watson order-dependent
+        po = np.lexsort((P[:, 1], P[:, 0]))
+        Ps, Zs = P[po], Z[po]
+        tris = _canonical(Ps, delaunay(Ps))
+    else:
+        Ps, Zs = P, Z
+        tris = np.empty((0, 3), np.int64)
     assigned = np.zeros(nq, dtype=bool)
     if len(tris):
-        cc, r2 = _circumcircles(P, tris)
-        a, b, c = P[tris[:, 0]], P[tris[:, 1]], P[tris[:, 2]]
+        cc, r2 = _circumcircles(Ps, tris)
+        a, b, c = Ps[tris[:, 0]], Ps[tris[:, 1]], Ps[tris[:, 2]]
         det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (
             c[:, 0] - b[:, 0]
         ) * (a[:, 1] - c[:, 1])
+        # point-location prefilter: queries sorted by x; each facet only
+        # tests the slice inside its x-range (facets assign in canonical
+        # order over still-unassigned queries, so results are unchanged)
+        qorder = np.argsort(Q[:, 0], kind="stable")
+        qx_sorted = Q[qorder, 0]
+        txmin = np.minimum.reduce([a[:, 0], b[:, 0], c[:, 0]])
+        txmax = np.maximum.reduce([a[:, 0], b[:, 0], c[:, 0]])
+        tymin = np.minimum.reduce([a[:, 1], b[:, 1], c[:, 1]])
+        tymax = np.maximum.reduce([a[:, 1], b[:, 1], c[:, 1]])
+        los = np.searchsorted(qx_sorted, txmin, side="left")
+        his = np.searchsorted(qx_sorted, txmax, side="right")
+        n_left = nq
         for t in range(len(tris)):
             if det[t] == 0.0:
                 continue
-            rem = ~assigned
-            if not rem.any():
+            if n_left == 0:
                 break
-            qx = Q[rem, 0]
-            qy = Q[rem, 1]
+            cand = qorder[los[t]:his[t]]
+            if len(cand) == 0:
+                continue
+            cand = cand[
+                ~assigned[cand]
+                & (Q[cand, 1] >= tymin[t])
+                & (Q[cand, 1] <= tymax[t])
+            ]
+            if len(cand) == 0:
+                continue
+            qx = Q[cand, 0]
+            qy = Q[cand, 1]
             l1 = (
                 (b[t, 1] - c[t, 1]) * (qx - c[t, 0])
                 + (c[t, 0] - b[t, 0]) * (qy - c[t, 1])
@@ -197,20 +237,23 @@ def tin_interpolate(
             inside = (l1 >= 0.0) & (l2 >= 0.0) & (l3 >= 0.0)
             if not inside.any():
                 continue
-            idx = np.flatnonzero(rem)[inside]
-            zt = Z[tris[t]]
+            idx = cand[inside]
+            zt = Zs[tris[t]]
             vals[idx] = l1[inside] * zt[0] + l2[inside] * zt[1] + l3[inside] * zt[2]
             out_cc[idx] = cc[t]
             out_r2[idx] = r2[t]
             assigned[idx] = True
-    # outside the hull (or < 3 points): GDALGridLinear fallback
+            n_left -= len(idx)
+    # outside the hull (or < 3 points): GDALGridLinear fallback —
+    # canonical (lexsorted) point order keeps the equal-distance
+    # tie-break caller-independent too
     left = np.flatnonzero(~assigned)
-    if len(left) and len(P) and radius != 0.0:
-        d2 = ((Q[left, None, :] - P[None, :, :]) ** 2).sum(-1)
+    if len(left) and len(Ps) and radius != 0.0:
+        d2 = ((Q[left, None, :] - Ps[None, :, :]) ** 2).sum(-1)
         jmin = d2.argmin(axis=1)
         dmin = np.sqrt(d2[np.arange(len(left)), jmin])
         ok = dmin <= radius if radius > 0 else np.ones(len(left), bool)
-        vals[left[ok]] = Z[jmin[ok]]
+        vals[left[ok]] = Zs[jmin[ok]]
         nn_dist[left] = dmin
     return vals, out_cc, out_r2, nn_dist
 

@@ -46,10 +46,11 @@ def _per_poly(wkbs: pd.Series, xs: pd.Series, ys: pd.Series, fn):
 @F.pandas_udf(BooleanType())
 def _st_contains(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
     vals = _per_poly(wkbs, xs, ys, lambda g, px, py: geom.points_in_geometry(px, py, g))
-    # SQL three-valued logic: NaN (NULL geometry) propagates as NULL, so
-    # NOT st_contains(...) does not resurrect NULL-geometry rows
+    # SQL three-valued logic: a NULL geometry OR a NULL coordinate
+    # propagates as NULL, so NOT st_contains(...) does not resurrect
+    # NULL rows of either shape
     out = pd.array(vals == 1.0, dtype="boolean")
-    out[np.isnan(vals)] = pd.NA
+    out[np.isnan(vals) | xs.isna().to_numpy() | ys.isna().to_numpy()] = pd.NA
     return pd.Series(out)
 
 

@@ -212,23 +212,9 @@ class TestTPS:
             TPSTransform(g)
 
 
-RPC_FIX = dict(
-    line_off=8000.0, samp_off=7000.0, lat_off=33.0, long_off=44.0,
-    height_off=500.0, line_scale=8500.0, samp_scale=7500.0,
-    lat_scale=0.1, long_scale=0.12, height_scale=501.0,
-    line_num_coeff=[0.003, 0.02, -1.01, 0.004, -0.0007, 3e-05, -0.0003,
-                    1.2e-05, -4.5e-04, 2e-06, 1e-06, 2e-07, -3e-06, 1e-07,
-                    4e-06, -2e-06, 5e-07, 3e-07, -1e-07, 2e-08],
-    line_den_coeff=[1.0, -0.0004, 0.0009, -0.0002, 2e-06, -1e-06, 3e-06,
-                    1e-07, -2e-07, 1e-08, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-                    0.0, 0.0, 0.0, 0.0],
-    samp_num_coeff=[-0.002, 1.02, 0.01, -0.003, 0.0005, -2e-05, 0.0002,
-                    3.1e-04, -1.5e-05, 3e-06, -1e-06, 3e-06, 2e-07, -1e-07,
-                    -2e-06, 1e-07, -3e-07, 2e-07, 1e-07, -1e-08],
-    samp_den_coeff=[1.0, 0.0003, -0.0007, 0.0001, -1e-06, 2e-06, -2e-06,
-                    2e-07, 1e-07, -1e-08, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-                    0.0, 0.0, 0.0, 0.0],
-)
+# single source of truth for the 90-float RPC00B fixture: the bench
+# oracle entry owns it; diverging copies would hide transcription bugs
+from __spark_entry__ import _RPC_FIX as RPC_FIX
 
 
 class TestRPC:

@@ -564,3 +564,26 @@ class TestBufferVector:
         n = 32  # default quad_segs=8
         assert out.a == pytest.approx(16 + 16 + 0.5 * n * np.sin(2 * np.pi / n),
                                       abs=1e-9)
+
+
+def test_st_contains_null_coordinate_is_null(spark):
+    """3VL completeness: NULL x/y (not just NULL geometry) must yield
+    NULL, so NOT st_contains(...) does not resurrect those rows."""
+    from gdal_spark.sql import execute_sql
+
+    df = spark.createDataFrame(
+        [(1, bytearray(geom.wkb_rect(0, 0, 10, 10)), 5.0, 5.0),
+         (2, bytearray(geom.wkb_rect(0, 0, 10, 10)), None, 5.0),
+         (3, None, 5.0, 5.0)],
+        "fid long, g binary, x double, y double",
+    )
+    out = execute_sql(
+        spark,
+        "SELECT fid, st_contains(g, x, y) AS c FROM l ORDER BY fid",
+        {"l": df},
+    ).collect()
+    assert out[0].c is True and out[1].c is None and out[2].c is None
+    kept = execute_sql(
+        spark, "SELECT fid FROM l WHERE NOT st_contains(g, x, y)", {"l": df}
+    ).collect()
+    assert kept == []  # NULLs filtered by WHERE, row 1 is contained
