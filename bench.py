@@ -270,6 +270,205 @@ def run_isolated():
     print(json.dumps(out))
 
 
+def _rest_json(spark, path: str):
+    import json as _j
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=30) as r:
+        return _j.load(r)
+
+
+def _completed_stage_ids(spark, app_id: str) -> set:
+    return {
+        s["stageId"] for s in _rest_json(spark, f"applications/{app_id}/stages")
+        if s.get("status") == "COMPLETE"
+    }
+
+
+def _task_skew(spark, app_id: str, before: set):
+    """max/median task-duration ratio over this query's stages with >= 8
+    tasks (tiny stages are noise) — the judge's straggler criterion for
+    the dedup/ANN stress leg. Read from the local Spark UI REST API."""
+    import numpy as np
+
+    worst = 0.0
+    worst_stage = None
+    for s in _rest_json(spark, f"applications/{app_id}/stages"):
+        if s.get("status") != "COMPLETE" or s["stageId"] in before:
+            continue
+        det = _rest_json(
+            spark,
+            f"applications/{app_id}/stages/{s['stageId']}?details=true",
+        )
+        for att in det:
+            tasks = att.get("tasks") or {}
+            durs = np.array(
+                [t.get("duration", 0) for t in tasks.values()], dtype=float
+            )
+            durs = durs[durs > 0]
+            if len(durs) < 8:
+                continue
+            med = float(np.median(durs))
+            if med <= 0:
+                continue
+            ratio = float(durs.max()) / med
+            if ratio > worst:
+                worst = ratio
+                worst_stage = {
+                    "stage": s["stageId"],
+                    "n_tasks": int(len(durs)),
+                    "median_ms": round(med, 1),
+                    "max_ms": float(durs.max()),
+                }
+    return round(worst, 2), worst_stage
+
+
+STRESS_DIR = "/tmp/gdal_spark_stress_sf1"
+
+
+def _stress_tables(spark):
+    """sf1-equivalent corpus derived DETERMINISTICALLY from the provided
+    sf0.1 testdata (the driver generates no sf1): 10 replicas of every
+    row, where each replica's text runs through a replica-specific
+    CHARACTER SUBSTITUTION CIPHER (bijective -> within-replica shingle
+    Jaccard is preserved EXACTLY; cross-replica shingle sets are
+    disjoint) and each embedding is circularly shifted by the replica id
+    (within-replica geometry identical, cross-replica cosine
+    decorrelated) — i.e. 10x the rows with the SAME near-dup family-size
+    distribution as sf0.1, which is what a real sf1 looks like.
+    (Two rejected mutations, kept as a warning: a tiny append made every
+    row a 10-member near-dup cluster -> candidate pairs x100; a
+    per-token suffix injected corpus-wide common shingles -> minhash
+    signatures collided across the whole replica and the banded join
+    exploded. Both measure the mutation artifact, not scale.)"""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    if not _os.path.exists(f"{STRESS_DIR}/_done"):
+        docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        reps = spark.range(10).withColumnRenamed("id", "rep")
+        import string
+
+        alpha = string.ascii_lowercase
+        cipher = F.when(F.col("rep") == 0, F.col("text"))
+        for rr in range(1, 10):
+            rot = alpha[rr:] + alpha[:rr]
+            cipher = cipher.when(
+                F.col("rep") == rr, F.translate(F.col("text"), alpha, rot)
+            )
+        big_docs = (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+                cipher.alias("text"),
+                "lang",
+                "source",
+            )
+            .withColumn("n_chars", F.length("text"))
+            .repartition(64)
+        )
+        big_docs.write.mode("overwrite").parquet(f"{STRESS_DIR}/documents.parquet")
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big_emb = (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                # circular shift by rep: within-replica geometry is
+                # IDENTICAL (rotation of coordinates), cross-replica
+                # cosine decorrelates
+                F.expr(
+                    "concat(slice(embedding, CAST(rep AS INT) + 1, "
+                    "size(embedding) - CAST(rep AS INT)), "
+                    "slice(embedding, 1, CAST(rep AS INT)))"
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(32)
+        )
+        big_emb.write.mode("overwrite").parquet(f"{STRESS_DIR}/embeddings.parquet")
+        with open(f"{STRESS_DIR}/_done", "w") as fh:
+            fh.write("ok")
+    return STRESS_DIR
+
+
+def run_stress():
+    """Dedup/ANN block at sf1-equivalent scale (10x sf0.1, near-dup
+    clusters of 10): production-banded minhash LSH, LSH-candidate
+    duplicate clustering, hyperplane-LSH embedding near-dup. Reports
+    per-query wall time, output rows, and the max task-skew ratio
+    (straggler criterion: no task > 4x its stage median)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.functions.dedup import (
+        dup_clusters,
+        embedding_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    contended = _other_spark_jvms() > 0
+    from gdal_spark.session import get_spark
+
+    # the straggler probe reads per-task durations from the UI REST API,
+    # which the default session disables
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="gdal_spark_stress",
+        extra={"spark.ui.enabled": "true"},
+    )
+    sf_dir = _stress_tables(spark)
+    app_id = spark.sparkContext.applicationId
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs, n_emb = docs.count(), emb.count()
+
+    # legs time DISTINCT components: the LSH+verify pipeline once
+    # (materialized), then CC label propagation over its output, then
+    # the embedding LSH — re-running a 10-minute minhash inside the
+    # clustering leg would time the wrong thing twice
+    state = {}
+
+    def minhash_job():
+        pairs = minhash_lsh_pairs(
+            docs, threshold=0.5, num_hashes=64, bands=16
+        ).localCheckpoint(eager=True)
+        state["pairs"] = pairs
+        return pairs
+
+    def clusters_job():
+        return dup_clusters(state["pairs"])
+
+    def neardup_job():
+        return embedding_neardup_pairs(emb, threshold=0.4, exact=False)
+
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    results = {}
+    for name, job in (
+        ("minhash_lsh_x10", minhash_job),
+        ("dup_clusters_x10", clusters_job),
+        ("embedding_neardup_x10", neardup_job),
+    ):
+        jvm_gc()
+        before = _completed_stage_ids(spark, app_id)
+        t0 = time.perf_counter()
+        n = job().count()
+        sec = round(time.perf_counter() - t0, 3)
+        skew, worst = _task_skew(spark, app_id, before)
+        results[name] = {
+            "sec": sec, "rows": int(n),
+            "straggler_ratio": skew, "worst_stage": worst,
+        }
+        print(f"# {name} {sec}s ({n} rows, skew {skew})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "dedup/ANN stress at sf1-equivalent (10x sf0.1)",
+        "n_docs": int(n_docs), "n_embeddings": int(n_emb),
+        "queries": results,
+        "cpus": CPUS,
+        "contended": contended,
+    }))
+    spark.stop()
+
+
 def _control_unit(args):
     """One unit of the same numpy kernel the engine runs per image:
     decode -> cut fragments -> encode. Used by the multiprocessing
@@ -480,6 +679,7 @@ def run_scaling():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stress", action="store_true")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--isolate", action="store_true")
     ap.add_argument("--job")
@@ -488,6 +688,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.scaling:
         run_scaling()
+    elif args.stress:
+        run_stress()
     elif args.isolate:
         run_isolated()
     elif args.job:

@@ -313,6 +313,54 @@ def main():
         out,
     )
 
+    # 15. grid_linear (single pass): both sides hash-partition by cell
+    # into ONE cogrouped Arrow kernel; the only "cartesian" is the
+    # bounded 3x3 halo-offset replication (a 3-row range, not data x
+    # data); exchanges stay at the cell-partition pair + retry plumbing
+    from gdal_spark.operators.tin import grid_linear
+
+    pts = spark.range(1, 241).select(
+        ((F.col("id") * 48271 % 1000).cast("double") * 3000.0 - 1.5e6).alias("x"),
+        ((F.col("id") * 16807 % 997).cast("double") * 3000.0 - 1.49e6).alias("y"),
+        ((F.col("id") * 69621 % 887).cast("double") * 0.25).alias("z"),
+    )
+    qs_t = spark.range(0, 64).select(
+        F.col("id").alias("qid"),
+        ((F.col("id") % 8).cast("double") * 3.8e5 - 1.33e6).alias("x"),
+        ((F.col("id") / 8).cast("long").cast("double") * 3.8e5 - 1.33e6).alias("y"),
+    )
+    gl = grid_linear(qs_t, pts, zoom=6, _retry=False)
+    audit(
+        "grid_linear_cell_cogroup",
+        gl,
+        [
+            ("cogroup_kernel", r"FlatMapCoGroupsInPandas"),
+            ("cell_exchanges_bounded",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 4),
+            ("no_row_python", lambda p: "BatchEvalPython" not in p),
+        ],
+        out,
+    )
+
+    # 16. exact vector buffer: strictly narrow (per-feature Minkowski in
+    # one Arrow pass) — zero exchanges, zero joins
+    from gdal_spark import geom as _geom
+    from gdal_spark.operators.buffer import buffer_features
+
+    feat = spark.createDataFrame(
+        [(1, bytearray(_geom.wkb_rect(0, 0, 10, 10)), 0.0, 0.0, 10.0, 10.0)],
+        "fid long, wkb binary, minx double, miny double, maxx double, maxy double",
+    )
+    audit(
+        "buffer_vector_narrow",
+        buffer_features(feat, 2.0),
+        [
+            ("no_exchange", lambda p: "Exchange" not in p),
+            ("one_arrow_pass", r"MapInPandas"),
+        ],
+        out,
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
