@@ -787,6 +787,88 @@ def q_rpc_forward_sql():
     )
 
 
+def _hull_fixture_pts(g: int):
+    import numpy as np
+
+    k = np.arange(1, 61, dtype=np.float64)
+    x = np.floor((k * (17 + g) % 101) * 7.0) + g * 1000.0
+    y = np.floor((k * (29 + g) % 97) * 9.0)
+    return np.stack([x, y], axis=1)
+
+
+def q_convex_hull(spark, sf_dir):
+    """ConvexHull (OGRGeometry::ConvexHull, ogr/ogrgeometry.cpp:4194;
+    gdal_spark.operators.hull monotone chain — the same kernel behind
+    st_convexhull and footprint -convex_hull): hull area + vertex count
+    of four deterministic 60-point clouds. Oracle: an
+    INDEPENDENT Jarvis-march (gift wrapping) re-implementation inside
+    oracle_sql() emits literal VALUES — two different hull algorithms
+    must agree exactly (integer coordinates make the shoelace area an
+    exact float)."""
+    import pandas as pd
+
+    ids = spark.range(0, 4).select(F.col("id").alias("g"))
+
+    def hull_rows(batches):
+        import numpy as np
+
+        from gdal_spark.operators.hull import convex_hull_xy
+
+        for pdf in batches:
+            rows = []
+            for g in pdf["g"].astype(int):
+                h = convex_hull_xy(_hull_fixture_pts(g))
+                x, y = h[:, 0], h[:, 1]
+                area = 0.5 * abs(
+                    float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+                )
+                rows.append({"g": g, "hull_area": area, "n_vertices": len(h)})
+            yield pd.DataFrame(rows, columns=["g", "hull_area", "n_vertices"])
+
+    return ids.mapInPandas(
+        hull_rows, schema="g long, hull_area double, n_vertices long"
+    ).orderBy("g")
+
+
+def q_convex_hull_sql():
+    import numpy as np
+
+    def jarvis(P):
+        P = np.unique(P, axis=0)
+        hull = [0]
+        i = 0
+        while True:
+            cand = (i + 1) % len(P)
+            for j in range(len(P)):
+                if j == i:
+                    continue
+                cr = (P[cand, 0] - P[i, 0]) * (P[j, 1] - P[i, 1]) - (
+                    P[cand, 1] - P[i, 1]
+                ) * (P[j, 0] - P[i, 0])
+                dc = np.hypot(*(P[cand] - P[i]))
+                dj = np.hypot(*(P[j] - P[i]))
+                if cr < 0 or (cr == 0 and dj > dc):
+                    cand = j
+            i = cand
+            if i == hull[0]:
+                break
+            hull.append(i)
+        return P[np.array(hull)]
+
+    rows = []
+    for g in range(4):
+        h = jarvis(_hull_fixture_pts(g))
+        x, y = h[:, 0], h[:, 1]
+        area = 0.5 * abs(
+            float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+        )
+        rows.append(f"({g}, {area!r}, {len(h)})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) +
+        ") AS t(g, hull_area, n_vertices) ORDER BY g"
+    )
+
+
 def q_tps_forward(spark, sf_dir):
     """Thin plate spline GCP transform (gdalwarp -tps, alg/gdal_tps.cpp;
     gdal_spark.operators.gcp.TPSTransform): a TPS fitted to 64 GCPs with
@@ -3800,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_areas": q_buffer_areas,
         "rpc_forward": q_rpc_forward,
         "tps_forward": q_tps_forward,
+        "convex_hull": q_convex_hull,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -3872,6 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "buffer_areas": q_buffer_areas_sql(),
         "rpc_forward": q_rpc_forward_sql(),
         "tps_forward": q_tps_forward_sql(),
+        "convex_hull": q_convex_hull_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
