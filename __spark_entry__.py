@@ -869,6 +869,144 @@ def q_convex_hull_sql():
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C recipe): training docs
+    sharing any word 3-gram with the eval split (doc_id % 13 == 0) are
+    flagged. Broadcast eval-gram semi-join; the oracle re-derives the
+    identical gram construction in SQL."""
+    from gdal_spark.functions.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 13 != 0)
+    evald = d.where(F.col("doc_id") % 13 == 0)
+    out = decontaminate(train, evald, n=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round("hit_frac", 6).alias("hit_frac"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+def q_decontaminate_sql():
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return (
+        f"WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks "
+        "FROM documents), "
+        "idx AS (SELECT unnest(range(1, 20001)) AS i), "
+        "g AS (SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):"
+        "CAST(i + 2 AS INT)], ' ') AS gram "
+        "FROM t JOIN idx ON i <= len(toks) - 2), "
+        "eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0), "
+        "tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 13 <> 0), "
+        "sz AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1), "
+        "hit AS (SELECT doc_id, count(*) AS n_hit FROM tg "
+        "WHERE gram IN (SELECT gram FROM eg) GROUP BY 1), "
+        "base AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) "
+        "SELECT base.doc_id, "
+        "CAST(coalesce(sz.n_grams, 0) AS INT) AS n_grams, "
+        "CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit, "
+        "round(CASE WHEN coalesce(sz.n_grams, 0) > 0 THEN "
+        "coalesce(hit.n_hit, 0) * 1.0 / sz.n_grams ELSE 0.0 END, 6) "
+        "AS hit_frac, "
+        "coalesce(hit.n_hit, 0) > 0 AS contaminated "
+        "FROM base LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id) "
+        "ORDER BY doc_id"
+    )
+
+
+def _semantic_fixture_centroids():
+    """8 seeded unit centroids, independent of the corpus — an oracle
+    SQL string must be static, so the centroids are a FIXTURE both sides
+    re-derive (the k-means-TRAINED centroid path is exercised by
+    tests/test_pipeline_extras.py with a brute-force oracle; the
+    distributed assignment + pair-join plumbing checked here is identical
+    either way — same pattern as the ivf/pq oracle entries)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    C = rng.normal(size=(8, 64))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup pairs (arXiv:2303.09540): cluster the embeddings, then
+    near-dup pairs WITHIN clusters only. The oracle re-derives the
+    fixture-centroid assignment (argmax cosine, ties to the lowest
+    centroid id) and the within-cluster pair scan in SQL — so the
+    distributed assignment + pair-join plumbing is what's checked."""
+    from gdal_spark.functions.dedup import semantic_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    C = _semantic_fixture_centroids()
+    out = semantic_dedup_pairs(e, threshold=0.4, n_clusters=8, centroids=C)
+    return out.select(
+        "cluster", "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def q_semantic_dedup_sql() -> str:
+    C = _semantic_fixture_centroids()
+    def lst(v):
+        return "[" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in v) + "]"
+
+    vals = ", ".join(f"({i}, {lst(c)})" for i, c in enumerate(C))
+    return (
+        f"WITH c(cid, cv) AS (VALUES {vals}), "
+        "s AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid, "
+        "list_cosine_similarity(e.embedding::DOUBLE[], cv::DOUBLE[]) AS sim "
+        "FROM embeddings e CROSS JOIN c), "
+        "a AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM s) "
+        "WHERE rk = 1), "
+        "p AS (SELECT CAST(x.cid AS BIGINT) AS cluster, x.vec_id AS id_a, "
+        "y.vec_id AS id_b, list_cosine_similarity(x.v, y.v) AS cos "
+        "FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id) "
+        "SELECT cluster, id_a, id_b, round(cos, 4) AS cosine FROM p "
+        "WHERE cos >= 0.4 ORDER BY id_a, id_b"
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """First-fit-sequential token packing into capacity-200 bins, 8 hash
+    shards (functions.pack). The oracle replays the identical greedy walk
+    as a recursive CTE carrying (bin, offset, fill) per shard."""
+    from gdal_spark.functions.pack import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_sequences(d, capacity=200, n_shards=8)
+    return out.select(
+        "shard", "doc_id", "n_tokens", "bin_id", "bin_offset", "overflow"
+    ).orderBy("shard", "doc_id")
+
+
+def q_pack_sequences_sql():
+    nt = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    step = "w.fill > 0 AND w.fill + r.nt > 200"
+    return (
+        f"WITH RECURSIVE t AS (SELECT doc_id % 8 AS shard, doc_id, "
+        f"CAST({nt} AS BIGINT) AS nt FROM documents WHERE text IS NOT NULL), "
+        "r AS (SELECT shard, doc_id, nt, row_number() OVER "
+        "(PARTITION BY shard ORDER BY doc_id) AS rn FROM t), "
+        "walk AS ("
+        "SELECT shard, rn, doc_id, nt, CAST(0 AS BIGINT) AS bin, "
+        "CAST(0 AS BIGINT) AS off, nt AS fill FROM r WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT r.shard, r.rn, r.doc_id, r.nt, "
+        f"CASE WHEN {step} THEN w.bin + 1 ELSE w.bin END, "
+        f"CASE WHEN {step} THEN CAST(0 AS BIGINT) ELSE w.fill END, "
+        f"CASE WHEN {step} THEN r.nt ELSE w.fill + r.nt END "
+        "FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1) "
+        "SELECT shard, doc_id, nt AS n_tokens, bin AS bin_id, "
+        "off AS bin_offset, nt > 200 AS overflow FROM walk "
+        "ORDER BY shard, doc_id"
+    )
+
+
 def q_tps_forward(spark, sf_dir):
     """Thin plate spline GCP transform (gdalwarp -tps, alg/gdal_tps.cpp;
     gdal_spark.operators.gcp.TPSTransform): a TPS fitted to 64 GCPs with
@@ -3883,6 +4021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_forward": q_rpc_forward,
         "tps_forward": q_tps_forward,
         "convex_hull": q_convex_hull,
+        "decontaminate": q_decontaminate,
+        "semantic_dedup": q_semantic_dedup,
+        "pack_sequences": q_pack_sequences,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -3956,6 +4097,9 @@ def oracle_sql() -> dict[str, str]:
         "rpc_forward": q_rpc_forward_sql(),
         "tps_forward": q_tps_forward_sql(),
         "convex_hull": q_convex_hull_sql(),
+        "decontaminate": q_decontaminate_sql(),
+        "semantic_dedup": q_semantic_dedup_sql(),
+        "pack_sequences": q_pack_sequences_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

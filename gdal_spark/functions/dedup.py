@@ -600,6 +600,83 @@ def _with_cosine(pairs: DataFrame) -> DataFrame:
     return pairs.withColumn("cosine", dot / (na * nb))
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — public recipe): k-means cluster the embedding
+    space, then compare vectors ONLY within their cluster; a pair with
+    cosine >= threshold is a semantic duplicate. Returns
+    (cluster, id_a, id_b, cosine) with id_a < id_b.
+
+    100-TB posture: centroid training is the bounded-sample driver
+    k-means shared with IVF (simsearch.train_ivf_centroids); assignment
+    is ONE Arrow pass (a matmul per batch against the broadcast centroid
+    matrix); the pair join shuffles narrow (cluster, id, vec) rows once
+    and is quadratic only WITHIN a cluster — the paper's shape, where
+    n_clusters grows with the corpus (they use ~10^5) so clusters stay
+    bounded. Approximation is the clustering itself: a cross-cluster
+    near-dup pair is missed by construction (documented SemDeDup
+    behavior), which is why the oracle passes the same centroids and
+    re-derives the assignment rather than comparing to all-pairs."""
+    from .simsearch import train_ivf_centroids, _unit_rows
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_clusters, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["cluster", "id", "v"])
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = _unit_rows(M)
+            cid = np.argmax(Mn @ C.T, axis=1)
+            yield pd.DataFrame(
+                {"cluster": cid.astype(np.int64), "id": pdf[id_col], "v": pdf[vec_col]}
+            )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"cluster long, id {id_type}, v {vec_type}"
+    )
+    a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    return (
+        _with_cosine(pairs)
+        .where(F.col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    """Rows that SURVIVE semantic dedup: drop every vector that has a
+    LOWER-id neighbor with cosine >= threshold in its cluster (the
+    deterministic keep-lowest-id variant of SemDeDup's per-cluster
+    pruning). One left-anti join against the distinct drop set."""
+    pairs = semantic_dedup_pairs(
+        corpus, threshold, n_clusters, id_col, vec_col, **kw
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drop, id_col, "left_anti")
+
+
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS: distributed
     connected components over the pair graph (reuses the min-label
