@@ -968,6 +968,113 @@ def q_semantic_dedup_sql() -> str:
     )
 
 
+def q_geodesic_distance(spark, sf_dir):
+    """WGS84 geodesic distance (Vincenty inverse, gdal_spark.geodesic —
+    the OGR_G_GeodesicLength/GeographicLib surface of GDAL >= 3.9) over
+    orders-derived lon/lat pairs (|dlon| <= 20, |dlat| <= 15: far from
+    the antipodal failure region). The oracle replays the identical
+    12-iteration recurrence UNROLLED in SQL — dual implementation, mm
+    rounding."""
+    from gdal_spark.sql import _st_geodesic_distance
+
+    o = _t(spark, sf_dir, "orders")
+    lon1 = (F.col("o_orderkey") * 9973 % 36000) / 100.0 - 180.0
+    lat1 = ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 16000) / 100.0 - 80.0
+    lon2 = lon1 + ((F.col("o_orderkey") * 31 % 4000) / 100.0 - 20.0)
+    lat2 = F.greatest(
+        F.lit(-85.0),
+        F.least(
+            F.lit(85.0),
+            lat1 + ((F.col("o_custkey") * 37 % 3000) / 100.0 - 15.0),
+        ),
+    )
+    d = o.select(
+        F.col("o_orderkey").alias("pid"),
+        lon1.alias("lon1"),
+        lat1.alias("lat1"),
+        lon2.alias("lon2"),
+        lat2.alias("lat2"),
+    )
+    return d.select(
+        "pid",
+        F.round(
+            _st_geodesic_distance("lon1", "lat1", "lon2", "lat2"), 3
+        ).alias("dist_m"),
+    ).orderBy("pid")
+
+
+def q_geodesic_distance_sql():
+    f = "(1.0/298.257223563)"
+    a = "6378137.0"
+    b = f"({a}*(1.0-{f}))"
+    lon1 = "((o_orderkey * 9973 % 36000) / 100.0 - 180.0)"
+    lat1 = "(((o_orderkey * 7919 + o_custkey) % 16000) / 100.0 - 80.0)"
+    lon2 = f"({lon1} + ((o_orderkey * 31 % 4000) / 100.0 - 20.0))"
+    lat2 = (
+        f"greatest(-85.0, least(85.0, {lat1} + "
+        "((o_custkey * 37 % 3000) / 100.0 - 15.0)))"
+    )
+    u1 = f"atan((1.0-{f}) * tan(radians({lat1})))"
+    u2_ = f"atan((1.0-{f}) * tan(radians({lat2})))"
+    base = (
+        f"SELECT o_orderkey AS pid, radians({lon2} - {lon1}) AS L, "
+        f"sin({u1}) AS su1, cos({u1}) AS cu1, "
+        f"sin({u2_}) AS su2, cos({u2_}) AS cu2 FROM orders"
+    )
+
+    def stage(src: str) -> str:
+        """one lambda update: intermediates as nested selects, identical
+        guards to geodesic.vincenty_inverse."""
+        return (
+            "SELECT pid, L, su1, cu1, su2, cu2, "
+            f"L + (1.0-C)*{f}*sin_alpha*(sig + C*sin_sig*(cos2sm + "
+            "C*cos_sig*(-1.0+2.0*cos2sm*cos2sm))) AS lam FROM ("
+            f"SELECT *, ({f}/16.0)*csa*(4.0+{f}*(4.0-3.0*csa)) AS C FROM ("
+            "SELECT *, CASE WHEN csa = 0 THEN 0.0 ELSE "
+            "cos_sig - 2.0*su1*su2/csa END AS cos2sm FROM ("
+            "SELECT *, 1.0 - sin_alpha*sin_alpha AS csa FROM ("
+            "SELECT *, CASE WHEN sin_sig = 0 THEN 0.0 ELSE "
+            "cu1*cu2*sin(lam)/sin_sig END AS sin_alpha, "
+            "atan2(sin_sig, cos_sig) AS sig FROM ("
+            "SELECT *, sqrt(pow(cu2*sin(lam), 2) + "
+            "pow(cu1*su2 - su1*cu2*cos(lam), 2)) AS sin_sig, "
+            "su1*su2 + cu1*cu2*cos(lam) AS cos_sig "
+            f"FROM {src})))))"
+        )
+
+    sql = f"WITH it0 AS (SELECT *, L AS lam FROM ({base}))"
+    # numpy runs 12 iterations; the final quantities come from the lam
+    # ENTERING iteration 12 (lam_11), i.e. after 11 updates
+    for k in range(1, 12):
+        sql += f", it{k} AS ({stage(f'it{k - 1}')})"
+    fin = (
+        "SELECT pid, sig, sin_sig, cos_sig, cos2sm, "
+        f"csa*({a}*{a} - {b}*{b})/({b}*{b}) AS usq FROM ("
+        "SELECT *, CASE WHEN csa = 0 THEN 0.0 ELSE "
+        "cos_sig - 2.0*su1*su2/csa END AS cos2sm FROM ("
+        "SELECT *, 1.0 - sin_alpha*sin_alpha AS csa FROM ("
+        "SELECT *, CASE WHEN sin_sig = 0 THEN 0.0 ELSE "
+        "cu1*cu2*sin(lam)/sin_sig END AS sin_alpha, "
+        "atan2(sin_sig, cos_sig) AS sig FROM ("
+        "SELECT *, sqrt(pow(cu2*sin(lam), 2) + "
+        "pow(cu1*su2 - su1*cu2*cos(lam), 2)) AS sin_sig, "
+        "su1*su2 + cu1*cu2*cos(lam) AS cos_sig FROM it11))))"
+    )
+    sql += (
+        f", fin AS ({fin}) "
+        "SELECT pid, round("
+        f"{b} * (1.0 + usq/16384.0*(4096.0 + usq*(-768.0 + usq*(320.0 - "
+        "175.0*usq)))) * (sig - (usq/1024.0*(256.0 + usq*(-128.0 + "
+        "usq*(74.0 - 47.0*usq)))) * sin_sig * (cos2sm + "
+        "(usq/1024.0*(256.0 + usq*(-128.0 + usq*(74.0 - 47.0*usq))))/4.0 * "
+        "(cos_sig*(-1.0 + 2.0*cos2sm*cos2sm) - "
+        "(usq/1024.0*(256.0 + usq*(-128.0 + usq*(74.0 - 47.0*usq))))/6.0 * "
+        "cos2sm*(-3.0 + 4.0*sin_sig*sin_sig)*(-3.0 + 4.0*cos2sm*cos2sm)))), "
+        "3) AS dist_m FROM fin ORDER BY pid"
+    )
+    return sql
+
+
 def q_pack_sequences(spark, sf_dir):
     """First-fit-sequential token packing into capacity-200 bins, 8 hash
     shards (functions.pack). The oracle replays the identical greedy walk
@@ -4024,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
         "pack_sequences": q_pack_sequences,
+        "geodesic_distance": q_geodesic_distance,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4100,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": q_decontaminate_sql(),
         "semantic_dedup": q_semantic_dedup_sql(),
         "pack_sequences": q_pack_sequences_sql(),
+        "geodesic_distance": q_geodesic_distance_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -5,9 +5,14 @@ and per chunk evaluates the inverse transformer chain dst pixel -> dst geo
 -> src geo -> src pixel (alg/gdaltransformer.cpp:3044-3145), then runs a
 resampling kernel (alg/gdalwarpkernel.cpp). Spark mapping: one output
 region (a tile, or a whole small output raster) = one task; the transformer
-chain is closed-form vectorized numpy (EPSG:4326 <-> 3857 only, formulas
-from gdal2tiles.py:422-442), so GDAL's 0.125-px approximate transformer
-(apps/gdalwarp_lib.cpp:1568-1575) is unnecessary — we evaluate exactly.
+chain is closed-form vectorized numpy, evaluated EXACTLY by default.
+GDAL's approximate transformer (gdalwarp -et 0.125,
+apps/gdalwarp_lib.cpp:1568-1575; alg/gdaltransformer.cpp
+GDALApproxTransform) is available as ``approx_error=`` — an error-bounded
+control-lattice interpolation (_approx_grid_transform) that cuts the
+per-pixel transcendental cost ~step^2/2-fold for the expensive CRS
+families (UTM/LCC/AEA inverse series), the lever that matters when the
+transform chain, not IO, dominates a 100-TB warp.
 
 `warp_array` is the kernel; `warp_images` is the DataFrame operator
 (mapInPandas, Arrow batches, no per-row Python).
@@ -89,6 +94,72 @@ def apply_gt(gt, px, py):
     return gt[0] + px * gt[1] + py * gt[2], gt[3] + px * gt[4] + py * gt[5]
 
 
+def _approx_grid_transform(fn, xv, yv, max_err: float, step: int = 8):
+    """Approximate ``fn`` (an exact vectorized (X, Y) -> (SX, SY) point
+    transform) over the rectangular grid meshgrid(xv, yv) — the engine's
+    GDALApproxTransformer (alg/gdaltransformer.cpp GDALApproxTransform;
+    gdalwarp -et, default threshold 0.125 px, apps/gdalwarp_lib.cpp:1568):
+
+    - evaluate ``fn`` exactly on a control lattice every ``step`` grid
+      points (plus the last row/column),
+    - bilinear-interpolate every other grid point from its lattice cell,
+    - VALIDATE each cell at its center: if the exact transform there
+      deviates from the interpolated value by more than ``max_err``
+      (hypot, in output units — source pixels for the warp chain), every
+      grid point of that cell is recomputed exactly.
+
+    GDAL subdivides failing scanline segments recursively; recomputing the
+    failing cell exactly gives the same guarantee (error <= max_err at
+    every validated midpoint, exact values where validation fails) in two
+    fixed vectorized passes instead of a recursion. Discontinuities (the
+    mercator-domain pushes in warp_array's to_src_px) blow up the midpoint
+    check and land in the exact path automatically. Exact evaluations:
+    ~2/step^2 of the grid (at step=8: ~3%)."""
+    xv = np.asarray(xv, dtype=np.float64)
+    yv = np.asarray(yv, dtype=np.float64)
+    nx, ny = len(xv), len(yv)
+    if step < 2 or nx <= step or ny <= step:
+        return fn(*np.meshgrid(xv, yv))
+    ix = np.unique(np.r_[np.arange(0, nx, step), nx - 1])
+    iy = np.unique(np.r_[np.arange(0, ny, step), ny - 1])
+    CX, CY = fn(*np.meshgrid(xv[ix], yv[iy]))
+
+    # per-point cell index + interpolation fraction along each axis
+    jx = np.clip(np.searchsorted(ix, np.arange(nx), side="right") - 1, 0, len(ix) - 2)
+    jy = np.clip(np.searchsorted(iy, np.arange(ny), side="right") - 1, 0, len(iy) - 2)
+    tx = (xv - xv[ix[jx]]) / (xv[ix[jx + 1]] - xv[ix[jx]])
+    ty = (yv - yv[iy[jy]]) / (yv[iy[jy + 1]] - yv[iy[jy]])
+    TX, TY = np.meshgrid(tx, ty)
+
+    def bilin(C):
+        c00 = C[np.ix_(jy, jx)]
+        c01 = C[np.ix_(jy, jx + 1)]
+        c10 = C[np.ix_(jy + 1, jx)]
+        c11 = C[np.ix_(jy + 1, jx + 1)]
+        return (1 - TY) * ((1 - TX) * c00 + TX * c01) + TY * (
+            (1 - TX) * c10 + TX * c11
+        )
+
+    SX, SY = bilin(CX), bilin(CY)
+
+    # midpoint validation per lattice cell
+    mxv = 0.5 * (xv[ix[:-1]] + xv[ix[1:]])
+    myv = 0.5 * (yv[iy[:-1]] + yv[iy[1:]])
+    EX, EY = fn(*np.meshgrid(mxv, myv))
+    AX = 0.25 * (CX[:-1, :-1] + CX[:-1, 1:] + CX[1:, :-1] + CX[1:, 1:])
+    AY = 0.25 * (CY[:-1, :-1] + CY[:-1, 1:] + CY[1:, :-1] + CY[1:, 1:])
+    with np.errstate(invalid="ignore", over="ignore"):
+        err = np.hypot(EX - AX, EY - AY)
+    bad = ~(err <= max_err)  # NaN/inf midpoints are bad too
+    if bad.any():
+        bad_px = bad[np.ix_(jy, jx)]
+        X, Y = np.meshgrid(xv, yv)
+        ex, ey = fn(X[bad_px], Y[bad_px])
+        SX[bad_px] = ex
+        SY[bad_px] = ey
+    return SX, SY
+
+
 def warp_array(
     src: np.ndarray,
     src_gt,
@@ -97,6 +168,8 @@ def warp_array(
     dst_gt,
     dst_srid: int,
     resampling: str = "near",
+    approx_error: float | None = None,
+    approx_step: int = 8,
 ):
     """Warp one raster into a destination grid.
 
@@ -129,14 +202,23 @@ def warp_array(
                 ry = np.where(oob, -1e18, ry)
         return rx, ry
 
+    def eval_grid(xv, yv):
+        """Transform the meshgrid of 1-D coordinate vectors — exactly, or
+        through the error-bounded approximate transformer (gdalwarp -et)
+        when ``approx_error`` is set."""
+        if approx_error is not None:
+            return _approx_grid_transform(
+                to_src_px, xv, yv, approx_error, approx_step
+            )
+        return to_src_px(*np.meshgrid(xv, yv))
+
     if resampling in WINDOW_KERNELS:
         # window kernels (GRA_Average..GRA_RMS): per-dest-pixel source
-        # box from the 4 transformed pixel corners (exact; no 0.125-px
-        # approximation needed since the transform chain is closed-form)
+        # box from the 4 transformed pixel corners (exact by default; the
+        # approximate transformer bounds the corner error by approx_error)
         pe_x = np.arange(dst_w + 1, dtype=np.float64)
         pe_y = np.arange(dst_h + 1, dtype=np.float64)
-        cgx, cgy = np.meshgrid(pe_x, pe_y)
-        cx, cy = to_src_px(cgx, cgy)
+        cx, cy = eval_grid(pe_x, pe_y)
         corners_x = np.stack(
             [cx[:-1, :-1], cx[:-1, 1:], cx[1:, :-1], cx[1:, 1:]], axis=-1
         )
@@ -153,8 +235,7 @@ def warp_array(
         # dst pixel centers -> src pixel through the transform chain
         px = np.arange(dst_w, dtype=np.float64) + 0.5
         py = np.arange(dst_h, dtype=np.float64) + 0.5
-        gpx, gpy = np.meshgrid(px, py)
-        spx, spy = to_src_px(gpx, gpy)
+        spx, spy = eval_grid(px, py)
         sampler = SAMPLERS[resampling]
         out, valid = sampler(src, spx, spy)
     out = np.nan_to_num(out, nan=0.0)
@@ -209,6 +290,7 @@ def warp_images(
     resampling: str = "near",
     out_fmt: str | None = None,
     cutline_wkb: bytes | None = None,
+    approx_error: float | None = None,
 ):
     """DataFrame operator: reproject every image row to ``dst_srid``.
 
@@ -224,6 +306,10 @@ def warp_images(
     cutline -> validity-mask path): output pixels whose centers fall
     outside the cutline are zeroed. The geometry ships in the task
     closure; the per-image mask is the engine's own scanline fill.
+
+    ``approx_error``: gdalwarp -et — max transform-approximation error in
+    SOURCE pixels (GDAL's default is 0.125); None (default) evaluates the
+    transform chain exactly at every pixel.
     """
     import pandas as pd
 
@@ -247,7 +333,8 @@ def warp_images(
                     gt, r.srid, r.w, r.h, dst_srid
                 )
                 out, alpha = warp_array(
-                    src, gt, r.srid, (out_h, out_w), dst_gt, dst_srid, resampling
+                    src, gt, r.srid, (out_h, out_w), dst_gt, dst_srid,
+                    resampling, approx_error=approx_error,
                 )
                 arr = np.clip(np.round(out), 0, 255).astype(np.uint8)
                 if cut_polys is not None:

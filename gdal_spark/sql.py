@@ -275,6 +275,65 @@ def _st_makevalid(wkbs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(DoubleType())
+def _st_geodesic_distance(
+    lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series
+) -> pd.Series:
+    """WGS84 geodesic distance in meters (Vincenty; the
+    GeographicLib-backed surface of GDAL >= 3.9). NULL in -> NULL out."""
+    from .geodesic import vincenty_inverse
+
+    d = vincenty_inverse(
+        lon1.to_numpy(dtype=float),
+        lat1.to_numpy(dtype=float),
+        lon2.to_numpy(dtype=float),
+        lat2.to_numpy(dtype=float),
+    )
+    out = pd.Series(d)
+    out[lon1.isna() | lat1.isna() | lon2.isna() | lat2.isna()] = None
+    return out
+
+
+@F.pandas_udf(DoubleType())
+def _st_geodesic_length(wkbs: pd.Series) -> pd.Series:
+    """Geodesic linework length in meters of a lon/lat geometry
+    (OGR_G_GeodesicLength analog, ogr/ogrgeometry.cpp)."""
+    from .geodesic import geometry_geodesic_length
+
+    return pd.Series(
+        [
+            None
+            if b is None
+            else geometry_geodesic_length(geom.parse_wkb(bytes(b)))
+            for b in wkbs
+        ]
+    )
+
+
+_KIND_NAMES = {
+    geom.WKB_POINT: "POINT",
+    geom.WKB_LINESTRING: "LINESTRING",
+    geom.WKB_POLYGON: "POLYGON",
+    geom.WKB_MULTIPOINT: "MULTIPOINT",
+    geom.WKB_MULTILINESTRING: "MULTILINESTRING",
+    geom.WKB_MULTIPOLYGON: "MULTIPOLYGON",
+    geom.WKB_GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+
+
+@F.pandas_udf(StringType())
+def _st_geometrytype(wkbs: pd.Series) -> pd.Series:
+    """Geometry type NAME ('POLYGON', ...) — the value of the OGR SQL
+    special field OGR_GEOMETRY (ogr/ogr_gensql.cpp special-field
+    evaluation; documented in the OGR SQL dialect)."""
+    return pd.Series(
+        [
+            None if b is None else _KIND_NAMES.get(geom.parse_wkb(bytes(b)).kind)
+            for b in wkbs
+        ]
+    )
+
+
 def register_functions(spark: SparkSession) -> None:
     """Idempotent registration of the st_* SQL surface."""
     spark.udf.register("st_contains", _st_contains)
@@ -292,14 +351,53 @@ def register_functions(spark: SparkSession) -> None:
     spark.udf.register("st_simplify", _st_simplify)
     spark.udf.register("st_makevalid", _st_makevalid)
     spark.udf.register("st_convexhull", _st_convexhull)
+    spark.udf.register("st_geometrytype", _st_geometrytype)
+    spark.udf.register("st_geodesic_distance", _st_geodesic_distance)
+    spark.udf.register("st_geodesic_length", _st_geodesic_length)
 
 
 def execute_sql(
-    spark: SparkSession, sql: str, layers: dict[str, DataFrame] | None = None
+    spark: SparkSession,
+    sql: str,
+    layers: dict[str, DataFrame | tuple] | None = None,
 ) -> DataFrame:
     """Run an SQL statement over named layers (ExecuteSQL semantics:
-    layers become tables; st_* functions are available)."""
+    layers become tables; st_* functions are available).
+
+    A layer value may be a DataFrame, or a tuple ``(df, geom_col)`` /
+    ``(df, geom_col, fid_col)``. With a geometry column named, the OGR
+    SQL SPECIAL FIELDS (ogr/ogr_gensql.cpp special-field handling; the
+    documented OGR SQL dialect surface) are added to the view:
+
+    - OGR_GEOMETRY   geometry type name ('POLYGON', ...)
+    - OGR_GEOM_WKT   WKT of the geometry
+    - OGR_GEOM_AREA  polygonal area (0 for non-areal kinds)
+    - OGR_STYLE      NULL (the engine carries no style strings)
+    - FID            = fid_col, only when one is named — OGR numbers
+      features by read order, which a distributed table does not have;
+      fabricating one (monotonically_increasing_id) would not be stable
+      across runs, so the caller must designate the id column instead.
+
+    The fields are lazy projections — Catalyst prunes any the statement
+    does not reference, so unused special fields cost nothing."""
     register_functions(spark)
-    for name, df in (layers or {}).items():
+    for name, spec in (layers or {}).items():
+        fid_col = None
+        geom_col = None
+        if isinstance(spec, tuple):
+            df, geom_col, *rest = spec
+            fid_col = rest[0] if rest else None
+        else:
+            df = spec
+        if geom_col is not None:
+            g = F.col(geom_col)
+            df = (
+                df.withColumn("OGR_GEOMETRY", _st_geometrytype(g))
+                .withColumn("OGR_GEOM_WKT", _st_astext(g))
+                .withColumn("OGR_GEOM_AREA", _st_area(g))
+                .withColumn("OGR_STYLE", F.lit(None).cast("string"))
+            )
+            if fid_col is not None:
+                df = df.withColumn("FID", F.col(fid_col).cast("long"))
         df.createOrReplaceTempView(name)
     return spark.sql(sql)

@@ -587,3 +587,66 @@ def test_st_contains_null_coordinate_is_null(spark):
         spark, "SELECT fid FROM l WHERE NOT st_contains(g, x, y)", {"l": df}
     ).collect()
     assert kept == []  # NULLs filtered by WHERE, row 1 is contained
+
+
+class TestSpecialFields:
+    """OGR SQL special fields (ogr/ogr_gensql.cpp; OGR SQL dialect docs):
+    OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA / OGR_STYLE / FID."""
+
+    def _layer(self, spark):
+        rows = [
+            (7, bytearray(geom.wkb_rect(0.0, 0.0, 4.0, 3.0))),
+            (9, bytearray(geom.wkb_linestring(
+                np.array([[0.0, 0.0], [3.0, 4.0]])))),
+            (11, None),
+        ]
+        return spark.createDataFrame(rows, "myid long, g binary")
+
+    def test_special_fields(self, spark):
+        from gdal_spark.sql import execute_sql
+
+        df = self._layer(spark)
+        out = execute_sql(
+            spark,
+            "SELECT FID, OGR_GEOMETRY, OGR_GEOM_WKT, OGR_GEOM_AREA, "
+            "OGR_STYLE FROM l ORDER BY FID",
+            {"l": (df, "g", "myid")},
+        ).collect()
+        assert [r.FID for r in out] == [7, 9, 11]
+        assert out[0].OGR_GEOMETRY == "POLYGON"
+        assert out[0].OGR_GEOM_AREA == 12.0
+        assert out[0].OGR_GEOM_WKT.startswith("POLYGON")
+        assert out[1].OGR_GEOMETRY == "LINESTRING"
+        assert out[1].OGR_GEOM_AREA == 0.0
+        assert out[2].OGR_GEOMETRY is None
+        assert all(r.OGR_STYLE is None for r in out)
+
+    def test_special_fields_in_where(self, spark):
+        from gdal_spark.sql import execute_sql
+
+        df = self._layer(spark)
+        out = execute_sql(
+            spark,
+            "SELECT myid FROM l WHERE OGR_GEOMETRY = 'POLYGON' "
+            "AND OGR_GEOM_AREA > 10",
+            {"l": (df, "g")},
+        ).collect()
+        assert [r.myid for r in out] == [7]
+
+    def test_plain_dataframe_layers_unchanged(self, spark):
+        from gdal_spark.sql import execute_sql
+
+        df = self._layer(spark)
+        cols = execute_sql(spark, "SELECT * FROM l", {"l": df}).columns
+        assert cols == ["myid", "g"]  # no special fields without geom_col
+
+    def test_st_geometrytype_function(self, spark):
+        from gdal_spark.sql import execute_sql
+
+        df = self._layer(spark)
+        out = execute_sql(
+            spark,
+            "SELECT myid, st_geometrytype(g) AS t FROM l ORDER BY myid",
+            {"l": df},
+        ).collect()
+        assert [r.t for r in out] == ["POLYGON", "LINESTRING", None]
