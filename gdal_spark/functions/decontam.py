@@ -75,25 +75,37 @@ def decontaminate(
     collision odds ~ (grams²)/2⁶⁴); the default keeps strings so the
     result is exact and SQL-reproducible."""
     egrams = eval_gram_set(eval_df, n, eval_text_col or text_col)
-    tg = train.select(
+    # ONE scan of the training text: the gram array is built once, its
+    # size rides along through explode_outer (zero-gram docs survive as a
+    # NULL gram row), hits are marked by a broadcast LEFT join (egrams is
+    # distinct, so no row multiplication), and one groupBy(_id) shuffle
+    # of narrow (id, n_grams, marker) rows aggregates the report.
+    ex = train.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        word_ngrams(F.col(text_col), n).alias("_grams"),
+    ).select(
+        "_id",
+        F.size("_grams").alias("n_grams"),
+        F.explode_outer("_grams").alias("g"),
     )
     if hash_grams:
-        tg = tg.select("_id", F.xxhash64("g").alias("g"))
+        # xxhash64(NULL) is a non-NULL constant — keep the zero-gram
+        # sentinel NULL so it can never collide with a real eval gram
+        ex = ex.select(
+            "_id",
+            "n_grams",
+            F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("g"),
+        )
         egrams = egrams.select(F.xxhash64("g").alias("g"))
-    hits = (
-        tg.join(F.broadcast(egrams), "g", "left_semi")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    sizes = train.select(
-        F.col(id_col).alias("_id"),
-        F.size(word_ngrams(F.col(text_col), n)).alias("n_grams"),
+    marked = ex.join(
+        F.broadcast(egrams.withColumn("_hit", F.lit(1))), "g", "left"
     )
     out = (
-        sizes.join(hits, "_id", "left")
-        .na.fill({"n_hit": 0})
+        marked.groupBy("_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
         .select(
             F.col("_id").alias(id_col),
             "n_grams",

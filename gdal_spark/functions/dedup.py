@@ -648,6 +648,10 @@ def semantic_dedup_pairs(
     assigned = corpus.select(id_col, vec_col).mapInPandas(
         assign, schema=f"cluster long, id {id_type}, v {vec_type}"
     )
+    # both join sides read the assignment: materialize it ONCE (eager
+    # local checkpoint, the minhash convention) so the Arrow assign pass
+    # and the corpus scan don't run twice
+    assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))

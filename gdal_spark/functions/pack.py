@@ -46,7 +46,11 @@ def pack_sequences(
     Token counts come from ``tokens_col`` if given, else
     text.token_count(text_col) (whitespace tokens — the same formula the
     token_count oracle uses, so DuckDB reproduces it). NULL-text rows
-    (nothing to train on) are excluded."""
+    (nothing to train on) are excluded.
+
+    Determinism requires ids unique within a shard: the walk order is
+    (doc_id, n_tokens) ascending, so duplicate ids with equal token
+    counts would tie on shuffle arrival order."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     tok = (
@@ -66,7 +70,7 @@ def pack_sequences(
     cap = int(capacity)
 
     def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf = pdf.sort_values(["doc_id", "n_tokens"]).reset_index(drop=True)
         toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
         n = len(toks)
         bin_id = np.zeros(n, dtype=np.int64)

@@ -361,6 +361,97 @@ def main():
         out,
     )
 
+    # 17. decontaminate: gram construction is PURE Column math (no Python
+    # at all), the eval gram set is broadcast, and the only shuffle
+    # exchanges are the eval distinct + the per-doc groupBy
+    from gdal_spark.functions.decontam import decontaminate
+
+    dec = decontaminate(
+        docs.where(F.col("doc_id") % 13 != 0),
+        docs.where(F.col("doc_id") % 13 == 0),
+        n=3,
+    )
+    audit(
+        "decontaminate_broadcast_grams",
+        dec,
+        [
+            ("no_python", lambda p: "EvalPython" not in p and "InPandas" not in p),
+            ("eval_broadcast", r"BroadcastHashJoin"),
+            ("bounded_exchanges",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 3),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
+    # 18. semantic dedup: the Arrow assignment pass is materialized ONCE
+    # (eager local checkpoint — it feeds both join sides), so the
+    # explained plan starts at the checkpoint scan; the pair stage is a
+    # cluster equi-join with JVM-side cosine (no Python after the join)
+    from gdal_spark.functions.dedup import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sem = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4)
+    audit(
+        "semantic_dedup_cluster_equijoin",
+        sem,
+        [
+            ("cluster_equi_join",
+             lambda p: re.search(
+                 r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p
+             ) is not None and "cluster#" in p),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            ("jvm_cosine", lambda p: "InPandas" not in p
+             and "EvalPython" not in p),
+        ],
+        out,
+    )
+
+    # 19. sequence packing: ONE groupBy(shard) exchange of narrow
+    # (id, n_tokens) rows into one grouped Arrow pass; token counting is
+    # Column math, never row Python
+    from gdal_spark.functions.pack import pack_sequences
+
+    pk = pack_sequences(docs, capacity=200, n_shards=8)
+    audit(
+        "pack_single_shard_exchange",
+        pk,
+        [
+            ("grouped_pandas", r"FlatMapGroupsInPandas"),
+            ("one_exchange",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no_row_python", lambda p: "BatchEvalPython" not in p),
+        ],
+        out,
+    )
+
+    # 20. geodesic distance: a single vectorized Arrow projection —
+    # shuffle-free, no per-row Python
+    from gdal_spark.sql import _st_geodesic_distance
+
+    k = F.col("c_custkey")
+    gd = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .select(
+            _st_geodesic_distance(
+                (k % 360 - 180).cast("double"),
+                (k % 160 - 80).cast("double"),
+                ((k + 7) % 360 - 180).cast("double"),
+                ((k + 11) % 160 - 80).cast("double"),
+            ).alias("d")
+        )
+    )
+    audit(
+        "geodesic_arrow_projection",
+        gd,
+        [
+            ("no_exchange", lambda p: "Exchange" not in p),
+            ("vectorized_udf", r"ArrowEvalPython"),
+            ("no_row_python", lambda p: "BatchEvalPython" not in p),
+        ],
+        out,
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
