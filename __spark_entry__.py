@@ -968,6 +968,113 @@ def q_semantic_dedup_sql() -> str:
     )
 
 
+def _mosaic_fixture_records():
+    """3 deterministic overlapping images on exact-arithmetic grids
+    (power-of-two resolutions, integer origins: every coordinate
+    computation is exact in float64, so the distributed per-tile compose
+    and the local full-grid replica agree bitwise)."""
+    import numpy as np
+
+    from gdal_spark import codecs as C
+
+    specs = [
+        ("a", (0.0, 256.0), 2.0, (96, 80), 1),
+        ("b", (128.0, 192.0), 4.0, (64, 48), 2),
+        ("c", (320.0, 128.0), 2.0, (32, 32), 3),
+    ]
+    rows = []
+    for image_id, origin, res, size, seed in specs:
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 255, size=(size[1], size[0], 3)).astype(np.uint8)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": bytearray(C.encode_png(arr)),
+                "w": size[0],
+                "h": size[1],
+                "fmt": "png",
+                "gt0": float(origin[0]),
+                "gt1": float(res),
+                "gt2": 0.0,
+                "gt3": float(origin[1]),
+                "gt4": 0.0,
+                "gt5": -float(res),
+                "srid": 3857,
+            }
+        )
+    return rows
+
+
+def q_mosaic_checksums(spark, sf_dir):
+    """gdalbuildvrt analog (operators.mosaic.build_mosaic): 3 overlapping
+    sources at mixed resolutions composed onto the 'highest' common grid
+    in 64-px tiles. Oracle = a LOCAL full-grid replica (one numpy paint,
+    a different composition path than the distributed per-tile warp +
+    tile-key shuffle + compose) cut into the same tiles — literal VALUES,
+    bitwise parity."""
+    from gdal_spark.operators.mosaic import build_mosaic
+
+    imgs = spark.createDataFrame(
+        _mosaic_fixture_records(),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int",
+    )
+    tiles = build_mosaic(imgs, "highest", tile_size=64)
+    return tiles.select("tx", "ty", "w", "h", "checksum", "n_src").orderBy(
+        "tx", "ty"
+    )
+
+
+def q_mosaic_checksums_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.operators.warp import warp_array
+
+    recs = _mosaic_fixture_records()
+    res = min(r["gt1"] for r in recs)
+    minx = min(r["gt0"] for r in recs)
+    maxx = max(r["gt0"] + r["w"] * r["gt1"] for r in recs)
+    maxy = max(r["gt3"] for r in recs)
+    miny = min(r["gt3"] + r["h"] * r["gt5"] for r in recs)
+    W = int(np.ceil((maxx - minx) / res - 1e-9))
+    H = int(np.ceil((maxy - miny) / res - 1e-9))
+    gt = (minx, res, 0.0, maxy, 0.0, -res)
+    buf = np.zeros((H, W, 3), dtype=np.uint8)
+    alpha = np.zeros((H, W), dtype=np.uint8)
+    n_src = np.zeros((H, W), dtype=np.int32)
+    srcs: list[np.ndarray] = []
+    for r in sorted(recs, key=lambda r: r["image_id"]):
+        arr = C.decode_image(bytes(r["bytes"]), r["fmt"])
+        src_gt = (r["gt0"], r["gt1"], r["gt2"], r["gt3"], r["gt4"], r["gt5"])
+        o, cov = warp_array(arr, src_gt, 3857, (H, W), gt, 3857, "near")
+        t = np.clip(np.round(o), 0, 255).astype(np.uint8)
+        m = cov > 0
+        buf[m] = t[m]
+        alpha[m] = 255
+        srcs.append(m)
+    ts = 64
+    rows = []
+    for ty in range((H + ts - 1) // ts):
+        for tx in range((W + ts - 1) // ts):
+            y0, x0 = ty * ts, tx * ts
+            tw, th = min(ts, W - x0), min(ts, H - y0)
+            sa = alpha[y0 : y0 + th, x0 : x0 + tw]
+            if not sa.any():
+                continue
+            sub = np.dstack([buf[y0 : y0 + th, x0 : x0 + tw], sa])
+            ns = sum(
+                1 for m in srcs if m[y0 : y0 + th, x0 : x0 + tw].any()
+            )
+            rows.append(
+                (tx, ty, tw, th, int(image_checksums(sub)[0]), ns)
+            )
+    rows.sort()
+    return _vals_sql(rows, ["tx", "ty", "w", "h", "checksum", "n_src"], "tx, ty")
+
+
 def q_geodesic_distance(spark, sf_dir):
     """WGS84 geodesic distance (Vincenty inverse, gdal_spark.geodesic —
     the OGR_G_GeodesicLength/GeographicLib surface of GDAL >= 3.9) over
@@ -4132,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pack_sequences": q_pack_sequences,
         "geodesic_distance": q_geodesic_distance,
+        "mosaic_checksums": q_mosaic_checksums,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4209,6 +4317,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": q_semantic_dedup_sql(),
         "pack_sequences": q_pack_sequences_sql(),
         "geodesic_distance": q_geodesic_distance_sql(),
+        "mosaic_checksums": q_mosaic_checksums_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

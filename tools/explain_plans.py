@@ -425,6 +425,31 @@ def main():
         out,
     )
 
+    # 20b. buildvrt mosaic: column-math tile ranges (no explode of image
+    # bytes), decode-once Arrow cut, ONE tile-key shuffle into the
+    # compose (the metadata grid agg ran eagerly before this plan)
+    from gdal_spark.operators.mosaic import build_mosaic
+    import __spark_entry__ as _E
+
+    mimgs = spark.createDataFrame(
+        _E._mosaic_fixture_records(),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int",
+    )
+    mz = build_mosaic(mimgs, "highest", tile_size=64)
+    audit(
+        "mosaic_tilekey_shuffle",
+        mz,
+        [
+            ("map_then_group", r"MapInPandas[\s\S]*FlatMapGroupsInPandas"),
+            ("one_exchange",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
     # 20. geodesic distance: a single vectorized Arrow projection —
     # shuffle-free, no per-row Python
     from gdal_spark.sql import _st_geodesic_distance
