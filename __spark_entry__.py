@@ -1075,6 +1075,77 @@ def q_mosaic_checksums_sql():
     return _vals_sql(rows, ["tx", "ty", "w", "h", "checksum", "n_src"], "tx, ty")
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ combined ANN (FAISS-style: coarse lists + PQ codes, only
+    (list, id, codes) rows shuffle). Exhaustive probing + zero-error
+    codebooks -> output EQUALS brute force (the oracle setting, same
+    construction as the ivf_topk and pq_topk entries); recall at partial
+    probe is asserted in tests/test_ivfpq_lines.py."""
+    from gdal_spark.functions.simsearch import exact_pq_codebooks, ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.where(F.col("vec_id") < 4).select("vec_id", "embedding")
+    queries = [(int(r[0]), [float(v) for v in r[1]]) for r in qdf.collect()]
+    books = exact_pq_codebooks(e, m=8)
+    out = ivfpq_topk(
+        e, queries, k=5, n_lists=8, nprobe=8, m=8, codebooks=books
+    )
+    return out.select(
+        "qid", "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy("qid", F.col("cosine").desc(), "vec_id")
+
+
+def q_ivfpq_topk_sql():
+    return q_cosine_topk_sql()
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """C4-style line-level boilerplate removal over synthesized
+    multi-line docs (the corpus has no newlines, so each doc becomes
+    [first-50-chars, a constant footer, next-50-chars] — column math the
+    oracle replays): the footer appears in every doc and is stripped
+    everywhere; exact-dup families wider than max_docs lose their shared
+    content lines too."""
+    from gdal_spark.functions.lines import strip_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    ml = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 50),
+            F.lit("subscribe to our newsletter"),
+            F.substring("text", 51, 50),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(ml, max_docs=3)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", "text_clean"
+    ).orderBy("doc_id")
+
+
+def q_strip_boilerplate_sql():
+    return (
+        "WITH ml AS (SELECT doc_id, substr(text, 1, 50) AS l1, "
+        "'subscribe to our newsletter' AS l2, substr(text, 51, 50) AS l3 "
+        "FROM documents), "
+        "lines AS (SELECT doc_id, 1 AS pos, l1 AS line FROM ml "
+        "UNION ALL SELECT doc_id, 2, l2 FROM ml "
+        "UNION ALL SELECT doc_id, 3, l3 FROM ml), "
+        "ne AS (SELECT * FROM lines WHERE trim(line) <> ''), "
+        "freq AS (SELECT trim(line) AS k FROM ne GROUP BY 1 "
+        "HAVING count(DISTINCT doc_id) > 3), "
+        "marked AS (SELECT ne.*, trim(line) IN (SELECT k FROM freq) AS bp "
+        "FROM ne), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(count(*) FILTER (bp) AS BIGINT) AS n_removed, "
+        "coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10) "
+        "ORDER BY pos), '') AS text_clean FROM marked GROUP BY doc_id) "
+        "SELECT doc_id, n_lines, n_removed, text_clean FROM agg "
+        "ORDER BY doc_id"
+    )
+
+
 def q_geodesic_distance(spark, sf_dir):
     """WGS84 geodesic distance (Vincenty inverse, gdal_spark.geodesic —
     the OGR_G_GeodesicLength/GeographicLib surface of GDAL >= 3.9) over
@@ -4240,6 +4311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "geodesic_distance": q_geodesic_distance,
         "mosaic_checksums": q_mosaic_checksums,
+        "ivfpq_topk": q_ivfpq_topk,
+        "strip_boilerplate": q_strip_boilerplate,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4318,6 +4391,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": q_pack_sequences_sql(),
         "geodesic_distance": q_geodesic_distance_sql(),
         "mosaic_checksums": q_mosaic_checksums_sql(),
+        "ivfpq_topk": q_ivfpq_topk_sql(),
+        "strip_boilerplate": q_strip_boilerplate_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -359,6 +359,111 @@ def exact_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding", m: int = 8
     return out
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 8,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """FAISS-style IVF-PQ (the combined scale path of the ANN ladder):
+    ONE Arrow pass assigns every corpus vector to its nearest coarse
+    centroid AND PQ-encodes it (d floats -> m codes); only the (list_id,
+    id, codes) rows ever reach a shuffle — the raw vectors never leave
+    the scan, which is the 10^12-row memory story (m bytes/row touched,
+    nprobe/n_lists of the corpus scanned per query).
+
+    Vectors are encoded DIRECTLY (FAISS by_residual=False): with
+    ``nprobe == n_lists`` and exact_pq_codebooks the ADC scores equal
+    exact cosines, so the output EQUALS brute force — the oracle
+    setting; residual encoding would break that exactness and is the
+    documented trade-off. Scoring = per-query (m, k) LUT gathers + the
+    same tie-preserving partial top-k as pq_topk/cosine_topk."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col, m, nbits, seed=seed)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m_, _kk, dsub = B.shape
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["list_id", "id", "codes"])
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = _unit_rows(M)
+            lid = np.argmax(Mn @ C.T, axis=1)
+            codes = np.empty((len(Mn), m_), dtype=np.int32)
+            for sub in range(m_):
+                S = Mn[:, sub * dsub : (sub + 1) * dsub]
+                half = 0.5 * (B[sub] ** 2).sum(axis=1)
+                codes[:, sub] = np.argmax(S @ B[sub].T - half[None, :], axis=1)
+            yield pd.DataFrame(
+                {
+                    "list_id": lid.astype(np.int64),
+                    "id": pdf[id_col],
+                    "codes": list(codes),
+                }
+            )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    encoded = corpus.select(id_col, vec_col).mapInPandas(
+        assign_encode, schema=f"list_id long, id {id_type}, codes array<int>"
+    )
+
+    Q = np.array([q[1] for q in queries], dtype=np.float64)
+    Qn = _unit_rows(Q)
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qid), int(lst))
+        for (qid, _), lists in zip(queries, order)
+        for lst in lists
+    ]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, list_id long")
+    cand = encoded.join(F.broadcast(probes), "list_id")
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    lut = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), m_, dsub), B)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score(batches):
+        subs = np.arange(m_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["qid", "vec_id", "cosine"])
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            rows = []
+            for qid in pdf["qid"].unique():
+                msk = (pdf["qid"] == qid).to_numpy()
+                sims = lut[qpos[int(qid)]][subs[None, :], codes[msk]].sum(axis=1)
+                take = min(k, len(sims))
+                thresh = -np.partition(-sims, take - 1)[take - 1]
+                sel = np.nonzero(sims >= thresh)[0]
+                sub_ids = ids[msk]
+                rows.extend(
+                    (int(qid), int(sub_ids[j]), float(sims[j])) for j in sel
+                )
+            yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    scored = cand.select("qid", "id", "codes").mapInPandas(
+        score, schema="qid long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],

@@ -1,0 +1,124 @@
+"""Tests for IVF-PQ combined ANN and C4-style line boilerplate removal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from gdal_spark.functions.lines import line_doc_counts, strip_boilerplate
+from gdal_spark.functions.simsearch import (
+    cosine_topk,
+    exact_pq_codebooks,
+    ivfpq_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(200, 32))
+    return spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+class TestIvfPq:
+    def _queries(self, emb, n=3):
+        rows = emb.where(f"vec_id < {n}").collect()
+        return [(int(r.vec_id), [float(v) for v in r.embedding]) for r in rows]
+
+    def test_exhaustive_exact_equals_brute_force(self, spark, emb):
+        qs = self._queries(emb)
+        books = exact_pq_codebooks(emb, m=8)
+        got = ivfpq_topk(
+            emb, qs, k=5, n_lists=4, nprobe=4, m=8, codebooks=books
+        ).collect()
+        exp = cosine_topk(emb, qs, k=5).collect()
+        gm = {(r.qid, r.vec_id): round(r.cosine, 9) for r in got}
+        em = {(r.qid, r.vec_id): round(r.cosine, 9) for r in exp}
+        assert gm == em
+
+    def test_partial_probe_recall(self, spark, emb):
+        qs = self._queries(emb, n=8)
+        exp = cosine_topk(emb, qs, k=5).collect()
+        got = ivfpq_topk(emb, qs, k=5, n_lists=8, nprobe=4, m=8).collect()
+        exp_set = {(r.qid, r.vec_id) for r in exp}
+        got_set = {(r.qid, r.vec_id) for r in got}
+        recall = len(exp_set & got_set) / len(exp_set)
+        # trained PQ at 8 bits on random gaussians + half the lists:
+        # self-match must survive, bulk recall stays useful
+        assert recall >= 0.5
+        for qid, _ in qs:
+            assert (qid, qid) in got_set  # the query itself is found
+
+    def test_deterministic(self, spark, emb):
+        qs = self._queries(emb)
+        a = sorted(
+            map(tuple, ivfpq_topk(emb, qs, k=5, n_lists=4, nprobe=2).collect())
+        )
+        b = sorted(
+            map(tuple, ivfpq_topk(emb, qs, k=5, n_lists=4, nprobe=2).collect())
+        )
+        assert a == b
+
+
+class TestStripBoilerplate:
+    def _docs(self, spark):
+        rows = [
+            (0, "unique zero\nSUBSCRIBE NOW\nalpha beta"),
+            (1, "unique one\nSUBSCRIBE NOW\n  \ngamma delta"),
+            (2, "unique two\n SUBSCRIBE NOW \nshared tail"),
+            (3, "unique three\nshared tail\n"),
+            (4, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_counts(self, spark):
+        counts = {
+            r.line: r.n_docs
+            for r in line_doc_counts(self._docs(spark)).collect()
+        }
+        assert counts["SUBSCRIBE NOW"] == 3  # trimmed match across docs
+        assert counts["shared tail"] == 2
+        assert counts["unique zero"] == 1
+        assert "" not in counts  # empty/whitespace lines never counted
+
+    def test_strip(self, spark):
+        out = {
+            r.doc_id: r
+            for r in strip_boilerplate(self._docs(spark), max_docs=2).collect()
+        }
+        # SUBSCRIBE NOW (3 docs) stripped; shared tail (2 docs) kept
+        assert out[0].text_clean == "unique zero\nalpha beta"
+        assert out[0].n_lines == 3 and out[0].n_removed == 1
+        assert out[1].text_clean == "unique one\ngamma delta"
+        assert out[2].text_clean == "unique two\nshared tail"
+        assert out[3].text_clean == "unique three\nshared tail"
+        assert out[3].n_removed == 0
+        assert out[4].text_clean == "" and out[4].n_lines == 0
+
+    def test_strip_all_lines(self, spark):
+        df = spark.createDataFrame(
+            [(i, "only line") for i in range(4)], "doc_id long, text string"
+        )
+        out = strip_boilerplate(df, max_docs=2).collect()
+        assert all(r.text_clean == "" and r.n_removed == 1 for r in out)
+
+    def test_hash_lines_same_verdicts(self, spark):
+        plain = strip_boilerplate(self._docs(spark), max_docs=2).collect()
+        hashed = strip_boilerplate(
+            self._docs(spark), max_docs=2, hash_lines=True
+        ).collect()
+        assert sorted((r.doc_id, r.text_clean) for r in plain) == sorted(
+            (r.doc_id, r.text_clean) for r in hashed
+        )
+
+    def test_order_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(0, "z last\na first\nm mid")], "doc_id long, text string"
+        )
+        out = strip_boilerplate(df, max_docs=2).collect()[0]
+        assert out.text_clean == "z last\na first\nm mid"

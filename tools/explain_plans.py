@@ -450,6 +450,62 @@ def main():
         out,
     )
 
+    # 20c. line boilerplate strip: two shuffles total (the count groupBy
+    # and the rebuild groupBy — it is inherently a two-pass algorithm),
+    # frequent-line set broadcast, no Python anywhere
+    from gdal_spark.functions.lines import strip_boilerplate
+
+    sb = strip_boilerplate(
+        docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.substring("text", 1, 50), F.lit("footer"),
+                F.substring("text", 51, 50),
+            ).alias("text"),
+        ),
+        max_docs=3,
+    )
+    audit(
+        "boilerplate_two_pass",
+        sb,
+        [
+            ("no_python", lambda p: "EvalPython" not in p and "InPandas" not in p),
+            ("freq_broadcast", r"BroadcastHashJoin"),
+            ("bounded_exchanges",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 4),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
+    # 20d. IVF-PQ: codes-only shuffle — the broadcast probe join and
+    # everything after the encode pass must never carry the embedding
+    # column (the d-floats -> m-bytes memory story)
+    from gdal_spark.functions.simsearch import ivfpq_topk
+
+    qs_v = [
+        (i, [float((i * 31 + j * 7) % 13 - 6) for j in range(64)])
+        for i in range(2)
+    ]
+    ivq = ivfpq_topk(emb, qs_v, k=3, n_lists=4, nprobe=2, m=8)
+    audit(
+        "ivfpq_codes_only_shuffle",
+        ivq,
+        [
+            ("probe_broadcast", r"BroadcastHashJoin"),
+            # the join detail block (and therefore every row crossing it)
+            # carries codes, never the embedding column — the scan detail
+            # further down legitimately mentions embedding, so inspect the
+            # join's own block, not everything after it
+            ("no_embedding_after_encode",
+             lambda p: (lambda m: m is not None and "embedding" not in m.group(0))(
+                 re.search(r"\(\d+\) BroadcastHashJoin[\s\S]*?(?=\(\d+\) )", p)
+             )),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
     # 20. geodesic distance: a single vectorized Arrow projection —
     # shuffle-free, no per-row Python
     from gdal_spark.sql import _st_geodesic_distance
