@@ -75,6 +75,8 @@ def mosaic_grid(images: DataFrame, resolution: str = "highest",
         F.min("gt1").alias("gt1_min"),
         F.max("gt5").alias("gt5_max"),
     ).collect()[0]
+    if agg.minx is None:
+        raise ValueError("mosaic over zero source images")
     if agg.n_srid != 1:
         # buildvrt parity: "gdalbuildvrt does not support heterogeneous
         # projection" — reproject with warp_images first

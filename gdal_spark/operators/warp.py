@@ -20,6 +20,8 @@ transform chain, not IO, dominates a 100-TB warp.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .. import codecs
@@ -247,12 +249,28 @@ def warp_array(
     return out, alpha
 
 
-def suggested_output_grid(src_gt, src_srid: int, w: int, h: int, dst_srid: int):
+def suggested_output_grid(
+    src_gt,
+    src_srid: int,
+    w: int,
+    h: int,
+    dst_srid: int,
+    target_res: tuple[float, float] | None = None,
+    tap: bool = False,
+):
     """Output grid (gt, w, h) preserving approximate resolution.
 
     Simplified GDALSuggestedWarpOutput2 (alg/gdaltransformer.cpp:296-851):
     transform a border sample grid of the source, take the bounding box,
-    and pick a square pixel size that keeps the diagonal pixel count."""
+    and pick a square pixel size that keeps the diagonal pixel count.
+
+    ``target_res=(xres, yres)`` is gdalwarp -tr (explicit output pixel
+    size); ``tap=True`` is gdalwarp -tap (target aligned pixels,
+    apps/gdalwarp_lib.cpp): the extent is snapped OUTWARD to multiples of
+    the resolution so warps of adjacent sources land on one shared global
+    grid — the option that makes independently-warped tiles of a 100-TB
+    mosaic line up without resampling seams. GDAL requires -tr with -tap;
+    so does this."""
     n = 21
     bx = np.concatenate(
         [
@@ -269,6 +287,21 @@ def suggested_output_grid(src_gt, src_srid: int, w: int, h: int, dst_srid: int):
     tx, ty = geo_transform_points(gx, gy, src_srid, dst_srid)
     minx, maxx = float(tx.min()), float(tx.max())
     miny, maxy = float(ty.min()), float(ty.max())
+    if target_res is not None:
+        px, py = float(target_res[0]), float(abs(target_res[1]))
+        if tap:
+            minx = math.floor(minx / px) * px
+            maxx = math.ceil(maxx / px) * px
+            miny = math.floor(miny / py) * py
+            maxy = math.ceil(maxy / py) * py
+        out_w = max(1, int(round((maxx - minx) / px)))
+        out_h = max(1, int(round((maxy - miny) / py)))
+        # -tr fixes the pixel size exactly; the extent (already snapped
+        # under -tap) grows to the pixel count, as gdalwarp does
+        gt = (minx, px, 0.0, maxy, 0.0, -py)
+        return gt, out_w, out_h
+    if tap:
+        raise ValueError("tap=True requires target_res (gdalwarp -tap needs -tr)")
     diag_px = np.hypot(w, h)
     pixel = float(np.hypot(maxx - minx, maxy - miny) / diag_px)
     out_w = max(1, int(round((maxx - minx) / pixel)))
@@ -291,6 +324,8 @@ def warp_images(
     out_fmt: str | None = None,
     cutline_wkb: bytes | None = None,
     approx_error: float | None = None,
+    target_res: tuple[float, float] | None = None,
+    tap: bool = False,
 ):
     """DataFrame operator: reproject every image row to ``dst_srid``.
 
@@ -330,7 +365,8 @@ def warp_images(
                 src = codecs.decode_image(bytes(r.bytes), r.fmt)
                 gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
                 dst_gt, out_w, out_h = suggested_output_grid(
-                    gt, r.srid, r.w, r.h, dst_srid
+                    gt, r.srid, r.w, r.h, dst_srid,
+                    target_res=target_res, tap=tap,
                 )
                 out, alpha = warp_array(
                     src, gt, r.srid, (out_h, out_w), dst_gt, dst_srid,

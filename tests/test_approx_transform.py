@@ -153,3 +153,55 @@ class TestWarpApprox:
         )
         assert np.array_equal(a_exact, a_approx)
         assert np.array_equal(exact, approx)
+
+
+class TestTargetResAndTap:
+    """gdalwarp -tr / -tap output-grid semantics."""
+
+    def _src(self):
+        return (400000.0, 30.0, 0.0, 5_200_000.0, 0.0, -30.0), 128, 96
+
+    def test_tr_sets_exact_resolution(self):
+        gt, w, h = self._src()
+        dst_gt, ow, oh = suggested_output_grid(
+            gt, 32633, w, h, 3857, target_res=(50.0, 50.0)
+        )
+        assert dst_gt[1] == 50.0 and dst_gt[5] == -50.0
+
+    def test_tap_snaps_origin_to_res_multiples(self):
+        gt, w, h = self._src()
+        dst_gt, ow, oh = suggested_output_grid(
+            gt, 32633, w, h, 3857, target_res=(50.0, 50.0), tap=True
+        )
+        assert dst_gt[0] % 50.0 == 0.0
+        assert dst_gt[3] % 50.0 == 0.0
+        # extent snapped OUTWARD: covers the raw transformed source
+        # extent on every side (the -tr-only grid may clip up to half a
+        # pixel at the far edges — GDAL rounds the same way)
+        bx = np.concatenate([np.linspace(0, w, 21), np.linspace(0, w, 21),
+                             np.zeros(21), np.full(21, float(w))])
+        by = np.concatenate([np.zeros(21), np.full(21, float(h)),
+                             np.linspace(0, h, 21), np.linspace(0, h, 21)])
+        gx, gy = apply_gt(gt, bx, by)
+        tx, ty = geo_transform_points(gx, gy, 32633, 3857)
+        assert dst_gt[0] <= tx.min() and dst_gt[0] + ow * 50.0 >= tx.max()
+        assert dst_gt[3] >= ty.max() and dst_gt[3] - oh * 50.0 <= ty.min()
+
+    def test_adjacent_sources_share_one_grid(self):
+        # the point of -tap: two neighbouring rasters snap onto grids
+        # whose origins differ by an integer number of pixels
+        gt1 = (400000.0, 30.0, 0.0, 5_200_000.0, 0.0, -30.0)
+        gt2 = (400000.0 + 128 * 30.0 + 7.0, 30.0, 0.0, 5_200_000.0 - 13.0, 0.0, -30.0)
+        a, _, _ = suggested_output_grid(gt1, 32633, 128, 96, 3857,
+                                        target_res=(50.0, 50.0), tap=True)
+        b, _, _ = suggested_output_grid(gt2, 32633, 128, 96, 3857,
+                                        target_res=(50.0, 50.0), tap=True)
+        assert (b[0] - a[0]) % 50.0 == 0.0
+        assert (b[3] - a[3]) % 50.0 == 0.0
+
+    def test_tap_without_tr_raises(self):
+        import pytest
+
+        gt, w, h = self._src()
+        with pytest.raises(ValueError, match="tap"):
+            suggested_output_grid(gt, 32633, w, h, 3857, tap=True)
