@@ -14,6 +14,8 @@ false easting 500000, false northing 10000000 on the southern hemisphere.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 _A = 6378137.0
@@ -64,13 +66,14 @@ class TM:
     easting/northing) set, not just the UTM zones: the series constants
     are derived from the ellipsoid at construction."""
 
-    def __init__(self, a, rf, lon0, k0=0.9996, e0=500000.0, n0=0.0):
+    def __init__(self, a, rf, lon0, k0=0.9996, e0=500000.0, n0=0.0, lat0=0.0):
         self.a = float(a)
         f = 1.0 / float(rf)
         self.lon0 = float(lon0)
         self.k0 = float(k0)
         self.e0 = float(e0)
         self.n0 = float(n0)
+        self.lat0 = float(lat0)
         n = f / (2.0 - f)
         n2, n3 = n * n, n**3
         n4, n5, n6 = n**4, n**5, n**6
@@ -100,6 +103,20 @@ class TM:
             20648693.0 / 638668800.0 * n6,
         ])
         self.es = 2.0 * np.sqrt(n) / (1.0 + n)
+        # latitude of natural origin (EPSG 9807 lat0, e.g. 49N for
+        # British National Grid): northings are measured from its
+        # meridian distance, not the equator
+        self.m0 = 0.0
+        if self.lat0 != 0.0:
+            phi0 = math.radians(self.lat0)
+            t0 = math.sinh(
+                math.atanh(math.sin(phi0))
+                - self.es * math.atanh(self.es * math.sin(phi0))
+            )
+            xi0 = math.atan2(t0, 1.0)
+            xi0 += float(sum(self.alpha[j] * math.sin(2.0 * (j + 1) * xi0)
+                             for j in range(6)))
+            self.m0 = self.k0 * self.abar * xi0
 
     def forward(self, lon, lat):
         lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
@@ -114,10 +131,15 @@ class TM:
             k = 2.0 * (j + 1)
             xi = xi + self.alpha[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
             eta = eta + self.alpha[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
-        return self.e0 + self.k0 * self.abar * eta, self.n0 + self.k0 * self.abar * xi
+        return (
+            self.e0 + self.k0 * self.abar * eta,
+            self.n0 - self.m0 + self.k0 * self.abar * xi,
+        )
 
     def inverse(self, easting, northing):
-        xi = (np.asarray(northing, dtype=np.float64) - self.n0) / (self.k0 * self.abar)
+        xi = (np.asarray(northing, dtype=np.float64) - self.n0 + self.m0) / (
+            self.k0 * self.abar
+        )
         eta = (np.asarray(easting, dtype=np.float64) - self.e0) / (self.k0 * self.abar)
         xi_p = xi.copy()
         eta_p = eta.copy()
@@ -630,9 +652,13 @@ _XFORM_CACHE: dict[int, object] = {}
 
 
 def register_crs(srid: int, family: str, **params) -> None:
-    """Register an arbitrary projected CRS from raw parameters, e.g.
-    ``register_crs(27700-ish, "tm", a=6377563.396, rf=299.3249646,
-    lon0=-2.0, k0=0.9996012717, e0=400000.0, n0=-100000.0)``."""
+    """Register an arbitrary projected CRS from raw parameters, e.g. the
+    British National Grid projection:
+    ``register_crs(27700, "tm", a=6377563.396, rf=299.3249646,
+    lon0=-2.0, k0=0.9996012717, e0=400000.0, n0=-100000.0, lat0=49.0)``
+    (validated against the published OS worked example to sub-mm —
+    tests/test_proj_utm.py::TestTMLat0; note 27700's DATUM is OSGB36, and
+    datum shifts are out of scope, so lon/lat in/out are OSGB36 too)."""
     if family not in _FAMILIES:
         raise ValueError(f"unknown family {family!r}; one of {sorted(_FAMILIES)}")
     _FAMILIES[family](**params)  # fail fast on bad params

@@ -457,3 +457,59 @@ class TestRegistry:
             lo1, la1 = t.inverse(e1, n1)
             lo2, la2 = utm_to_lonlat(e1, n1, srid)
             assert np.array_equal(lo1, lo2) and np.array_equal(la1, la2)
+
+
+class TestTMLat0:
+    """EPSG method 9807 latitude-of-natural-origin (TM lat0): the
+    British National Grid parameter set validated against the published
+    OS worked example ('A guide to coordinate systems in Great
+    Britain': OSGB36 52deg39'27.2531\"N 1deg43'4.5177\"E ->
+    E 651409.903 N 313177.270). PROJECTION math only — datum shifts
+    (OSGB36<->WGS84 Helmert) are out of scope, so 27700 is exercised
+    via register_crs, not the default WGS84-family table."""
+
+    LAT = 52 + 39 / 60 + 27.2531 / 3600
+    LON = 1 + 43 / 60 + 4.5177 / 3600
+
+    def _tm(self):
+        from gdal_spark.proj import TM
+
+        return TM(a=6377563.396, rf=299.3249646, lon0=-2.0,
+                  k0=0.9996012717, e0=400000.0, n0=-100000.0, lat0=49.0)
+
+    def test_os_worked_example_forward(self):
+        e, n = self._tm().forward(self.LON, self.LAT)
+        assert abs(float(e) - 651409.903) < 1e-3
+        assert abs(float(n) - 313177.270) < 1e-3
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        tm = self._tm()
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-7.0, 2.0, 200)
+        lat = rng.uniform(50.0, 60.0, 200)
+        e, n = tm.forward(lon, lat)
+        lo, la = tm.inverse(e, n)
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_lat0_zero_unchanged(self):
+        # lat0=0 must reproduce the plain UTM-style TM exactly
+        from gdal_spark.proj import TM
+
+        a = TM(a=6378137.0, rf=298.257223563, lon0=15.0)
+        b = TM(a=6378137.0, rf=298.257223563, lon0=15.0, lat0=0.0)
+        ea, na = a.forward(16.0, 45.0)
+        eb, nb = b.forward(16.0, 45.0)
+        assert float(ea) == float(eb) and float(na) == float(nb)
+
+    def test_register_crs_with_lat0(self):
+        from gdal_spark.proj import get_transformer, register_crs
+
+        register_crs(27700, "tm", a=6377563.396, rf=299.3249646,
+                     lon0=-2.0, k0=0.9996012717, e0=400000.0,
+                     n0=-100000.0, lat0=49.0)
+        t = get_transformer(27700)
+        e, n = t.forward(self.LON, self.LAT)
+        assert abs(float(e) - 651409.903) < 1e-3
