@@ -1079,8 +1079,10 @@ def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ combined ANN (FAISS-style: coarse lists + PQ codes, only
     (list, id, codes) rows shuffle). Exhaustive probing + zero-error
     codebooks -> output EQUALS brute force (the oracle setting, same
-    construction as the ivf_topk and pq_topk entries); recall at partial
-    probe is asserted in tests/test_ivfpq_lines.py."""
+    construction as the ivf_topk and pq_topk entries; exact_pq_codebooks
+    collects the corpus and is ORACLE-GATED — the scale path trains
+    bounded-sample codebooks); recall at partial probe is asserted in
+    tests/test_ivfpq_lines.py."""
     from gdal_spark.functions.simsearch import exact_pq_codebooks, ivfpq_topk
 
     e = _t(spark, sf_dir, "embeddings")

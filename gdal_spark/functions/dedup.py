@@ -600,6 +600,83 @@ def _with_cosine(pairs: DataFrame) -> DataFrame:
     return pairs.withColumn("cosine", dot / (na * nb))
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    embeddings: DataFrame | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    jaccard_threshold: float = 0.8,
+    semantic_threshold: float = 0.95,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The composed dedup LADDER of a training-data pipeline, each rung
+    cheaper-per-candidate than the next: exact (md5 groupBy) -> MinHash
+    LSH near-dup clusters -> optional SemDeDup over embeddings of the
+    survivors. Returns (kept_docs, report) where report is (id, stage)
+    for every DROPPED doc, stage in {'exact', 'near', 'semantic'}.
+
+    Each stage only sees the previous stage's survivors, so the
+    expensive rungs run on a shrinking corpus (the production ordering).
+    ``embeddings`` ids must share the doc id space (vec_id == doc_id);
+    pass None to skip the semantic rung. NULL-text docs pass through
+    (never duplicates of each other)."""
+    with_text = docs.where(F.col(text_col).isNotNull())
+
+    # rung 1: exact — drop everything but the min-id of each md5 group
+    groups = exact_duplicates(docs, id_col, text_col)
+    exact_drops = (
+        groups.select(F.explode("dup_ids").alias("id"), "keep_id")
+        .where(F.col("id") != F.col("keep_id"))
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    s1 = with_text.join(
+        exact_drops.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+    # rung 2: MinHash-LSH pairs -> connected clusters -> keep reps
+    pairs = minhash_lsh_pairs(
+        s1, id_col, text_col, threshold=jaccard_threshold, seed=seed
+    )
+    labels = dup_clusters(pairs)
+    near_drops = labels.where(~F.col("keep")).select("id").localCheckpoint(
+        eager=True
+    )
+    s2 = s1.join(near_drops.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+    drops = [
+        exact_drops.select("id", F.lit("exact").alias("stage")),
+        near_drops.select("id", F.lit("near").alias("stage")),
+    ]
+    kept = s2
+    if embeddings is not None:
+        emb2 = embeddings.join(
+            s2.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
+        )
+        sem_pairs = semantic_dedup_pairs(
+            emb2, semantic_threshold, n_clusters, vec_id_col, vec_col,
+            seed=seed,
+        )
+        sem_drops = (
+            sem_pairs.select(F.col("id_b").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        kept = s2.join(
+            sem_drops.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+        drops.append(sem_drops.select("id", F.lit("semantic").alias("stage")))
+
+    kept = kept.unionByName(docs.where(F.col(text_col).isNull()))
+    report = drops[0]
+    for d in drops[1:]:
+        report = report.unionByName(d)
+    return kept, report
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.85,

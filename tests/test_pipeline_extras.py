@@ -242,3 +242,59 @@ class TestPackSequences:
     def test_bad_capacity(self, spark):
         with pytest.raises(ValueError):
             pack_sequences(self._docs(spark, [1]), capacity=0)
+
+
+class TestDedupCorpus:
+    """The composed exact -> minhash -> semantic ladder."""
+
+    def _corpus(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base.replace("lazy", "sleepy")
+        rows = [
+            (0, base),
+            (1, base),                      # exact dup of 0
+            (2, "  " + base.upper() + " "),  # normalized exact dup of 0
+            (3, near),                      # near dup of 0 (high jaccard)
+            (4, "completely different text about spark dataframes and shuffles"),
+            (5, None),                      # NULL text passes through
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ladder_without_embeddings(self, spark):
+        from gdal_spark.functions.dedup import dedup_corpus
+
+        kept, report = dedup_corpus(
+            self._corpus(spark), jaccard_threshold=0.7
+        )
+        kept_ids = sorted(r.doc_id for r in kept.collect())
+        rep = {r.id: r.stage for r in report.collect()}
+        assert rep[1] == "exact" and rep[2] == "exact"
+        assert rep[3] == "near"
+        assert kept_ids == [0, 4, 5]
+
+    def test_ladder_with_embeddings(self, spark):
+        from gdal_spark.functions.dedup import dedup_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"unique document number {i} with its own words {i * 7}")
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        v = [1.0, 0.0, 0.0, 0.0]
+        w = [0.0, 1.0, 0.0, 0.0]
+        emb = spark.createDataFrame(
+            [(0, v), (1, v), (2, w), (3, w), (4, [0.0, 0.0, 1.0, 0.0]),
+             (5, [0.0, 0.0, 0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        kept, report = dedup_corpus(
+            docs, embeddings=emb, semantic_threshold=0.99, n_clusters=2
+        )
+        rep = {r.id: r.stage for r in report.collect()}
+        kept_ids = sorted(r.doc_id for r in kept.collect())
+        # no exact/near dups; semantic drops the higher id of each
+        # identical-embedding pair that lands in one cluster
+        assert all(s == "semantic" for s in rep.values())
+        assert 1 in rep or 3 in rep  # at least one pair co-clusters
+        assert 0 in kept_ids and 4 in kept_ids and 5 in kept_ids
+        assert len(kept_ids) == 6 - len(rep)
