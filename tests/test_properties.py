@@ -150,3 +150,73 @@ class TestPolygonizeValueBoundaries:
         assert sorted((r.value, r.n_pixels) for r in out) == [
             (1.0, 512), (2.0, 512)
         ]
+
+
+class TestGeodesicProperties:
+    """Vincenty inverse identities over the non-antipodal domain."""
+
+    pts = st.tuples(
+        st.floats(min_value=-179.0, max_value=179.0, allow_nan=False),
+        st.floats(min_value=-84.0, max_value=84.0, allow_nan=False),
+    )
+    deltas = st.tuples(
+        st.floats(min_value=-30.0, max_value=30.0, allow_nan=False),
+        st.floats(min_value=-30.0, max_value=30.0, allow_nan=False),
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(pts, deltas)
+    def test_symmetric_nonnegative_zero_iff_equal(self, p, d):
+        from gdal_spark.geodesic import vincenty_inverse
+
+        lon1, lat1 = p
+        lon2 = lon1 + d[0]
+        lat2 = float(np.clip(lat1 + d[1], -84.0, 84.0))
+        d12 = float(vincenty_inverse(lon1, lat1, lon2, lat2))
+        d21 = float(vincenty_inverse(lon2, lat2, lon1, lat1))
+        assert d12 >= 0.0
+        assert abs(d12 - d21) < 1e-6
+        if (lon1, lat1) == (lon2, lat2):
+            assert d12 == 0.0
+        # sandwiched by the ellipsoid's curvature extremes: min meridian
+        # radius a(1-e^2) ~ 6335439 (equator), max a^2/b ~ 6399594 (pole)
+        # times the auxiliary-sphere central angle (with 0.5% slack for
+        # the angle living on the sphere, not the ellipsoid)
+        p1, p2 = np.radians([lat1, lat2])
+        dl = np.radians(lon2 - lon1)
+        # haversine form: stable for tiny separations (arccos loses ~1e-8
+        # rad at cos ~ 1, which dwarfs a centimeters-scale distance)
+        h = np.sin((p2 - p1) / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+        central = float(2.0 * np.arcsin(np.sqrt(np.clip(h, 0, 1))))
+        assert 0.995 * 6335439.0 * central - 1e-3 <= d12
+        assert d12 <= 1.005 * 6399594.0 * central + 1e-3
+
+
+class TestApproxTransformProperties:
+    """The -et approximation honors its error bound for smooth random
+    quadratic transforms and is exact for affine ones."""
+
+    co = st.floats(min_value=-2.0, max_value=2.0, allow_nan=False)
+
+    @settings(max_examples=40, deadline=None)
+    @given(co, co, co, co, co, co)
+    def test_quadratic_error_bound(self, a, b, c, d, e, f):
+        from gdal_spark.operators.warp import _approx_grid_transform
+
+        def fn(x, y):
+            x = np.asarray(x, dtype=np.float64) / 64.0
+            y = np.asarray(y, dtype=np.float64) / 64.0
+            return (
+                a * x * x + b * x * y + c * y + x * 64.0,
+                d * y * y + e * x + f * y * x + y * 64.0,
+            )
+
+        xv = np.arange(96, dtype=np.float64)
+        yv = np.arange(80, dtype=np.float64)
+        ax, ay = _approx_grid_transform(fn, xv, yv, max_err=0.25, step=8)
+        ex, ey = fn(*np.meshgrid(xv, yv))
+        err = np.hypot(ax - ex, ay - ey)
+        # quadratic curvature within a cell is bounded by the midpoint
+        # deviation the validator measures; allow the standard 2x factor
+        # between midpoint error and worst in-cell error
+        assert float(err.max()) <= 2.0 * 0.25 + 1e-9
