@@ -172,6 +172,7 @@ def warp_array(
     resampling: str = "near",
     approx_error: float | None = None,
     approx_step: int = 8,
+    src_nodata: float | None = None,
 ):
     """Warp one raster into a destination grid.
 
@@ -179,6 +180,16 @@ def warp_array(
     alpha is a uint8 (dst_h, dst_w) validity mask (255 where the source
     covered the destination pixel) — the masker role of
     alg/gdalwarper.h:85-129.
+
+    ``src_nodata`` is gdalwarp -srcnodata with UNIFIED_SRC_NODATA (the
+    gdalwarp default): a source pixel whose bands ALL equal the value is
+    invalid. The nodata mask is resampled through the SAME kernel and
+    thresholded at majority (the density-mask shape _cut_one uses for
+    source alpha). Deviation note: for the window-statistic kernels
+    (average/sum/...) GDAL EXCLUDES nodata pixels from the statistic;
+    this path instead masks destination pixels whose source window is
+    majority-nodata — exact for fully-valid and fully-nodata windows,
+    approximate on the boundary fringe.
     """
     dst_h, dst_w = dst_shape
     inv = invert_gt(src_gt)
@@ -246,6 +257,21 @@ def warp_array(
         out = np.where(valid[:, :, None], out, 0)
     else:
         out = np.where(valid, out, 0)
+    if src_nodata is not None:
+        nd = (
+            (src == src_nodata)
+            if np.asarray(src).ndim == 2
+            else np.all(np.asarray(src) == src_nodata, axis=2)
+        )
+        if nd.any():
+            a_out, _ = warp_array(
+                np.where(nd, 0.0, 255.0), src_gt, src_srid, dst_shape,
+                dst_gt, dst_srid, resampling,
+                approx_error=approx_error, approx_step=approx_step,
+            )
+            keep = np.atleast_3d(a_out)[:, :, 0] >= 127.5
+            alpha = np.where(keep, alpha, 0).astype(np.uint8)
+            out = np.where(keep[:, :, None] if out.ndim == 3 else keep, out, 0)
     return out, alpha
 
 
@@ -326,6 +352,7 @@ def warp_images(
     approx_error: float | None = None,
     target_res: tuple[float, float] | None = None,
     tap: bool = False,
+    src_nodata: float | None = None,
 ):
     """DataFrame operator: reproject every image row to ``dst_srid``.
 
@@ -371,6 +398,7 @@ def warp_images(
                 out, alpha = warp_array(
                     src, gt, r.srid, (out_h, out_w), dst_gt, dst_srid,
                     resampling, approx_error=approx_error,
+                    src_nodata=src_nodata,
                 )
                 arr = np.clip(np.round(out), 0, 255).astype(np.uint8)
                 if cut_polys is not None:

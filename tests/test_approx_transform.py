@@ -205,3 +205,51 @@ class TestTargetResAndTap:
         gt, w, h = self._src()
         with pytest.raises(ValueError, match="tap"):
             suggested_output_grid(gt, 32633, w, h, 3857, tap=True)
+
+
+class TestSrcNodata:
+    """gdalwarp -srcnodata (UNIFIED_SRC_NODATA): nodata source pixels
+    invalidate destination pixels via a same-kernel density mask."""
+
+    def test_identity_near_mask_equals_source_mask(self):
+        src = np.arange(400, dtype=np.float64).reshape(20, 20)
+        src[5:9, 3:7] = -99.0
+        gt = (0.0, 10.0, 0.0, 200.0, 0.0, -10.0)
+        out, alpha = warp_array(
+            src, gt, 3857, (20, 20), gt, 3857, "near", src_nodata=-99.0
+        )
+        exp_mask = src != -99.0
+        assert np.array_equal(alpha > 0, exp_mask)
+        assert np.all(out[~exp_mask] == 0)
+        assert np.array_equal(out[exp_mask], src[exp_mask])
+
+    def test_multiband_all_bands_rule(self):
+        src = np.full((8, 8, 3), 50.0)
+        src[2, 2] = (-1.0, -1.0, -1.0)   # all bands match -> nodata
+        src[3, 3] = (-1.0, 50.0, 50.0)   # partial match -> VALID
+        gt = (0.0, 1.0, 0.0, 8.0, 0.0, -1.0)
+        _, alpha = warp_array(
+            src, gt, 3857, (8, 8), gt, 3857, "near", src_nodata=-1.0
+        )
+        assert alpha[2, 2] == 0 and alpha[3, 3] == 255
+
+    def test_average_downsample_majority_mask(self):
+        src = np.full((16, 16), 100.0)
+        src[:8, :8] = -5.0  # top-left quadrant nodata
+        gt = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)
+        dst_gt = (0.0, 8.0, 0.0, 16.0, 0.0, -8.0)  # 2x2 output
+        out, alpha = warp_array(
+            src, gt, 3857, (2, 2), dst_gt, 3857, "average", src_nodata=-5.0
+        )
+        assert alpha[0, 0] == 0          # fully-nodata window masked
+        assert alpha[0, 1] == 255 and alpha[1, 0] == 255 and alpha[1, 1] == 255
+        assert out[1, 1] == 100.0
+
+    def test_no_nodata_present_noop(self):
+        src = np.arange(64, dtype=np.float64).reshape(8, 8)
+        gt = (0.0, 1.0, 0.0, 8.0, 0.0, -1.0)
+        a, aa = warp_array(src, gt, 3857, (8, 8), gt, 3857, "near")
+        b, ba = warp_array(
+            src, gt, 3857, (8, 8), gt, 3857, "near", src_nodata=-1.0
+        )
+        assert np.array_equal(a, b) and np.array_equal(aa, ba)
