@@ -1255,6 +1255,87 @@ def q_geodesic_distance_sql():
     return sql
 
 
+def q_geodesic_area(spark, sf_dir):
+    """Ellipsoidal triangle areas (authalic-sphere method,
+    geodesic.geodesic_ring_area — the OGR_G_GeodesicArea surface) over
+    orders-derived lon/lat triangles, driven through the FULL SQL chain
+    (WKT string built in Column math -> st_geomfromtext ->
+    st_geodesic_area). The oracle re-derives the identical closed-form
+    math in SQL: authalic latitude + per-edge spherical excess."""
+    from gdal_spark.sql import _st_geodesic_area, _st_geomfromtext
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    lon1 = (k * 9973 % 30000) / 100.0 - 150.0
+    lat1 = ((k * 7919 + c) % 15000) / 100.0 - 75.0
+    d1 = (k * 31 % 500) / 100.0 + 0.5
+    d2 = (c * 17 % 400) / 100.0 + 0.5
+    d3 = (k * 13 % 450) / 100.0 + 0.5
+    lon2, lat2 = lon1 + d1, lat1 + d3 * 0.2
+    lon3, lat3 = lon1 + d1 * 0.3, lat1 + d2
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        lon1.cast("string"), F.lit(" "), lat1.cast("string"), F.lit(","),
+        lon2.cast("string"), F.lit(" "), lat2.cast("string"), F.lit(","),
+        lon3.cast("string"), F.lit(" "), lat3.cast("string"), F.lit(","),
+        lon1.cast("string"), F.lit(" "), lat1.cast("string"), F.lit("))"),
+    )
+    d = o.select(
+        k.alias("pid"),
+        _st_geodesic_area(_st_geomfromtext(wkt)).alias("a"),
+    )
+    return d.select(
+        "pid", F.round(F.col("a") / 1e6, 3).alias("area_km2")
+    ).orderBy("pid")
+
+
+def q_geodesic_area_sql():
+    f = "(1.0/298.257223563)"
+    e2 = f"({f}*(2.0-{f}))"
+    e = f"sqrt({e2})"
+    qp = f"((1.0-{e2})*(1.0/(1.0-{e2}) + 1.0/(2.0*{e})*ln((1.0+{e})/(1.0-{e}))))"
+    r2 = f"(6378137.0*6378137.0*{qp}/2.0)"
+    lon1 = "((o_orderkey * 9973 % 30000) / 100.0 - 150.0)"
+    lat1 = "(((o_orderkey * 7919 + o_custkey) % 15000) / 100.0 - 75.0)"
+    d1 = "((o_orderkey * 31 % 500) / 100.0 + 0.5)"
+    d2 = "((o_custkey * 17 % 400) / 100.0 + 0.5)"
+    d3 = "((o_orderkey * 13 % 450) / 100.0 + 0.5)"
+    lon2, lat2 = f"({lon1} + {d1})", f"({lat1} + {d3} * 0.2)"
+    lon3, lat3 = f"({lon1} + {d1} * 0.3)", f"({lat1} + {d2})"
+
+    def xi(lat):
+        s = f"sin(radians({lat}))"
+        q = (
+            f"((1.0-{e2})*({s}/(1.0-{e2}*{s}*{s}) - "
+            f"1.0/(2.0*{e})*ln((1.0-{e}*{s})/(1.0+{e}*{s}))))"
+        )
+        return f"asin(greatest(-1.0, least(1.0, {q}/{qp})))"
+
+    def edge(lo_a, xi_a, lo_b, xi_b):
+        dl = f"(radians({lo_b}) - radians({lo_a}))"
+        return (
+            f"(2.0*atan2(tan({dl}/2.0)*sin(({xi_a}+{xi_b})/2.0), "
+            f"cos(({xi_a}-{xi_b})/2.0)))"
+        )
+
+    base = (
+        f"SELECT o_orderkey AS pid, {lon1} AS o1, {xi(lat1)} AS x1, "
+        f"{lon2} AS o2, {xi(lat2)} AS x2, {lon3} AS o3, {xi(lat3)} AS x3 "
+        "FROM orders"
+    )
+    etot = (
+        edge("o1", "x1", "o2", "x2")
+        + " + " + edge("o2", "x2", "o3", "x3")
+        + " + " + edge("o3", "x3", "o1", "x1")
+    )
+    return (
+        f"WITH b AS ({base}) "
+        f"SELECT pid, round(abs(0.0 - ({etot})) * {r2} / 1e6, 3) "
+        "AS area_km2 FROM b ORDER BY pid"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """First-fit-sequential token packing into capacity-200 bins, 8 hash
     shards (functions.pack). The oracle replays the identical greedy walk
@@ -4312,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pack_sequences": q_pack_sequences,
         "geodesic_distance": q_geodesic_distance,
+        "geodesic_area": q_geodesic_area,
         "mosaic_checksums": q_mosaic_checksums,
         "ivfpq_topk": q_ivfpq_topk,
         "strip_boilerplate": q_strip_boilerplate,
@@ -4392,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": q_semantic_dedup_sql(),
         "pack_sequences": q_pack_sequences_sql(),
         "geodesic_distance": q_geodesic_distance_sql(),
+        "geodesic_area": q_geodesic_area_sql(),
         "mosaic_checksums": q_mosaic_checksums_sql(),
         "ivfpq_topk": q_ivfpq_topk_sql(),
         "strip_boilerplate": q_strip_boilerplate_sql(),

@@ -295,6 +295,23 @@ def _st_geodesic_distance(
 
 
 @F.pandas_udf(DoubleType())
+def _st_geodesic_area(wkbs: pd.Series) -> pd.Series:
+    """Ellipsoidal area in m^2 of a lon/lat polygonal geometry
+    (OGR_G_GeodesicArea analog; authalic-sphere method, see
+    geodesic.geodesic_ring_area)."""
+    from .geodesic import geometry_geodesic_area
+
+    return pd.Series(
+        [
+            None
+            if b is None
+            else geometry_geodesic_area(geom.parse_wkb(bytes(b)))
+            for b in wkbs
+        ]
+    )
+
+
+@F.pandas_udf(DoubleType())
 def _st_geodesic_length(wkbs: pd.Series) -> pd.Series:
     """Geodesic linework length in meters of a lon/lat geometry
     (OGR_G_GeodesicLength analog, ogr/ogrgeometry.cpp)."""
@@ -354,6 +371,7 @@ def register_functions(spark: SparkSession) -> None:
     spark.udf.register("st_geometrytype", _st_geometrytype)
     spark.udf.register("st_geodesic_distance", _st_geodesic_distance)
     spark.udf.register("st_geodesic_length", _st_geodesic_length)
+    spark.udf.register("st_geodesic_area", _st_geodesic_area)
 
 
 def execute_sql(

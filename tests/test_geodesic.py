@@ -103,3 +103,103 @@ class TestGeodesicLength:
         assert abs(out[0].d - WGS84_A * np.pi / 180.0) < 1e-6
         assert out[0].L > 4 * 110_000  # ~1-degree square perimeter
         assert out[1].d is None and out[1].L is None
+
+
+class TestGeodesicArea:
+    def test_meridian_parallel_band_closed_form(self):
+        # meridian + parallel bounded quad: meridians are geodesics in
+        # both models and the authalic mapping is exactly equal-area, so
+        # (densified) band area == a^2/2 * dlam * (q2 - q1) exactly
+        from gdal_spark.geodesic import (
+            AUTHALIC_R2,
+            authalic_latitude,
+            geodesic_ring_area,
+        )
+
+        lon1, lon2, lat1, lat2 = 10.0, 35.0, 20.0, 55.0
+        n = 2000
+        top = [(lo, lat2) for lo in np.linspace(lon1, lon2, n)]
+        bot = [(lo, lat1) for lo in np.linspace(lon2, lon1, n)]
+        ring = np.array(top + bot + [top[0]])
+        got = abs(geodesic_ring_area(ring))
+        xi1, xi2 = np.radians(authalic_latitude([lat1, lat2]))
+        exp = AUTHALIC_R2 * np.radians(lon2 - lon1) * (np.sin(xi2) - np.sin(xi1))
+        assert abs(got - exp) / exp < 1e-9
+
+    def test_pole_enclosing_square(self):
+        # 4-vertex ring around the north pole: winding correction path
+        from gdal_spark.geodesic import AUTHALIC_R2, authalic_latitude, geodesic_ring_area
+
+        lat = 80.0
+        ring = np.array([(0.0, lat), (90.0, lat), (180.0, lat), (270.0, lat), (0.0, lat)])
+        got = abs(geodesic_ring_area(ring))
+        # exact excess of the spherical square at authalic colatitude
+        xi = np.radians(authalic_latitude(lat))
+
+        def xyz(lon, la):
+            lon = np.radians(lon)
+            return np.array([np.cos(la) * np.cos(lon), np.cos(la) * np.sin(lon), np.sin(la)])
+
+        A, B, C = xyz(270, xi), xyz(0, xi), xyz(90, xi)
+
+        def tangent(P, Q):
+            t = Q - np.dot(Q, P) * P
+            return t / np.linalg.norm(t)
+
+        ang = np.arccos(np.clip(np.dot(tangent(B, A), tangent(B, C)), -1, 1))
+        exp = (4 * ang - 2 * np.pi) * AUTHALIC_R2
+        assert abs(got - exp) / exp < 1e-12
+
+    def test_vs_albers_equal_area_projection(self):
+        # independent oracle: project the (densified) ring through the
+        # engine's ELLIPSOIDAL Albers (exactly equal-area) and shoelace
+        from gdal_spark.geodesic import geodesic_ring_area
+        from gdal_spark.proj import get_transformer
+
+        verts = [(-100.0, 35.0), (-92.0, 36.5), (-90.0, 43.0), (-103.0, 44.0)]
+        dense = []
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            t = np.linspace(0, 1, 400, endpoint=False)
+            dense.extend(zip(x1 + (x2 - x1) * t, y1 + (y2 - y1) * t))
+        ring = np.array(dense + [dense[0]])
+        got = abs(geodesic_ring_area(ring))
+        t5070 = get_transformer(5070)
+        ex, ey = t5070.forward(ring[:, 0], ring[:, 1])
+        shoelace = 0.5 * abs(
+            float(np.dot(ex[:-1], ey[1:]) - np.dot(ex[1:], ey[:-1]))
+        )
+        assert abs(got - shoelace) / shoelace < 1e-6
+
+    def test_orientation_agnostic_and_holes(self):
+        from gdal_spark import geom
+        from gdal_spark.geodesic import geodesic_ring_area, geometry_geodesic_area
+
+        outer = np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], dtype=float)
+        a_ccw = abs(geodesic_ring_area(outer))
+        a_cw = abs(geodesic_ring_area(outer[::-1]))
+        assert abs(a_ccw - a_cw) < 1e-6
+        # ~1 degree square near the equator ~ (111 km)^2
+        assert 1.2e10 < a_ccw < 1.25e10
+        g = geom.parse_wkb(geom.wkb_rect(0.0, 0.0, 1.0, 1.0))
+        assert abs(geometry_geodesic_area(g) - a_ccw) / a_ccw < 1e-12
+
+    def test_degenerate(self):
+        from gdal_spark.geodesic import geodesic_ring_area
+
+        assert geodesic_ring_area(np.array([[0.0, 0.0], [1.0, 1.0]])) == 0.0
+
+    def test_sql_surface_area(self, spark):
+        from gdal_spark import geom
+        from gdal_spark.sql import execute_sql
+
+        df = spark.createDataFrame(
+            [(0, bytearray(geom.wkb_rect(0, 0, 1, 1))), (1, None)],
+            "i long, g binary",
+        )
+        out = execute_sql(
+            spark,
+            "SELECT i, st_geodesic_area(g) AS a FROM t ORDER BY i",
+            {"t": df},
+        ).collect()
+        assert 1.2e10 < out[0].a < 1.25e10
+        assert out[1].a is None
