@@ -46,9 +46,20 @@ def dem_array(
     z_factor: float = 1.0,
     azimuth: float = 315.0,
     altitude: float = 45.0,
+    alg: str = "horn",
+    slope_format: str = "degree",
 ) -> np.ndarray:
     """One DEM product over one array; 1-px border (and any NaN window)
-    is NaN."""
+    is NaN.
+
+    ``alg``: 'horn' (default, the gdaldem default) or
+    'zevenbergen_thorne' (gdaldem -alg ZevenbergenThorne,
+    apps/gdaldem_lib.cpp GradientAlg::ZEVENBERGEN_THORNE): the gradient
+    comes from the 4 cross neighbours over 2*res instead of Horn's
+    weighted 8-neighbour stencil — exact on planes like Horn, less
+    smoothing on curvature. Applies to hillshade/slope/aspect.
+    ``slope_format``: 'degree' (default) or 'percent' (gdaldem slope -p,
+    100 * rise/run)."""
     z = np.asarray(band, dtype=np.float64)
     h, w = z.shape
     out = np.full((h, w), np.nan)
@@ -57,13 +68,21 @@ def dem_array(
     a = z[:-2, :-2]; b = z[:-2, 1:-1]; c = z[:-2, 2:]
     d = z[1:-1, :-2]; e = z[1:-1, 1:-1]; f = z[1:-1, 2:]
     g = z[2:, :-2]; hh = z[2:, 1:-1]; i = z[2:, 2:]
+    if alg not in ("horn", "zevenbergen_thorne"):
+        raise ValueError(f"unknown gradient alg {alg!r}")
     if kind in ("hillshade", "slope", "aspect"):
-        dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
-        dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * yres)
+        if alg == "zevenbergen_thorne":
+            dzdx = (f - d) / (2.0 * xres)
+            dzdy = (hh - b) / (2.0 * yres)
+        else:
+            dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
+            dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * yres)
         if kind == "slope":
-            out[1:-1, 1:-1] = np.degrees(
-                np.arctan(z_factor * np.hypot(dzdx, dzdy))
-            )
+            rise = z_factor * np.hypot(dzdx, dzdy)
+            if slope_format == "percent":
+                out[1:-1, 1:-1] = 100.0 * rise
+            else:
+                out[1:-1, 1:-1] = np.degrees(np.arctan(rise))
         elif kind == "aspect":
             asp = np.degrees(np.arctan2(dzdy, -dzdx))
             asp = np.where(asp < 0, 90.0 - asp, np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp))
@@ -165,6 +184,8 @@ def dem_images(
     z_factor: float = 1.0,
     azimuth: float = 315.0,
     altitude: float = 45.0,
+    alg: str = "horn",
+    slope_format: str = "degree",
 ) -> DataFrame:
     """Per-image DEM product (narrow stage): band 0 with the image's own
     pixel size from the geotransform."""
@@ -180,6 +201,7 @@ def dem_images(
                     arr.astype(np.float64), kind,
                     xres=abs(float(r.gt1)), yres=abs(float(r.gt5)),
                     z_factor=z_factor, azimuth=azimuth, altitude=altitude,
+                    alg=alg, slope_format=slope_format,
                 )
                 filled = np.nan_to_num(out, nan=-9999.0)
                 rows.append(

@@ -230,3 +230,68 @@ class TestHillshadeVariants:
                     t.tile_x * 16: t.tile_x * 16 + 16] = sub
             local = np.nan_to_num(dem_array(z, kind), nan=-9999.0)
             np.testing.assert_allclose(got, local, atol=1e-9, err_msg=kind)
+
+
+class TestZevenbergenThorneAndPercent:
+    """gdaldem -alg ZevenbergenThorne and slope -p."""
+
+    def test_both_algs_exact_on_plane(self):
+        import numpy as np
+
+        from gdal_spark.operators.dem import dem_array
+
+        y, x = np.mgrid[0:12, 0:12]
+        z = 3.0 * x + 4.0 * y  # gradient magnitude 5
+        for alg in ("horn", "zevenbergen_thorne"):
+            s = dem_array(z, "slope", xres=1.0, yres=1.0, alg=alg)
+            assert np.allclose(
+                s[1:-1, 1:-1], np.degrees(np.arctan(5.0)), atol=1e-9
+            )
+            p = dem_array(z, "slope", alg=alg, slope_format="percent")
+            assert np.allclose(p[1:-1, 1:-1], 500.0, atol=1e-9)
+
+    def test_algs_differ_on_curvature(self):
+        import numpy as np
+
+        from gdal_spark.operators.dem import dem_array
+
+        rng = np.random.default_rng(2)
+        z = rng.normal(size=(16, 16)).cumsum(axis=0).cumsum(axis=1)
+        h = dem_array(z, "slope", alg="horn")
+        zt = dem_array(z, "slope", alg="zevenbergen_thorne")
+        assert not np.allclose(h[1:-1, 1:-1], zt[1:-1, 1:-1])
+
+    def test_percent_is_tan_of_degrees(self):
+        import numpy as np
+
+        from gdal_spark.operators.dem import dem_array
+
+        rng = np.random.default_rng(5)
+        z = rng.normal(size=(10, 10)) * 4
+        d = dem_array(z, "slope")
+        p = dem_array(z, "slope", slope_format="percent")
+        m = ~np.isnan(d)
+        assert np.allclose(p[m], 100.0 * np.tan(np.radians(d[m])), atol=1e-9)
+
+    def test_zt_hillshade_aspect_run(self):
+        import numpy as np
+
+        from gdal_spark.operators.dem import dem_array
+
+        rng = np.random.default_rng(6)
+        z = rng.normal(size=(10, 10)).cumsum(axis=1)
+        hs = dem_array(z, "hillshade", alg="zevenbergen_thorne")
+        asp = dem_array(z, "aspect", alg="zevenbergen_thorne")
+        inner = hs[1:-1, 1:-1]
+        assert np.all((inner >= 1.0) & (inner <= 255.0))
+        a = asp[1:-1, 1:-1]
+        assert np.nanmax(a) <= 360.0 and np.nanmin(a) >= 0.0
+
+    def test_bad_alg_raises(self):
+        import numpy as np
+        import pytest
+
+        from gdal_spark.operators.dem import dem_array
+
+        with pytest.raises(ValueError):
+            dem_array(np.zeros((5, 5)), "slope", alg="bicubic")
