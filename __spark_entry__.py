@@ -1255,6 +1255,40 @@ def q_geodesic_distance_sql():
     return sql
 
 
+def q_enhance_checksums(spark, sf_dir):
+    """gdalenhance analog (stats.enhance_images): per-band histogram
+    equalization over 4 fixture images, distributed narrow stage; oracle
+    = the same unit-tested LUT kernel run in-process (literal VALUES),
+    proving the Arrow plumbing reproduces the local kernel bit-for-bit
+    (the convention of the other pixel entries)."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.stats import enhance_images
+
+    imgs = fixtures.images_df(spark, 4, tier="t2", partitions=2)
+    out = enhance_images(imgs, "equalize")
+    return out.select("image_id", "checksum").orderBy("image_id")
+
+
+def q_enhance_checksums_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.operators.stats import enhance_array
+
+    rows = []
+    for i in range(4):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        out = enhance_array(arr, "equalize")
+        rows.append(
+            (rec["image_id"], int(image_checksums(np.atleast_3d(out))[0]))
+        )
+    rows.sort()
+    return _vals_sql(rows, ["image_id", "checksum"], "image_id")
+
+
 def q_geodesic_area(spark, sf_dir):
     """Ellipsoidal triangle areas (authalic-sphere method,
     geodesic.geodesic_ring_area — the OGR_G_GeodesicArea surface) over
@@ -4395,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_distance": q_geodesic_distance,
         "geodesic_area": q_geodesic_area,
         "mosaic_checksums": q_mosaic_checksums,
+        "enhance_checksums": q_enhance_checksums,
         "ivfpq_topk": q_ivfpq_topk,
         "strip_boilerplate": q_strip_boilerplate,
         # --- load-bearing core (driver-checked window) ---
@@ -4476,6 +4511,7 @@ def oracle_sql() -> dict[str, str]:
         "geodesic_distance": q_geodesic_distance_sql(),
         "geodesic_area": q_geodesic_area_sql(),
         "mosaic_checksums": q_mosaic_checksums_sql(),
+        "enhance_checksums": q_enhance_checksums_sql(),
         "ivfpq_topk": q_ivfpq_topk_sql(),
         "strip_boilerplate": q_strip_boilerplate_sql(),
         "grid_metrics": q_grid_metrics_sql(),

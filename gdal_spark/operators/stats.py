@@ -96,6 +96,84 @@ def checksum_images(images):
     return images.mapInPandas(do, schema="image_id string, band int, checksum int")
 
 
+def enhance_array(
+    arr: np.ndarray,
+    mode: str = "equalize",
+    low_pct: float = 2.0,
+    high_pct: float = 98.0,
+) -> np.ndarray:
+    """gdalenhance (apps/gdalenhance.cpp) per-band contrast enhancement
+    on uint8 bands:
+
+    - 'equalize': histogram equalization — LUT = round(255 * cdf(v))
+      with the standard min-nonzero-cdf normalization, so the darkest
+      occupied bin maps to 0 and the full range is used;
+    - 'stretch': linear percentile stretch — the [low_pct, high_pct]
+      value range maps to [0, 255], clipping outside (the common
+      2%-98% enhancement).
+
+    Both LUTs are monotone, rank-preserving per band."""
+    a3 = np.atleast_3d(np.asarray(arr))
+    out = np.empty_like(a3, dtype=np.uint8)
+    for b in range(a3.shape[2]):
+        band = a3[:, :, b].astype(np.uint8)
+        if mode == "equalize":
+            hist = np.bincount(band.ravel(), minlength=256)
+            cdf = np.cumsum(hist).astype(np.float64)
+            nz = cdf[cdf > 0]
+            cmin = nz[0] if len(nz) else 0.0
+            denom = cdf[-1] - cmin
+            if denom <= 0:  # constant band: identity
+                lut = np.arange(256, dtype=np.uint8)
+            else:
+                lut = np.round(255.0 * (cdf - cmin) / denom)
+                lut = np.clip(lut, 0, 255).astype(np.uint8)
+        elif mode == "stretch":
+            lo = float(np.percentile(band, low_pct))
+            hi = float(np.percentile(band, high_pct))
+            if hi <= lo:
+                lut = np.arange(256, dtype=np.uint8)
+            else:
+                lut = np.clip(
+                    np.round((np.arange(256) - lo) * 255.0 / (hi - lo)),
+                    0, 255,
+                ).astype(np.uint8)
+        else:
+            raise ValueError(f"unknown enhance mode {mode!r}")
+        out[:, :, b] = lut[band]
+    return out[:, :, 0] if np.asarray(arr).ndim == 2 else out
+
+
+def enhance_images(
+    images, mode: str = "equalize", low_pct: float = 2.0,
+    high_pct: float = 98.0, out_fmt: str = "png",
+):
+    """DataFrame operator for gdalenhance: one decode + LUT per image,
+    narrow stage (no shuffle)."""
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                out = enhance_array(arr, mode, low_pct, high_pct)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": codecs.encode_image(out, out_fmt),
+                        "fmt": out_fmt,
+                        "checksum": int(image_checksums(np.atleast_3d(out))[0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "fmt", "checksum"]
+            )
+
+    return images.mapInPandas(
+        do, schema="image_id string, bytes binary, fmt string, checksum int"
+    )
+
+
 def reclassify_array(arr: np.ndarray, mapping: list[tuple[float, float, float]], default=None):
     """mapping: [(lo, hi, value)] half-open [lo, hi) ranges; default keeps
     the source value (PASS_THROUGH) or burns a constant."""

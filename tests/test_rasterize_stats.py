@@ -354,3 +354,95 @@ class TestReclassifyRange:
         arr = C.decode_image(bytes(out.bytes), "raw")
         vals = set(np.unique(arr).tolist())
         assert vals <= {-9999.0, 70000.0} and len(vals) >= 1
+
+
+class TestEnhance:
+    """gdalenhance analog: histogram equalization + percentile stretch."""
+
+    def test_equalize_flattens_histogram(self):
+        import numpy as np
+
+        from gdal_spark.operators.stats import enhance_array
+
+        rng = np.random.default_rng(8)
+        # skewed band: most values in a narrow dark range
+        band = np.clip(rng.normal(40, 12, size=(128, 128)), 0, 255).astype(np.uint8)
+        out = enhance_array(band, "equalize")
+        assert out.min() == 0 and out.max() >= 250
+        # rank preserving: sort order of distinct values kept
+        vals = np.unique(band)
+        mapped = [int(out[band == v][0]) for v in vals]
+        assert mapped == sorted(mapped)
+        # equalization linearizes the CDF (discrete bins relocate, they
+        # can't split — so test cdf(u) ~ u/255 at occupied levels, not a
+        # per-bin uniformity statistic)
+        h = np.bincount(out.ravel(), minlength=256).astype(float)
+        cdf = np.cumsum(h) / h.sum()
+        occ = np.nonzero(h)[0]
+        assert float(np.max(np.abs(cdf[occ] - occ / 255.0))) < 0.05
+        # while the input CDF is strongly non-linear
+        hb = np.bincount(band.ravel(), minlength=256).astype(float)
+        cdfb = np.cumsum(hb) / hb.sum()
+        occb = np.nonzero(hb)[0]
+        assert float(np.max(np.abs(cdfb[occb] - occb / 255.0))) > 0.3
+
+    def test_equalize_constant_identity(self):
+        import numpy as np
+
+        from gdal_spark.operators.stats import enhance_array
+
+        band = np.full((10, 10), 77, dtype=np.uint8)
+        assert np.array_equal(enhance_array(band, "equalize"), band)
+
+    def test_stretch_maps_percentiles(self):
+        import numpy as np
+
+        from gdal_spark.operators.stats import enhance_array
+
+        band = np.linspace(50, 150, 10000).reshape(100, 100).astype(np.uint8)
+        out = enhance_array(band, "stretch", low_pct=2.0, high_pct=98.0)
+        assert out.min() == 0 and out.max() == 255
+        lo = np.percentile(band, 2.0)
+        hi = np.percentile(band, 98.0)
+        mid_in = band[50, 50]
+        exp = np.clip(round((mid_in - lo) * 255.0 / (hi - lo)), 0, 255)
+        assert abs(int(out[50, 50]) - exp) <= 1
+
+    def test_multiband_independent(self):
+        import numpy as np
+
+        from gdal_spark.operators.stats import enhance_array
+
+        rng = np.random.default_rng(9)
+        img = np.stack(
+            [
+                np.clip(rng.normal(40, 10, (32, 32)), 0, 255),
+                np.clip(rng.normal(200, 10, (32, 32)), 0, 255),
+                np.full((32, 32), 7.0),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        out = enhance_array(img, "equalize")
+        assert out.shape == img.shape
+        assert out[:, :, 0].min() == 0
+        assert np.array_equal(out[:, :, 2], img[:, :, 2])  # constant band identity
+
+    def test_images_operator(self, spark):
+        import numpy as np
+
+        from gdal_spark import fixtures
+        from gdal_spark.operators.stats import enhance_images
+
+        imgs = fixtures.images_df(spark, 4)
+        rows = enhance_images(imgs, "equalize").collect()
+        assert len(rows) == 4
+        assert all(r.checksum >= 0 for r in rows)
+
+    def test_bad_mode(self):
+        import numpy as np
+        import pytest
+
+        from gdal_spark.operators.stats import enhance_array
+
+        with pytest.raises(ValueError):
+            enhance_array(np.zeros((4, 4), dtype=np.uint8), "gamma")
