@@ -143,3 +143,96 @@ def move_georeference(
             )
 
     return df.select(*cols).mapInPandas(run, schema=schema)
+
+
+def edit_georeference(
+    images: DataFrame,
+    gt: tuple | None = None,
+    srid: int | None = None,
+    ullr: tuple | None = None,
+) -> DataFrame:
+    """gdal_edit.py analog (swig/python/gdal-utils/osgeo_utils/
+    gdal_edit.py): ASSIGN georeferencing in place — pure Column
+    assignments, zero shuffle, pixels untouched.
+
+    - ``gt``: six-term geotransform (-a_gt equivalent; same for all rows)
+    - ``srid``: authority code (-a_srs)
+    - ``ullr``: (ulx, uly, lrx, lry) — -a_ullr: north-up geotransform
+      derived from the corner box and each image's own w/h.
+    """
+    from pyspark.sql import functions as F
+
+    out = images
+    if gt is not None and ullr is not None:
+        raise ValueError("pass gt or ullr, not both (gdal_edit parity)")
+    if gt is not None:
+        for i, v in enumerate(gt):
+            out = out.withColumn(f"gt{i}", F.lit(float(v)))
+    if ullr is not None:
+        ulx, uly, lrx, lry = (float(v) for v in ullr)
+        out = (
+            out.withColumn("gt0", F.lit(ulx))
+            .withColumn("gt1", (F.lit(lrx - ulx)) / F.col("w"))
+            .withColumn("gt2", F.lit(0.0))
+            .withColumn("gt3", F.lit(uly))
+            .withColumn("gt4", F.lit(0.0))
+            .withColumn("gt5", (F.lit(lry - uly)) / F.col("h"))
+        )
+    if srid is not None:
+        out = out.withColumn("srid", F.lit(int(srid)))
+    return out
+
+
+def create_images(
+    spark,
+    n: int,
+    w: int,
+    h: int,
+    bands: int = 1,
+    burn: float | tuple = 0.0,
+    gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    srid: int = 3857,
+    fmt: str = "png",
+    id_prefix: str = "created",
+    partitions: int | None = None,
+) -> DataFrame:
+    """gdal_create analog (apps/gdal_create.cpp): N blank/constant
+    rasters as image rows — distributed generation (one mapInPandas over
+    a range; no driver-side pixels), each image offset by its own height
+    so the set tiles vertically (a usable canvas grid)."""
+    from .. import codecs
+
+    burn_vals = tuple(burn) if isinstance(burn, (tuple, list)) else (float(burn),) * bands
+    if len(burn_vals) != bands:
+        raise ValueError(f"{len(burn_vals)} burn values for {bands} bands")
+
+    def gen(batches):
+        arr = np.full((h, w, bands), 0, dtype=np.uint8)
+        for b, v in enumerate(burn_vals):
+            arr[:, :, b] = np.uint8(v)
+        a2 = arr[:, :, 0] if bands == 1 else arr
+        buf = codecs.encode_image(a2, fmt)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.append(
+                    {
+                        "image_id": f"{id_prefix}-{i:06d}",
+                        "bytes": buf,
+                        "w": w, "h": h, "fmt": fmt,
+                        "caption": "", "phash": 0,
+                        "gt0": gt[0], "gt1": gt[1], "gt2": gt[2],
+                        "gt3": gt[3] + i * h * gt[5], "gt4": gt[4],
+                        "gt5": gt[5], "srid": srid,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, gt0 double, gt1 double, gt2 double, "
+        "gt3 double, gt4 double, gt5 double, srid int"
+    )
+    parts = partitions or max(2, n // 4096)
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)

@@ -121,3 +121,58 @@ class TestDistributed:
                 ), (i, j)
             assert row.err_geo == pytest.approx(r["err_geo"][0], abs=1e-15)
             assert row.err_px == pytest.approx(r["err_px"][0], abs=1e-12)
+
+
+class TestEditAndCreate:
+    """gdal_edit.py / gdal_create analogs."""
+
+    def test_edit_ullr(self, spark):
+        from gdal_spark import fixtures
+        from gdal_spark.operators.move import edit_georeference
+
+        imgs = fixtures.images_df(spark, 2)
+        out = edit_georeference(
+            imgs, ullr=(0.0, 100.0, 200.0, 0.0), srid=4326
+        ).select("image_id", "w", "h", "gt0", "gt1", "gt3", "gt5", "srid")
+        for r in out.collect():
+            assert r.gt0 == 0.0 and r.gt3 == 100.0 and r.srid == 4326
+            assert abs(r.gt1 - 200.0 / r.w) < 1e-12
+            assert abs(r.gt5 + 100.0 / r.h) < 1e-12
+
+    def test_edit_gt_and_conflict(self, spark):
+        import pytest
+
+        from gdal_spark import fixtures
+        from gdal_spark.operators.move import edit_georeference
+
+        imgs = fixtures.images_df(spark, 1)
+        r = edit_georeference(imgs, gt=(1, 2, 0, 3, 0, -2)).collect()[0]
+        assert (r.gt0, r.gt1, r.gt5) == (1.0, 2.0, -2.0)
+        with pytest.raises(ValueError):
+            edit_georeference(imgs, gt=(0,) * 6, ullr=(0, 1, 1, 0))
+
+    def test_create_images(self, spark):
+        import numpy as np
+
+        from gdal_spark import codecs
+        from gdal_spark.operators.move import create_images
+
+        df = create_images(
+            spark, 3, 16, 8, bands=3, burn=(10, 20, 30),
+            gt=(100.0, 2.0, 0.0, 50.0, 0.0, -2.0), srid=3857,
+        )
+        rows = sorted(df.collect(), key=lambda r: r.image_id)
+        assert len(rows) == 3
+        arr = codecs.decode_image(bytes(rows[0].bytes), rows[0].fmt)
+        assert arr.shape == (8, 16, 3)
+        assert np.all(arr[:, :, 0] == 10) and np.all(arr[:, :, 2] == 30)
+        # vertical tiling: each image's gt3 drops by h * |gt5|
+        assert rows[1].gt3 == 50.0 - 8 * 2.0 and rows[2].gt3 == 50.0 - 16 * 2.0
+
+    def test_create_burn_mismatch(self, spark):
+        import pytest
+
+        from gdal_spark.operators.move import create_images
+
+        with pytest.raises(ValueError):
+            create_images(spark, 1, 4, 4, bands=2, burn=(1, 2, 3))
