@@ -209,7 +209,7 @@ def create_images(
     def gen(batches):
         arr = np.full((h, w, bands), 0, dtype=np.uint8)
         for b, v in enumerate(burn_vals):
-            arr[:, :, b] = np.uint8(v)
+            arr[:, :, b] = np.uint8(np.clip(v, 0, 255))
         a2 = arr[:, :, 0] if bands == 1 else arr
         buf = codecs.encode_image(a2, fmt)
         for pdf in batches:

@@ -116,7 +116,9 @@ def enhance_array(
     a3 = np.atleast_3d(np.asarray(arr))
     out = np.empty_like(a3, dtype=np.uint8)
     for b in range(a3.shape[2]):
-        band = a3[:, :, b].astype(np.uint8)
+        # clamp (not wrap) wider dtypes into the 8-bit LUT domain —
+        # a 16-bit band astype'd directly would alias modulo 256
+        band = np.clip(a3[:, :, b], 0, 255).astype(np.uint8)
         if mode == "equalize":
             hist = np.bincount(band.ravel(), minlength=256)
             cdf = np.cumsum(hist).astype(np.float64)

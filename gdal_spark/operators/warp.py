@@ -264,9 +264,16 @@ def warp_array(
             else np.all(np.asarray(src) == src_nodata, axis=2)
         )
         if nd.any():
+            # density mask: point kernels resample the mask with their
+            # own kernel; window statistics use AVERAGE (the valid
+            # FRACTION — 'sum'/'min'/'mode' of a 0/255 mask would give
+            # nonsense majorities), matching GDAL's density-mask shape
+            mask_resampling = (
+                "average" if resampling in WINDOW_KERNELS else resampling
+            )
             a_out, _ = warp_array(
                 np.where(nd, 0.0, 255.0), src_gt, src_srid, dst_shape,
-                dst_gt, dst_srid, resampling,
+                dst_gt, dst_srid, mask_resampling,
                 approx_error=approx_error, approx_step=approx_step,
             )
             keep = np.atleast_3d(a_out)[:, :, 0] >= 127.5

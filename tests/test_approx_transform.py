@@ -253,3 +253,18 @@ class TestSrcNodata:
             src, gt, 3857, (8, 8), gt, 3857, "near", src_nodata=-1.0
         )
         assert np.array_equal(a, b) and np.array_equal(aa, ba)
+
+    def test_sum_kernel_mask_uses_valid_fraction(self):
+        # 'sum' of a 0/255 mask would mark any window with >=1 valid px
+        # as fully valid; the density mask must instead use the valid
+        # FRACTION (average): a 25%-valid window is masked out
+        src = np.full((16, 16), 10.0)
+        src[:8, :] = -5.0
+        src[8:14, :8] = -5.0  # bottom-left window: only 25% valid
+        gt = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)
+        dst_gt = (0.0, 8.0, 0.0, 16.0, 0.0, -8.0)
+        out, alpha = warp_array(
+            src, gt, 3857, (2, 2), dst_gt, 3857, "sum", src_nodata=-5.0
+        )
+        assert alpha[1, 0] == 0    # 25% valid -> masked
+        assert alpha[1, 1] == 255  # fully valid

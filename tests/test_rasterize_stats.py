@@ -446,3 +446,15 @@ class TestEnhance:
 
         with pytest.raises(ValueError):
             enhance_array(np.zeros((4, 4), dtype=np.uint8), "gamma")
+
+    def test_wide_dtype_clamped_not_wrapped(self):
+        import numpy as np
+
+        from gdal_spark.operators.stats import enhance_array
+
+        band = np.array([[0, 300], [512, 70000]], dtype=np.uint16)
+        out = enhance_array(band, "stretch", low_pct=0.0, high_pct=100.0)
+        # 300/512/70000 clamp to 255 (identical after clamp), never wrap
+        # to 44/0/123
+        assert out[0, 1] == out[1, 0] == out[1, 1]
+        assert out[0, 0] < out[0, 1]
