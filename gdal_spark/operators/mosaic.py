@@ -107,12 +107,20 @@ def build_mosaic(
     target_res: tuple[float, float] | None = None,
     tile_size: int = 512,
     resampling: str = "near",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Compose all source images onto the common grid; returns one row
     per non-empty output tile with its own geotransform, composed RGBA
     PNG and GDAL checksums. Edge tiles are clipped to the raster size
-    (tw/th < tile_size), like retile."""
+    (tw/th < tile_size), like retile.
+
+    ``on_error='skip'`` drops sources whose bytes fail to decode instead
+    of aborting the mosaic (the warp_images convention; default 'fail'
+    matches gdalbuildvrt)."""
     import pandas as pd
+
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     gt, W, H, srid = mosaic_grid(images, resolution, target_res)
     ts = int(tile_size)
@@ -143,7 +151,12 @@ def build_mosaic(
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                try:
+                    arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 src_gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
                 for tx in range(int(r.txmin), int(r.txmax) + 1):
                     for ty in range(int(r.tymin), int(r.tymax) + 1):

@@ -148,16 +148,24 @@ def enhance_array(
 
 def enhance_images(
     images, mode: str = "equalize", low_pct: float = 2.0,
-    high_pct: float = 98.0, out_fmt: str = "png",
+    high_pct: float = 98.0, out_fmt: str = "png", on_error: str = "fail",
 ):
     """DataFrame operator for gdalenhance: one decode + LUT per image,
-    narrow stage (no shuffle)."""
+    narrow stage (no shuffle). ``on_error='skip'`` drops undecodable
+    rows (the warp_images convention)."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     def do(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                try:
+                    arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 out = enhance_array(arr, mode, low_pct, high_pct)
                 rows.append(
                     {

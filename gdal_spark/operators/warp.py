@@ -360,6 +360,7 @@ def warp_images(
     target_res: tuple[float, float] | None = None,
     tap: bool = False,
     src_nodata: float | None = None,
+    on_error: str = "fail",
 ):
     """DataFrame operator: reproject every image row to ``dst_srid``.
 
@@ -379,7 +380,15 @@ def warp_images(
     ``approx_error``: gdalwarp -et — max transform-approximation error in
     SOURCE pixels (GDAL's default is 0.125); None (default) evaluates the
     transform chain exactly at every pixel.
+
+    ``on_error``: 'fail' (default — gdalwarp parity: a corrupt source
+    aborts) or 'skip' — a row whose bytes fail to DECODE is dropped so
+    one truncated blob among 10^12 cannot kill the job (the multimodal
+    data-cleaning convention); processing errors after a successful
+    decode still raise (they indicate bugs, not data corruption).
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     import pandas as pd
 
     from ..fixtures import footprint_meters
@@ -396,7 +405,12 @@ def warp_images(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                src = codecs.decode_image(bytes(r.bytes), r.fmt)
+                try:
+                    src = codecs.decode_image(bytes(r.bytes), r.fmt)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
                 dst_gt, out_w, out_h = suggested_output_grid(
                     gt, r.srid, r.w, r.h, dst_srid,

@@ -4,6 +4,7 @@ full-grid replica."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import Row
 
 from gdal_spark import codecs
@@ -167,3 +168,49 @@ class TestBuildMosaic:
         t = build_mosaic(imgs, "lowest", tile_size=512).collect()[0]
         rgba = codecs.decode_png(bytes(t.png))
         assert t.checksum == image_checksums(rgba)[0]
+
+
+class TestOnErrorSkip:
+    """Corrupt-row tolerance: on_error='skip' drops undecodable sources
+    instead of aborting; default 'fail' aborts (gdal parity)."""
+
+    def _with_corrupt(self, spark):
+        rows = [
+            _img("a", (0.0, 64.0), 2.0, (32, 32), 1),
+            _img("b", (64.0, 64.0), 2.0, (32, 32), 2),
+        ]
+        bad = _img("z", (128.0, 64.0), 2.0, (32, 32), 3)
+        bad = Row(**{**bad.asDict(), "bytes": bytearray(b"not a png at all")})
+        return spark.createDataFrame(rows + [bad], IMG_SCHEMA)
+
+    def test_mosaic_skip_and_fail(self, spark):
+        import pytest
+
+        df = self._with_corrupt(spark)
+        tiles = build_mosaic(df, "highest", tile_size=512, on_error="skip").collect()
+        ids = sorted({i for t in tiles for i in t.src_ids})
+        assert ids == ["a", "b"]
+        with pytest.raises(Exception):
+            build_mosaic(df, "highest", tile_size=512).collect()
+        with pytest.raises(ValueError):
+            build_mosaic(df, "highest", on_error="ignore")
+
+    def test_warp_skip(self, spark):
+        import pytest
+
+        from gdal_spark.operators.warp import warp_images
+
+        df = self._with_corrupt(spark).withColumn(
+            "caption", F.lit("")
+        ).withColumn("phash", F.lit(0).cast("long"))
+        out = warp_images(df, 4326, "near", on_error="skip").select("image_id")
+        assert sorted(r.image_id for r in out.collect()) == ["a", "b"]
+        with pytest.raises(Exception):
+            warp_images(df, 4326, "near").select("image_id").collect()
+
+    def test_enhance_skip(self, spark):
+        from gdal_spark.operators.stats import enhance_images
+
+        df = self._with_corrupt(spark)
+        out = enhance_images(df, "equalize", on_error="skip").collect()
+        assert sorted(r.image_id for r in out) == ["a", "b"]
