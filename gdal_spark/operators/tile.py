@@ -247,6 +247,23 @@ def _decode_rgb_alpha(raw: bytes, fmt: str):
     return arr, np.full(arr.shape[:2], 255, dtype=np.uint8)
 
 
+def _decode_or_none(raw: bytes, fmt: str, on_error: str):
+    """Decode, or (on_error='skip') swallow corrupt bytes — one
+    truncated blob among 10^12 must not kill the tile job; default
+    'fail' aborts like gdal2tiles."""
+    try:
+        return _decode_rgb_alpha(raw, fmt)
+    except Exception:
+        if on_error == "skip":
+            return None
+        raise
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+
+
 def _fragment_row(r, z, tx, ty, tile, alpha):
     # PNG, not raw: fragments cross a shuffle + a sort-based group
     # iterator + an Arrow->pandas conversion — payload size IS the cost
@@ -265,7 +282,7 @@ def _fragment_row(r, z, tx, ty, tile, alpha):
     }
 
 
-def cut_fragments(images, zoom=None, tile_size: int = 256, resampling: str = "average"):
+def cut_fragments(images, zoom=None, tile_size: int = 256, resampling: str = "average", on_error: str = "fail"):
     """images (+ optional fixed zoom; default = per-image native zoom) ->
     fragments DF. Each image row stays ONE row into the pandas pass
     (tile ranges are columns, not an explode), so the image is decoded
@@ -280,7 +297,10 @@ def cut_fragments(images, zoom=None, tile_size: int = 256, resampling: str = "av
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                dec = _decode_or_none(bytes(r.bytes), r.fmt, on_error)
+                if dec is None:
+                    continue
+                arr, alpha_src = dec
                 z = int(r.z)
                 for tx in range(int(r.tminx), int(r.tmaxx) + 1):
                     for ty in range(int(r.tminy), int(r.tmaxy) + 1):
@@ -499,6 +519,7 @@ def cut_fragments_levels(
     levels_below: int | None = None,
     tile_size: int = 256,
     resampling: str = "average",
+    on_error: str = "fail",
 ):
     """Fragments for a RANGE of zoom levels in one narrow pass: decode
     each image once, cut every covered tile of every level straight from
@@ -535,7 +556,10 @@ def cut_fragments_levels(
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                dec = _decode_or_none(bytes(r.bytes), r.fmt, on_error)
+                if dec is None:
+                    continue
+                arr, alpha_src = dec
                 for z in range(int(r.zmax), int(r.zmin) - 1, -1):
                     n1 = (1 << z) - 1
                     tminx, tminy, tmaxx, tmaxy = _MERC.tile_range(
@@ -610,6 +634,7 @@ def cut_fragments_geodetic(
     tile_size: int = 256,
     resampling: str = "average",
     tmscompatible: bool = True,
+    on_error: str = "fail",
 ):
     """Geodetic-profile fragments for a range of zoom levels, one narrow
     pass (the direct-cut shape of cut_fragments_levels over the
@@ -640,7 +665,10 @@ def cut_fragments_geodetic(
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr, alpha_src = _decode_rgb_alpha(bytes(r.bytes), r.fmt)
+                dec = _decode_or_none(bytes(r.bytes), r.fmt, on_error)
+                if dec is None:
+                    continue
+                arr, alpha_src = dec
                 gt = (r.gt0, r.gt1, r.gt2, r.gt3, r.gt4, r.gt5)
                 if r.srid == 4326:
                     lon0, lat1 = gt[0], gt[3]
@@ -703,11 +731,18 @@ def tile_pyramid_direct(
     levels_below: int | None = None,
     tile_size: int = 256,
     resampling: str = "average",
+    on_error: str = "fail",
 ):
     """Single-action pyramid: all levels cut from source in one map
     stage, composed through ONE tile-key shuffle. No persist, no
-    barriers — the plan is scan -> mapInPandas -> exchange -> compose."""
+    barriers — the plan is scan -> mapInPandas -> exchange -> compose.
+    ``on_error='skip'`` drops undecodable source rows instead of
+    aborting (the warp_images convention)."""
+    _check_on_error(on_error)
     return compose_tiles(
-        cut_fragments_levels(images, tminz, tmaxz, levels_below, tile_size, resampling),
+        cut_fragments_levels(
+            images, tminz, tmaxz, levels_below, tile_size, resampling,
+            on_error=on_error,
+        ),
         tile_size,
     )

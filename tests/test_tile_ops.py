@@ -287,3 +287,25 @@ class TestWarpPathAlpha:
         # both opaque and transparent source pixels land in this tile
         assert (alpha == 255).any()
         assert (alpha == 0).any()
+
+
+class TestTileOnErrorSkip:
+    def test_direct_pyramid_skips_corrupt_source(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from gdal_spark import fixtures
+        from gdal_spark.operators.tile import tile_pyramid_direct
+
+        good = fixtures.images_df(spark, 4, tier="t2", partitions=2)
+        bad = good.limit(1).withColumn(
+            "bytes", F.lit(bytearray(b"corrupt")).cast("binary")
+        ).withColumn("image_id", F.lit("broken"))
+        df = good.unionByName(bad)
+        tiles = tile_pyramid_direct(df, levels_below=0, on_error="skip").collect()
+        srcs = {i for t in tiles for i in t.src_ids}
+        assert "broken" not in srcs and len(srcs) == 4
+        with pytest.raises(Exception):
+            tile_pyramid_direct(df, levels_below=0).collect()
+        with pytest.raises(ValueError):
+            tile_pyramid_direct(df, levels_below=0, on_error="drop")
