@@ -460,12 +460,34 @@ def run_stress():
             emb, threshold=0.4, exact=False, n_planes=4, n_repetitions=24
         )
 
+    def semantic_job():
+        # SemDeDup at sf1: 64 k-means clusters keep the quadratic
+        # within-cluster pair scan bounded (~n^2/64 cosine evals), the
+        # paper's n_clusters-grows-with-corpus shape
+        from gdal_spark.functions.dedup import semantic_dedup_pairs
+
+        return semantic_dedup_pairs(emb, threshold=0.4, n_clusters=64)
+
+    def decontam_job():
+        # eval split = doc_id % 13 (the entry's recipe) with 64-bit gram
+        # hashing — the 100-TB shuffle shape (16-byte rows)
+        from gdal_spark.functions.decontam import decontaminate
+
+        return decontaminate(
+            docs.where(F.col("doc_id") % 13 != 0),
+            docs.where(F.col("doc_id") % 13 == 0),
+            n=3,
+            hash_grams=True,
+        )
+
     jvm_gc = spark.sparkContext._jvm.System.gc
     results = {}
     for name, job in (
         ("minhash_lsh_x10", minhash_job),
         ("dup_clusters_x10", clusters_job),
         ("embedding_neardup_x10", neardup_job),
+        ("semantic_dedup_x10", semantic_job),
+        ("decontaminate_x10", decontam_job),
     ):
         jvm_gc()
         before = _completed_stage_ids(spark, app_id)
