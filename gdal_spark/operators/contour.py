@@ -176,6 +176,20 @@ def contour_levels(base: float, interval: float, vmin: float, vmax: float):
     return [base + k * interval for k in range(k0, k1 + 1)]
 
 
+def contour_levels_exp(base: float, vmin: float, vmax: float):
+    """gdal_contour -e: exponential levels base^k within [vmin, vmax]
+    (alg/contour.cpp ExponentialLevelRangeIterator — only positive
+    values can have a level). base must exceed 1."""
+    if base <= 1.0:
+        raise ValueError(f"exponential base must be > 1, got {base}")
+    lo = max(vmin, np.finfo(float).tiny)
+    if vmax < lo:
+        return []
+    k0 = int(np.ceil(np.log(lo) / np.log(base) - 1e-12))
+    k1 = int(np.floor(np.log(vmax) / np.log(base) + 1e-12))
+    return [float(base) ** k for k in range(k0, k1 + 1)]
+
+
 OUT_SCHEMA = "level double, n_points int, closed boolean, wkb binary, length double"
 
 # chain-key packing bounds (documented, asserted): tile coords < 2^18 per

@@ -296,3 +296,35 @@ class TestReviewRegressions:
                 continue  # the one corner cell
             want += float(np.hypot(x1 - x0, y1 - y0))
         assert total == pytest.approx(want, rel=1e-12)
+
+
+class TestExponentialLevels:
+    """gdal_contour -e level generation."""
+
+    def test_powers_within_range(self):
+        from gdal_spark.operators.contour import contour_levels_exp
+
+        assert contour_levels_exp(2.0, 3.0, 40.0) == [4.0, 8.0, 16.0, 32.0]
+        assert contour_levels_exp(10.0, 1.0, 1000.0) == [1.0, 10.0, 100.0, 1000.0]
+
+    def test_negative_range_empty_and_bad_base(self):
+        import pytest
+
+        from gdal_spark.operators.contour import contour_levels_exp
+
+        assert contour_levels_exp(2.0, -5.0, -1.0) == []
+        with pytest.raises(ValueError):
+            contour_levels_exp(1.0, 0.0, 10.0)
+
+    def test_exp_levels_feed_contour(self):
+        import numpy as np
+
+        from gdal_spark.operators.contour import contour_array, contour_levels_exp
+
+        y, x = np.mgrid[0:20, 0:20]
+        band = (x + y).astype(float)  # values 0..38
+        levels = contour_levels_exp(2.0, float(band.min() + 1), float(band.max()))
+        segs = contour_array(band, (0.0, 1.0, 0.0, 20.0, 0.0, -1.0), levels)
+        got_levels = {lv for lv, _pts in segs} if isinstance(segs, list) else None
+        # 2^0 = 1.0 sits exactly at vmin and is included
+        assert levels == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
