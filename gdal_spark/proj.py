@@ -613,6 +613,18 @@ LAEA_PARAMS = {
                e0=4321000.0, n0=3210000.0),
 }
 
+# non-UTM Transverse Mercator systems (published registry values;
+# NZGD2000 uses GRS80 and is WGS84-coincident at the engine's accuracy,
+# so it belongs in the no-datum-shift default table — unlike e.g.
+# EPSG:27700, whose OSGB36 datum requires a Helmert shift and therefore
+# stays a register_crs() opt-in)
+TM_PARAMS = {
+    # NZTM2000 (EPSG 9807: lat0 0, lon0 173 E, k0 0.9996,
+    # FE 1,600,000, FN 10,000,000)
+    2193: dict(a=6378137.0, rf=_GRS80_RF, lon0=173.0, k0=0.9996,
+               e0=1600000.0, n0=10000000.0, lat0=0.0),
+}
+
 
 def is_laea(srid: int) -> bool:
     return int(srid) in LAEA_PARAMS
@@ -645,6 +657,8 @@ for _srid, _p in AEA_PARAMS.items():
     CRS_TABLE[_srid] = ("aea", _p)
 for _srid, _p in PS_PARAMS.items():
     CRS_TABLE[_srid] = ("ps", _p)
+for _srid, _p in TM_PARAMS.items():
+    CRS_TABLE[_srid] = ("tm", _p)
 for _srid, _p in LAEA_PARAMS.items():
     CRS_TABLE[_srid] = ("laea", _p)
 

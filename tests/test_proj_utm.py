@@ -513,3 +513,78 @@ class TestTMLat0:
         t = get_transformer(27700)
         e, n = t.forward(self.LON, self.LAT)
         assert abs(float(e) - 651409.903) < 1e-3
+
+
+class TestNZTM:
+    """EPSG:2193 (NZTM2000) from the default registry — GRS80 TM with
+    FE 1.6M / FN 10M, validated against an independent parameterized
+    Snyder series."""
+
+    def _snyder_tm(self, lon, lat, lon0, a, rf, k0, fe, fn):
+        f = 1.0 / rf
+        e2 = f * (2 - f)
+        ep2 = e2 / (1 - e2)
+        phi = np.radians(lat)
+        lam = np.radians(lon - lon0)
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        T = np.tan(phi) ** 2
+        C = ep2 * np.cos(phi) ** 2
+        A = np.cos(phi) * lam
+        e4, e6 = e2 * e2, e2 ** 3
+        M = a * (
+            (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+            - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+            + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+            - (35 * e6 / 3072) * np.sin(6 * phi)
+        )
+        x = k0 * N * (A + (1 - T + C) * A**3 / 6
+                      + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A**5 / 120) + fe
+        y = k0 * (M + N * np.tan(phi) * (A * A / 2
+                  + (5 - T + 9 * C + 4 * C * C) * A**4 / 24
+                  + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A**6 / 720)) + fn
+        return x, y
+
+    def test_matches_snyder_over_nz(self):
+        from gdal_spark.proj import get_transformer
+
+        t = get_transformer(2193)
+        rng = np.random.default_rng(12)
+        args = (173.0, 6378137.0, 298.257222101, 0.9996, 1600000.0, 10000000.0)
+        # within +-3.5 deg of the central meridian (UTM-zone width, where
+        # the truncated Snyder series is itself sub-mm) the two agree
+        lon = rng.uniform(169.5, 176.5, 200)
+        lat = rng.uniform(-47.5, -34.0, 200)
+        e, n = t.forward(lon, lat)
+        es, ns = self._snyder_tm(lon, lat, *args)
+        assert np.max(np.abs(e - es)) < 1e-3
+        assert np.max(np.abs(n - ns)) < 1e-3
+        # across the full NZTM extent (+-7 deg) Snyder's OWN A^5/A^6
+        # truncation grows to cm; Krueger order-6 stays inside it
+        lon = rng.uniform(166.0, 179.9, 200)
+        e, n = t.forward(lon, lat)
+        es, ns = self._snyder_tm(lon, lat, *args)
+        assert np.max(np.abs(e - es)) < 0.05
+        assert np.max(np.abs(n - ns)) < 0.05
+
+    def test_roundtrip_and_origin(self):
+        from gdal_spark.proj import get_transformer
+
+        t = get_transformer(2193)
+        e, n = t.forward(173.0, 0.0)
+        assert abs(float(e) - 1600000.0) < 1e-6
+        assert abs(float(n) - 10000000.0) < 1e-6
+        rng = np.random.default_rng(13)
+        lon = rng.uniform(166.0, 179.0, 100)
+        lat = rng.uniform(-47.5, -34.0, 100)
+        lo, la = t.inverse(*t.forward(lon, lat))
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_wellington_plausible(self):
+        # Wellington (~174.78 E, 41.29 S) lands in the published NZTM
+        # coordinate neighbourhood (E ~1.75e6, N ~5.43e6)
+        from gdal_spark.proj import get_transformer
+
+        e, n = get_transformer(2193).forward(174.78, -41.29)
+        assert 1.70e6 < float(e) < 1.80e6
+        assert 5.40e6 < float(n) < 5.46e6
