@@ -122,7 +122,10 @@ class TM:
         lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
         phi = np.radians(np.asarray(lat, dtype=np.float64))
         sphi = np.sin(phi)
-        t = np.sinh(np.arctanh(sphi) - self.es * np.arctanh(self.es * sphi))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # |lat| == 90 puts arctanh at its pole; the inf propagates to
+            # an out-of-domain coordinate the callers' masks discard
+            t = np.sinh(np.arctanh(sphi) - self.es * np.arctanh(self.es * sphi))
         xi_p = np.arctan2(t, np.cos(lam))
         eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
         xi = xi_p.copy()
@@ -152,7 +155,8 @@ class TM:
         sin_chi = np.clip(np.sin(chi), -1.0, 1.0)
         s = sin_chi.copy()
         for _ in range(7):
-            s = np.tanh(np.arctanh(sin_chi) + self.es * np.arctanh(self.es * s))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.tanh(np.arctanh(sin_chi) + self.es * np.arctanh(self.es * s))
         return self.lon0 + np.degrees(lam), np.degrees(np.arcsin(np.clip(s, -1, 1)))
 
 
@@ -178,7 +182,8 @@ def lonlat_to_utm(lon, lat, srid: int):
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     sphi = np.sin(phi)
-    t = np.sinh(np.arctanh(sphi) - _ES * np.arctanh(_ES * sphi))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.sinh(np.arctanh(sphi) - _ES * np.arctanh(_ES * sphi))
     xi_p = np.arctan2(t, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi = xi_p.copy()
@@ -212,7 +217,8 @@ def utm_to_lonlat(easting, northing, srid: int):
     sin_chi = np.clip(np.sin(chi), -1.0, 1.0)
     s = sin_chi.copy()
     for _ in range(7):
-        s = np.tanh(np.arctanh(sin_chi) + _ES * np.arctanh(_ES * s))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.tanh(np.arctanh(sin_chi) + _ES * np.arctanh(_ES * s))
     phi = np.arcsin(np.clip(s, -1.0, 1.0))
     return lon0 + np.degrees(lam), np.degrees(phi)
 
