@@ -371,6 +371,7 @@ def ivfpq_topk(
     nbits: int = 8,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    by_residual: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """FAISS-style IVF-PQ (the combined scale path of the ANN ladder):
@@ -380,17 +381,26 @@ def ivfpq_topk(
     the scan, which is the 10^12-row memory story (m bytes/row touched,
     nprobe/n_lists of the corpus scanned per query).
 
-    Vectors are encoded DIRECTLY (FAISS by_residual=False): with
+    ``by_residual=False`` (default) encodes vectors DIRECTLY: with
     ``nprobe == n_lists`` and exact_pq_codebooks the ADC scores equal
     exact cosines, so the output EQUALS brute force — the oracle
-    setting; residual encoding would break that exactness and is the
-    documented trade-off. Scoring = per-query (m, k) LUT gathers + the
-    same tie-preserving partial top-k as pq_topk/cosine_topk."""
+    setting. ``by_residual=True`` is the FAISS default at scale: PQ
+    encodes x - centroid(list), and scoring adds the per-(query, list)
+    q.centroid constant to the LUT sum — residuals are tighter than raw
+    vectors, so the same m bytes quantize finer (higher recall), at the
+    cost of the zero-error oracle trick (recall is asserted in tests
+    instead). Scoring = per-query (m, k) LUT gathers + the same
+    tie-preserving partial top-k as pq_topk/cosine_topk."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed=seed)
     C = np.asarray(centroids, dtype=np.float64)
     if codebooks is None:
-        codebooks = train_pq_codebooks(corpus, vec_col, m, nbits, seed=seed)
+        if by_residual:
+            codebooks = _train_residual_codebooks(
+                corpus, C, vec_col, m, nbits, seed=seed
+            )
+        else:
+            codebooks = train_pq_codebooks(corpus, vec_col, m, nbits, seed=seed)
     B = np.asarray(codebooks, dtype=np.float64)
     m_, _kk, dsub = B.shape
 
@@ -402,9 +412,10 @@ def ivfpq_topk(
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
             Mn = _unit_rows(M)
             lid = np.argmax(Mn @ C.T, axis=1)
+            X = Mn - C[lid] if by_residual else Mn
             codes = np.empty((len(Mn), m_), dtype=np.int32)
             for sub in range(m_):
-                S = Mn[:, sub * dsub : (sub + 1) * dsub]
+                S = X[:, sub * dsub : (sub + 1) * dsub]
                 half = 0.5 * (B[sub] ** 2).sum(axis=1)
                 codes[:, sub] = np.argmax(S @ B[sub].T - half[None, :], axis=1)
             yield pd.DataFrame(
@@ -434,6 +445,7 @@ def ivfpq_topk(
 
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     lut = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), m_, dsub), B)
+    qc = Qn @ C.T  # (nq, n_lists): the q.centroid constant per list
     qpos = {int(q): i for i, q in enumerate(qids)}
 
     def score(batches):
@@ -444,10 +456,14 @@ def ivfpq_topk(
                 continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)
             ids = pdf["id"].to_numpy(dtype=np.int64)
+            lids = pdf["list_id"].to_numpy(dtype=np.int64)
             rows = []
             for qid in pdf["qid"].unique():
                 msk = (pdf["qid"] == qid).to_numpy()
                 sims = lut[qpos[int(qid)]][subs[None, :], codes[msk]].sum(axis=1)
+                if by_residual:
+                    # score = q.(c_list + r) = q.c_list + q.r
+                    sims = sims + qc[qpos[int(qid)], lids[msk]]
                 take = min(k, len(sims))
                 thresh = -np.partition(-sims, take - 1)[take - 1]
                 sel = np.nonzero(sims >= thresh)[0]
@@ -457,11 +473,56 @@ def ivfpq_topk(
                 )
             yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
 
-    scored = cand.select("qid", "id", "codes").mapInPandas(
+    scored = cand.select("qid", "id", "codes", "list_id").mapInPandas(
         score, schema="qid long, vec_id long, cosine double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _train_residual_codebooks(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    m: int,
+    nbits: int,
+    sample: int = 4096,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """PQ codebooks trained on RESIDUALS x - centroid(x) of a bounded
+    driver-side sample (FAISS IndexIVFPQ training recipe)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = _unit_rows(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    R = X - C[np.argmax(X @ C.T, axis=1)]
+    k = 1 << nbits
+    n, d = R.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.zeros((m, k, dsub))
+    for sub in range(m):
+        S = R[:, sub * dsub : (sub + 1) * dsub]
+        cents = [S[rng.integers(n)]]
+        for _ in range(k - 1):
+            d2 = np.min(
+                ((S[:, None, :] - np.stack(cents)[None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            tot = d2.sum()
+            p = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+            cents.append(S[rng.choice(n, p=p)])
+        Cb = np.stack(cents)
+        for _ in range(iters):
+            a = np.argmin(((S[:, None, :] - Cb[None, :, :]) ** 2).sum(-1), axis=1)
+            for j in range(k):
+                msk = a == j
+                if msk.any():
+                    Cb[j] = S[msk].mean(axis=0)
+        books[sub] = Cb
+    return books
 
 
 def pq_topk(

@@ -122,3 +122,50 @@ class TestStripBoilerplate:
         )
         out = strip_boilerplate(df, max_docs=2).collect()[0]
         assert out.text_clean == "z last\na first\nm mid"
+
+
+class TestIvfPqResidual:
+    """by_residual=True (the FAISS default): residual PQ quantizes finer
+    than raw-vector PQ at the same code budget."""
+
+    def _clustered(self, spark):
+        rng = np.random.default_rng(23)
+        centers = rng.normal(size=(4, 32)) * 5
+        vecs = []
+        for i in range(240):
+            vecs.append(centers[i % 4] + rng.normal(scale=0.3, size=32))
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v])
+             for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_residual_recall_at_least_plain(self, spark):
+        emb = self._clustered(spark)
+        rows = emb.where("vec_id < 6").collect()
+        qs = [(int(r.vec_id), [float(v) for v in r.embedding]) for r in rows]
+        exp = {(r.qid, r.vec_id) for r in cosine_topk(emb, qs, k=5).collect()}
+
+        def recall(by_residual, m, nbits):
+            got = ivfpq_topk(
+                emb, qs, k=5, n_lists=4, nprobe=4, m=m, nbits=nbits,
+                by_residual=by_residual,
+            ).collect()
+            return len(exp & {(r.qid, r.vec_id) for r in got}) / len(exp)
+
+        # at a quantization-starved budget (4 subspaces x 4 bits — 16
+        # codes for near-identical within-cluster candidates) residual
+        # coding must not be WORSE (measured: 0.167 vs 0.133 plain)
+        assert recall(True, 4, 4) >= recall(False, 4, 4) - 1e-9
+        # at the standard budget both modes resolve this corpus fully
+        assert recall(True, 8, 8) == 1.0
+        assert recall(False, 8, 8) == 1.0
+
+    def test_residual_deterministic(self, spark):
+        emb = self._clustered(spark)
+        qs = [(0, [float(v) for v in emb.where("vec_id = 0").collect()[0].embedding])]
+        a = sorted(map(tuple, ivfpq_topk(
+            emb, qs, k=3, n_lists=4, nprobe=2, by_residual=True).collect()))
+        b = sorted(map(tuple, ivfpq_topk(
+            emb, qs, k=3, n_lists=4, nprobe=2, by_residual=True).collect()))
+        assert a == b
