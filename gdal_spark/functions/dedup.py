@@ -745,16 +745,67 @@ def semantic_dedup(
     n_clusters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "lowest_id",
     **kw,
 ) -> DataFrame:
-    """Rows that SURVIVE semantic dedup: drop every vector that has a
-    LOWER-id neighbor with cosine >= threshold in its cluster (the
-    deterministic keep-lowest-id variant of SemDeDup's per-cluster
-    pruning). One left-anti join against the distinct drop set."""
+    """Rows that SURVIVE semantic dedup.
+
+    keep='lowest_id' (default): drop every vector that has a LOWER-id
+    neighbor with cosine >= threshold in its cluster — one left-anti
+    join against the distinct drop set, no group resolution needed.
+
+    keep='low_centroid_sim': the PAPER's rule (SemDeDup §3: within each
+    duplicate group keep the example with LOWEST cosine similarity to
+    its cluster centroid — the least prototypical one). Groups are the
+    connected components of the pair graph (distributed cc via
+    dup_clusters); the representative per group is argmin centroid
+    similarity with id as the deterministic tie-break."""
     pairs = semantic_dedup_pairs(
         corpus, threshold, n_clusters, id_col, vec_col, **kw
     )
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if keep == "lowest_id":
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return corpus.join(drop, id_col, "left_anti")
+    if keep != "low_centroid_sim":
+        raise ValueError(
+            f"keep must be 'lowest_id' or 'low_centroid_sim', got {keep!r}"
+        )
+    from pyspark.sql.window import Window
+
+    from .simsearch import _unit_rows, train_ivf_centroids
+
+    centroids = kw.get("centroids")
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_clusters, seed=kw.get("seed", 42)
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def csim(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["id", "csim"])
+                continue
+            M = _unit_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = M @ C.T
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "csim": sims.max(axis=1)}
+            )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    sims = corpus.select(id_col, vec_col).mapInPandas(
+        csim, schema=f"id {id_type}, csim double"
+    )
+    labels = dup_clusters(pairs)  # (id, cluster, keep-by-min-id)
+    ranked = labels.join(sims, "id").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(
+                F.col("csim").asc(), F.col("id").asc()
+            )
+        ),
+    )
+    drop = ranked.where(F.col("_rk") > 1).select(F.col("id").alias(id_col))
     return corpus.join(drop, id_col, "left_anti")
 
 

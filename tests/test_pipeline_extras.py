@@ -298,3 +298,56 @@ class TestDedupCorpus:
         assert 1 in rep or 3 in rep  # at least one pair co-clusters
         assert 0 in kept_ids and 4 in kept_ids and 5 in kept_ids
         assert len(kept_ids) == 6 - len(rep)
+
+
+class TestSemanticKeepRule:
+    """SemDeDup paper keep rule: within a duplicate group keep the
+    example LEAST similar to its cluster centroid."""
+
+    def test_low_centroid_sim_keep(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        # one tight group of 3 near-identical vectors; vector 2 is
+        # nudged AWAY from the centroid direction -> it is kept
+        base = np.array([1.0, 0.0, 0.0, 0.0])
+        v0 = base
+        v1 = base + np.array([0.0, 1e-4, 0.0, 0.0])
+        v2 = base + np.array([0.0, 0.05, 0.05, 0.0])  # least prototypical
+        other = np.array([0.0, 0.0, 0.0, 1.0])
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v])
+             for i, v in enumerate([v0, v1, v2, other])],
+            "vec_id long, embedding array<double>",
+        )
+        from gdal_spark.functions.simsearch import train_ivf_centroids
+
+        C = train_ivf_centroids(df, "embedding", 2, seed=1)
+        from gdal_spark.functions.dedup import semantic_dedup
+
+        kept_paper = sorted(
+            r.vec_id for r in semantic_dedup(
+                df, threshold=0.99, n_clusters=2, centroids=C,
+                keep="low_centroid_sim",
+            ).collect()
+        )
+        kept_id = sorted(
+            r.vec_id for r in semantic_dedup(
+                df, threshold=0.99, n_clusters=2, centroids=C,
+            ).collect()
+        )
+        assert kept_id == [0, 3]      # lowest id rule
+        assert kept_paper == [2, 3]   # least-prototypical rule
+
+    def test_bad_keep_raises(self, spark):
+        import pytest
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        from gdal_spark.functions.dedup import semantic_dedup
+
+        with pytest.raises(ValueError):
+            semantic_dedup(df, keep="first")
