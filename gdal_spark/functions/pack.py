@@ -39,18 +39,29 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
+    split_overflow: bool = False,
 ) -> DataFrame:
-    """Returns (shard, doc_id, n_tokens, bin_id, bin_offset, overflow).
+    """Returns (shard, doc_id, chunk_idx, n_tokens, bin_id, bin_offset,
+    overflow).
 
-    ``bin_offset`` is the token offset of the doc inside its bin.
-    Token counts come from ``tokens_col`` if given, else
+    ``bin_offset`` is the token offset of the doc (chunk) inside its
+    bin. Token counts come from ``tokens_col`` if given, else
     text.token_count(text_col) (whitespace tokens — the same formula the
     token_count oracle uses, so DuckDB reproduces it). NULL-text rows
     (nothing to train on) are excluded.
 
+    ``split_overflow=False`` (default): a doc longer than the capacity
+    occupies a bin alone with overflow=true (chunk_idx always 0).
+    ``split_overflow=True``: long docs are CHUNKED into
+    ceil(n/capacity) consecutive pieces (full-capacity chunks + the
+    remainder) before the walk — the standard training-pipeline
+    behavior, so no bin ever exceeds the capacity and overflow is
+    always false; chunk token offsets within the doc are
+    chunk_idx * capacity.
+
     Determinism requires ids unique within a shard: the walk order is
-    (doc_id, n_tokens) ascending, so duplicate ids with equal token
-    counts would tie on shuffle arrival order."""
+    (doc_id, chunk_idx, n_tokens) ascending, so duplicate ids with equal
+    token counts would tie on shuffle arrival order."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     tok = (
@@ -66,11 +77,40 @@ def pack_sequences(
             tok.cast("long").alias("n_tokens"),
         )
     )
-
     cap = int(capacity)
+    if split_overflow:
+        # explode docs into chunk rows with pure Column math: chunk k of
+        # ceil(n/cap) carries min(cap, n - k*cap) tokens
+        n_chunks = F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("n_tokens") / F.lit(cap))
+        )
+        base = base.select(
+            "shard",
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_idx", "_one"),
+            "n_tokens",
+        ).select(
+            "shard",
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(
+                F.lit(cap).cast("long"),
+                F.col("n_tokens") - F.col("chunk_idx") * cap,
+            ).alias("n_tokens"),
+        )
+        # zero-token docs keep their single zero chunk
+        base = base.withColumn(
+            "n_tokens", F.greatest(F.lit(0).cast("long"), F.col("n_tokens"))
+        )
+    else:
+        base = base.withColumn("chunk_idx", F.lit(0).cast("long")).select(
+            "shard", "doc_id", "chunk_idx", "n_tokens"
+        )
 
     def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["doc_id", "n_tokens"]).reset_index(drop=True)
+        pdf = pdf.sort_values(["doc_id", "chunk_idx", "n_tokens"]).reset_index(
+            drop=True
+        )
         toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
         n = len(toks)
         bin_id = np.zeros(n, dtype=np.int64)
@@ -92,7 +132,7 @@ def pack_sequences(
     return base.groupBy("shard").applyInPandas(
         pack_one,
         schema=(
-            "shard long, doc_id long, n_tokens long, "
+            "shard long, doc_id long, chunk_idx long, n_tokens long, "
             "bin_id long, bin_offset long, overflow boolean"
         ),
     )

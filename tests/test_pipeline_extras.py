@@ -351,3 +351,43 @@ class TestSemanticKeepRule:
 
         with pytest.raises(ValueError):
             semantic_dedup(df, keep="first")
+
+
+class TestPackSplitOverflow:
+    def _docs(self, spark, tokens):
+        rows = [
+            Row(doc_id=i, text=" ".join(["tok"] * t))
+            for i, t in enumerate(tokens)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_long_doc_chunked(self, spark):
+        df = self._docs(spark, [25, 3])
+        out = sorted(
+            pack_sequences(df, capacity=10, n_shards=1, split_overflow=True).collect(),
+            key=lambda r: (r.doc_id, r.chunk_idx),
+        )
+        d0 = [r for r in out if r.doc_id == 0]
+        assert [(r.chunk_idx, r.n_tokens) for r in d0] == [(0, 10), (1, 10), (2, 5)]
+        # full chunks fill whole bins; remainder continues greedily with doc 1
+        assert [(r.bin_id, r.bin_offset) for r in d0] == [(0, 0), (1, 0), (2, 0)]
+        d1 = [r for r in out if r.doc_id == 1][0]
+        assert (d1.bin_id, d1.bin_offset) == (2, 5)  # packs after the remainder
+        assert not any(r.overflow for r in out)
+
+    def test_totals_preserved_and_capacity_respected(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        toks = [int(t) for t in rng.integers(1, 40, size=30)]
+        df = self._docs(spark, toks)
+        packed = pack_sequences(df, capacity=12, n_shards=4, split_overflow=True)
+        rows = packed.collect()
+        assert sum(r.n_tokens for r in rows) == sum(toks)
+        st = bin_stats(packed, 12).collect()
+        assert all(r.tokens_used <= 12 for r in st)
+
+    def test_default_unchanged(self, spark):
+        df = self._docs(spark, [25, 3])
+        out = {r.doc_id: r for r in pack_sequences(df, capacity=10, n_shards=1).collect()}
+        assert out[0].overflow and out[0].chunk_idx == 0
