@@ -440,3 +440,53 @@ def merge_layers(layers: dict, src_field: str = "src_layer"):
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged
     )
+
+
+def vector_info(df: DataFrame, geom_col: str = "wkb") -> DataFrame:
+    """ogrinfo -al -so analog (apps/ogrinfo_lib.cpp summary mode): ONE
+    aggregation row — feature count, layer extent, and per-geometry-type
+    counts as a map. The extent uses the envelope columns when present
+    (the engine's footprint contract) and otherwise parses geometries;
+    geometry typing is the st_geometrytype kernel."""
+    from ..sql import _st_geometrytype
+
+    cols = set(df.columns)
+    typed = df.withColumn("_gt", _st_geometrytype(F.col(geom_col)))
+    if {"minx", "miny", "maxx", "maxy"} <= cols:
+        ext = typed
+    else:
+        from ..sql import _st_astext  # noqa: F401  (parse path below)
+        from .. import geom as _geom
+        import pandas as pd
+
+        @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+        def _env(wkbs: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b in wkbs:
+                if b is None:
+                    rows.append((None, None, None, None))
+                    continue
+                e = _geom.parse_wkb(bytes(b)).envelope()
+                rows.append((float(e[0]), float(e[1]), float(e[2]), float(e[3])))
+            return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+        env = _env(F.col(geom_col))
+        ext = typed.withColumn("_e", env).select(
+            "*", "_e.minx", "_e.miny", "_e.maxx", "_e.maxy"
+        )
+    per_type = ext.groupBy("_gt").agg(F.count("*").alias("n"))
+    summary = ext.agg(
+        F.count("*").alias("n_features"),
+        F.min("minx").alias("minx"),
+        F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"),
+        F.max("maxy").alias("maxy"),
+    )
+    types = per_type.agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct(F.coalesce("_gt", F.lit("NULL")).alias("t"), "n"))
+            )
+        ).alias("geom_type_counts")
+    )
+    return summary.crossJoin(types)

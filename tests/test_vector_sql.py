@@ -650,3 +650,38 @@ class TestSpecialFields:
             {"l": df},
         ).collect()
         assert [r.t for r in out] == ["POLYGON", "LINESTRING", None]
+
+
+class TestVectorInfo:
+    """ogrinfo -so analog."""
+
+    def test_summary(self, spark, feats):
+        from gdal_spark.operators.vector import vector_info
+
+        row = vector_info(feats).collect()[0]
+        n = feats.count()
+        assert row.n_features == n
+        ext = feats.agg(
+            F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")
+        ).collect()[0]
+        assert (row.minx, row.miny, row.maxx, row.maxy) == tuple(ext)
+        assert sum(row.geom_type_counts.values()) == n
+        assert set(row.geom_type_counts) <= {
+            "POLYGON", "MULTIPOLYGON", "POINT", "LINESTRING", "NULL",
+        }
+
+    def test_without_envelope_columns(self, spark):
+        from gdal_spark.operators.vector import vector_info
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(geom.wkb_rect(0.0, 0.0, 4.0, 3.0))),
+                (2, bytearray(geom.wkb_rect(-2.0, 1.0, 1.0, 9.0))),
+                (3, None),
+            ],
+            "fid long, wkb binary",
+        )
+        row = vector_info(df).collect()[0]
+        assert row.n_features == 3
+        assert (row.minx, row.miny, row.maxx, row.maxy) == (-2.0, 0.0, 4.0, 9.0)
+        assert row.geom_type_counts == {"POLYGON": 2, "NULL": 1}
