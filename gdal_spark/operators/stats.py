@@ -531,3 +531,55 @@ def calc_images(
         do,
         schema="image_id string, bytes binary, w int, h int, checksum long",
     )
+
+
+def raster_info(images) -> "DataFrame":
+    """gdalinfo analog (apps/gdalinfo_lib.cpp summary): ONE row per image
+    — size, georef, native-CRS corner coordinates (origin / lower-right,
+    gcore/gdalinfo corner report), and per-band min/max/mean/std as
+    arrays indexed by band. One decode per image, no shuffle."""
+
+    def do(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.atleast_3d(codecs.decode_image(bytes(r.bytes), r.fmt))
+                b = arr.reshape(-1, arr.shape[2]).astype(np.float64)
+                ulx, uly = float(r.gt0), float(r.gt3)
+                lrx = float(r.gt0 + r.w * r.gt1 + r.h * r.gt2)
+                lry = float(r.gt3 + r.w * r.gt4 + r.h * r.gt5)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "w": int(r.w),
+                        "h": int(r.h),
+                        "n_bands": int(arr.shape[2]),
+                        "fmt": r.fmt,
+                        "srid": int(r.srid),
+                        "ulx": ulx, "uly": uly, "lrx": lrx, "lry": lry,
+                        "px_w": float(r.gt1), "px_h": float(r.gt5),
+                        "band_min": b.min(axis=0).tolist(),
+                        "band_max": b.max(axis=0).tolist(),
+                        "band_mean": b.mean(axis=0).tolist(),
+                        "band_std": b.std(axis=0).tolist(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "n_bands", "fmt", "srid",
+                    "ulx", "uly", "lrx", "lry", "px_w", "px_h",
+                    "band_min", "band_max", "band_mean", "band_std",
+                ],
+            )
+
+    return images.mapInPandas(
+        do,
+        schema=(
+            "image_id string, w int, h int, n_bands int, fmt string, "
+            "srid int, ulx double, uly double, lrx double, lry double, "
+            "px_w double, px_h double, band_min array<double>, "
+            "band_max array<double>, band_mean array<double>, "
+            "band_std array<double>"
+        ),
+    )

@@ -458,3 +458,33 @@ class TestEnhance:
         # to 44/0/123
         assert out[0, 1] == out[1, 0] == out[1, 1]
         assert out[0, 0] < out[0, 1]
+
+
+class TestRasterInfo:
+    """gdalinfo analog: one summary row per image."""
+
+    def test_matches_pattern(self, spark, images16):
+        import numpy as np
+
+        from gdal_spark import fixtures
+        from gdal_spark.operators.stats import raster_info
+
+        out = {r.image_id: r for r in raster_info(images16).collect()}
+        assert len(out) == 16
+        for i in range(4):
+            spec = fixtures.image_spec(i)
+            r = out[spec["image_id"]]
+            assert (r.w, r.h) == (spec["w"], spec["h"])
+            assert r.srid == spec["srid"]
+            gt = spec["gt"]
+            assert r.ulx == gt[0] and r.uly == gt[3]
+            assert r.lrx == gt[0] + spec["w"] * gt[1]
+            assert r.lry == gt[3] + spec["h"] * gt[5]
+            if spec["fmt"] == "jpg":
+                continue
+            arr = np.atleast_3d(fixtures.pattern_array(spec)).astype(float)
+            assert r.n_bands == arr.shape[2]
+            for b in range(arr.shape[2]):
+                assert r.band_min[b] == arr[:, :, b].min()
+                assert r.band_max[b] == arr[:, :, b].max()
+                assert abs(r.band_mean[b] - arr[:, :, b].mean()) < 1e-9
