@@ -1,0 +1,210 @@
+"""WKT1 CRS import — the OGRSpatialReference::importFromWkt workflow
+(ogr/ogrspatialreference.cpp) for the projection families this engine
+implements: a PROJCS[...] string (the form data catalogs and sidecar
+files carry) parses into the registry's (family, params) shape, so
+``register_crs_from_wkt(srid, wkt)`` makes any supported parameter set
+usable by warp/footprint/vector reprojection without hand-copying
+parameters.
+
+Scope (documented, not a full OGC 01-009 implementation):
+- ellipsoid from SPHEROID[name, a, 1/f];
+- PROJECTION methods: Transverse_Mercator,
+  Lambert_Conformal_Conic_2SP, Albers_Conic_Equal_Area,
+  Polar_Stereographic, Lambert_Azimuthal_Equal_Area;
+- PARAMETER names per the GDAL WKT1 conventions (SRS_PP_*);
+- degree-based GEOGCS and metre-based projected UNIT assumed (the
+  overwhelmingly common case; anything else raises rather than
+  silently misprojecting);
+- datum shifts are out of scope engine-wide — the GEOGCS datum is
+  carried through untouched, exactly like the registry's own entries.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .proj import register_crs
+
+_METHOD_FAMILY = {
+    "transverse_mercator": "tm",
+    "lambert_conformal_conic_2sp": "lcc",
+    "albers_conic_equal_area": "aea",
+    "polar_stereographic": "ps",
+    "lambert_azimuthal_equal_area": "laea",
+}
+
+# WKT1 PARAMETER name -> engine kwarg, per family
+_PARAM_MAP = {
+    "tm": {
+        "central_meridian": "lon0",
+        "scale_factor": "k0",
+        "false_easting": "e0",
+        "false_northing": "n0",
+        "latitude_of_origin": "lat0",
+    },
+    "lcc": {
+        "standard_parallel_1": "phi1",
+        "standard_parallel_2": "phi2",
+        "latitude_of_origin": "phi0",
+        "central_meridian": "lon0",
+        "false_easting": "e0",
+        "false_northing": "n0",
+    },
+    "aea": {
+        "standard_parallel_1": "phi1",
+        "standard_parallel_2": "phi2",
+        "latitude_of_center": "phi0",
+        "latitude_of_origin": "phi0",
+        "longitude_of_center": "lon0",
+        "central_meridian": "lon0",
+        "false_easting": "e0",
+        "false_northing": "n0",
+    },
+    "ps": {
+        "latitude_of_origin": "lat_ts",
+        "standard_parallel_1": "lat_ts",
+        "central_meridian": "lon0",
+        "straight_vertical_longitude_from_pole": "lon0",
+        "false_easting": "e0",
+        "false_northing": "n0",
+    },
+    "laea": {
+        "latitude_of_center": "phi0",
+        "latitude_of_origin": "phi0",
+        "longitude_of_center": "lon0",
+        "central_meridian": "lon0",
+        "false_easting": "e0",
+        "false_northing": "n0",
+    },
+}
+
+# kwargs the family constructors REQUIRE (no engine default)
+_REQUIRED = {
+    "tm": ("lon0",),
+    "lcc": ("phi1", "phi2", "phi0", "lon0", "e0", "n0"),
+    "aea": ("phi1", "phi2", "phi0", "lon0", "e0", "n0"),
+    "ps": ("lat_ts", "lon0", "e0", "n0"),
+    "laea": ("phi0", "lon0", "e0", "n0"),
+}
+_DEFAULTS = {
+    "lcc": {"e0": 0.0, "n0": 0.0},
+    "aea": {"e0": 0.0, "n0": 0.0},
+    "ps": {"e0": 0.0, "n0": 0.0},
+    "laea": {"e0": 0.0, "n0": 0.0},
+}
+
+
+class _Node:
+    __slots__ = ("keyword", "values", "children")
+
+    def __init__(self, keyword):
+        self.keyword = keyword
+        self.values: list = []
+        self.children: list[_Node] = []
+
+    def find(self, keyword: str):
+        kw = keyword.upper()
+        for c in self.children:
+            if c.keyword == kw:
+                return c
+        for c in self.children:
+            got = c.find(kw)
+            if got is not None:
+                return got
+        return None
+
+    def find_all(self, keyword: str):
+        kw = keyword.upper()
+        out = []
+        for c in self.children:
+            if c.keyword == kw:
+                out.append(c)
+            out.extend(c.find_all(kw))
+        return out
+
+
+_TOKEN = re.compile(r'"(?:[^"\\]|\\.)*"|[A-Za-z_][A-Za-z0-9_]*|[-+0-9.eE]+|[\[\],()]')
+
+
+def _parse_node(wkt: str) -> _Node:
+    toks = _TOKEN.findall(wkt)
+    pos = 0
+
+    def parse() -> _Node:
+        nonlocal pos
+        kw = toks[pos]
+        pos += 1
+        node = _Node(kw.upper())
+        if pos < len(toks) and toks[pos] in "[(":
+            pos += 1
+            while True:
+                t = toks[pos]
+                if t in "])":
+                    pos += 1
+                    break
+                if t == ",":
+                    pos += 1
+                    continue
+                if t.startswith('"'):
+                    node.values.append(t[1:-1])
+                    pos += 1
+                elif re.fullmatch(r"[-+0-9.eE]+", t):
+                    node.values.append(float(t))
+                    pos += 1
+                else:
+                    node.children.append(parse())
+        return node
+
+    root = parse()
+    return root
+
+
+def parse_wkt_crs(wkt: str) -> tuple[str, dict]:
+    """PROJCS WKT1 -> (family, params) in the registry's shape."""
+    root = _parse_node(wkt)
+    if root.keyword != "PROJCS":
+        raise ValueError(f"expected PROJCS, got {root.keyword}")
+    sph = root.find("SPHEROID")
+    if sph is None or len(sph.values) < 3:
+        raise ValueError("no SPHEROID[name, a, 1/f] found")
+    a, rf = float(sph.values[1]), float(sph.values[2])
+    proj = root.find("PROJECTION")
+    if proj is None or not proj.values:
+        raise ValueError("no PROJECTION[...] found")
+    method = str(proj.values[0]).lower()
+    family = _METHOD_FAMILY.get(method)
+    if family is None:
+        raise ValueError(
+            f"unsupported projection method {proj.values[0]!r}; "
+            f"supported: {sorted(_METHOD_FAMILY)}"
+        )
+    # units: reject non-degree GEOGCS / non-metre projected units rather
+    # than silently misprojecting
+    units = root.find_all("UNIT")
+    for u in units:
+        name = str(u.values[0]).lower() if u.values else ""
+        if name and name not in (
+            "degree", "metre", "meter", "degrees", "metres", "meters"
+        ):
+            raise ValueError(f"unsupported UNIT {u.values[0]!r}")
+    pmap = _PARAM_MAP[family]
+    params: dict = {"a": a, "rf": rf}
+    params.update(_DEFAULTS.get(family, {}))
+    for p in root.find_all("PARAMETER"):
+        if len(p.values) < 2:
+            continue
+        name = str(p.values[0]).lower()
+        if name in pmap:
+            params[pmap[name]] = float(p.values[1])
+    missing = [k for k in _REQUIRED[family] if k not in params]
+    if missing:
+        raise ValueError(f"WKT lacks required parameters {missing} for {family}")
+    return family, params
+
+
+def register_crs_from_wkt(srid: int, wkt: str) -> None:
+    """importFromWkt + registry registration in one step: after this,
+    ``srid`` resolves through proj.get_transformer and every
+    registry-dispatched operator (warp, footprint, reprojection)."""
+    family, params = parse_wkt_crs(wkt)
+    register_crs(srid, family, **params)
