@@ -76,3 +76,54 @@ class TestStatefulDedupStream:
         # only 'delta' is new; alpha-beta and gamma are stateful dups
         texts = sorted(r.text for r in out2)
         assert texts == ["alpha beta", "delta", "gamma"]
+
+
+class TestWatermarkedWindows:
+    """Event-time windows + watermark: late rows drop in streaming,
+    count in batch — the §2.9 late-data contract."""
+
+    def test_late_row_dropped_streaming_counted_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        from gdal_spark.streaming.windows import (
+            run_windowed_counts,
+            windowed_counts,
+        )
+
+        inp = str(tmp_path / "ev_in")
+        outp = str(tmp_path / "ev_out")
+        ckp = str(tmp_path / "ev_ck")
+        schema = "ev_id long, ts timestamp"
+
+        def t(minute):
+            return dt.datetime(2026, 1, 1, 10, minute)
+
+        # batch 1: three rows in [10:00, 10:10) + one at 10:20 that
+        # advances the watermark to 10:10
+        b1 = spark.createDataFrame(
+            [(1, t(0)), (2, t(3)), (3, t(9)), (4, t(20))], schema
+        )
+        b1.write.mode("append").parquet(inp)
+        run_windowed_counts(spark, inp, outp, ckp, schema)
+
+        # batch 2: a LATE row at 10:01 (older than the persisted
+        # watermark) + a row at 10:40 that finalizes everything < 10:30
+        b2 = spark.createDataFrame([(5, t(1)), (6, t(40))], schema)
+        b2.write.mode("append").parquet(inp)
+        run_windowed_counts(spark, inp, outp, ckp, schema)
+
+        got = {
+            r.window_start.minute: r.n
+            for r in spark.read.parquet(outp).collect()
+        }
+        # streaming: the 10:00 window finalized WITHOUT the late row
+        assert got[0] == 3
+        assert got.get(20) == 1
+        # batch over the same files: withWatermark is a no-op, the late
+        # row counts
+        batch = {
+            r.window_start.minute: r.n
+            for r in windowed_counts(spark.read.parquet(inp)).collect()
+        }
+        assert batch[0] == 4
+        assert batch[20] == 1 and batch[40] == 1
