@@ -533,6 +533,45 @@ def main():
         out,
     )
 
+    # 21. bucketed co-located join: both sides written bucketed+sorted on
+    # the join key -> the join plan has ZERO exchanges (the shuffle was
+    # paid once at write time — the recurring-join lever at 10^12 rows)
+    import tempfile
+
+    from gdal_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    with tempfile.TemporaryDirectory() as td:
+        la = spark.range(0, 512).select(
+            (F.col("id") % 31).alias("cell"), F.col("id").alias("lv")
+        )
+        rb = spark.range(0, 768).select(
+            (F.col("id") % 31).alias("cell"), (F.col("id") * 3).alias("rv")
+        )
+        write_bucketed(la, "aud_bk_l", "cell", 4, path=f"{td}/l")
+        write_bucketed(rb, "aud_bk_r", "cell", 4, path=f"{td}/r")
+        # disable auto-broadcast: these audit tables are tiny, and a
+        # broadcast join would trivially have no shuffle WITHOUT using
+        # the bucket layout — the claim under audit is the bucketed SMJ
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bj = bucketed_join(spark, "aud_bk_l", "aud_bk_r", "cell")
+            audit(
+                "bucketed_join_no_shuffle",
+                bj,
+                [
+                    ("zero_exchanges",
+                     lambda p: len(re.findall(r"\(\d+\) (Broadcast)?Exchange", p)) == 0),
+                    ("sort_merge_join", r"SortMergeJoin"),
+                    ("bucketed_scan", r"Bucketed: true"),
+                ],
+                out,
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS aud_bk_l")
+        spark.sql("DROP TABLE IF EXISTS aud_bk_r")
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
