@@ -1951,6 +1951,55 @@ def q_layer_erase_areas_sql():
     )
 
 
+def q_dissolve_union(spark, sf_dir):
+    """Dissolve / ST_Union aggregate (OGRGeometry::UnaryUnion,
+    ogr/ogrgeometry.cpp:5235, distributed by attribute key): per key, a
+    chain of same-height rectangles with controlled x-overlaps unions
+    through the chunked slab-kernel tree (operators/dissolve.py). The
+    oracle re-derives union area and part count with the classic
+    interval gaps-and-islands sweep — two independent derivations."""
+    from gdal_spark.operators.dissolve import dissolve
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    x0 = (k * 7919 % 1000) * 100.0
+    bounds = o.select(
+        (k % 97).alias("fid"),
+        x0.alias("minx"),
+        F.lit(0.0).alias("miny"),
+        (x0 + (k * 131 % 1000) + 500.0).alias("maxx"),
+        F.lit(1000.0).alias("maxy"),
+    )
+    layer = _rect_from_bounds(bounds).withColumnRenamed("fid", "key")
+    out = dissolve(layer, by="key")
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.round(F.col("area") / 1.0e6, 6).alias("area_km2"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+    ).orderBy("key")
+
+
+def q_dissolve_union_sql():
+    return (
+        "WITH r AS (SELECT o_orderkey % 97 AS key, "
+        "(o_orderkey * 7919 % 1000) * 100.0 AS x0, "
+        "(o_orderkey * 7919 % 1000) * 100.0 "
+        "+ (o_orderkey * 131 % 1000) + 500.0 AS x1 FROM orders), "
+        "s AS (SELECT key, x0, x1, max(x1) OVER (PARTITION BY key "
+        "ORDER BY x0, x1 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING) AS prev_max FROM r), "
+        "g AS (SELECT key, x0, x1, CASE WHEN prev_max IS NULL OR "
+        "x0 > prev_max THEN 1 ELSE 0 END AS newgrp FROM s), "
+        "i AS (SELECT key, x0, x1, sum(newgrp) OVER (PARTITION BY key "
+        "ORDER BY x0, x1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+        "ROW) AS grp FROM g), "
+        "u AS (SELECT key, grp, min(x0) AS a, max(x1) AS b FROM i "
+        "GROUP BY key, grp) "
+        "SELECT key, round(sum(b - a) * 1000.0 / 1.0e6, 6) AS area_km2, "
+        "count(*) AS n_parts FROM u GROUP BY key ORDER BY key"
+    )
+
+
 def q_polygonize_regions(spark, sf_dir):
     """Rasterize the disjoint method rectangles into a tiled 2000x2000
     grid, then polygonize (alg/polygonize.cpp semantics: equal-value
@@ -4432,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enhance_checksums": q_enhance_checksums,
         "ivfpq_topk": q_ivfpq_topk,
         "strip_boilerplate": q_strip_boilerplate,
+        "dissolve_union": q_dissolve_union,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4514,6 +4564,7 @@ def oracle_sql() -> dict[str, str]:
         "enhance_checksums": q_enhance_checksums_sql(),
         "ivfpq_topk": q_ivfpq_topk_sql(),
         "strip_boilerplate": q_strip_boilerplate_sql(),
+        "dissolve_union": q_dissolve_union_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
