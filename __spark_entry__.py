@@ -1148,6 +1148,101 @@ def q_strip_boilerplate_sql():
     )
 
 
+_SUBSTR_L = 4  # min duplicated-substring length (tokens) for the entries
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr duplicated-span detection (Lee et al. 2022,
+    functions.substrings.duplicated_spans): every maximal token run of
+    length >= 4 occurring >= 2 times anywhere in the corpus, located per
+    document. The oracle replays the identical gram-cover + gaps-and-
+    islands formula in SQL."""
+    from gdal_spark.functions.substrings import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = duplicated_spans(d, min_len=_SUBSTR_L, min_count=2)
+    return out.select(
+        "doc_id", "span_start", "span_end", "n_tokens"
+    ).orderBy("doc_id", "span_start")
+
+
+def _substring_spans_cte(L: int) -> str:
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return (
+        f"t AS (SELECT doc_id, string_split({norm}, ' ') AS toks "
+        "FROM documents), "
+        "idx AS (SELECT unnest(range(1, 20001)) AS i), "
+        "g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, "
+        f"array_to_string(toks[CAST(i AS INT):CAST(i + {L - 1} AS INT)], ' ') "
+        "AS gram "
+        f"FROM t JOIN idx ON i <= len(toks) - {L - 1} "
+        f"WHERE len(toks) >= {L}), "
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), "
+        "m AS (SELECT doc_id, pos FROM g "
+        "WHERE gram IN (SELECT gram FROM dup)), "
+        "isl AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL "
+        f"OR pos - lag(pos) OVER w > {L} THEN 1 ELSE 0 END AS nw "
+        "FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+        "lab AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM isl), "
+        "spans AS (SELECT doc_id, min(pos) AS span_start, "
+        f"max(pos) + {L - 1} AS span_end, "
+        f"max(pos) + {L - 1} - min(pos) + 1 AS n_tokens "
+        "FROM lab GROUP BY doc_id, isl)"
+    )
+
+
+def q_substring_dedup_sql():
+    return (
+        "WITH " + _substring_spans_cte(_SUBSTR_L) +
+        " SELECT doc_id, span_start, span_end, n_tokens FROM spans "
+        "ORDER BY doc_id, span_start"
+    )
+
+
+def q_substring_strip(spark, sf_dir):
+    """ExactSubstr dedup ACTION (strip_duplicated_substrings): duplicated
+    spans removed from every document, per-doc token accounting + rebuilt
+    text. The oracle anti-joins token positions against the span table
+    and re-aggregates — a different formulation of the same removal."""
+    from gdal_spark.functions.substrings import strip_duplicated_substrings
+
+    d = _t(spark, sf_dir, "documents")
+    out = strip_duplicated_substrings(d, min_len=_SUBSTR_L, min_count=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_tokens",
+        F.round("dup_frac", 6).alias("dup_frac"),
+        "text_clean",
+    ).orderBy("doc_id")
+
+
+def q_substring_strip_sql():
+    L = _SUBSTR_L
+    return (
+        "WITH " + _substring_spans_cte(L) + ", "
+        "tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, "
+        "toks[CAST(i AS INT)] AS tok FROM t JOIN idx ON i <= len(toks)), "
+        "keep AS (SELECT tok.doc_id, pos, tok FROM tok LEFT JOIN spans s "
+        "ON tok.doc_id = s.doc_id AND pos BETWEEN s.span_start AND s.span_end "
+        "WHERE s.doc_id IS NULL), "
+        "nt AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = '' "
+        "THEN 0 ELSE len(toks) END AS n_tokens FROM t), "
+        "dups AS (SELECT doc_id, sum(n_tokens) AS n_dup FROM spans "
+        "GROUP BY doc_id), "
+        "clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+        "AS text_clean FROM keep GROUP BY doc_id) "
+        "SELECT nt.doc_id, CAST(nt.n_tokens AS INT) AS n_tokens, "
+        "CAST(coalesce(dups.n_dup, 0) AS INT) AS n_dup_tokens, "
+        "round(CASE WHEN nt.n_tokens > 0 THEN coalesce(dups.n_dup, 0) * 1.0 "
+        "/ nt.n_tokens ELSE 0.0 END, 6) AS dup_frac, "
+        "coalesce(clean.text_clean, '') AS text_clean "
+        "FROM nt LEFT JOIN dups USING (doc_id) LEFT JOIN clean USING (doc_id) "
+        "ORDER BY nt.doc_id"
+    )
+
+
 def q_geodesic_distance(spark, sf_dir):
     """WGS84 geodesic distance (Vincenty inverse, gdal_spark.geodesic —
     the OGR_G_GeodesicLength/GeographicLib surface of GDAL >= 3.9) over
@@ -4482,6 +4577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "strip_boilerplate": q_strip_boilerplate,
         "dissolve_union": q_dissolve_union,
+        "substring_dedup": q_substring_dedup,
+        "substring_strip": q_substring_strip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4565,6 +4662,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": q_ivfpq_topk_sql(),
         "strip_boilerplate": q_strip_boilerplate_sql(),
         "dissolve_union": q_dissolve_union_sql(),
+        "substring_dedup": q_substring_dedup_sql(),
+        "substring_strip": q_substring_strip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
