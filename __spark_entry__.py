@@ -1680,6 +1680,72 @@ def q_laea_forward_sql():
     )
 
 
+def q_equal_earth_forward(spark, sf_dir):
+    """Equal Earth forward (EPSG:8857, gdal_spark.proj.EQEARTH — Šavrič
+    et al. 2018 / EPSG method 1078) of customer-derived points over the
+    globe, checked against a FULLY INDEPENDENT re-derivation in DuckDB
+    SQL (authalic latitude + the published polynomial from the raw
+    parameters). Rounded to mm. The class itself is additionally pinned
+    to the published EPSG:8857 projected bounds in tests."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.proj import get_transformer
+
+        t = get_transformer(8857)
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = (k * 7 % 34000) / 100.0 - 170.0
+            lat = (k * 13 % 16000) / 100.0 - 80.0
+            e, n = t.forward(lon, lat)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "easting": np.round(e, 3),
+                    "northing": np.round(n, 3),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, easting double, northing double"
+    ).orderBy("pid")
+
+
+def q_equal_earth_forward_sql():
+    q_of = (
+        "(1.0 - e2) * (sin({phi}) / (1.0 - e2 * sin({phi}) * sin({phi})) "
+        "- (1.0 / (2.0 * e)) * ln((1.0 - e * sin({phi})) / (1.0 + e * sin({phi}))))"
+    )
+    return (
+        "WITH c0 AS (SELECT 6378137.0e0 AS a, 1.0 / 298.257223563e0 AS f, "
+        "sqrt(3.0) / 2.0 AS m, 1.340264e0 AS a1, -0.081106e0 AS a2, "
+        "0.000893e0 AS a3, 0.003796e0 AS a4), "
+        "c1 AS (SELECT *, 2.0 * f - f * f AS e2, sqrt(2.0 * f - f * f) AS e "
+        "FROM c0), "
+        "c2 AS (SELECT *, (1.0 - e2) * (1.0 / (1.0 - e2) - (1.0 / (2.0 * e)) "
+        "* ln((1.0 - e) / (1.0 + e))) AS qp FROM c1), "
+        "c3 AS (SELECT *, a * sqrt(qp / 2.0) AS rq FROM c2), "
+        "pts AS (SELECT c_custkey AS pid, "
+        "radians((c_custkey * 7 % 34000) / 100.0 - 170.0) AS lam, "
+        "radians((c_custkey * 13 % 16000) / 100.0 - 80.0) AS phi "
+        "FROM customer), "
+        "s1 AS (SELECT pid, lam, m, a1, a2, a3, a4, rq, "
+        f"asin(m * sin(asin({q_of.format(phi='phi')} / qp))) AS th "
+        "FROM pts, c3), "
+        "s2 AS (SELECT pid, lam, m, rq, th, "
+        "a1 + 3.0 * a2 * th * th + pow(th, 6) * "
+        "(7.0 * a3 + 9.0 * a4 * th * th) AS dp, "
+        "th * (a1 + a2 * th * th + pow(th, 6) * (a3 + a4 * th * th)) AS p "
+        "FROM s1) "
+        "SELECT pid, round(rq * lam * cos(th) / (m * dp), 3) AS easting, "
+        "round(rq * p, 3) AS northing FROM s2 ORDER BY pid"
+    )
+
+
 def q_ps_forward(spark, sf_dir):
     """Polar Stereographic variant B forward (EPSG:3413 NSIDC Sea Ice
     North, gdal_spark.proj.PS — Snyder PP-1395 pp.160-162 / EPSG method
@@ -4579,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_union": q_dissolve_union,
         "substring_dedup": q_substring_dedup,
         "substring_strip": q_substring_strip,
+        "equal_earth_forward": q_equal_earth_forward,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4664,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_union": q_dissolve_union_sql(),
         "substring_dedup": q_substring_dedup_sql(),
         "substring_strip": q_substring_strip_sql(),
+        "equal_earth_forward": q_equal_earth_forward_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -612,6 +612,96 @@ class LAEA:
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+class EQEARTH:
+    """Equal Earth projection (EPSG method 1078; Šavrič, Patterson &
+    Jenny 2018, "The Equal Earth map projection", IJGIS 32:3).
+
+    Spherical-form polynomial applied to the AUTHALIC latitude on the
+    authalic sphere of the given ellipsoid — the EPSG:8857 (WGS 84 /
+    Equal Earth Greenwich) construction, matching PROJ's eqearth. The
+    polynomial coefficients are the published values; correctness is
+    pinned by the registry's published projected bounds
+    (±17,243,959.06 m easting, ±8,392,927.6 m northing for 8857) and by
+    a numeric equal-area Jacobian test (tests/test_proj_utm.py)."""
+
+    _A1, _A2, _A3, _A4 = 1.340264, -0.081106, 0.000893, 0.003796
+    _M = np.sqrt(3.0) / 2.0
+
+    def __init__(self, a, rf, lon0=0.0, e0=0.0, n0=0.0):
+        self.a = float(a)
+        f = 1.0 / float(rf)
+        self.e2 = 2.0 * f - f * f
+        self.e = np.sqrt(self.e2)
+        self.lon0 = float(lon0)
+        self.e0 = float(e0)
+        self.n0 = float(n0)
+        self.qp = self._q(np.pi / 2.0)            # Snyder 3-12 at the pole
+        self.Rq = self.a * np.sqrt(self.qp / 2.0)  # authalic radius (3-13)
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * np.log((1.0 - self.e * s) / (1.0 + self.e * s))
+        )
+
+    @classmethod
+    def _poly(cls, th):
+        """y(θ)/Rq — the Equal Earth meridian polynomial."""
+        t2 = th * th
+        t6 = t2 * t2 * t2
+        return th * (cls._A1 + cls._A2 * t2 + t6 * (cls._A3 + cls._A4 * t2))
+
+    @classmethod
+    def _dpoly(cls, th):
+        t2 = th * th
+        t6 = t2 * t2 * t2
+        return cls._A1 + 3.0 * cls._A2 * t2 + t6 * (7.0 * cls._A3 + 9.0 * cls._A4 * t2)
+
+    def forward(self, lon, lat):
+        """(lon, lat) degrees -> (easting, northing), vectorized."""
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
+        theta = np.arcsin(self._M * np.sin(beta))
+        x = self.Rq * lam * np.cos(theta) / (self._M * self._dpoly(theta))
+        y = self.Rq * self._poly(theta)
+        return self.e0 + x, self.n0 + y
+
+    def inverse(self, easting, northing):
+        """(easting, northing) -> (lon, lat) degrees, vectorized."""
+        x = (np.asarray(easting, dtype=np.float64) - self.e0) / self.Rq
+        y = (np.asarray(northing, dtype=np.float64) - self.n0) / self.Rq
+        # Newton for θ from the meridian polynomial (monotone on |θ|<=60°)
+        theta = np.clip(y / self._A1, -np.pi / 3.0, np.pi / 3.0)
+        for _ in range(8):
+            theta = theta - (self._poly(theta) - y) / self._dpoly(theta)
+        beta = np.arcsin(np.clip(np.sin(theta) / self._M, -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lam = self._M * x * self._dpoly(theta) / np.cos(theta)
+        lam = np.where(np.abs(np.cos(theta)) < 1e-12, 0.0, lam)  # poles
+        # authalic beta -> geodetic phi via the Snyder 3-18 series (exact
+        # to O(e^8) ~ 2e-9 rad and, unlike the 3-16 fixed point, free of
+        # the 1/cos(phi) pole blow-up)
+        e2, e4 = self.e2, self.e2 * self.e2
+        e6 = e4 * self.e2
+        phi = (
+            beta
+            + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
+            * np.sin(2.0 * beta)
+            + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+            + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
+        )
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+EQEARTH_PARAMS = {
+    # WGS 84 / Equal Earth Greenwich
+    8857: dict(a=6378137.0, rf=298.257223563, lon0=0.0, e0=0.0, n0=0.0),
+}
+
+
 # EPSG parameter sets (published registry values; GRS80 ellipsoid)
 LAEA_PARAMS = {
     # ETRS89-extended / LAEA Europe
@@ -654,7 +744,8 @@ def laea_to_lonlat(easting, northing, srid: int):
 # shifts: every CRS here is WGS84/GRS80-family (the registry stores the
 # ellipsoid explicitly, so adding one is a parameter, not code).
 
-_FAMILIES = {"tm": TM, "lcc": LCC, "aea": AEA, "ps": PS, "laea": LAEA}
+_FAMILIES = {"tm": TM, "lcc": LCC, "aea": AEA, "ps": PS, "laea": LAEA,
+             "eqearth": EQEARTH}
 
 CRS_TABLE: dict[int, tuple[str, dict]] = {}
 for _srid, _p in LCC_PARAMS.items():
@@ -667,6 +758,8 @@ for _srid, _p in TM_PARAMS.items():
     CRS_TABLE[_srid] = ("tm", _p)
 for _srid, _p in LAEA_PARAMS.items():
     CRS_TABLE[_srid] = ("laea", _p)
+for _srid, _p in EQEARTH_PARAMS.items():
+    CRS_TABLE[_srid] = ("eqearth", _p)
 
 _XFORM_CACHE: dict[int, object] = {}
 

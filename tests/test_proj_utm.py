@@ -397,6 +397,70 @@ class TestLAEA:
         assert abs(proj_area / ell_area - 1.0) < 1e-7
 
 
+class TestEqualEarth:
+    """Equal Earth (EPSG:8857, method 1078; Šavrič et al. 2018)."""
+
+    def _t(self):
+        from gdal_spark.proj import EQEARTH, EQEARTH_PARAMS
+
+        return EQEARTH(**EQEARTH_PARAMS[8857])
+
+    def test_published_projected_bounds(self):
+        # epsg.io/EPSG registry projected bounds for 8857:
+        # easting ±17243959.06, northing ±8392927.6 (published to cm) —
+        # ground truth independent of this implementation
+        t = self._t()
+        x, y = t.forward(180.0, 0.0)
+        assert abs(float(x) - 17243959.06) < 0.01 and abs(float(y)) < 1e-6
+        x, y = t.forward(-180.0, 0.0)
+        assert abs(float(x) + 17243959.06) < 0.01
+        x, y = t.forward(0.0, 90.0)
+        assert abs(float(x)) < 1e-6 and abs(float(y) - 8392927.6) < 0.01
+        x, y = t.forward(0.0, -90.0)
+        assert abs(float(y) + 8392927.6) < 0.01
+
+    def test_round_trip(self):
+        t = self._t()
+        rng = np.random.Generator(np.random.PCG64(11))
+        lon = rng.uniform(-179.9, 179.9, 3000)
+        lat = rng.uniform(-89.9, 89.9, 3000)
+        e, n = t.forward(lon, lat)
+        lon2, lat2 = t.inverse(e, n)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-6  # authalic fixed point
+
+    def test_equal_area_jacobian(self):
+        # the defining property: |d(x,y)/d(lon,lat)| equals the
+        # ellipsoidal area element a²(1-e²)cosφ/(1-e²sin²φ)² everywhere
+        t = self._t()
+        rng = np.random.Generator(np.random.PCG64(12))
+        lon = rng.uniform(-170.0, 170.0, 800)
+        lat = rng.uniform(-85.0, 85.0, 800)
+        h = 1e-5
+        xr, yr = t.forward(lon + h, lat)
+        xl, yl = t.forward(lon - h, lat)
+        xu, yu = t.forward(lon, lat + h)
+        xd, yd = t.forward(lon, lat - h)
+        J = ((xr - xl) * (yu - yd) - (xu - xd) * (yr - yl)) / (4.0 * h * h)
+        J *= (180.0 / np.pi) ** 2
+        phi = np.radians(lat)
+        elem = (
+            t.a**2 * (1.0 - t.e2) * np.cos(phi)
+            / (1.0 - t.e2 * np.sin(phi) ** 2) ** 2
+        )
+        assert np.abs(J / elem - 1.0).max() < 1e-6
+
+    def test_registry_dispatch(self):
+        from gdal_spark.proj import get_transformer
+
+        t = get_transformer(8857)
+        assert t is not None
+        x, y = t.forward(np.array([12.5]), np.array([41.9]))  # Rome-ish
+        lon, lat = t.inverse(x, y)
+        assert abs(float(lon[0]) - 12.5) < 1e-9
+        assert abs(float(lat[0]) - 41.9) < 1e-6
+
+
 class TestRegistry:
     """Parameter-driven CRS registry: any-params round-trips, custom
     registration, generic TM == UTM module functions."""
