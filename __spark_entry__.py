@@ -1384,6 +1384,48 @@ def q_enhance_checksums_sql():
     return _vals_sql(rows, ["image_id", "checksum"], "image_id")
 
 
+def q_image_quality(spark, sf_dir):
+    """Image quality metrics + DCT pHash (functions.imagequality) over 8
+    fixture images in ONE decode pass; oracle = the same unit-tested
+    kernels run in-process (literal VALUES), proving the Arrow plumbing
+    reproduces the local kernel bit-for-bit (the convention of the other
+    pixel entries — the kernels themselves are pinned by closed-form
+    cases in tests/test_imagequality.py)."""
+    from gdal_spark import fixtures
+    from gdal_spark.functions.imagequality import image_quality
+
+    imgs = fixtures.images_df(spark, 8, tier="t2", partitions=4)
+    return image_quality(imgs).orderBy("image_id")
+
+
+def q_image_quality_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.functions.imagequality import quality_record
+
+    rows = []
+    for i in range(8):
+        rec = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(rec["bytes"], rec["fmt"])
+        qr = quality_record(np.atleast_3d(arr))
+        rows.append(
+            (
+                rec["image_id"], qr["brightness"], qr["rms_contrast"],
+                qr["laplacian_var"], qr["entropy_bits"],
+                qr["colorfulness"], qr["phash"],
+            )
+        )
+    rows.sort()
+    return _vals_sql(
+        rows,
+        ["image_id", "brightness", "rms_contrast", "laplacian_var",
+         "entropy_bits", "colorfulness", "phash"],
+        "image_id",
+    )
+
+
 def q_geodesic_area(spark, sf_dir):
     """Ellipsoidal triangle areas (authalic-sphere method,
     geodesic.geodesic_ring_area — the OGR_G_GeodesicArea surface) over
@@ -4646,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "substring_strip": q_substring_strip,
         "equal_earth_forward": q_equal_earth_forward,
+        "image_quality": q_image_quality,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4732,6 +4775,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": q_substring_dedup_sql(),
         "substring_strip": q_substring_strip_sql(),
         "equal_earth_forward": q_equal_earth_forward_sql(),
+        "image_quality": q_image_quality_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
