@@ -31,6 +31,7 @@ _METHOD_FAMILY = {
     "albers_conic_equal_area": "aea",
     "polar_stereographic": "ps",
     "lambert_azimuthal_equal_area": "laea",
+    "equal_earth": "eqearth",
 }
 
 # WKT1 PARAMETER name -> engine kwarg, per family
@@ -76,6 +77,12 @@ _PARAM_MAP = {
         "false_easting": "e0",
         "false_northing": "n0",
     },
+    "eqearth": {
+        "longitude_of_center": "lon0",
+        "central_meridian": "lon0",
+        "false_easting": "e0",
+        "false_northing": "n0",
+    },
 }
 
 # kwargs the family constructors REQUIRE (no engine default)
@@ -85,12 +92,14 @@ _REQUIRED = {
     "aea": ("phi1", "phi2", "phi0", "lon0", "e0", "n0"),
     "ps": ("lat_ts", "lon0", "e0", "n0"),
     "laea": ("phi0", "lon0", "e0", "n0"),
+    "eqearth": ("lon0",),
 }
 _DEFAULTS = {
     "lcc": {"e0": 0.0, "n0": 0.0},
     "aea": {"e0": 0.0, "n0": 0.0},
     "ps": {"e0": 0.0, "n0": 0.0},
     "laea": {"e0": 0.0, "n0": 0.0},
+    "eqearth": {"e0": 0.0, "n0": 0.0},
 }
 
 
@@ -208,3 +217,101 @@ def register_crs_from_wkt(srid: int, wkt: str) -> None:
     registry-dispatched operator (warp, footprint, reprojection)."""
     family, params = parse_wkt_crs(wkt)
     register_crs(srid, family, **params)
+
+
+# ---------------------------------------------------------------------------
+# WKT1 export — the OGRSpatialReference::exportToWkt counterpart
+# ---------------------------------------------------------------------------
+
+_FAMILY_METHOD = {
+    "tm": "Transverse_Mercator",
+    "lcc": "Lambert_Conformal_Conic_2SP",
+    "aea": "Albers_Conic_Equal_Area",
+    "ps": "Polar_Stereographic",
+    "laea": "Lambert_Azimuthal_Equal_Area",
+    "eqearth": "Equal_Earth",
+}
+
+# family kwarg -> (canonical WKT1 PARAMETER name, default when absent)
+_EXPORT_PARAMS = {
+    "tm": [("lat0", "latitude_of_origin", 0.0), ("lon0", "central_meridian", None),
+           ("k0", "scale_factor", 0.9996), ("e0", "false_easting", 500000.0),
+           ("n0", "false_northing", 0.0)],
+    "lcc": [("phi1", "standard_parallel_1", None), ("phi2", "standard_parallel_2", None),
+            ("phi0", "latitude_of_origin", None), ("lon0", "central_meridian", None),
+            ("e0", "false_easting", 0.0), ("n0", "false_northing", 0.0)],
+    "aea": [("phi1", "standard_parallel_1", None), ("phi2", "standard_parallel_2", None),
+            ("phi0", "latitude_of_center", None), ("lon0", "longitude_of_center", None),
+            ("e0", "false_easting", 0.0), ("n0", "false_northing", 0.0)],
+    "ps": [("lat_ts", "latitude_of_origin", None), ("lon0", "central_meridian", None),
+           ("e0", "false_easting", 0.0), ("n0", "false_northing", 0.0)],
+    "laea": [("phi0", "latitude_of_center", None), ("lon0", "longitude_of_center", None),
+             ("e0", "false_easting", 0.0), ("n0", "false_northing", 0.0)],
+    "eqearth": [("lon0", "central_meridian", None), ("e0", "false_easting", 0.0),
+                ("n0", "false_northing", 0.0)],
+}
+
+_ELLIPSOIDS = [
+    # (name, datum name, a, 1/f) — matched by parameter value
+    ("WGS 84", "WGS_1984", 6378137.0, 298.257223563),
+    ("GRS 1980", "Unknown_based_on_GRS80_ellipsoid", 6378137.0, 298.257222101),
+    ("Airy 1830", "Unknown_based_on_Airy_ellipsoid", 6377563.396, 299.3249646),
+]
+
+
+def _num(v: float) -> str:
+    """Trailing-zero-free decimal, the GDAL WKT1 number style."""
+    s = f"{float(v):.10f}".rstrip("0").rstrip(".")
+    return s if s not in ("", "-0") else "0"
+
+
+def crs_to_wkt(family: str, params: dict, name: str = "unnamed") -> str:
+    """(family, params) in the registry's shape -> PROJCS WKT1 string
+    using the GDAL SRS_PP_* parameter-name conventions — the exact form
+    ``parse_wkt_crs`` consumes, so export/import round-trips by
+    construction (tests additionally pin transformer equality)."""
+    if family not in _FAMILY_METHOD:
+        raise ValueError(f"unknown family {family!r}")
+    a, rf = float(params["a"]), float(params["rf"])
+    ell_name, datum = "unnamed ellipsoid", "unnamed_datum"
+    for en, dn, ea, erf in _ELLIPSOIDS:
+        if abs(a - ea) < 1e-6 and abs(rf - erf) < 1e-9:
+            ell_name, datum = en, dn
+            break
+    lines = [
+        f'PROJCS["{name}",',
+        f'    GEOGCS["{ell_name}",',
+        f'        DATUM["{datum}",',
+        f'            SPHEROID["{ell_name}",{_num(a)},{_num(rf)}]],',
+        '        PRIMEM["Greenwich",0],',
+        '        UNIT["degree",0.0174532925199433]],',
+        f'    PROJECTION["{_FAMILY_METHOD[family]}"],',
+    ]
+    for kwarg, wkt_name, default in _EXPORT_PARAMS[family]:
+        v = params.get(kwarg, default)
+        if v is None:
+            raise ValueError(f"family {family!r} params lack {kwarg!r}")
+        lines.append(f'    PARAMETER["{wkt_name}",{_num(v)}],')
+    lines.append('    UNIT["metre",1]]')
+    return "\n".join(lines)
+
+
+def export_wkt(srid: int, name: str | None = None) -> str:
+    """PROJCS WKT1 of a registered (or implicit-UTM) srid — the
+    exportToWkt workflow. Raises for unknown/geographic srids (4326 and
+    3857 have no PROJCS form in this engine's registry)."""
+    from .proj import (
+        CRS_TABLE, _E0, _K0, _WGS84_RF, _A, is_utm, utm_zone_params,
+    )
+
+    srid = int(srid)
+    if srid in CRS_TABLE:
+        family, params = CRS_TABLE[srid]
+    elif is_utm(srid):
+        lon0, n0 = utm_zone_params(srid)
+        family = "tm"
+        params = dict(a=_A, rf=_WGS84_RF, lon0=lon0, k0=_K0, e0=_E0,
+                      n0=n0, lat0=0.0)
+    else:
+        raise ValueError(f"srid {srid} is not a registered projected CRS")
+    return crs_to_wkt(family, params, name=name or f"EPSG:{srid}")

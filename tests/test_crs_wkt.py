@@ -1,10 +1,16 @@
-"""WKT1 CRS import: parsed parameter sets must reproduce the built-in
-registry transformers exactly."""
+"""WKT1 CRS import + export: parsed parameter sets must reproduce the
+built-in registry transformers exactly, and exported PROJCS strings
+must re-import to the identical transformer (the exportToWkt /
+importFromWkt round trip)."""
 
 import numpy as np
 import pytest
 
-from gdal_spark.crs_wkt import parse_wkt_crs, register_crs_from_wkt
+from gdal_spark.crs_wkt import (
+    export_wkt,
+    parse_wkt_crs,
+    register_crs_from_wkt,
+)
 from gdal_spark.proj import get_transformer
 
 WKT_32633 = """PROJCS["WGS 84 / UTM zone 33N",
@@ -128,3 +134,57 @@ class TestParseWkt:
         wkt = WKT_2154.replace('PARAMETER["standard_parallel_2",44],', "")
         with pytest.raises(ValueError, match="phi2"):
             parse_wkt_crs(wkt)
+
+
+# family-appropriate probe points for round-trip transformer equality
+_PROBES = {
+    32633: [(14.0, 48.0), (16.5, 61.0)],
+    32719: [(-70.0, -30.0), (-68.0, -45.0)],
+    2154: [(3.0, 46.5), (-1.5, 43.2), (7.8, 49.9)],
+    5070: [(-96.0, 23.0), (-120.0, 49.0)],
+    3413: [(-45.0, 70.0), (10.0, 80.0)],
+    3031: [(0.0, -71.0), (100.0, -80.0)],
+    3035: [(10.0, 52.0), (-9.0, 38.0)],
+    2193: [(173.0, -41.0), (176.0, -38.0)],
+    8857: [(0.0, 0.0), (120.0, 45.0), (-60.0, -30.0)],
+}
+
+
+class TestExportWkt:
+    @pytest.mark.parametrize("srid", sorted(_PROBES))
+    def test_export_reimport_round_trip(self, srid):
+        wkt = export_wkt(srid)
+        family, params = parse_wkt_crs(wkt)
+        register_crs_from_wkt(910000 + srid, wkt)
+        t_rt = get_transformer(910000 + srid)
+        t_ref = get_transformer(srid)
+        lon = np.array([p[0] for p in _PROBES[srid]])
+        lat = np.array([p[1] for p in _PROBES[srid]])
+        er, nr = t_ref.forward(lon, lat)
+        ew, nw = t_rt.forward(lon, lat)
+        assert np.allclose(ew, er, atol=1e-9)
+        assert np.allclose(nw, nr, atol=1e-9)
+
+    def test_wkt_shape_and_names(self):
+        wkt = export_wkt(32633)
+        assert wkt.startswith('PROJCS["EPSG:32633"')
+        assert 'PROJECTION["Transverse_Mercator"]' in wkt
+        assert 'PARAMETER["central_meridian",15]' in wkt
+        assert 'SPHEROID["WGS 84",6378137,298.257223563]' in wkt
+        wkt = export_wkt(2154, name="Lambert-93")
+        assert 'PROJCS["Lambert-93"' in wkt
+        assert 'SPHEROID["GRS 1980"' in wkt
+        assert 'PARAMETER["standard_parallel_1",44]' in wkt
+        assert 'PARAMETER["standard_parallel_2",49]' in wkt
+
+    def test_unknown_srid_rejected(self):
+        with pytest.raises(ValueError, match="not a registered"):
+            export_wkt(4326)
+        with pytest.raises(ValueError, match="not a registered"):
+            export_wkt(99999)
+
+    def test_eqearth_wkt_round_trip(self):
+        wkt = export_wkt(8857)
+        assert 'PROJECTION["Equal_Earth"]' in wkt
+        family, params = parse_wkt_crs(wkt)
+        assert family == "eqearth" and params["lon0"] == 0.0
