@@ -243,6 +243,54 @@ def q_footprint_corners_sql():
     )
 
 
+def q_tile_index_wkt(spark, sf_dir):
+    """gdaltindex analog (operators.vector.raster_tile_index): footprint
+    POLYGON WKT per raster from geotransform columns, pure Column math
+    (gdaltindex_lib.cpp ring order + DECIMAL formatting both replayed in
+    SQL). North-up rasters synthesized from supplier keys."""
+    from gdal_spark.operators.vector import raster_tile_index
+
+    s = _t(spark, sf_dir, "supplier")
+    px = (F.col("s_suppkey") % 37 + 1) * 10.0
+    imgs = s.select(
+        F.concat(F.lit("img"), F.col("s_suppkey")).alias("image_id"),
+        ((F.col("s_suppkey") % 100) * 250000.0 - 12500000.0).alias("gt0"),
+        px.alias("gt1"),
+        F.lit(0.0).alias("gt2"),
+        (((F.col("s_suppkey") * 11 + 3) % 80) * 250000.0 - 10000000.0).alias("gt3"),
+        F.lit(0.0).alias("gt4"),
+        (-px).alias("gt5"),
+        F.lit(512).alias("w"),
+        F.lit(256).alias("h"),
+        F.lit(3857).alias("srid"),
+    )
+    return raster_tile_index(imgs).orderBy("location")
+
+
+def q_tile_index_wkt_sql():
+    gt0 = "((s_suppkey % 100) * 250000.0 - 12500000.0)"
+    gt3 = "(((s_suppkey * 11 + 3) % 80) * 250000.0 - 10000000.0)"
+    px = "((s_suppkey % 37 + 1) * 10.0)"
+
+    def fmt(expr):
+        return f"CAST(CAST(round({expr}, 3) AS DECIMAL(24,3)) AS VARCHAR)"
+
+    x0, x1 = gt0, f"({gt0} + 512 * {px})"
+    y0, y1 = gt3, f"({gt3} - 256 * {px})"
+    ring = (
+        f"{fmt(x0)} || ' ' || {fmt(y0)} || ',' || "
+        f"{fmt(x1)} || ' ' || {fmt(y0)} || ',' || "
+        f"{fmt(x1)} || ' ' || {fmt(y1)} || ',' || "
+        f"{fmt(x0)} || ' ' || {fmt(y1)} || ',' || "
+        f"{fmt(x0)} || ' ' || {fmt(y0)}"
+    )
+    return (
+        f"SELECT 'img' || s_suppkey AS location, 3857 AS srid, "
+        f"'POLYGON((' || {ring} || '))' AS wkt "
+        "FROM supplier ORDER BY location"
+    )
+
+
 def q_envelope_join(spark, sf_dir):
     """Envelope-containment join (the phase-1 spatial filter,
     ogrlayer.cpp:2253-2325): planar points in part-derived rectangles;
@@ -4689,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_strip": q_substring_strip,
         "equal_earth_forward": q_equal_earth_forward,
         "image_quality": q_image_quality,
+        "tile_index_wkt": q_tile_index_wkt,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4776,6 +4825,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_strip": q_substring_strip_sql(),
         "equal_earth_forward": q_equal_earth_forward_sql(),
         "image_quality": q_image_quality_sql(),
+        "tile_index_wkt": q_tile_index_wkt_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -490,3 +490,91 @@ def vector_info(df: DataFrame, geom_col: str = "wkb") -> DataFrame:
         ).alias("geom_type_counts")
     )
     return summary.crossJoin(types)
+
+
+def raster_tile_index(
+    df: DataFrame,
+    t_srs: int | None = None,
+    id_col: str = "image_id",
+    round_to: int = 3,
+) -> DataFrame:
+    """gdaltindex analog (apps/gdaltindex_lib.cpp): one footprint
+    polygon per raster from its geotransform columns (gt0..gt5, w, h,
+    srid) — the tile-index layer raster catalogs are built from.
+
+    Ring order matches gdaltindex: (0,0) -> (w,0) -> (w,h) -> (0,h) ->
+    close (gdaltindex_lib.cpp:1112-1124). Coordinates round to
+    ``round_to`` decimals and format through DECIMAL so Spark and any
+    SQL replay print identically (no scientific notation).
+
+    - ``t_srs=None``: corners stay in each raster's native CRS — pure
+      Column math, zero shuffle, fully Catalyst-optimizable.
+    - ``t_srs=<epsg>``: corners reproject through the registry (ONE
+      Arrow pass, metadata-only — bytes never enter the plan), the
+      gdaltindex -t_srs behavior. Corner-only reprojection slightly
+      under-covers curved edges, the same caveat gdaltindex has.
+
+    Output: (location, srid, wkt).
+    """
+    meta = df.select(
+        F.col(id_col).alias("location"), "gt0", "gt1", "gt2", "gt3",
+        "gt4", "gt5", "w", "h", "srid",
+    )
+    corners = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]  # in (w,h) units
+
+    if t_srs is None:
+        def fmt(c):
+            return F.round(c, round_to).cast(f"decimal(24,{round_to})").cast("string")
+
+        parts = [F.lit("POLYGON((")]
+        for i, (cx, cy) in enumerate(corners):
+            px = F.col("w") * cx
+            py = F.col("h") * cy
+            x = F.col("gt0") + px * F.col("gt1") + py * F.col("gt2")
+            y = F.col("gt3") + px * F.col("gt4") + py * F.col("gt5")
+            if i:
+                parts.append(F.lit(","))
+            parts.extend([fmt(x), F.lit(" "), fmt(y)])
+        parts.append(F.lit("))"))
+        return meta.select("location", "srid", F.concat(*parts).alias("wkt"))
+
+    def run(batches):
+        for pdf in batches:
+            w = pdf["w"].to_numpy(dtype=np.float64)
+            h = pdf["h"].to_numpy(dtype=np.float64)
+            gt = [pdf[f"gt{i}"].to_numpy(dtype=np.float64) for i in range(6)]
+            xs, ys = [], []
+            for cx, cy in corners:
+                px, py = w * cx, h * cy
+                xs.append(gt[0] + px * gt[1] + py * gt[2])
+                ys.append(gt[3] + px * gt[4] + py * gt[5])
+            out_wkt = np.empty(len(pdf), dtype=object)
+            srids = pdf["srid"].to_numpy(dtype=np.int64)
+            for s in np.unique(srids):
+                m = srids == s
+                ring = []
+                for x, y in zip(xs, ys):
+                    tx, ty = (
+                        (x[m], y[m]) if int(s) == int(t_srs)
+                        else geo_transform_points(x[m], y[m], int(s), int(t_srs))
+                    )
+                    ring.append((np.round(tx, round_to), np.round(ty, round_to)))
+                sub = [
+                    "POLYGON(("
+                    + ",".join(
+                        f"{ring[c][0][j]:.{round_to}f} {ring[c][1][j]:.{round_to}f}"
+                        for c in range(5)
+                    )
+                    + "))"
+                    for j in range(int(m.sum()))
+                ]
+                out_wkt[m] = sub
+            yield pd.DataFrame(
+                {
+                    "location": pdf["location"],
+                    "srid": np.full(len(pdf), int(t_srs), dtype=np.int64),
+                    "wkt": out_wkt,
+                }
+            )
+
+    return meta.mapInPandas(run, schema="location string, srid long, wkt string")
