@@ -4684,6 +4684,109 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_shapefile_roundtrip(spark, sf_dir):
+    """Shapefile driver round-trip (formats.shapefile — from the public
+    ESRI spec; reference driver ogr/ogrsf_frmts/shape/): a supplier-derived
+    polygon layer is exported to .shp/.shx/.dbf and re-read with a 4-range
+    distributed .shx scan; the output re-derives every value from the FILE
+    (DBF attributes + shoelace area of the re-parsed WKB), so the oracle's
+    closed-form replay only matches if geometry AND attributes survived.
+    Quarter-unit coordinates make the DBF fixed-point and the shoelace
+    arithmetic bit-exact."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_shapefile, write_shapefile
+    from gdal_spark.sql import _st_area
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    minx = (k % 50) * 10.0
+    miny = (k % 29) * 8.0
+    maxx = minx + (k % 7 + 1) * 2.25
+    maxy = miny + (k % 5 + 1) * 4.0
+
+    @F.pandas_udf("binary")
+    def rect_udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_rect(*t) for t in zip(a, b, c, d)])
+
+    src = s.select(
+        k.alias("skey"),
+        F.concat(F.lit("sup"), k).alias("sname"),
+        rect_udf(minx, miny, maxx, maxy).alias("geometry"),
+    ).orderBy("skey")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_shp_")
+    path = os.path.join(tmp, "sup.shp")
+    write_shapefile(src, path)
+    out = scan_shapefile(spark, path, num_partitions=4)
+    return out.select(
+        F.col("skey"),
+        F.col("sname"),
+        _st_area(F.col("geometry")).alias("area"),
+    ).orderBy("skey")
+
+
+def q_shapefile_roundtrip_sql():
+    return (
+        "SELECT s_suppkey AS skey, 'sup' || s_suppkey AS sname, "
+        "((s_suppkey % 7 + 1) * 2.25) * ((s_suppkey % 5 + 1) * 4.0) AS area "
+        "FROM supplier ORDER BY skey"
+    )
+
+
+def q_geopackage_roundtrip(spark, sf_dir):
+    """GeoPackage driver round-trip (formats.geopackage — from the OGC
+    12-128r19 spec; reference driver ogr/ogrsf_frmts/gpkg/): a customer
+    point layer is exported into a spec-complete .gpkg (GPB blobs +
+    mandatory metadata tables) and re-read with a 6-range rowid-partitioned
+    sqlite scan; x/y come back out of the GPB->WKB geometry, bal out of a
+    sqlite REAL column (both bit-exact for eighth-unit values)."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_geopackage, write_geopackage
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 7 % 3600) * 0.25 - 450.0
+    y = (k * 13 % 1440) * 0.125 - 90.0
+    src = c.select(
+        k.alias("ckey"),
+        pt_udf(x, y).alias("geometry"),
+        ((k % 1000) * 0.5).alias("bal"),
+    ).orderBy("ckey")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gpkg_")
+    path = os.path.join(tmp, "cust.gpkg")
+    write_geopackage(src, path, "cust", srid=3857)
+    out = scan_geopackage(spark, path, "cust", num_partitions=6)
+    return out.select(
+        F.col("ckey"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("bal"),
+    ).orderBy("ckey")
+
+
+def q_geopackage_roundtrip_sql():
+    return (
+        "SELECT c_custkey AS ckey, "
+        "(c_custkey * 7 % 3600) * 0.25 - 450.0 AS x, "
+        "(c_custkey * 13 % 1440) * 0.125 - 90.0 AS y, "
+        "(c_custkey % 1000) * 0.5 AS bal "
+        "FROM customer ORDER BY ckey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -4738,6 +4841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equal_earth_forward": q_equal_earth_forward,
         "image_quality": q_image_quality,
         "tile_index_wkt": q_tile_index_wkt,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "geopackage_roundtrip": q_geopackage_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4826,6 +4931,8 @@ def oracle_sql() -> dict[str, str]:
         "equal_earth_forward": q_equal_earth_forward_sql(),
         "image_quality": q_image_quality_sql(),
         "tile_index_wkt": q_tile_index_wkt_sql(),
+        "shapefile_roundtrip": q_shapefile_roundtrip_sql(),
+        "geopackage_roundtrip": q_geopackage_roundtrip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

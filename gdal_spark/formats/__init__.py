@@ -1,0 +1,16 @@
+"""Vector file-format drivers (the engine's counterpart of GDAL's
+``ogr/ogrsf_frmts/`` driver registry, scoped to the formats a Spark
+migration actually needs to ingest): ESRI Shapefile and GeoPackage.
+
+Both are written from the public format specifications — the ESRI
+"Shapefile Technical Description" (July 1998) and the OGC GeoPackage
+Encoding Standard — not from the reference driver code. The Spark-first
+part is the scan shape: a driver-side metadata read (tiny .shx / sqlite
+catalog) plans byte/rowid ranges, and one Spark task per range parses its
+span with vectorized numpy, so a single large file fans out across the
+cluster instead of serializing into one task (GDAL reads one file on one
+thread; reference: ogr/ogrsf_frmts/shape/, ogr/ogrsf_frmts/gpkg/).
+"""
+
+from .shapefile import scan_shapefile, write_shapefile  # noqa: F401
+from .geopackage import scan_geopackage, write_geopackage  # noqa: F401

@@ -1,0 +1,214 @@
+"""Shapefile + GeoPackage drivers: write -> distributed scan round-trips.
+
+Geometry parity is asserted on parsed coordinates / areas, not raw WKB
+bytes, because the shapefile spec mandates its own ring winding (outer CW,
+holes CCW) — a legitimate re-orientation the reader must undo semantically,
+not byte-wise."""
+
+import numpy as np
+import pytest
+
+from gdal_spark import geom
+from gdal_spark.formats import (
+    scan_geopackage,
+    scan_shapefile,
+    write_geopackage,
+    write_shapefile,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _poly_area(wkb):
+    g = geom.parse_wkb(bytes(wkb))
+    total = 0.0
+    for rings in g.polygons():
+        for j, r in enumerate(rings):
+            a = 0.5 * float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+            total += abs(a) if j == 0 else -abs(a)
+    return total
+
+
+def _mixed_df(spark):
+    rows = [
+        (0, geom.wkb_point(2.5, -7.25), "alpha", 10, 1.25, True),
+        (1, geom.wkb_linestring([[0, 0], [3, 4], [10, 4]]), "beta", -3, -0.5, False),
+        (
+            2,
+            geom.wkb_polygon(
+                [
+                    np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float),
+                    np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float),
+                ]
+            ),
+            None,
+            None,
+            None,
+            None,
+        ),
+        (
+            3,
+            geom.wkb_multipolygon(
+                [
+                    [np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)],
+                    [np.array([[5, 5], [9, 5], [9, 9], [5, 9]], float)],
+                ]
+            ),
+            "delta",
+            7,
+            2.0,
+            None,
+        ),
+        (4, None, "nullgeom", 1, 0.0, True),
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, geometry binary, name string, n bigint, x double, flag boolean"
+    )
+
+
+class TestShapefile:
+    def test_point_line_roundtrip(self, spark, tmp_path):
+        df = _mixed_df(spark).where("id in (0, 1)")
+        path = str(tmp_path / "pl.shp")
+        # shapefile holds ONE shape type per file; write each separately
+        write_shapefile(df.where("id = 0"), str(tmp_path / "pt.shp"))
+        write_shapefile(df.where("id = 1"), str(tmp_path / "ln.shp"))
+        pt = scan_shapefile(spark, str(tmp_path / "pt.shp")).collect()[0]
+        assert geom.parse_wkb(bytes(pt.geometry)).parts.ravel().tolist() == [2.5, -7.25]
+        assert (pt.name, pt.n, pt.x, pt.flag) == ("alpha", 10, 1.25, True)
+        ln = scan_shapefile(spark, str(tmp_path / "ln.shp")).collect()[0]
+        g = geom.parse_wkb(bytes(ln.geometry))
+        assert g.kind == geom.WKB_LINESTRING
+        np.testing.assert_array_equal(g.parts[0], [[0, 0], [3, 4], [10, 4]])
+        assert (ln.name, ln.n, ln.x, ln.flag) == ("beta", -3, -0.5, False)
+        del path
+
+    def test_polygon_hole_and_multi(self, spark, tmp_path):
+        df = _mixed_df(spark).where("id in (2, 3)")
+        write_shapefile(df, str(tmp_path / "poly.shp"))
+        out = {
+            r.id: r for r in scan_shapefile(spark, str(tmp_path / "poly.shp")).collect()
+        }
+        # polygon with hole: area 100 - 4 = 96; multipolygon: 4 + 16 = 20
+        assert _poly_area(out[2].geometry) == pytest.approx(96.0)
+        assert _poly_area(out[3].geometry) == pytest.approx(20.0)
+        g3 = geom.parse_wkb(bytes(out[3].geometry))
+        assert g3.kind == geom.WKB_MULTIPOLYGON and len(g3.parts) == 2
+        # nulls survive the DBF round-trip as nulls
+        assert out[2].name is None and out[2].n is None and out[2].x is None
+
+    def test_null_shape(self, spark, tmp_path):
+        write_shapefile(_mixed_df(spark).where("id = 4"), str(tmp_path / "n.shp"))
+        row = scan_shapefile(spark, str(tmp_path / "n.shp")).collect()[0]
+        assert row.geometry is None and row.name == "nullgeom"
+
+    def test_distributed_scan_matches_single(self, spark, tmp_path):
+        pts = spark.range(137).selectExpr(
+            "id",
+            "cast(null as binary) as geometry",
+            "concat('r', id) as name",
+            "id * 3 as n",
+            "id * 0.25 as x",
+            "id % 2 = 0 as flag",
+        )
+        # give every row a point geometry via the builder
+        rows = [
+            (i, geom.wkb_point(i * 1.5, -i * 0.5), f"r{i}", i * 3, i * 0.25, i % 2 == 0)
+            for i in range(137)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "id bigint, geometry binary, name string, n bigint, x double, flag boolean",
+        )
+        write_shapefile(df, str(tmp_path / "many.shp"))
+        one = scan_shapefile(spark, str(tmp_path / "many.shp"), 1)
+        eight = scan_shapefile(spark, str(tmp_path / "many.shp"), 8)
+        assert eight.rdd.getNumPartitions() == 8
+        a = sorted(one.collect(), key=lambda r: r.fid)
+        b = sorted(eight.collect(), key=lambda r: r.fid)
+        assert len(a) == len(b) == 137
+        for ra, rb in zip(a, b):
+            assert ra == rb
+        # attribute values exact: N 24.15 fixed-point round-trips k*0.25
+        assert [r.x for r in a] == [i * 0.25 for i in range(137)]
+        assert [r.n for r in a] == [i * 3 for i in range(137)]
+        del pts
+
+    def test_winding_normalized_on_write(self, spark, tmp_path):
+        # CCW outer ring in WKB must become CW on disk and read back with
+        # positive area and correct hole containment
+        ccw = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        cw_hole = np.array([[4, 6], [6, 6], [6, 4], [4, 4]], float)
+        df = spark.createDataFrame(
+            [(0, geom.wkb_polygon([ccw, cw_hole]))], "id bigint, geometry binary"
+        )
+        write_shapefile(df, str(tmp_path / "w.shp"))
+        row = scan_shapefile(spark, str(tmp_path / "w.shp")).collect()[0]
+        assert _poly_area(row.geometry) == pytest.approx(96.0)
+        g = geom.parse_wkb(bytes(row.geometry))
+        assert len(g.parts) == 2  # exterior + hole reassembled
+
+
+class TestGeoPackage:
+    def test_roundtrip_mixed(self, spark, tmp_path):
+        df = _mixed_df(spark)
+        path = str(tmp_path / "t.gpkg")
+        write_geopackage(df, path, "features", srid=3857)
+        out = {r.id: r for r in scan_geopackage(spark, path, "features").collect()}
+        assert len(out) == 5
+        assert geom.parse_wkb(bytes(out[0].geometry)).parts.ravel().tolist() == [
+            2.5,
+            -7.25,
+        ]
+        assert _poly_area(out[2].geometry) == pytest.approx(96.0)
+        assert _poly_area(out[3].geometry) == pytest.approx(20.0)
+        assert out[4].geometry is None and out[4].name == "nullgeom"
+        assert out[2].name is None and out[2].n is None
+        # doubles are stored as sqlite REAL -> bit-exact round-trip
+        assert out[0].x == 1.25 and out[1].x == -0.5
+        assert out[0].flag is True and out[1].flag is False
+
+    def test_distributed_scan_partitions(self, spark, tmp_path):
+        rows = [
+            (i, geom.wkb_point(i * 1.0, -i * 2.0), f"r{i}", i * 7, i * 0.125, None)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "id bigint, geometry binary, name string, n bigint, x double, flag boolean",
+        )
+        path = str(tmp_path / "big.gpkg")
+        write_geopackage(df, path, "pts", srid=4326)
+        one = scan_geopackage(spark, path, "pts", num_partitions=1)
+        six = scan_geopackage(spark, path, "pts", num_partitions=6)
+        assert six.rdd.getNumPartitions() == 6
+        a = sorted(one.collect(), key=lambda r: r.fid)
+        b = sorted(six.collect(), key=lambda r: r.fid)
+        assert a == b and len(a) == 200
+        assert [r.x for r in a] == [i * 0.125 for i in range(200)]
+
+    def test_gpkg_metadata_tables(self, spark, tmp_path):
+        import sqlite3
+
+        path = str(tmp_path / "m.gpkg")
+        write_geopackage(_mixed_df(spark), path, "layer1", srid=3857)
+        con = sqlite3.connect(path)
+        try:
+            (app_id,) = con.execute("PRAGMA application_id").fetchone()
+            assert app_id == 0x47504B47  # 'GPKG'
+            rows = con.execute(
+                "SELECT table_name, data_type FROM gpkg_contents"
+            ).fetchall()
+            assert rows == [("layer1", "features")]
+            gc = con.execute(
+                "SELECT table_name, column_name, srs_id FROM gpkg_geometry_columns"
+            ).fetchall()
+            assert gc == [("layer1", "geometry", 3857)]
+            srs = dict(
+                con.execute(
+                    "SELECT srs_id, organization FROM gpkg_spatial_ref_sys"
+                ).fetchall()
+            )
+            assert srs[3857] == "EPSG"
+        finally:
+            con.close()
