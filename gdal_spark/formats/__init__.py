@@ -14,3 +14,8 @@ thread; reference: ogr/ogrsf_frmts/shape/, ogr/ogrsf_frmts/gpkg/).
 
 from .shapefile import scan_shapefile, write_shapefile  # noqa: F401
 from .geopackage import scan_geopackage, write_geopackage  # noqa: F401
+from .geojson import (  # noqa: F401
+    scan_geojson,
+    scan_geojson_seq,
+    write_geojson_seq,
+)

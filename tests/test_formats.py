@@ -212,3 +212,83 @@ class TestGeoPackage:
             assert srs[3857] == "EPSG"
         finally:
             con.close()
+
+
+class TestGeoJSON:
+    def test_seq_distributed_roundtrip(self, spark, tmp_path):
+        rows = [
+            (i, geom.wkb_point(i * 0.5, -i * 0.25), f"f{i}", i * 11, i * 0.125)
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, geometry binary, name string, n bigint, x double"
+        ).repartition(5)
+        from gdal_spark.formats import scan_geojson_seq, write_geojson_seq
+
+        out_dir = str(tmp_path / "seq")
+        write_geojson_seq(df, out_dir)
+        import glob
+
+        parts = glob.glob(out_dir + "/part-*")
+        assert len(parts) == 5  # distributed sink: one part per partition
+        back = scan_geojson_seq(spark, out_dir + "/part-*")
+        got = sorted(back.collect(), key=lambda r: r.id)
+        assert len(got) == 300
+        assert [r.x for r in got] == [i * 0.125 for i in range(300)]
+        g = geom.parse_wkb(bytes(got[7].geometry))
+        assert g.parts.ravel().tolist() == [3.5, -1.75]
+
+    def test_seq_rs_markers_and_nulls(self, spark, tmp_path):
+        p = tmp_path / "rs.geojsonl"
+        lines = [
+            '\x1e{"type":"Feature","geometry":{"type":"Point","coordinates":[1.5,2.5]},"properties":{"a":1,"b":null}}',
+            '\x1e{"type":"Feature","geometry":null,"properties":{"a":null,"b":"x"}}',
+        ]
+        p.write_text("\n".join(lines))
+        from gdal_spark.formats import scan_geojson_seq
+
+        rows = sorted(
+            scan_geojson_seq(spark, str(p)).collect(),
+            key=lambda r: (r.a is None, r.a),
+        )
+        assert rows[0].a == 1 and rows[0].b is None
+        assert rows[1].a is None and rows[1].b == "x" and rows[1].geometry is None
+
+    def test_collection_files(self, spark, tmp_path):
+        import json as J
+
+        for i in range(3):
+            fc = {
+                "type": "FeatureCollection",
+                "features": [
+                    {
+                        "type": "Feature",
+                        "geometry": {
+                            "type": "Polygon",
+                            "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+                        },
+                        "properties": {"file": i, "j": j},
+                    }
+                    for j in range(4)
+                ],
+            }
+            (tmp_path / f"c{i}.geojson").write_text(J.dumps(fc))
+        from gdal_spark.formats import scan_geojson
+
+        df = scan_geojson(spark, str(tmp_path / "*.geojson"))
+        assert df.count() == 12
+        rows = df.collect()
+        assert {(r.file, r.j) for r in rows} == {(i, j) for i in range(3) for j in range(4)}
+        assert _poly_area(rows[0].geometry) == 16.0
+
+    def test_schema_widening(self, spark, tmp_path):
+        p = tmp_path / "w.geojsonl"
+        p.write_text(
+            '{"type":"Feature","geometry":null,"properties":{"v":1}}\n'
+            '{"type":"Feature","geometry":null,"properties":{"v":2.5}}\n'
+        )
+        from gdal_spark.formats import scan_geojson_seq
+
+        df = scan_geojson_seq(spark, str(p))
+        assert dict(df.dtypes)["v"] == "double"
+        assert sorted(r.v for r in df.collect()) == [1.0, 2.5]
