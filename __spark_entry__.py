@@ -4787,6 +4787,63 @@ def q_geopackage_roundtrip_sql():
     )
 
 
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSONSeq driver round-trip (formats.geojson — RFC 7946 / RFC 8142;
+    reference driver ogr/ogrsf_frmts/geojson/): a part-derived point layer
+    is exported through the DISTRIBUTED ndjson sink (5 partitions -> 5 part
+    files, no driver funnel) and re-read with the line-splittable
+    spark.read.text scan; x/y re-derive from the re-parsed geometry and the
+    attributes from the JSON properties, so the closed-form oracle only
+    matches if both survived the text round-trip. Eighth-unit coordinates
+    are exactly representable, and json round-trips repr() floats
+    bit-exactly."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_geojson_seq, write_geojson_seq
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 11 % 2880) * 0.125 - 180.0
+    y = (k * 5 % 1440) * 0.125 - 90.0
+    src = p.select(
+        k.alias("pkey"),
+        pt_udf(x, y).alias("geometry"),
+        F.concat(F.lit("part"), k).alias("pname"),
+        (k % 500).cast("long").alias("qty"),
+    ).repartition(5)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_geojson_")
+    path = os.path.join(tmp, "parts")
+    write_geojson_seq(src, path)
+    out = scan_geojson_seq(spark, os.path.join(path, "part-*"))
+    return out.select(
+        F.col("pkey"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("pname"),
+        F.col("qty"),
+    ).orderBy("pkey")
+
+
+def q_geojson_roundtrip_sql():
+    return (
+        "SELECT p_partkey AS pkey, "
+        "(p_partkey * 11 % 2880) * 0.125 - 180.0 AS x, "
+        "(p_partkey * 5 % 1440) * 0.125 - 90.0 AS y, "
+        "'part' || p_partkey AS pname, "
+        "CAST(p_partkey % 500 AS BIGINT) AS qty "
+        "FROM part ORDER BY pkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -4843,6 +4900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_index_wkt": q_tile_index_wkt,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4933,6 +4991,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_index_wkt": q_tile_index_wkt_sql(),
         "shapefile_roundtrip": q_shapefile_roundtrip_sql(),
         "geopackage_roundtrip": q_geopackage_roundtrip_sql(),
+        "geojson_roundtrip": q_geojson_roundtrip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
