@@ -4844,6 +4844,60 @@ def q_geojson_roundtrip_sql():
     )
 
 
+def q_csv_vector_roundtrip(spark, sf_dir):
+    """CSV vector driver round-trip (formats.csvdriver — the OGR CSV driver
+    contract, ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp): an orders-derived point
+    layer is exported through the distributed WKT-column CSV sink (6
+    partitions -> 6 part files, the -lco GEOMETRY=AS_WKT analog) and
+    re-read with Spark's line-splittable JVM CSV scan; the WKT header is
+    auto-detected and consumed exactly as the reference driver does, and
+    x/y re-derive from the re-parsed geometry, so the closed-form oracle
+    only matches if the geometry survived text serialization both ways.
+    Eighth-unit coordinates keep repr()/parse bit-exact."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_csv_vector, write_csv_vector
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 3 % 2880) * 0.125 - 180.0
+    y = (k * 17 % 1440) * 0.125 - 90.0
+    src = o.select(
+        k.alias("okey"),
+        pt_udf(x, y).alias("geometry"),
+        (k % 7).cast("long").alias("bucket"),
+    ).repartition(6)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_csv_")
+    path = os.path.join(tmp, "orders_pts")
+    write_csv_vector(src, path)
+    out = scan_csv_vector(spark, os.path.join(path, "part-*"))
+    return out.select(
+        F.col("okey"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("bucket"),
+    ).orderBy("okey")
+
+
+def q_csv_vector_roundtrip_sql():
+    return (
+        "SELECT o_orderkey AS okey, "
+        "(o_orderkey * 3 % 2880) * 0.125 - 180.0 AS x, "
+        "(o_orderkey * 17 % 1440) * 0.125 - 90.0 AS y, "
+        "CAST(o_orderkey % 7 AS BIGINT) AS bucket "
+        "FROM orders ORDER BY okey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -4901,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "csv_vector_roundtrip": q_csv_vector_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -4992,6 +5047,7 @@ def oracle_sql() -> dict[str, str]:
         "shapefile_roundtrip": q_shapefile_roundtrip_sql(),
         "geopackage_roundtrip": q_geopackage_roundtrip_sql(),
         "geojson_roundtrip": q_geojson_roundtrip_sql(),
+        "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -1,6 +1,7 @@
 """Vector file-format drivers (the engine's counterpart of GDAL's
 ``ogr/ogrsf_frmts/`` driver registry, scoped to the formats a Spark
-migration actually needs to ingest): ESRI Shapefile and GeoPackage.
+migration actually needs to ingest): ESRI Shapefile, GeoPackage,
+GeoJSON / GeoJSONSeq, and geometry-aware CSV.
 
 Both are written from the public format specifications — the ESRI
 "Shapefile Technical Description" (July 1998) and the OGC GeoPackage
@@ -19,3 +20,4 @@ from .geojson import (  # noqa: F401
     scan_geojson_seq,
     write_geojson_seq,
 )
+from .csvdriver import scan_csv_vector, write_csv_vector  # noqa: F401

@@ -292,3 +292,77 @@ class TestGeoJSON:
         df = scan_geojson_seq(spark, str(p))
         assert dict(df.dtypes)["v"] == "double"
         assert sorted(r.v for r in df.collect()) == [1.0, 2.5]
+
+
+class TestCSVVector:
+    def test_wkt_roundtrip_distributed(self, spark, tmp_path):
+        rows = [
+            (i, geom.wkb_point(i * 0.25, -i * 0.5), f"n{i}", i * 3)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, geometry binary, name string, v bigint"
+        ).repartition(4)
+        from gdal_spark.formats import scan_csv_vector, write_csv_vector
+
+        out = str(tmp_path / "pts")
+        write_csv_vector(df, out)
+        import glob
+
+        assert len(glob.glob(out + "/part-*")) == 4  # distributed sink
+        back = scan_csv_vector(spark, out + "/part-*")
+        assert set(back.columns) == {"geometry", "id", "name", "v"}
+        got = sorted(back.collect(), key=lambda r: r.id)
+        assert len(got) == 200
+        g = geom.parse_wkb(bytes(got[9].geometry))
+        assert g.parts.ravel().tolist() == [2.25, -4.5]
+        assert got[9].name == "n9" and got[9].v == 27
+
+    def test_xy_detection_and_aliases(self, spark, tmp_path):
+        p = tmp_path / "ll.csv"
+        p.write_text("name,lon,lat\na,10.5,-3.25\nb,,4.0\n")
+        from gdal_spark.formats import scan_csv_vector
+
+        rows = {
+            r.name: r for r in scan_csv_vector(spark, str(p)).collect()
+        }
+        g = geom.parse_wkb(bytes(rows["a"].geometry))
+        assert g.parts.ravel().tolist() == [10.5, -3.25]
+        assert rows["b"].geometry is None  # missing coordinate -> null geom
+        assert "lon" not in rows["a"].asDict()  # consumed like OGR does
+
+    def test_xy_write_format(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, geom.wkb_point(7.5, 8.25))], "id bigint, geometry binary"
+        )
+        from gdal_spark.formats import scan_csv_vector, write_csv_vector
+
+        out = str(tmp_path / "xy")
+        write_csv_vector(df, out, geometry_format="xy")
+        back = scan_csv_vector(spark, out + "/part-*")
+        r = back.collect()[0]
+        g = geom.parse_wkb(bytes(r.geometry))
+        assert g.parts.ravel().tolist() == [7.5, 8.25]
+
+    def test_attribute_only_layer(self, spark, tmp_path):
+        p = tmp_path / "plain.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        from gdal_spark.formats import scan_csv_vector
+
+        df = scan_csv_vector(spark, str(p))
+        assert "geometry" not in df.columns  # OGR attribute-only layer
+        assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    def test_polygon_wkt_and_explicit_args(self, spark, tmp_path):
+        p = tmp_path / "poly.csv"
+        p.write_text(
+            'id,shape\n1,"POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"\n'
+        )
+        from gdal_spark.formats import scan_csv_vector
+
+        df = scan_csv_vector(spark, str(p), wkt="shape")
+        assert _poly_area(df.collect()[0].geometry) == 16.0
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            scan_csv_vector(spark, str(p), wkt="nope")
