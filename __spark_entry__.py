@@ -4898,6 +4898,106 @@ def q_csv_vector_roundtrip_sql():
     )
 
 
+def _bpe_corpus():
+    """Deterministic 48-doc corpus (sf-independent, like the fixture-image
+    entries): Zipf-ish repetition so merges are meaningful, plus per-doc
+    unique tails so encoding is not degenerate."""
+    words = [
+        "alpha", "beta", "gamma", "delta", "lowest", "newest",
+        "tile", "raster", "spark", "token",
+    ]
+    docs = []
+    for i in range(48):
+        ws = [words[(i * 7 + j * j) % 10] for j in range(30 + (i % 5))]
+        docs.append((i, " ".join(ws) + f" doc{i} number {i * i}"))
+    return docs
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Byte-level BPE tokenizer (functions.bpe — Sennrich 2016 / GPT-2
+    byte-level; beyond-reference LLM-pipeline component): merges train from
+    ONE distributed word-histogram pass over the deterministic corpus, then
+    one Arrow encode pass tokenizes it; per-doc (token count, token-id sum,
+    max id) are Column math over the array. The oracle is a fully
+    INDEPENDENT naive replica — quadratic from-scratch pair recounting for
+    training and sequential rank-order merge replay for encoding (neither
+    code path shared with functions.bpe) — emitted as literal VALUES."""
+    from gdal_spark.functions.bpe import encode_bpe, train_bpe
+
+    df = spark.createDataFrame(_bpe_corpus(), "doc_id bigint, text string").repartition(8)
+    merges = train_bpe(df, num_merges=48)
+    enc = encode_bpe(df, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("sum_ids"),
+        F.array_max("tokens").cast("long").alias("max_id"),
+    ).orderBy("doc_id")
+
+
+def q_bpe_tokenize_sql():
+    import re as _re
+    from collections import Counter as _Counter
+
+    from gdal_spark.functions.bpe import PRETOKEN_PATTERN
+
+    pat = _re.compile(PRETOKEN_PATTERN)
+    docs = _bpe_corpus()
+    # naive trainer: full-corpus expansion, from-scratch recount each round
+    corpus = [list(w.encode()) for _i, t in docs for w in pat.findall(t)]
+    merges = []
+    for rank in range(48):
+        counts = _Counter()
+        for s in corpus:
+            for p in zip(s, s[1:]):
+                counts[p] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        nid = 256 + rank
+        nxt = []
+        for s in corpus:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        corpus = nxt
+
+    def enc(text):
+        ids = []
+        for w in pat.findall(text):
+            s = list(w.encode())
+            for rank, (a, b) in enumerate(merges):
+                nid = 256 + rank
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(nid)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            ids.extend(s)
+        return ids
+
+    rows = []
+    for i, t in docs:
+        ids = enc(t)
+        rows.append((i, len(ids), sum(ids), max(ids)))
+    return _vals_sql(rows, ["doc_id", "n_tokens", "sum_ids", "max_id"], "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -4956,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
         "csv_vector_roundtrip": q_csv_vector_roundtrip,
+        "bpe_tokenize": q_bpe_tokenize,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5048,6 +5149,7 @@ def oracle_sql() -> dict[str, str]:
         "geopackage_roundtrip": q_geopackage_roundtrip_sql(),
         "geojson_roundtrip": q_geojson_roundtrip_sql(),
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
+        "bpe_tokenize": q_bpe_tokenize_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
