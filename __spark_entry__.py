@@ -4998,6 +4998,85 @@ def q_bpe_tokenize_sql():
     return _vals_sql(rows, ["doc_id", "n_tokens", "sum_ids", "max_id"], "doc_id")
 
 
+def q_location_info(spark, sf_dir):
+    """gdallocationinfo analog (operators.interpolate.location_info):
+    integer (pixel, line) + raw band values for points dropped at fixed
+    fractional positions inside the fixture images — floor-truncation
+    cell semantics, no interpolation. Oracle = a local replica that
+    indexes the decoded arrays directly (literal VALUES), so the
+    metadata-join + cogroup plumbing must reproduce plain numpy
+    indexing exactly."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.interpolate import location_info
+
+    imgs = fixtures.images_df(spark, 8, tier="t2", partitions=2).where(
+        F.col("srid") == 3857
+    )
+    metas = imgs.select("image_id", "w", "h", "gt0", "gt1", "gt3", "gt5").collect()
+    pts = []
+    pid = 0
+    for m in metas:
+        for fx, fy in ((0.31, 0.27), (0.83, 0.59)):
+            pts.append((pid, m.gt0 + fx * m.w * m.gt1, m.gt3 + fy * m.h * m.gt5))
+            pid += 1
+    pdf = spark.createDataFrame(pts, "pid long, x double, y double")
+    out = location_info(pdf, imgs)
+    # jpg fixtures are lossy -> cell ids stay exact but values don't;
+    # restrict to exact-decode formats like the interpolate entry does
+    exact = [
+        m.image_id for m in metas
+        if fixtures.image_spec(int(m.image_id[3:]))["fmt"] != "jpg"
+    ]
+    return (
+        out.where(F.col("image_id").isin(exact) & F.col("valid"))
+        .select("pid", "image_id", "pixel", "line", "band", "value")
+        .orderBy("pid", "image_id", "band")
+    )
+
+
+def q_location_info_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.operators.warp import apply_gt, invert_gt
+
+    recs = [fixtures.image_record(i, tier="t2") for i in range(8)]
+    recs = [m for m in recs if m["srid"] == 3857]
+    pts = []
+    pid = 0
+    for m in recs:
+        for fx, fy in ((0.31, 0.27), (0.83, 0.59)):
+            pts.append((pid, m["gt0"] + fx * m["w"] * m["gt1"],
+                        m["gt3"] + fy * m["h"] * m["gt5"]))
+            pid += 1
+    rows = []
+    for m in recs:
+        if fixtures.image_spec(int(m["image_id"][3:]))["fmt"] == "jpg":
+            continue
+        arr = C.decode_image(m["bytes"], m["fmt"])
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w = arr.shape[:2]
+        inv = invert_gt(tuple(m[f"gt{j}"] for j in range(6)))
+        for pid_, gx, gy in pts:
+            if not (m["minx"] <= gx <= m["maxx"] and m["miny"] <= gy <= m["maxy"]):
+                continue
+            ppx, ppy = apply_gt(inv, np.array([gx]), np.array([gy]))
+            px, py = int(np.floor(ppx[0])), int(np.floor(ppy[0]))
+            if not (0 <= px < w and 0 <= py < h):
+                continue
+            for b in range(arr.shape[2]):
+                rows.append(
+                    (pid_, m["image_id"], px, py, b, float(arr[py, px, b]))
+                )
+    return _vals_sql(
+        rows,
+        ["pid", "image_id", "pixel", "line", "band", "value"],
+        "pid, image_id, band",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5057,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "csv_vector_roundtrip": q_csv_vector_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
+        "location_info": q_location_info,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5150,6 +5230,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": q_geojson_roundtrip_sql(),
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
+        "location_info": q_location_info_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -108,3 +108,63 @@ class TestPointSrid4326:
         assert len(out) > 0
         assert {r.pid for r in out} == {0, 1, 2, 3}
         assert all(r.valid for r in out)
+
+
+class TestLocationInfo:
+    def test_matches_direct_indexing(self, spark, imgs):
+        from gdal_spark.operators.interpolate import location_info
+
+        metas = imgs.select(
+            "image_id", "fmt", "w", "h", "gt0", "gt1", "gt3", "gt5"
+        ).collect()
+        pts, expected = [], {}
+        pid = 0
+        for m in metas:
+            spec = fixtures.image_spec(int(m.image_id[3:]))
+            arr = fixtures.pattern_array(spec)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            for fx, fy in ((0.305, 0.41), (0.9, 0.1)):
+                gx = m.gt0 + fx * m.w * m.gt1
+                gy = m.gt3 + fy * m.h * m.gt5
+                pts.append((pid, float(gx), float(gy)))
+                px, py = int(np.floor(fx * m.w)), int(np.floor(fy * m.h))
+                if spec["fmt"] != "jpg":  # lossy: cell id checked, not value
+                    for b in range(arr.shape[2]):
+                        expected[(pid, m.image_id, b)] = (
+                            px, py, float(arr[py, px, b])
+                        )
+                else:
+                    expected[(pid, m.image_id, 0)] = (px, py, None)
+                pid += 1
+        pdf = spark.createDataFrame(pts, "pid long, x double, y double")
+        out = location_info(pdf, imgs)
+        got = {
+            (r.pid, r.image_id, r.band): (r.pixel, r.line, r.value, r.valid)
+            for r in out.collect()
+        }
+        checked = 0
+        for k, (px, py, v) in expected.items():
+            gpx, gpy, gv, gvalid = got[k]
+            assert (gpx, gpy) == (px, py) and gvalid
+            if v is not None:
+                assert gv == v
+                checked += 1
+        assert checked > 10
+
+    def test_outside_point_invalid(self, spark, imgs):
+        from gdal_spark.operators.interpolate import location_info
+
+        m = imgs.select("image_id", "w", "h", "gt0", "gt1", "gt3", "gt5",
+                        "minx", "maxx", "miny", "maxy").collect()[0]
+        # inside the envelope join box but in the last half-pixel column,
+        # nudged past the right edge via a tiny epsilon beyond w
+        gx = m.gt0 + (m.w + 0.2) * m.gt1
+        gy = m.gt3 + 0.5 * m.h * m.gt5
+        pdf = spark.createDataFrame([(0, float(gx), float(gy))],
+                                    "pid long, x double, y double")
+        out = location_info(pdf, imgs.where(F.col("image_id") == m.image_id))
+        rows = out.collect()
+        # either the envelope excluded it entirely, or it reports invalid
+        for r in rows:
+            assert not r.valid and np.isnan(r.value)
