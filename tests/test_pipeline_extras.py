@@ -391,3 +391,25 @@ class TestPackSplitOverflow:
         df = self._docs(spark, [25, 3])
         out = {r.doc_id: r for r in pack_sequences(df, capacity=10, n_shards=1).collect()}
         assert out[0].overflow and out[0].chunk_idx == 0
+
+
+def test_pyfiles_zip_builds_and_imports(tmp_path):
+    """tools/make_pyfiles.py produces a --py-files archive from which the
+    whole package imports (the spark-submit deployment contract)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/make_pyfiles.py", str(tmp_path)],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.split(":")[0].strip()
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import gdal_spark, gdal_spark.operators.warp, "
+         "gdal_spark.functions.bpe, gdal_spark.formats; print('ok')"],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": zip_path, "PATH": "/usr/bin:/bin"},
+        cwd=str(tmp_path),
+    )
+    assert probe.returncode == 0 and probe.stdout.strip() == "ok", probe.stderr
