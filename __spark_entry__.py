@@ -5077,6 +5077,179 @@ def q_location_info_sql():
     )
 
 
+def _pansharpen_inputs():
+    """Deterministic (pan, ms) fixture pairs: ms = fixture image i (t2),
+    pan = its band mean upsampled 2x and PNG-encoded — derived once from
+    image_record bytes so entry and oracle see identical inputs."""
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+
+    pan_rows, ms_rows = [], []
+    for i in range(6):
+        m = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(m["bytes"], m["fmt"])
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        pan = np.clip(
+            np.round(np.repeat(np.repeat(arr[:, :, :3].mean(axis=2), 2, 0), 2, 1)),
+            0, 255,
+        ).astype(np.uint8)
+        gt = tuple(m[f"gt{j}"] for j in range(6))
+        pan_gt = (gt[0], gt[1] / 2, gt[2], gt[3], gt[4], gt[5] / 2)
+        common = dict(srid=m["srid"], minx=m["minx"], miny=m["miny"],
+                      maxx=m["maxx"], maxy=m["maxy"])
+        pan_rows.append(
+            dict(image_id=m["image_id"], bytes=bytearray(C.encode_png(pan)),
+                 w=pan.shape[1], h=pan.shape[0], fmt="png",
+                 gt0=pan_gt[0], gt1=pan_gt[1], gt2=pan_gt[2],
+                 gt3=pan_gt[3], gt4=pan_gt[4], gt5=pan_gt[5], **common)
+        )
+        ms_rows.append(
+            dict(image_id=m["image_id"], bytes=bytearray(m["bytes"]),
+                 w=m["w"], h=m["h"], fmt=m["fmt"],
+                 gt0=gt[0], gt1=gt[1], gt2=gt[2], gt3=gt[3], gt4=gt[4],
+                 gt5=gt[5], **common)
+        )
+    return pan_rows, ms_rows
+
+
+_PANSHARPEN_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+    "gt5 double, srid int, minx double, miny double, maxx double, maxy double"
+)
+
+
+def q_pansharpen_checksums(spark, sf_dir):
+    """Weighted Brovey pansharpening (operators.pansharpen — gdal_pansharpen
+    semantics, alg/gdalpansharpen.cpp): 6 deterministic (pan, ms) fixture
+    pairs sharpened through the 1:1 join + vectorized pass; per-image GDAL
+    checksum of the sharpened band 0 vs the same (pytest-pinned) kernel
+    run locally — proves the join + Arrow plumbing."""
+    from gdal_spark.operators.pansharpen import pansharpen_images
+
+    pan_rows, ms_rows = _pansharpen_inputs()
+    pan_df = spark.createDataFrame(pan_rows, _PANSHARPEN_SCHEMA)
+    ms_df = spark.createDataFrame(ms_rows, _PANSHARPEN_SCHEMA)
+    out = pansharpen_images(pan_df, ms_df)
+    return out.select("image_id", "w", "h", "checksum").orderBy("image_id")
+
+
+def q_pansharpen_checksums_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.operators.pansharpen import pansharpen_array
+
+    pan_rows, ms_rows = _pansharpen_inputs()
+    rows = []
+    for p, m in zip(pan_rows, ms_rows):
+        pa = C.decode_image(bytes(p["bytes"]), p["fmt"])
+        ma = C.decode_image(bytes(m["bytes"]), m["fmt"])
+        out = pansharpen_array(pa, ma)
+        arr = np.clip(np.round(out), 0, 255).astype(np.uint8)
+        rows.append(
+            (p["image_id"], arr.shape[1], arr.shape[0],
+             int(gdal_checksum(arr[:, :, 0].astype(np.float64))))
+        )
+    rows.sort()
+    return _vals_sql(rows, ["image_id", "w", "h", "checksum"], "image_id")
+
+
+def q_viewshed_counts(spark, sf_dir):
+    """Viewshed (operators.viewshed — gdal_viewshed / Wang et al. line-of-
+    sight semantics): band 0 of 6 fixture images as DEMs, fixed in-raster
+    observer; per-image visible fraction + mask checksum vs the local
+    kernel replica."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.viewshed import viewshed_images
+
+    imgs = fixtures.images_df(spark, 6, tier="t2", partitions=2).select(
+        "image_id", "bytes", "fmt"
+    )
+    out = viewshed_images(imgs, ox=9.0, oy=11.0, oz=3.0)
+    return out.select(
+        "image_id", "w", "h",
+        F.round("visible_frac", 6).alias("visible_frac"), "checksum",
+    ).orderBy("image_id")
+
+
+def q_viewshed_counts_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.operators.viewshed import viewshed_array
+
+    rows = []
+    for i in range(6):
+        m = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(m["bytes"], m["fmt"])
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        v = viewshed_array(arr.astype(np.float64), 9.0, 11.0, 3.0, 0.0, None)
+        rows.append(
+            (m["image_id"], v.shape[1], v.shape[0],
+             round(float((v == 255).mean()), 6),
+             int(gdal_checksum(v.astype(np.float64))))
+        )
+    rows.sort()
+    return _vals_sql(
+        rows, ["image_id", "w", "h", "visible_frac", "checksum"], "image_id"
+    )
+
+
+def _dither_palette():
+    import numpy as np
+
+    # fixed 16-color web-ish palette (deterministic; no median-cut sampling)
+    levels = [0, 85, 170, 255]
+    pal = [(r, g, b) for r in levels for g in levels for b in levels]
+    return np.asarray(pal[::4], dtype=np.uint8)  # 16 of the 64
+
+
+def q_dither_checksums(spark, sf_dir):
+    """Floyd-Steinberg dither to a fixed 16-color palette (rgb2pct analog,
+    swig/python/gdal-utils rgb2pct + GDALDitherRGB2PCT semantics): 6
+    fixture images quantized with error diffusion; per-image index-raster
+    checksum vs the local kernel replica."""
+    from gdal_spark import fixtures
+    from gdal_spark.operators.dither import rgb_to_pct
+
+    imgs = fixtures.images_df(spark, 6, tier="t2", partitions=2).select(
+        "image_id", "bytes", "fmt"
+    )
+    out = rgb_to_pct(imgs, _dither_palette(), dither=True)
+    return out.select("image_id", "w", "h", "checksum").orderBy("image_id")
+
+
+def q_dither_checksums_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.operators.dither import dither_array
+
+    rows = []
+    for i in range(6):
+        m = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(m["bytes"], m["fmt"])
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        idx = dither_array(arr[:, :, :3], _dither_palette())
+        rows.append(
+            (m["image_id"], idx.shape[1], idx.shape[0],
+             int(gdal_checksum(idx.astype(np.float64))))
+        )
+    rows.sort()
+    return _vals_sql(rows, ["image_id", "w", "h", "checksum"], "image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5137,6 +5310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
         "location_info": q_location_info,
+        "pansharpen_checksums": q_pansharpen_checksums,
+        "viewshed_counts": q_viewshed_counts,
+        "dither_checksums": q_dither_checksums,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5231,6 +5407,9 @@ def oracle_sql() -> dict[str, str]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
         "location_info": q_location_info_sql(),
+        "pansharpen_checksums": q_pansharpen_checksums_sql(),
+        "viewshed_counts": q_viewshed_counts_sql(),
+        "dither_checksums": q_dither_checksums_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
