@@ -5250,6 +5250,64 @@ def q_dither_checksums_sql():
     return _vals_sql(rows, ["image_id", "w", "h", "checksum"], "image_id")
 
 
+def q_flatgeobuf_roundtrip(spark, sf_dir):
+    """FlatGeobuf driver round-trip (formats.flatgeobuf — from the public
+    FlatBuffers wire format + FlatGeobuf schema; reference driver
+    ogr/ogrsf_frmts/flatgeobuf/, reader conformance-pinned against real
+    autotest .fgb files in tests/data): a customer point layer exports
+    through the spec-valid single-file sink and re-reads with the
+    range-partitioned distributed scan (5 tasks, prefix-walk planning);
+    x/y re-derive from the re-parsed geometry, the string attribute
+    passes through, so the closed-form oracle only matches if the
+    flatbuffer encode/decode survived both ways. Eighth-unit coordinates
+    are bit-exact in the xy f64 vector."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_flatgeobuf, write_flatgeobuf
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 19 % 2880) * 0.125 - 180.0
+    y = (k * 23 % 1440) * 0.125 - 90.0
+    src = c.select(
+        k.alias("ckey"),
+        pt_udf(x, y).alias("geometry"),
+        F.col("c_mktsegment").alias("seg"),
+        ((k % 800) * 0.25).alias("acct"),
+    ).orderBy("ckey")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_fgb_")
+    path = os.path.join(tmp, "cust.fgb")
+    write_flatgeobuf(src, path, name="cust", srid=4326)
+    out = scan_flatgeobuf(spark, path, num_partitions=5)
+    return out.select(
+        F.col("ckey"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("seg"),
+        F.col("acct"),
+    ).orderBy("ckey")
+
+
+def q_flatgeobuf_roundtrip_sql():
+    return (
+        "SELECT c_custkey AS ckey, "
+        "(c_custkey * 19 % 2880) * 0.125 - 180.0 AS x, "
+        "(c_custkey * 23 % 1440) * 0.125 - 90.0 AS y, "
+        "c_mktsegment AS seg, "
+        "(c_custkey % 800) * 0.25 AS acct "
+        "FROM customer ORDER BY ckey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5308,6 +5366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
         "csv_vector_roundtrip": q_csv_vector_roundtrip,
+        "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
         "location_info": q_location_info,
         "pansharpen_checksums": q_pansharpen_checksums,
@@ -5405,6 +5464,7 @@ def oracle_sql() -> dict[str, str]:
         "geopackage_roundtrip": q_geopackage_roundtrip_sql(),
         "geojson_roundtrip": q_geojson_roundtrip_sql(),
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
+        "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
         "location_info": q_location_info_sql(),
         "pansharpen_checksums": q_pansharpen_checksums_sql(),

@@ -21,3 +21,8 @@ from .geojson import (  # noqa: F401
     write_geojson_seq,
 )
 from .csvdriver import scan_csv_vector, write_csv_vector  # noqa: F401
+from .flatgeobuf import (  # noqa: F401
+    read_fgb_header,
+    scan_flatgeobuf,
+    write_flatgeobuf,
+)
