@@ -315,7 +315,8 @@ def _parse_header(buf: bytes) -> dict:
     }
 
 
-def _build_header(name, gtype, columns, count, srid, envelope) -> bytes:
+def _build_header(name, gtype, columns, count, srid, envelope,
+                  node_size: int = 0) -> bytes:
     fb = _Builder()
     col_offs = []
     for cname, ct in columns:
@@ -336,7 +337,7 @@ def _build_header(name, gtype, columns, count, srid, envelope) -> bytes:
         (_H_GEOMTYPE, "u8", gtype or None),
         (_H_COLUMNS, "off", cols_vec),
         (_H_COUNT, "u64", count or None),
-        (_H_NODESIZE, "u16", 0),  # explicit: no index (default is 16)
+        (_H_NODESIZE, "u16", node_size),  # explicit (flatbuffer default is 16)
         (_H_CRS, "off", crs),
     ])
     return fb.finish_size_prefixed(root)
@@ -612,12 +613,89 @@ def scan_flatgeobuf(spark, path: str, num_partitions: int = 4):
     return rdf.mapInPandas(parse, schema=schema)
 
 
+def _hilbert_d(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Classic Hilbert curve xy->d (the textbook rotate-and-flip loop,
+    vectorized). The FlatGeobuf spec only requires the tree's bounding
+    boxes to contain their children — leaf ORDER affects query locality,
+    not validity — so this variant's orientation differing from the
+    canonical implementation's curve is a layout detail."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = ry == 0
+        swapflip = flip & (rx == 1)
+        x2 = np.where(swapflip, s - 1 - x, x)
+        y2 = np.where(swapflip, s - 1 - y, y)
+        x, y = np.where(flip, y2, x2), np.where(flip, x2, y2)
+        s >>= 1
+    return d
+
+
+def _build_index(leaves: list[tuple], node_size: int) -> bytes:
+    """Packed Hilbert R-tree bytes (packedrtree.cpp storage layout:
+    root level first, leaves last; internal node offset = index of its
+    first child NODE). ``leaves`` = [(minx,miny,maxx,maxy,offset), ...]
+    already in Hilbert order with final feature byte offsets."""
+    n = len(leaves)
+    ns = max(int(node_size), 2)
+    sizes = [n]
+    m = n
+    while True:
+        m = (m + ns - 1) // ns
+        sizes.append(m)
+        if m == 1:
+            break
+    num_nodes = sum(sizes)
+    # level start indexes in storage order (leaves last)
+    starts = []
+    acc = num_nodes
+    for sz in sizes:
+        acc -= sz
+        starts.append(acc)  # starts[0] = leaf level start
+    nodes = [(0.0, 0.0, 0.0, 0.0, 0)] * num_nodes
+    for i, leaf in enumerate(leaves):
+        nodes[starts[0] + i] = leaf
+    for lvl in range(len(sizes) - 1):
+        pos, end = starts[lvl], starts[lvl] + sizes[lvl]
+        newpos = starts[lvl + 1]
+        while pos < end:
+            first_child = pos
+            bb = [np.inf, np.inf, -np.inf, -np.inf]
+            for _ in range(ns):
+                if pos >= end:
+                    break
+                c = nodes[pos]
+                bb = [min(bb[0], c[0]), min(bb[1], c[1]),
+                      max(bb[2], c[2]), max(bb[3], c[3])]
+                pos += 1
+            nodes[newpos] = (bb[0], bb[1], bb[2], bb[3], first_child)
+            newpos += 1
+    return b"".join(
+        struct.pack("<ddddQ", *nd) for nd in nodes
+    )
+
+
 def write_flatgeobuf(df, path: str, name: str = "layer", srid: int = 0,
-                     geometry: str = "geometry", batch_size: int = 1024):
-    """Single-file spec-valid sink (no spatial index, index_node_size=0):
-    features spool through a temp file while the envelope / count / layer
-    geometry type accumulate, then magic + header + features concatenate.
-    O(batch) driver memory via toLocalIterator."""
+                     geometry: str = "geometry", batch_size: int = 1024,
+                     index_node_size: int = 0):
+    """Single-file spec-valid sink: features spool through a temp file
+    while the envelope / count / layer geometry type accumulate, then
+    magic + header (+ optional packed Hilbert R-tree) + features
+    concatenate. O(batch) driver memory via toLocalIterator.
+
+    With ``index_node_size > 0`` the sink also writes the spatial index:
+    features are re-ordered by the Hilbert value of their envelope
+    center (random reads of the temp spool — a driver-side pass, the
+    price any single-file indexed sink pays) and the leaf nodes carry
+    their final byte offsets, so :func:`scan_flatgeobuf` plans ranges
+    from the index instead of walking prefixes — write with an index at
+    scale."""
     import shutil
     import tempfile
 
@@ -633,6 +711,8 @@ def write_flatgeobuf(df, path: str, name: str = "layer", srid: int = 0,
     count = 0
     env = [np.inf, np.inf, -np.inf, -np.inf]
     gtypes = set()
+    recs = []  # (minx, miny, maxx, maxy, spool_off, size) per feature
+    spool_off = 0
     tmp = tempfile.NamedTemporaryFile(delete=False)
     try:
         for row in df.toLocalIterator():
@@ -640,12 +720,14 @@ def write_flatgeobuf(df, path: str, name: str = "layer", srid: int = 0,
             d = row.asDict()
             wkb = d.get(geometry)
             gfields = None
+            fenv = (0.0, 0.0, 0.0, 0.0)
             if wkb is not None:
                 g = geom.parse_wkb(bytes(wkb))
                 fields, gt = _geom_fields(fb, g)
                 gfields = fb.table(fields)
                 gtypes.add(gt)
                 e = g.envelope()
+                fenv = e
                 env[0] = min(env[0], e[0])
                 env[1] = min(env[1], e[1])
                 env[2] = max(env[2], e[2])
@@ -656,19 +738,49 @@ def write_flatgeobuf(df, path: str, name: str = "layer", srid: int = 0,
                 (_F_GEOMETRY, "off", gfields),
                 (_F_PROPERTIES, "off", poff),
             ])
-            tmp.write(fb.finish_size_prefixed(root))
+            rec = fb.finish_size_prefixed(root)
+            tmp.write(rec)
+            recs.append((fenv[0], fenv[1], fenv[2], fenv[3],
+                         spool_off, len(rec)))
+            spool_off += len(rec)
             count += 1
         tmp.close()
         gtype = gtypes.pop() if len(gtypes) == 1 else GT_UNKNOWN
+        # all-null-geometry layers have no meaningful extent: skip the index
+        with_index = index_node_size > 0 and count > 0 and np.isfinite(env[0])
         header = _build_header(
             name, gtype, attr, count, srid,
             env if count and np.isfinite(env[0]) else None,
+            node_size=index_node_size if with_index else 0,
         )
+        order = range(count)
+        index_bytes = b""
+        if with_index:
+            w = max(env[2] - env[0], 0.0) or 1.0
+            h = max(env[3] - env[1], 0.0) or 1.0
+            mx = np.array([(r[0] + r[2]) / 2 for r in recs])
+            my = np.array([(r[1] + r[3]) / 2 for r in recs])
+            hx = np.floor(65535 * (mx - env[0]) / w).astype(np.int64)
+            hy = np.floor(65535 * (my - env[1]) / h).astype(np.int64)
+            hd = _hilbert_d(np.clip(hx, 0, 65535), np.clip(hy, 0, 65535))
+            order = np.argsort(hd, kind="stable")
+            leaves, off = [], 0
+            for i in order:
+                r = recs[i]
+                leaves.append((r[0], r[1], r[2], r[3], off))
+                off += r[5]
+            index_bytes = _build_index(leaves, index_node_size)
         with open(out_path, "wb") as out:
             out.write(MAGIC)
             out.write(header)
+            out.write(index_bytes)
             with open(tmp.name, "rb") as src:
-                shutil.copyfileobj(src, out, 1 << 20)
+                if with_index:
+                    for i in order:
+                        src.seek(recs[i][4])
+                        out.write(src.read(recs[i][5]))
+                else:
+                    shutil.copyfileobj(src, out, 1 << 20)
     finally:
         os.unlink(tmp.name)
     return count

@@ -482,3 +482,55 @@ class TestFlatGeobuf:
         assert h["geometry_type"] == 1  # uniform Point
         assert h["envelope"] == [-1.0, 4.0, 3.0, 7.5]
         assert h["name"] == "pts"
+
+    def test_write_with_hilbert_index(self, spark, tmp_path):
+        """Indexed sink: header advertises the node size, the scan plans
+        from the index leaves (no prefix walk), contents identical to the
+        unindexed write, and the tree's internal bboxes contain their
+        children (the property GDAL's streamSearch relies on)."""
+        import struct as S
+
+        from gdal_spark.formats import read_fgb_header, scan_flatgeobuf, write_flatgeobuf
+        from gdal_spark.formats.flatgeobuf import _index_size
+
+        rows = [
+            (i, geom.wkb_point((i * 37) % 100 * 1.0, (i * 53) % 100 * 1.0),
+             i * 0.5)
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, geometry binary, v double")
+        p = str(tmp_path / "idx.fgb")
+        write_flatgeobuf(df, p, name="idx", index_node_size=16)
+        h = read_fgb_header(p)
+        assert h["index_node_size"] == 16 and h["features_count"] == 100
+        isize = _index_size(100, 16)
+        assert h["features_offset"] - h["index_offset"] == isize
+        back = {r.id: r.v for r in scan_flatgeobuf(spark, p, num_partitions=4).collect()}
+        assert back == {i: i * 0.5 for i in range(100)}
+        # structural: every internal node bbox contains all its children
+        with open(p, "rb") as f:
+            f.seek(h["index_offset"])
+            raw = f.read(isize)
+        nodes = [S.unpack_from("<ddddQ", raw, 40 * i) for i in range(isize // 40)]
+        n_leaf = 100
+        n_internal = len(nodes) - n_leaf
+        for k in range(n_internal):
+            nd = nodes[k]
+            first = int(nd[4])
+            assert first > k
+            for c in nodes[first:min(first + 16, len(nodes))]:
+                assert (nd[0] <= c[0] and nd[1] <= c[1]
+                        and nd[2] >= c[2] and nd[3] >= c[3])
+        # leaf offsets strictly increasing and consistent with a prefix walk
+        leaf_offs = [int(nd[4]) for nd in nodes[n_internal:]]
+        assert leaf_offs == sorted(leaf_offs)
+        import os as _os
+        end = _os.path.getsize(p) - h["features_offset"]
+        pos, walked = 0, []
+        with open(p, "rb") as f:
+            while pos + 4 <= end:
+                walked.append(pos)
+                f.seek(h["features_offset"] + pos)
+                sz = S.unpack("<I", f.read(4))[0]
+                pos += 4 + sz
+        assert walked == leaf_offs
