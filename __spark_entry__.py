@@ -5255,8 +5255,9 @@ def q_flatgeobuf_roundtrip(spark, sf_dir):
     FlatBuffers wire format + FlatGeobuf schema; reference driver
     ogr/ogrsf_frmts/flatgeobuf/, reader conformance-pinned against real
     autotest .fgb files in tests/data): a customer point layer exports
-    through the spec-valid single-file sink and re-reads with the
-    range-partitioned distributed scan (5 tasks, prefix-walk planning);
+    through the spec-valid single-file sink WITH the packed Hilbert
+    R-tree (index_node_size=16) and re-reads with the range-partitioned
+    distributed scan (5 tasks, ranges planned from the index leaves);
     x/y re-derive from the re-parsed geometry, the string attribute
     passes through, so the closed-form oracle only matches if the
     flatbuffer encode/decode survived both ways. Eighth-unit coordinates
@@ -5286,7 +5287,7 @@ def q_flatgeobuf_roundtrip(spark, sf_dir):
     ).orderBy("ckey")
     tmp = tempfile.mkdtemp(prefix="gdal_spark_fgb_")
     path = os.path.join(tmp, "cust.fgb")
-    write_flatgeobuf(src, path, name="cust", srid=4326)
+    write_flatgeobuf(src, path, name="cust", srid=4326, index_node_size=16)
     out = scan_flatgeobuf(spark, path, num_partitions=5)
     return out.select(
         F.col("ckey"),
