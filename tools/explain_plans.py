@@ -572,6 +572,68 @@ def main():
         spark.sql("DROP TABLE IF EXISTS aud_bk_l")
         spark.sql("DROP TABLE IF EXISTS aud_bk_r")
 
+    # 22. gdallocationinfo: same metadata-join + cogroup contract as
+    # interpolate (bytes cross the shuffle once per image, never per point)
+    from gdal_spark.operators.interpolate import location_info
+
+    li = location_info(
+        spark.createDataFrame([(0, 0.0, 0.0)], "pid long, x double, y double"),
+        fixtures.images_df(spark, 4, tier="t2", partitions=2),
+    )
+    audit(
+        "location_info_cogroup",
+        li,
+        [
+            ("cogroup", r"FlatMapCoGroupsInPandas"),
+            ("metadata_broadcast", r"Broadcast(NestedLoop|Hash)Join"),
+            ("no_bytes_in_broadcast",
+             lambda p: not re.search(r"BroadcastExchange[^\n]*\n[^\n]*bytes", p)),
+        ],
+        out,
+    )
+
+    # 23. FlatGeobuf scan: driver plans byte ranges (index leaves), the
+    # executor side is ONE Arrow pass over the tiny ranges frame — no
+    # exchange, no row-at-a-time Python
+    from gdal_spark.formats import scan_flatgeobuf
+
+    fgb = scan_flatgeobuf(
+        spark, "/root/repo/tests/data/poly.fgb", num_partitions=3
+    )
+    audit(
+        "fgb_scan_no_shuffle",
+        fgb,
+        [
+            ("no_exchange", lambda p: "Exchange" not in p),
+            ("arrow_map", r"MapInPandas"),
+            ("no_row_python", lambda p: "BatchEvalPython" not in p),
+        ],
+        out,
+    )
+
+    # 24. CSV vector scan: the file scan is Spark's native JVM CSV source
+    # (splittable, no Python); geometry materializes in one Arrow pass
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as td2:
+        pcsv = f"{td2}/pts.csv"
+        with open(pcsv, "w") as fh:
+            fh.write("id,WKT\n1,POINT (1 2)\n")
+        from gdal_spark.formats import scan_csv_vector
+
+        cdf = scan_csv_vector(spark, pcsv)
+        audit(
+            "csv_vector_scan",
+            cdf,
+            [
+                ("jvm_csv_scan", r"Scan csv"),
+                ("arrow_geometry", r"ArrowEvalPython"),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+                ("no_exchange", lambda p: "Exchange" not in p),
+            ],
+            out,
+        )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
