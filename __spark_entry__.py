@@ -4943,7 +4943,7 @@ def q_bpe_tokenize_sql():
 
     from gdal_spark.functions.bpe import PRETOKEN_PATTERN
 
-    pat = _re.compile(PRETOKEN_PATTERN)
+    pat = _re.compile(PRETOKEN_PATTERN, _re.ASCII)
     docs = _bpe_corpus()
     # naive trainer: full-corpus expansion, from-scratch recount each round
     corpus = [list(w.encode()) for _i, t in docs for w in pat.findall(t)]

@@ -28,6 +28,8 @@ pairs for points).
 
 from __future__ import annotations
 
+from struct import error as struct_error
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
@@ -68,12 +70,19 @@ def _detect(columns: list[str], wkt, x, y):
 def _wkt_to_wkb(wkts: pd.Series) -> pd.Series:
     from .. import geom
 
-    return pd.Series(
-        [
-            None if s is None else geom.geometry_to_wkb(geom.parse_wkt(str(s)))
-            for s in wkts
-        ]
-    )
+    # unparseable cells degrade to NULL geometry (the OGR CSV driver's
+    # behavior — it warns and emits null mid-file rather than aborting;
+    # also protects the auto-detection path when a column merely NAMED
+    # "geometry" holds free text)
+    def conv(s):
+        if s is None:
+            return None
+        try:
+            return geom.geometry_to_wkb(geom.parse_wkt(str(s)))
+        except (ValueError, IndexError, struct_error):
+            return None
+
+    return pd.Series([conv(s) for s in wkts])
 
 
 @F.pandas_udf(BinaryType())

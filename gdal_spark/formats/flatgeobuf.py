@@ -431,6 +431,11 @@ def _read_geometry(buf: bytes, gpos: int, header_type: int) -> bytes | None:
     xyf = _f64_vec(buf, gpos, _G_XY)
     xy = None if xyf is None else xyf.reshape(-1, 2)
     ends = _u32_vec(buf, gpos, _G_ENDS)
+    # EMPTY geometries (table present, no coordinate vector) come back as
+    # NULL geometry — crashing the task on POINT EMPTY in a foreign file
+    # is not an option (multipolygons carry coords in parts instead)
+    if xy is None and gt != GT_MULTIPOLYGON:
+        return None
     if gt == GT_POINT:
         return geom.wkb_point(float(xy[0, 0]), float(xy[0, 1]))
     if gt == GT_LINESTRING:
@@ -577,38 +582,60 @@ def scan_flatgeobuf(spark, path: str, num_partitions: int = 4):
         for i in range(k)
         if bounds[i + 1] > bounds[i]
     ]
-    rdf = spark.createDataFrame(ranges, "path string, lo long, hi long")
+    rdf = spark.createDataFrame(
+        ranges, "path string, lo long, hi long"
+    ).repartition(len(ranges))
 
     col_names = [c for c, _t in cols]
 
     def parse(batches):
+        CHUNK = 32 << 20     # bytes read from the file at a time
+        FLUSH = 8192         # rows per yielded Arrow frame
+        # a task's memory is O(CHUNK + largest feature + FLUSH rows),
+        # never O(range span) — the span only streams through
         for pdf in batches:
-            rows = []
             for r in pdf.itertuples(index=False):
+                rows = []
                 with open(_local(r.path), "rb") as f:
                     f.seek(r.lo)
-                    blob = f.read(r.hi - r.lo)
-                pos = 0
-                while pos + 4 <= len(blob):
-                    sz = struct.unpack_from("<I", blob, pos)[0]
-                    fbuf = blob[pos + 4:pos + 4 + sz]
-                    pos += 4 + sz
-                    t = _root(fbuf)
-                    goff = _field(fbuf, t, _F_GEOMETRY)
-                    wkb = None
-                    if goff:
-                        wkb = _read_geometry(
-                            fbuf, _indirect(fbuf, t + goff), gtype
+                    remaining = r.hi - r.lo
+                    buf = b""
+                    pos = 0
+                    while True:
+                        need = 4
+                        if len(buf) - pos >= 4:
+                            need = 4 + struct.unpack_from("<I", buf, pos)[0]
+                        while len(buf) - pos < need and remaining > 0:
+                            chunk = f.read(min(CHUNK, remaining))
+                            remaining -= len(chunk)
+                            buf = buf[pos:] + chunk
+                            pos = 0
+                            if len(buf) >= 4:
+                                need = 4 + struct.unpack_from("<I", buf, 0)[0]
+                        if len(buf) - pos < need or need == 4:
+                            break
+                        fbuf = buf[pos + 4:pos + need]
+                        pos += need
+                        t = _root(fbuf)
+                        goff = _field(fbuf, t, _F_GEOMETRY)
+                        wkb = None
+                        if goff:
+                            wkb = _read_geometry(
+                                fbuf, _indirect(fbuf, t + goff), gtype
+                            )
+                        ppos, pn = _vec(fbuf, t, _F_PROPERTIES)
+                        props = (
+                            _decode_props(fbuf[ppos:ppos + pn], cols)
+                            if ppos else {}
                         )
-                    ppos, pn = _vec(fbuf, t, _F_PROPERTIES)
-                    props = (
-                        _decode_props(fbuf[ppos:ppos + pn], cols)
-                        if ppos else {}
-                    )
-                    rows.append(
-                        [wkb] + [props.get(c) for c in col_names]
-                    )
-            yield pd.DataFrame(rows, columns=["geometry"] + col_names)
+                        rows.append([wkb] + [props.get(c) for c in col_names])
+                        if len(rows) >= FLUSH:
+                            yield pd.DataFrame(
+                                rows, columns=["geometry"] + col_names
+                            )
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=["geometry"] + col_names)
 
     return rdf.mapInPandas(parse, schema=schema)
 
@@ -719,6 +746,13 @@ def write_flatgeobuf(df, path: str, name: str = "layer", srid: int = 0,
             fb = _Builder()
             d = row.asDict()
             wkb = d.get(geometry)
+            if wkb is None and index_node_size > 0:
+                # reference-driver parity: a spatial index cannot carry a
+                # geometry-less feature (its leaf bbox would be a lie)
+                raise ValueError(
+                    "flatgeobuf write: NULL geometry not supported with "
+                    "a spatial index (index_node_size > 0)"
+                )
             gfields = None
             fenv = (0.0, 0.0, 0.0, 0.0)
             if wkb is not None:
@@ -740,8 +774,11 @@ def write_flatgeobuf(df, path: str, name: str = "layer", srid: int = 0,
             ])
             rec = fb.finish_size_prefixed(root)
             tmp.write(rec)
-            recs.append((fenv[0], fenv[1], fenv[2], fenv[3],
-                         spool_off, len(rec)))
+            if index_node_size > 0:
+                # only the indexed path reorders/rereads the spool; the
+                # default path must stay O(batch) driver memory
+                recs.append((fenv[0], fenv[1], fenv[2], fenv[3],
+                             spool_off, len(rec)))
             spool_off += len(rec)
             count += 1
         tmp.close()

@@ -161,7 +161,11 @@ def encode_bpe(df, merges: list[tuple[int, int]], text_col: str = "text",
     distinct pre-token in a batch is encoded once (memo) — the merge
     table travels in the closure (KBs)."""
     ranks = {tuple(p): r for r, p in enumerate(merges)}
-    pat = re.compile(PRETOKEN_PATTERN)
+    # re.ASCII: Python's default \s is Unicode-aware (NBSP, U+2028, ...)
+    # but the JVM regex used in the training scan is not — without this
+    # flag, merges learned across an NBSP boundary could never apply at
+    # encode time (train/encode segmentation must agree byte-for-byte)
+    pat = re.compile(PRETOKEN_PATTERN, re.ASCII)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def enc(texts: pd.Series) -> pd.Series:

@@ -71,6 +71,16 @@ def _point_image_pairs(points, images, point_key, x, y, point_srid):
         "image_id", "bytes", "fmt", "w", "h",
         "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "srid",
     )
+    # only images some point actually hit ship their bytes into the
+    # cogroup — points clustered in one city against a continent-scale
+    # catalog must not shuffle every image's payload to a task that
+    # immediately returns empty. The semi-join keys on image_id, the
+    # same key the cogroup exchanges on, so no extra shuffle of payload.
+    payload = payload.join(
+        pairs.select(F.col("_img").alias("image_id")).distinct(),
+        "image_id",
+        "left_semi",
+    )
     return pairs, payload
 
 

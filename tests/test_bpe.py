@@ -22,7 +22,7 @@ pytestmark = pytest.mark.usefixtures("spark")
 
 
 def naive_train(texts, num_merges, min_frequency=2):
-    pat = re.compile(PRETOKEN_PATTERN)
+    pat = re.compile(PRETOKEN_PATTERN, re.ASCII)
     corpus = [list(w.encode("utf-8")) for t in texts for w in pat.findall(t)]
     merges = []
     for rank in range(num_merges):
@@ -53,7 +53,7 @@ def naive_train(texts, num_merges, min_frequency=2):
 
 
 def naive_encode(text, merges):
-    pat = re.compile(PRETOKEN_PATTERN)
+    pat = re.compile(PRETOKEN_PATTERN, re.ASCII)
     ids = []
     for w in pat.findall(text):
         s = list(w.encode("utf-8"))
@@ -131,3 +131,14 @@ class TestBPE:
             _df(spark, ["ab", "cd"]), num_merges=50, min_frequency=2
         )
         assert merges == []  # every pair occurs once
+
+    def test_unicode_whitespace_pretokens_agree(self, spark):
+        """NBSP / U+2028 / NEL are Unicode-\\s but NOT JVM-or-ASCII \\s:
+        the JVM training scan and the re.ASCII encode pass must segment
+        them identically (review finding: default Python \\s diverged)."""
+        texts = ["euro\xa0sign and line \x85next, euro\xa0sign again"] * 3
+        merges = train_bpe(_df(spark, texts), num_merges=12)
+        assert merges == naive_train(texts, 12)
+        out = encode_bpe(_df(spark, texts), merges).collect()[0].tokens
+        assert out == naive_encode(texts[0], merges)
+        assert decode_bpe(out, merges) == texts[0].encode("utf-8")

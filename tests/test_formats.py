@@ -534,3 +534,51 @@ class TestFlatGeobuf:
                 sz = S.unpack("<I", f.read(4))[0]
                 pos += 4 + sz
         assert walked == leaf_offs
+
+    def test_empty_geometry_and_index_null_guard(self, spark, tmp_path):
+        """Review findings: an FGB Geometry table with no xy vector reads
+        back as NULL geometry (not a crash); the indexed sink refuses
+        null geometries like the reference driver does."""
+        import struct as S
+
+        from gdal_spark.formats import scan_flatgeobuf, write_flatgeobuf
+        from gdal_spark.formats.flatgeobuf import (
+            MAGIC, _Builder, _F_GEOMETRY, _G_TYPE, _build_header,
+        )
+
+        # hand-craft a file whose single feature is POINT EMPTY
+        fb = _Builder()
+        g = fb.table([(_G_TYPE, "u8", 1)])  # Point, no xy
+        root = fb.table([(_F_GEOMETRY, "off", g)])
+        feat = fb.finish_size_prefixed(root)
+        hdr = _build_header("empty", 1, [], 1, 0, None)
+        p = tmp_path / "empty.fgb"
+        p.write_bytes(MAGIC + hdr + feat)
+        rows = scan_flatgeobuf(spark, str(p)).collect()
+        assert len(rows) == 1 and rows[0].geometry is None
+
+        df = spark.createDataFrame(
+            [(1, None)], "id bigint, geometry binary"
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="NULL geometry"):
+            write_flatgeobuf(df, str(tmp_path / "x.fgb"), index_node_size=16)
+        # without an index the null row is fine
+        write_flatgeobuf(df, str(tmp_path / "ok.fgb"))
+        back = scan_flatgeobuf(spark, str(tmp_path / "ok.fgb")).collect()
+        assert back[0].geometry is None and back[0].id == 1
+
+
+def test_csv_bad_wkt_degrades_to_null(spark, tmp_path):
+    """A column merely NAMED geometry holding free text must not kill the
+    scan (OGR CSV warns + nulls; review finding)."""
+    p = tmp_path / "freetext.csv"
+    p.write_text('name,geometry\nfoo,quite nice area\nbar,"POINT (1 2)"\n')
+    from gdal_spark import geom
+    from gdal_spark.formats import scan_csv_vector
+
+    rows = {r.name: r for r in scan_csv_vector(spark, str(p)).collect()}
+    assert rows["foo"].geometry is None
+    g = geom.parse_wkb(bytes(rows["bar"].geometry))
+    assert g.parts.ravel().tolist() == [1.0, 2.0]

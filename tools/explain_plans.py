@@ -604,7 +604,12 @@ def main():
         "fgb_scan_no_shuffle",
         fgb,
         [
-            ("no_exchange", lambda p: "Exchange" not in p),
+            # the ONLY exchange is the round-robin spreading the tiny
+            # (path, lo, hi) ranges frame across tasks — feature bytes
+            # never shuffle
+            ("only_ranges_roundrobin",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+             and "RoundRobinPartitioning" in p),
             ("arrow_map", r"MapInPandas"),
             ("no_row_python", lambda p: "BatchEvalPython" not in p),
         ],
