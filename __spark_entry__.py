@@ -5309,6 +5309,50 @@ def q_flatgeobuf_roundtrip_sql():
     )
 
 
+def q_augment_checksums(spark, sf_dir):
+    """Deterministic image augmentation (functions.augment — training-data
+    fan-out: flips / quarter rotations / seeded crops in ONE decode pass,
+    one output row per (image, op)): per-result GDAL checksums vs the same
+    (pytest-pinned) kernel run locally. The seeded random_crop must
+    reproduce bit-identically at any parallelism."""
+    from gdal_spark import fixtures
+    from gdal_spark.functions.augment import augment_images
+
+    imgs = fixtures.images_df(spark, 6, tier="t2", partitions=2)
+    out = augment_images(
+        imgs, ops=("flip_h", "rot90", "random_crop"), crop=(12, 12), seed=4
+    )
+    return out.select("image_id", "op", "w", "h", "checksum").orderBy(
+        "image_id", "op"
+    )
+
+
+def q_augment_checksums_sql():
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.functions.augment import apply_op
+
+    rows = []
+    for i in range(6):
+        m = fixtures.image_record(i, tier="t2")
+        arr = C.decode_image(m["bytes"], m["fmt"])
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        for op in ("flip_h", "rot90", "random_crop"):
+            out = apply_op(arr, op, m["image_id"], 4, (12, 12))
+            rows.append(
+                (m["image_id"], op, out.shape[1], out.shape[0],
+                 int(gdal_checksum(out[:, :, 0].astype(np.float64))))
+            )
+    rows.sort()
+    return _vals_sql(
+        rows, ["image_id", "op", "w", "h", "checksum"], "image_id, op"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5373,6 +5417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen_checksums": q_pansharpen_checksums,
         "viewshed_counts": q_viewshed_counts,
         "dither_checksums": q_dither_checksums,
+        "augment_checksums": q_augment_checksums,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5471,6 +5516,7 @@ def oracle_sql() -> dict[str, str]:
         "pansharpen_checksums": q_pansharpen_checksums_sql(),
         "viewshed_counts": q_viewshed_counts_sql(),
         "dither_checksums": q_dither_checksums_sql(),
+        "augment_checksums": q_augment_checksums_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
