@@ -31,7 +31,12 @@ def get_spark(
 ) -> SparkSession:
     cores = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
-    shuffle = shuffle_partitions or max(2 * cores, 32)
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", "0")
+    ) or max(2 * cores, 32)
+    arrow_batch = int(
+        os.environ.get("SPARK_GRAFT_ARROW_BATCH", "0")
+    ) or arrow_batch
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
