@@ -582,9 +582,13 @@ def scan_flatgeobuf(spark, path: str, num_partitions: int = 4):
         for i in range(k)
         if bounds[i + 1] > bounds[i]
     ]
+    # parallelize with one slice per range: exactly one task per planned
+    # byte span (repartition's round-robin starts at a random offset per
+    # input partition and can clump ranges together)
     rdf = spark.createDataFrame(
-        ranges, "path string, lo long, hi long"
-    ).repartition(len(ranges))
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "path string, lo long, hi long",
+    )
 
     col_names = [c for c, _t in cols]
 

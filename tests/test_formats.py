@@ -582,3 +582,27 @@ def test_csv_bad_wkt_degrades_to_null(spark, tmp_path):
     assert rows["foo"].geometry is None
     g = geom.parse_wkb(bytes(rows["bar"].geometry))
     assert g.parts.ravel().tolist() == [1.0, 2.0]
+
+
+def test_fgb_scan_fanout_at_scale(spark, tmp_path):
+    """50k features through the indexed FlatGeobuf sink, re-read at 16
+    planned ranges: the scan must actually fan out (16 non-empty
+    partitions of near-equal size) and reproduce every row — the
+    driver-plans / executors-read contract at a non-toy size."""
+    from gdal_spark.formats import scan_flatgeobuf, write_flatgeobuf
+
+    n = 50_000
+    rows = [
+        (i, geom.wkb_point((i * 37) % 4096 * 10.0, (i * 53) % 4096 * 10.0))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, geometry binary")
+    p = str(tmp_path / "big.fgb")
+    write_flatgeobuf(df, p, name="big", index_node_size=16)
+    back = scan_flatgeobuf(spark, p, num_partitions=16)
+    sizes = back.rdd.glom().map(len).collect()
+    assert len(sizes) == 16 and min(sizes) > 0
+    assert max(sizes) <= 2 * (n // 16)  # near-balanced ranges
+    assert back.count() == n
+    ids = back.agg({"id": "sum"}).collect()[0][0]
+    assert ids == n * (n - 1) // 2

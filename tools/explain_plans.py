@@ -604,12 +604,9 @@ def main():
         "fgb_scan_no_shuffle",
         fgb,
         [
-            # the ONLY exchange is the round-robin spreading the tiny
-            # (path, lo, hi) ranges frame across tasks — feature bytes
-            # never shuffle
-            ("only_ranges_roundrobin",
-             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
-             and "RoundRobinPartitioning" in p),
+            # ranges are parallelized one-per-slice at creation: zero
+            # exchanges anywhere — feature bytes never shuffle
+            ("no_exchange", lambda p: "Exchange" not in p),
             ("arrow_map", r"MapInPandas"),
             ("no_row_python", lambda p: "BatchEvalPython" not in p),
         ],
