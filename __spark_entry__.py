@@ -5353,6 +5353,56 @@ def q_augment_checksums_sql():
     )
 
 
+def q_aaigrid_roundtrip(spark, sf_dir):
+    """AAIGrid driver (formats.aaigrid — frmts/aaigrid/aaigriddataset.cpp
+    analog): one .asc file per nation row (cell(y,x) = key*1000 + y*4+x,
+    xllcorner = key*10) scanned with one-task-per-file fan-out, then piped
+    through the EXISTING gdal2xyz operator — per-image (w, h, gt0,
+    sum of all cells) only match the closed-form SQL if the header parse,
+    top-row-first body order, and geotransform derivation are all right."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_aaigrid
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_asc_")
+    for k in keys:
+        rows = "\n".join(
+            " ".join(str(k * 1000 + y * 4 + x) for x in range(4))
+            for y in range(3)
+        )
+        with open(os.path.join(tmp, f"n{k}.asc"), "w") as f:
+            f.write(
+                f"ncols 4\nnrows 3\nxllcorner {k * 10}\nyllcorner 0\n"
+                f"cellsize 1.0\n{rows}\n"
+            )
+    imgs = scan_aaigrid(spark, os.path.join(tmp, "*.asc"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_aaigrid_roundtrip_sql():
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 10 AS DOUBLE) AS gt0, "
+        "CAST(n_nationkey * 12000 + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5418,6 +5468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed_counts": q_viewshed_counts,
         "dither_checksums": q_dither_checksums,
         "augment_checksums": q_augment_checksums,
+        "aaigrid_roundtrip": q_aaigrid_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5517,6 +5568,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_counts": q_viewshed_counts_sql(),
         "dither_checksums": q_dither_checksums_sql(),
         "augment_checksums": q_augment_checksums_sql(),
+        "aaigrid_roundtrip": q_aaigrid_roundtrip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -326,6 +326,8 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
 
             return decode_jpeg(buf)
         return decode_gsj(buf)
+    if fmt in ("pnm", "pgm", "ppm"):
+        return decode_pnm(buf)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -340,6 +342,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from gdal_spark.jpeg import encode_jpeg
 
         return encode_jpeg(arr)
+    if fmt in ("pnm", "pgm", "ppm"):
+        return encode_pnm(arr)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -350,3 +354,58 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(peak * peak / mse))
+
+
+# ---------------------------------------------------------------------------
+# PNM (PGM P5 / PPM P6) — reference frmts/pnm/pnmdataset.cpp; implemented
+# from the Netpbm format spec: magic, whitespace/comment-separated width,
+# height, maxval, then raw big-endian samples (1 byte if maxval < 256,
+# else 2 bytes). GDAL writes no comments; we tolerate them on read.
+# ---------------------------------------------------------------------------
+
+
+def _pnm_header(buf: bytes):
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM: magic {buf[:2]!r}")
+    vals, pos, n = [], 2, len(buf)
+    while len(vals) < 3:
+        while pos < n and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < n and buf[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not buf[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    return buf[:2], vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
+
+
+def decode_pnm(buf: bytes) -> np.ndarray:
+    magic, w, h, maxval, off = _pnm_header(buf)
+    ch = 3 if magic == b"P6" else 1
+    dt = ">u2" if maxval > 255 else np.uint8
+    arr = np.frombuffer(buf, dtype=dt, count=w * h * ch, offset=off)
+    arr = arr.astype(np.uint16 if maxval > 255 else np.uint8)
+    arr = arr.reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim == 2:
+        magic, ch = b"P5", 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, ch = b"P6", 3
+    else:
+        raise ValueError(f"PNM supports gray or RGB, got shape {a.shape}")
+    if a.dtype == np.uint16:
+        maxval, body = 65535, a.astype(">u2").tobytes()
+    else:
+        maxval, body = 255, a.astype(np.uint8).tobytes()
+    h, w = a.shape[:2]
+    del ch
+    return magic + f"\n{w} {h}\n{maxval}\n".encode() + body

@@ -26,3 +26,4 @@ from .flatgeobuf import (  # noqa: F401
     scan_flatgeobuf,
     write_flatgeobuf,
 )
+from .aaigrid import scan_aaigrid, write_aaigrid  # noqa: F401
