@@ -5403,6 +5403,63 @@ def q_aaigrid_roundtrip_sql():
     )
 
 
+def q_geoparquet_roundtrip(spark, sf_dir):
+    """GeoParquet driver round-trip (formats.geoparquet — GeoParquet 1.1
+    spec; reference ogr/ogrsf_frmts/parquet/): a supplier point layer
+    writes through the fully DISTRIBUTED sink (one task-written part file
+    per partition, each with its own 'geo' footer + covering bbox column)
+    and re-reads via Spark's native parquet scan with footer validation;
+    x/y re-derive from the WKB geometry AND from the covering bbox column
+    independently, so the oracle only matches if geometry, bbox math, and
+    metadata plumbing all survived."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_geoparquet, write_geoparquet
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 29 % 2880) * 0.125 - 180.0
+    y = (k * 31 % 1440) * 0.125 - 90.0
+    src = s.select(
+        k.alias("skey"),
+        pt_udf(x, y).alias("geometry"),
+        ((k % 600) * 0.5).alias("acct"),
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gpq_")
+    path = os.path.join(tmp, "sup_gpq")
+    write_geoparquet(src, path, srid=3857)
+    out = scan_geoparquet(spark, path)
+    return out.select(
+        F.col("skey"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("bbox.xmin").alias("bx"),
+        F.col("bbox.ymax").alias("by"),
+        F.col("acct"),
+    ).orderBy("skey")
+
+
+def q_geoparquet_roundtrip_sql():
+    return (
+        "SELECT s_suppkey AS skey, "
+        "(s_suppkey * 29 % 2880) * 0.125 - 180.0 AS x, "
+        "(s_suppkey * 31 % 1440) * 0.125 - 90.0 AS y, "
+        "(s_suppkey * 29 % 2880) * 0.125 - 180.0 AS bx, "
+        "(s_suppkey * 31 % 1440) * 0.125 - 90.0 AS by, "
+        "(s_suppkey % 600) * 0.5 AS acct "
+        "FROM supplier ORDER BY skey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5469,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dither_checksums": q_dither_checksums,
         "augment_checksums": q_augment_checksums,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5569,6 +5627,7 @@ def oracle_sql() -> dict[str, str]:
         "dither_checksums": q_dither_checksums_sql(),
         "augment_checksums": q_augment_checksums_sql(),
         "aaigrid_roundtrip": q_aaigrid_roundtrip_sql(),
+        "geoparquet_roundtrip": q_geoparquet_roundtrip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -27,3 +27,8 @@ from .flatgeobuf import (  # noqa: F401
     write_flatgeobuf,
 )
 from .aaigrid import scan_aaigrid, write_aaigrid  # noqa: F401
+from .geoparquet import (  # noqa: F401
+    geoparquet_metadata,
+    scan_geoparquet,
+    write_geoparquet,
+)

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from gdal_spark import codecs
+from gdal_spark import codecs, geom
 
 pytestmark = pytest.mark.usefixtures("spark")
 
@@ -110,3 +110,78 @@ class TestAAIGrid:
         df = scan_aaigrid(spark, str(tmp_path / "p.asc"))
         out = dem_images(df, "slope").collect()
         assert len(out) == 1
+
+
+class TestGeoParquet:
+    def test_write_read_metadata_and_pushdown(self, spark, tmp_path):
+        from gdal_spark.formats import (
+            geoparquet_metadata,
+            scan_geoparquet,
+            write_geoparquet,
+        )
+
+        rows = []
+        for i in range(200):
+            if i % 2:
+                g = geom.wkb_point(i * 1.0, -i * 0.5)
+            else:
+                g = geom.wkb_polygon(
+                    [np.array([[i, 0], [i + 1, 0], [i + 1, 1], [i, 1]], float)]
+                )
+            rows.append((i, g, f"f{i}"))
+        df = spark.createDataFrame(
+            rows, "id bigint, geometry binary, name string"
+        ).repartition(4)
+        p = str(tmp_path / "gp")
+        n = write_geoparquet(df, p, srid=3857)
+        assert n == 200
+        import glob
+
+        files = sorted(glob.glob(p + "/part-*.parquet"))
+        assert len(files) == 4  # one file per partition, task-written
+        meta = geoparquet_metadata(p)
+        assert meta["version"] == "1.1.0"
+        assert meta["primary_column"] == "geometry"
+        col = meta["columns"]["geometry"]
+        assert col["encoding"] == "WKB"
+        assert set(col["geometry_types"]) <= {"Point", "Polygon"}
+        assert col["crs"]["id"] == {"authority": "EPSG", "code": 3857}
+        assert col["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+        # per-FILE bbox covers exactly that file's rows
+        import pyarrow.parquet as pq
+        import json as J
+
+        for f in files:
+            t = pq.read_table(f)
+            m = J.loads(
+                (pq.ParquetFile(f).schema_arrow.metadata or {})[b"geo"]
+            )
+            bb = m["columns"]["geometry"]["bbox"]
+            xs = t.column("bbox").to_pylist()
+            assert min(v["xmin"] for v in xs) == bb[0]
+            assert max(v["xmax"] for v in xs) == bb[2]
+        back = scan_geoparquet(spark, p)
+        got = {r.id: r for r in back.collect()}
+        assert len(got) == 200 and got[7].name == "f7"
+        g7 = geom.parse_wkb(bytes(got[7].geometry))
+        assert g7.parts.ravel().tolist() == [7.0, -3.5]
+        # the covering bbox column reaches the parquet scan as a pushed
+        # filter (the reason the spec defines it)
+        q = back.where("bbox.xmin > 100.0").select("id")
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "PushedFilters" in plan and "bbox.xmin" in plan
+
+    def test_wgs84_omits_crs_and_null_geoms(self, spark, tmp_path):
+        from gdal_spark.formats import geoparquet_metadata, write_geoparquet
+
+        df = spark.createDataFrame(
+            [(1, geom.wkb_point(1.0, 2.0)), (2, None)],
+            "id bigint, geometry binary",
+        ).coalesce(1)
+        p = str(tmp_path / "w")
+        write_geoparquet(df, p, srid=4326)
+        col = geoparquet_metadata(p)["columns"]["geometry"]
+        assert "crs" not in col  # reference-default WGS84 omission
+        assert col["bbox"] == [1.0, 2.0, 1.0, 2.0]
