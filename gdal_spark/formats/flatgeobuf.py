@@ -559,29 +559,102 @@ def _feature_offsets(path: str, hdr: dict) -> np.ndarray:
         return np.asarray(offs, dtype=np.int64)
 
 
-def scan_flatgeobuf(spark, path: str, num_partitions: int = 4):
+def _search_index(path: str, hdr: dict, bbox) -> np.ndarray:
+    """Packed-R-tree bbox search (the reference's streamSearch shape):
+    walk levels top-down, reading only the node spans the query
+    intersects, and return the byte offsets of matching FEATURES. The
+    driver reads O(matching subtrees * 40B), never the feature bytes."""
+    n = hdr["features_count"]
+    ns = max(int(hdr["index_node_size"]), 2)
+    sizes = [n]
+    m = n
+    while True:
+        m = (m + ns - 1) // ns
+        sizes.append(m)
+        if m == 1:
+            break
+    num_nodes = sum(sizes)
+    starts = []
+    acc = num_nodes
+    for sz in sizes:
+        acc -= sz
+        starts.append(acc)  # starts[0] = leaf level start index
+    # level of each start for bound lookups: level i spans
+    # [starts[i], starts[i] + sizes[i])
+    qx0, qy0, qx1, qy1 = bbox
+    hits: list[int] = []
+    with open(_local(path), "rb") as f:
+        def read_nodes(i0, i1):
+            f.seek(hdr["index_offset"] + 40 * i0)
+            raw = f.read(40 * (i1 - i0))
+            return [
+                struct.unpack_from("<ddddQ", raw, 40 * k)
+                for k in range(i1 - i0)
+            ]
+
+        # queue of (node_index, level); root is the last level
+        root_level = len(sizes) - 1
+        queue = [(starts[root_level], root_level)]
+        while queue:
+            idx, lvl = queue.pop()
+            end = min(idx + ns, starts[lvl] + sizes[lvl])
+            for off, nd in enumerate(read_nodes(idx, end)):
+                if nd[0] > qx1 or nd[1] > qy1 or nd[2] < qx0 or nd[3] < qy0:
+                    continue
+                if lvl == 0:
+                    hits.append(int(nd[4]))
+                else:
+                    queue.append((int(nd[4]), lvl - 1))
+                del off
+    return np.sort(np.asarray(hits, dtype=np.int64))
+
+
+def scan_flatgeobuf(spark, path: str, num_partitions: int = 4, bbox=None):
     """Distributed read -> (geometry binary<WKB>, <props...>). The driver
     touches header + index (or prefix walk) only; each task seek-reads
-    its contiguous byte span and parses its features."""
+    its contiguous byte span and parses its features.
+
+    ``bbox=(minx, miny, maxx, maxy)`` with an indexed file pushes the
+    spatial filter INTO the scan: the packed R-tree prunes to matching
+    feature offsets driver-side (envelope phase), tasks read only the
+    byte spans that contain candidates, and an exact envelope re-check
+    runs per feature (rows whose envelope merely touched a shared tree
+    node are dropped). Without an index, bbox degrades to the exact
+    per-feature check over the full walk."""
     hdr = read_fgb_header(path)
-    offs = _feature_offsets(_local(path), hdr)
-    n = len(offs)
     cols = hdr["columns"]
     fields = ", ".join(f"`{c}` {_CT_SPARK[t]}" for c, t in cols)
     schema = "geometry binary" + (", " + fields if fields else "")
     size = os.path.getsize(_local(path))
     feat0 = hdr["features_offset"]
     gtype = hdr["geometry_type"]
+    pruned = (
+        bbox is not None
+        and hdr["index_node_size"] > 0
+        and hdr["features_count"] > 0
+    )
+    all_offs = _feature_offsets(_local(path), hdr)
+    offs = _search_index(_local(path), hdr, bbox) if pruned else all_offs
+    n = len(offs)
     k = max(1, min(num_partitions, n)) if n else 1
     if n == 0:
-        bounds = [0, size - feat0]
+        ranges = [] if bbox is not None else [(path, feat0, size)]
     else:
-        bounds = [int(offs[(i * n) // k]) for i in range(k)] + [size - feat0]
-    ranges = [
-        (path, feat0 + bounds[i], feat0 + bounds[i + 1])
-        for i in range(k)
-        if bounds[i + 1] > bounds[i]
-    ]
+        # k groups of consecutive candidates; each span ends at the offset
+        # of the feature AFTER the group's last candidate (known from the
+        # full leaf set), so spans never split a record
+        ends = np.append(all_offs, size - feat0)
+        ranges = []
+        for i in range(k):
+            g0, g1 = (i * n) // k, ((i + 1) * n) // k
+            if g1 <= g0:
+                continue
+            lo = int(offs[g0])
+            last = int(offs[g1 - 1])
+            hi = int(ends[np.searchsorted(all_offs, last) + 1])
+            ranges.append((path, feat0 + lo, feat0 + hi))
+    if not ranges:
+        return spark.createDataFrame([], schema)
     # parallelize with one slice per range: exactly one task per planned
     # byte span (repartition's round-robin starts at a random offset per
     # input partition and can clump ranges together)
@@ -627,6 +700,16 @@ def scan_flatgeobuf(spark, path: str, num_partitions: int = 4):
                             wkb = _read_geometry(
                                 fbuf, _indirect(fbuf, t + goff), gtype
                             )
+                        if bbox is not None:
+                            # exact envelope phase-2 check: spans may carry
+                            # non-candidates between candidates, and tree
+                            # nodes over-approximate
+                            if wkb is None:
+                                continue
+                            e = geom.parse_wkb(bytes(wkb)).envelope()
+                            if (e[0] > bbox[2] or e[1] > bbox[3]
+                                    or e[2] < bbox[0] or e[3] < bbox[1]):
+                                continue
                         ppos, pn = _vec(fbuf, t, _F_PROPERTIES)
                         props = (
                             _decode_props(fbuf[ppos:ppos + pn], cols)

