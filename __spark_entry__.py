@@ -5460,6 +5460,57 @@ def q_geoparquet_roundtrip_sql():
     )
 
 
+def q_kml_roundtrip(spark, sf_dir):
+    """KML driver round-trip (formats.kml — OGC KML 2.2 Placemark subset;
+    reference ogr/ogrsf_frmts/kml/): nation points export into one KML
+    document (name + ExtendedData attribute) and re-read with the
+    per-file fan-out scan; x/y re-derive from the re-parsed geometry and
+    the attribute from ExtendedData, so the closed-form oracle only
+    matches if the XML round-trip (including escaping) is faithful."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_kml, write_kml
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    nt = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 7 % 2880) * 0.125 - 180.0
+    y = (k * 11 % 1440) * 0.125 - 90.0
+    src = nt.select(
+        F.col("n_name").alias("name"),
+        pt_udf(x, y).alias("geometry"),
+        (k * 3).cast("string").alias("val"),
+    ).orderBy("name")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_kml_")
+    path = os.path.join(tmp, "nations.kml")
+    write_kml(src, path, name="nations")
+    out = scan_kml(spark, path)
+    return out.select(
+        F.col("name"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("val"),
+    ).orderBy("name")
+
+
+def q_kml_roundtrip_sql():
+    return (
+        "SELECT n_name AS name, "
+        "(n_nationkey * 7 % 2880) * 0.125 - 180.0 AS x, "
+        "(n_nationkey * 11 % 1440) * 0.125 - 90.0 AS y, "
+        "CAST(n_nationkey * 3 AS VARCHAR) AS val "
+        "FROM nation ORDER BY name"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5527,6 +5578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_checksums": q_augment_checksums,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "kml_roundtrip": q_kml_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5628,6 +5680,7 @@ def oracle_sql() -> dict[str, str]:
         "augment_checksums": q_augment_checksums_sql(),
         "aaigrid_roundtrip": q_aaigrid_roundtrip_sql(),
         "geoparquet_roundtrip": q_geoparquet_roundtrip_sql(),
+        "kml_roundtrip": q_kml_roundtrip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),

@@ -32,3 +32,4 @@ from .geoparquet import (  # noqa: F401
     scan_geoparquet,
     write_geoparquet,
 )
+from .kml import scan_kml, write_kml  # noqa: F401

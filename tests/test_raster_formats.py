@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_spark import codecs, geom
 
@@ -185,3 +186,73 @@ class TestGeoParquet:
         col = geoparquet_metadata(p)["columns"]["geometry"]
         assert "crs" not in col  # reference-default WGS84 omission
         assert col["bbox"] == [1.0, 2.0, 1.0, 2.0]
+
+
+class TestKML:
+    def test_roundtrip_and_extended_data(self, spark, tmp_path):
+        from gdal_spark.formats import scan_kml, write_kml
+
+        rows = [
+            (0, geom.wkb_point(12.5, -3.25), "pt & name", "desc<1>", "a0"),
+            (1, geom.wkb_linestring([[0, 0], [2, 3], [5, 3]]), None, None, "a1"),
+            (
+                2,
+                geom.wkb_polygon(
+                    [np.array([[0, 0], [8, 0], [8, 8], [0, 8]], float),
+                     np.array([[3, 3], [5, 3], [5, 5], [3, 5]], float)]
+                ),
+                "poly", None, None,
+            ),
+            (
+                3,
+                geom.wkb_multipolygon(
+                    [[np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)],
+                     [np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float)]]
+                ),
+                "mp", "d", "a3",
+            ),
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, geometry binary, name string, "
+                  "description string, tag string"
+        ).drop("id").withColumn("tag2", F.lit("x"))
+        p = str(tmp_path / "t.kml")
+        n = write_kml(df, p, name="layer<1>")
+        assert n == 4
+        back = scan_kml(spark, p)
+        got = sorted(back.collect(), key=lambda r: (r.name is None, r.name or ""))
+        by_name = {r.name: r for r in got}
+        pt = by_name["pt & name"]
+        assert pt.description == "desc<1>" and pt.tag == "a0" and pt.tag2 == "x"
+        g = geom.parse_wkb(bytes(pt.geometry))
+        assert g.parts.ravel().tolist() == [12.5, -3.25]
+        assert _poly_area_kml(by_name["poly"].geometry) == 64.0 - 4.0
+        mp = geom.parse_wkb(bytes(by_name["mp"].geometry))
+        assert mp.kind == geom.WKB_MULTIPOLYGON and len(mp.parts) == 2
+        ln = [r for r in got if r.name is None][0]
+        lg = geom.parse_wkb(bytes(ln.geometry))
+        assert lg.kind == geom.WKB_LINESTRING
+
+    def test_multi_file_fanout(self, spark, tmp_path):
+        from gdal_spark.formats import scan_kml, write_kml
+
+        for i in range(3):
+            df = spark.createDataFrame(
+                [(geom.wkb_point(i * 1.0, 0.0), f"f{i}")],
+                "geometry binary, name string",
+            )
+            write_kml(df, str(tmp_path / f"k{i}.kml"))
+        back = scan_kml(spark, str(tmp_path / "*.kml"))
+        assert sorted(r.name for r in back.collect()) == ["f0", "f1", "f2"]
+
+
+def _poly_area_kml(wkb):
+    g = geom.parse_wkb(bytes(wkb))
+    total = 0.0
+    for rings in g.polygons():
+        for j, r in enumerate(rings):
+            a = 0.5 * float(
+                np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
+            )
+            total += abs(a) if j == 0 else -abs(a)
+    return total
