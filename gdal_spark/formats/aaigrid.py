@@ -26,6 +26,7 @@ import os
 import numpy as np
 import pandas as pd
 
+from ._util import local_path
 from .. import codecs
 
 OUT_SCHEMA = (
@@ -134,8 +135,14 @@ def scan_aaigrid(spark, path_glob: str, srid: int = 0):
 def write_aaigrid(df, out_dir: str, nodata: float | None = -9999.0):
     """One .asc file per row, written BY THE TASK that holds the row (a
     distributed many-files sink — AAIGrid has no multi-dataset container,
-    so file-per-row is the natural layout and there is no driver funnel)."""
+    so file-per-row is the natural layout and there is no driver funnel).
+    A per-row ``nodata`` column (the one :func:`scan_aaigrid` emits)
+    takes precedence over the function-level default, so a grid whose
+    nodata marker collides with legitimate default-marker values
+    round-trips faithfully."""
+    out_dir = local_path(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    has_nodata_col = "nodata" in df.columns
 
     def dump(batches):
         for pdf in batches:
@@ -143,9 +150,12 @@ def write_aaigrid(df, out_dir: str, nodata: float | None = -9999.0):
             for r in pdf.itertuples(index=False):
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
                 gt = tuple(float(getattr(r, f"gt{i}")) for i in range(6))
+                nd = nodata
+                if has_nodata_col and r.nodata is not None and not pd.isna(r.nodata):
+                    nd = float(r.nodata)
                 path = os.path.join(out_dir, f"{r.image_id}.asc")
                 with open(path, "w") as f:
-                    f.write(format_aaigrid(arr, gt, nodata))
+                    f.write(format_aaigrid(arr, gt, nd))
                 names.append(path)
             yield pd.DataFrame({"path": names})
 

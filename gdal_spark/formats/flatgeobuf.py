@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
+from ._util import local_path as _local
 from .. import geom
 
 MAGIC = b"fgb\x03fgb\x00"
@@ -512,8 +513,6 @@ def _decode_props(buf: bytes, columns) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _local(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
 
 
 def read_fgb_header(path: str) -> dict:

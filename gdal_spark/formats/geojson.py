@@ -29,11 +29,10 @@ import json
 
 from pyspark.sql import functions as F
 
+from ._util import local_path as _local
 from .. import geom
 
 
-def _local(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
 
 
 def _clean_line(s: str) -> str:

@@ -30,9 +30,9 @@ import struct
 
 import numpy as np
 
+from ._util import local_path as _local
 
-def _local(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
+
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
+from ._util import local_path as _local
 from .. import geom
 
 _KIND_NAMES = {
@@ -51,13 +52,16 @@ _KIND_NAMES = {
 }
 
 
-def _geo_meta(primary: str, types: list[str], bbox, srid: int | None) -> str:
+def _geo_meta(primary: str, types: list[str], bbox, srid: int | None,
+              covering: bool) -> str:
     col: dict = {
         "encoding": "WKB",
         "geometry_types": sorted(types),
     }
     if bbox is not None:
         col["bbox"] = [float(v) for v in bbox]
+    if covering:
+        # only advertised when the bbox struct column actually exists
         col["covering"] = {
             "bbox": {
                 "xmin": ["bbox", "xmin"],
@@ -83,14 +87,34 @@ def _geo_meta(primary: str, types: list[str], bbox, srid: int | None) -> str:
 
 
 def write_geoparquet(df, path: str, geometry: str = "geometry",
-                     srid: int | None = None, covering: bool = True):
+                     srid: int | None = None, covering: bool = True,
+                     mode: str = "error"):
     """DISTRIBUTED sink: one GeoParquet part file per partition, written
     by the task that holds the partition (deterministic part-<id> names
     from the task's partition id). Each file's ``geo`` footer carries its
     OWN bbox/geometry_types; ``covering=True`` additionally materializes
-    the spec's bbox struct column, which Spark's reader prunes on."""
-    os.makedirs(_local(path), exist_ok=True)
+    the spec's bbox struct column, which Spark's reader prunes on.
+
+    ``mode`` follows Spark writer semantics for pre-existing part files:
+    ``error`` (default) refuses, ``overwrite`` clears them first — a
+    smaller later write must never leave stale parts behind to be read
+    back alongside the new ones."""
+    import glob as _glob
+
     out_dir = _local(path)
+    os.makedirs(out_dir, exist_ok=True)
+    stale = _glob.glob(os.path.join(out_dir, "*.parquet"))
+    if stale:
+        if mode == "overwrite":
+            for f_ in stale:
+                os.unlink(f_)
+        elif mode == "error":
+            raise ValueError(
+                f"{path} already contains {len(stale)} parquet part files "
+                "(use mode='overwrite')"
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
     attr = [f.name for f in df.schema.fields if f.name != geometry]
 
     def dump(batches):
@@ -134,7 +158,7 @@ def write_geoparquet(df, path: str, geometry: str = "geometry",
             table = table.append_column("bbox", bbox)
         meta = _geo_meta(
             geometry, list(types),
-            env if np.isfinite(env[0]) else None, srid,
+            env if np.isfinite(env[0]) else None, srid, covering,
         )
         existing = table.schema.metadata or {}
         table = table.replace_schema_metadata(
@@ -182,5 +206,3 @@ def scan_geoparquet(spark, path: str, validate: bool = True):
     return df
 
 
-def _local(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path

@@ -20,19 +20,31 @@ O(batch) driver memory (single-document format — same contract as the
 from __future__ import annotations
 
 
+import struct as _struct
 import xml.etree.ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import numpy as np
 import pandas as pd
 
+from ._util import local_path as _local
 from .. import geom
 
-_NS = "{http://www.opengis.net/kml/2.2}"
+_NS22 = "{http://www.opengis.net/kml/2.2}"
+_BASE_KEYS = ("geometry", "name", "description")
 
 
 def _strip(tag: str) -> str:
     return tag.split("}", 1)[-1]
+
+
+def _doc_ns(root) -> str:
+    """Namespace of THIS document — KML in the wild carries 2.2, the
+    earth.google.com 2.0/2.1 namespaces, or none at all (the reference
+    driver accepts them all); derive it from the root tag."""
+    if root.tag.startswith("{"):
+        return root.tag.split("}", 1)[0] + "}"
+    return ""
 
 
 def _coords(text: str) -> np.ndarray:
@@ -43,50 +55,75 @@ def _coords(text: str) -> np.ndarray:
     return np.asarray(pts, dtype=np.float64)
 
 
-def _parse_geometry(el) -> bytes | None:
+def _wkb_multi(kind: int, members: list[bytes]) -> bytes:
+    return (
+        _struct.pack("<BII", 1, kind, len(members)) + b"".join(members)
+    )
+
+
+def _parse_geometry(el, ns: str) -> bytes | None:
     tag = _strip(el.tag)
     if tag == "Point":
-        c = _coords(el.findtext(f"{_NS}coordinates", ""))
+        c = _coords(el.findtext(f"{ns}coordinates", ""))
+        if len(c) == 0:
+            return None  # reference driver: skip, don't abort the file
         return geom.wkb_point(float(c[0, 0]), float(c[0, 1]))
     if tag == "LineString":
-        return geom.wkb_linestring(
-            _coords(el.findtext(f"{_NS}coordinates", ""))
-        )
+        c = _coords(el.findtext(f"{ns}coordinates", ""))
+        if len(c) == 0:
+            return None
+        return geom.wkb_linestring(c)
     if tag == "Polygon":
         rings = []
-        outer = el.find(f"{_NS}outerBoundaryIs/{_NS}LinearRing")
+        outer = el.find(f"{ns}outerBoundaryIs/{ns}LinearRing")
         if outer is not None:
-            rings.append(_coords(outer.findtext(f"{_NS}coordinates", "")))
-        for inner in el.findall(f"{_NS}innerBoundaryIs/{_NS}LinearRing"):
-            rings.append(_coords(inner.findtext(f"{_NS}coordinates", "")))
+            rings.append(_coords(outer.findtext(f"{ns}coordinates", "")))
+        for inner in el.findall(f"{ns}innerBoundaryIs/{ns}LinearRing"):
+            rings.append(_coords(inner.findtext(f"{ns}coordinates", "")))
+        if not rings or len(rings[0]) == 0:
+            return None
         return geom.wkb_polygon(rings)
     if tag == "MultiGeometry":
-        polys = []
+        by_kind: dict[str, list[bytes]] = {}
         for sub in el:
-            if _strip(sub.tag) == "Polygon":
-                w = _parse_geometry(sub)
-                polys.append(geom.parse_wkb(w).parts)
-        if polys:
-            return geom.wkb_multipolygon(polys)
+            w = _parse_geometry(sub, ns)
+            if w is not None:
+                by_kind.setdefault(_strip(sub.tag), []).append(w)
+        if len(by_kind) != 1:
+            return None  # empty or mixed-type collections unsupported
+        kind, members = next(iter(by_kind.items()))
+        if kind == "Polygon":
+            return geom.wkb_multipolygon(
+                [geom.parse_wkb(w).parts for w in members]
+            )
+        if kind == "Point":
+            return _wkb_multi(geom.WKB_MULTIPOINT, members)
+        if kind == "LineString":
+            return _wkb_multi(geom.WKB_MULTILINESTRING, members)
     return None
 
 
 def parse_kml(doc: bytes) -> list[dict]:
     """One dict per Placemark: geometry WKB + name/description +
-    ExtendedData pairs (all strings, the KML attribute model)."""
+    ExtendedData pairs (all strings, the KML attribute model).
+    Data entries with no name or a name colliding with the base keys
+    are dropped (the base record always wins)."""
     root = ET.fromstring(doc)
+    ns = _doc_ns(root)
     out = []
-    for pm in root.iter(f"{_NS}Placemark"):
+    for pm in root.iter(f"{ns}Placemark"):
         rec: dict = {"geometry": None, "name": None, "description": None}
         for child in pm:
             tag = _strip(child.tag)
             if tag in ("Point", "LineString", "Polygon", "MultiGeometry"):
-                rec["geometry"] = _parse_geometry(child)
+                rec["geometry"] = _parse_geometry(child, ns)
             elif tag in ("name", "description"):
                 rec[tag] = child.text
             elif tag == "ExtendedData":
-                for d in child.findall(f"{_NS}Data"):
-                    rec[d.get("name")] = d.findtext(f"{_NS}value")
+                for d in child.findall(f"{ns}Data"):
+                    key = d.get("name")
+                    if key and key not in _BASE_KEYS:
+                        rec[key] = d.findtext(f"{ns}value")
         out.append(rec)
     return out
 
@@ -196,8 +233,10 @@ def write_kml(df, path: str, name: str = "layer",
             if ext:
                 f.write("<ExtendedData>")
                 for a, v in ext:
+                    # quoteattr: plain escape() leaves double quotes
+                    # unescaped, which breaks the name="..." attribute
                     f.write(
-                        f'<Data name="{escape(a)}">'
+                        f"<Data name={quoteattr(a)}>"
                         f"<value>{escape(str(v))}</value></Data>"
                     )
                 f.write("</ExtendedData>")
@@ -210,8 +249,6 @@ def write_kml(df, path: str, name: str = "layer",
     return count
 
 
-def _local(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
 
 
 

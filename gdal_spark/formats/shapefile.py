@@ -41,6 +41,7 @@ import struct
 
 import numpy as np
 
+from ._util import local_path as _local
 from .. import geom
 
 _SHP_NULL = 0
@@ -52,8 +53,6 @@ _SHP_MULTIPOINT = 8
 _Z_BASE = {11: 1, 13: 3, 15: 5, 18: 8, 21: 1, 23: 3, 25: 5, 28: 8}
 
 
-def _local(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,16 @@ def augment_images(images, ops=("flip_h", "rot90"), crop=None, seed: int = 0,
                     enc = codecs.encode_image(
                         out[:, :, 0] if squeeze else out, out_fmt
                     )
+                    # the checksum contract is decode(bytes) -> checksum
+                    # (what a resume verifier recomputes); for lossy
+                    # out_fmt that differs from the pre-encode array, so
+                    # checksum what the STORED bytes decode to
+                    if out_fmt in ("jpg", "jpeg"):
+                        ck_arr = codecs.decode_image(enc, out_fmt)
+                        if ck_arr.ndim == 2:
+                            ck_arr = ck_arr[:, :, None]
+                    else:
+                        ck_arr = out
                     rows.append({
                         "image_id": r.image_id,
                         "op": op,
@@ -106,7 +116,7 @@ def augment_images(images, ops=("flip_h", "rot90"), crop=None, seed: int = 0,
                         "h": int(out.shape[0]),
                         "fmt": out_fmt,
                         "checksum": int(
-                            gdal_checksum(out[:, :, 0].astype(np.float64))
+                            gdal_checksum(ck_arr[:, :, 0].astype(np.float64))
                         ),
                     })
             yield pd.DataFrame(

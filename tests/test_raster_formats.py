@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from gdal_spark import codecs, geom
+from gdal_spark import codecs, fixtures, geom
 
 pytestmark = pytest.mark.usefixtures("spark")
 
@@ -256,3 +256,101 @@ def _poly_area_kml(wkb):
             )
             total += abs(a) if j == 0 else -abs(a)
     return total
+
+
+class TestReviewFixes:
+    def test_kml_google_namespace_and_edge_cases(self, spark, tmp_path):
+        """2.1-namespace files, empty coordinates, MultiGeometry points,
+        colliding Data names (all review findings)."""
+        doc = (
+            '<kml xmlns="http://earth.google.com/kml/2.1"><Document>'
+            "<Placemark><name>a</name>"
+            '<ExtendedData><Data name="geometry"><value>x</value></Data>'
+            '<Data name="tag"><value>ok</value></Data></ExtendedData>'
+            "<Point><coordinates>3,4</coordinates></Point></Placemark>"
+            "<Placemark><name>b</name>"
+            "<Point><coordinates></coordinates></Point></Placemark>"
+            "<Placemark><name>c</name><MultiGeometry>"
+            "<Point><coordinates>1,1</coordinates></Point>"
+            "<Point><coordinates>2,2</coordinates></Point>"
+            "</MultiGeometry></Placemark>"
+            "</Document></kml>"
+        )
+        p = tmp_path / "g.kml"
+        p.write_text(doc)
+        from gdal_spark.formats import scan_kml
+
+        rows = {r.name: r for r in scan_kml(spark, str(p)).collect()}
+        assert len(rows) == 3
+        ga = geom.parse_wkb(bytes(rows["a"].geometry))
+        assert ga.parts.ravel().tolist() == [3.0, 4.0]  # not clobbered
+        assert rows["a"].tag == "ok"
+        assert rows["b"].geometry is None  # empty coords -> null, no crash
+        gc = geom.parse_wkb(bytes(rows["c"].geometry))
+        assert gc.kind == geom.WKB_MULTIPOINT
+
+    def test_kml_attr_name_quoting(self, spark, tmp_path):
+        from gdal_spark.formats import scan_kml, write_kml
+
+        df = spark.createDataFrame(
+            [(geom.wkb_point(1.0, 2.0), "n", 'v"q')],
+            'geometry binary, name string, `a"b` string',
+        )
+        p = str(tmp_path / "q.kml")
+        write_kml(df, p)
+        r = scan_kml(spark, p).collect()[0]
+        assert getattr(r, 'a"b') == 'v"q'
+
+    def test_geoparquet_mode_and_covering_false(self, spark, tmp_path):
+        from gdal_spark.formats import (
+            geoparquet_metadata,
+            scan_geoparquet,
+            write_geoparquet,
+        )
+
+        df8 = spark.createDataFrame(
+            [(i, geom.wkb_point(i * 1.0, 0.0)) for i in range(80)],
+            "id bigint, geometry binary",
+        ).repartition(8)
+        p = str(tmp_path / "m")
+        write_geoparquet(df8, p)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="part files"):
+            write_geoparquet(df8, p)  # stale parts refuse by default
+        df4 = df8.where("id < 40").repartition(4)
+        write_geoparquet(df4, p, mode="overwrite")
+        assert scan_geoparquet(spark, p).count() == 40  # no stale rows
+        # covering=False: no bbox column AND no covering in the footer
+        p2 = str(tmp_path / "nc")
+        write_geoparquet(df4, p2, covering=False)
+        meta = geoparquet_metadata(p2)["columns"]["geometry"]
+        assert "covering" not in meta and "bbox" in meta
+        assert "bbox" not in scan_geoparquet(spark, p2).columns
+
+    def test_aaigrid_per_row_nodata_roundtrip(self, spark, tmp_path):
+        from gdal_spark.formats import scan_aaigrid, write_aaigrid
+
+        # nodata -32768; the grid CONTAINS legitimate -9999 values
+        (tmp_path / "g.asc").write_text(
+            "ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1\n"
+            "NODATA_value -32768\n-9999 5\n-32768 7\n"
+        )
+        df = scan_aaigrid(spark, str(tmp_path / "g.asc"))
+        out = tmp_path / "o"
+        write_aaigrid(df, str(out))  # must honor the row's own nodata
+        back = scan_aaigrid(spark, str(out / "g.asc")).collect()[0]
+        a = codecs.decode_image(bytes(back.bytes), "raw")
+        assert a[0, 0] == -9999.0 and np.isnan(a[1, 0]) and a[1, 1] == 7.0
+
+    def test_augment_lossy_checksum_matches_stored_bytes(self, spark):
+        from gdal_spark.checksum import gdal_checksum
+        from gdal_spark.functions.augment import augment_images
+
+        imgs = fixtures.images_df(spark, 2, tier="t2", partitions=1)
+        out = augment_images(imgs, ops=("flip_h",), out_fmt="jpg").collect()
+        for r in out:
+            dec = codecs.decode_image(bytes(r.bytes), r.fmt)
+            if dec.ndim == 2:
+                dec = dec[:, :, None]
+            assert r.checksum == gdal_checksum(dec[:, :, 0].astype(np.float64))
