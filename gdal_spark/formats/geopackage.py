@@ -277,8 +277,19 @@ def write_geopackage(df, path: str, table: str, geometry: str = "geometry",
         )
         n = 0
         batch = []
+        env = [None, None, None, None]  # layer extent for gpkg_contents
         for row in df.toLocalIterator():
             gv = row[geometry]
+            if gv is not None:
+                from .. import geom as _geom
+
+                e = _geom.parse_wkb(bytes(gv)).envelope()
+                env = [
+                    e[0] if env[0] is None else min(env[0], e[0]),
+                    e[1] if env[1] is None else min(env[1], e[1]),
+                    e[2] if env[2] is None else max(env[2], e[2]),
+                    e[3] if env[3] is None else max(env[3], e[3]),
+                ]
             batch.append(
                 (wkb_to_gpb(bytes(gv) if gv is not None else None, srid),)
                 + tuple(row[nm] for nm, _t in attr)
@@ -289,6 +300,14 @@ def write_geopackage(df, path: str, table: str, geometry: str = "geometry",
                 batch = []
         if batch:
             con.executemany(ins, batch)
+        if env[0] is not None:
+            # spec-recommended layer extent (the reference driver fills
+            # it; ogrtindex-style catalogs read it header-only)
+            con.execute(
+                "UPDATE gpkg_contents SET min_x=?, min_y=?, max_x=?, max_y=? "
+                "WHERE table_name=?",
+                (*env, table),
+            )
         con.commit()
     finally:
         con.close()

@@ -578,3 +578,106 @@ def raster_tile_index(
             )
 
     return meta.mapInPandas(run, schema="location string, srid long, wkt string")
+
+
+def vector_tile_index(spark, paths: list[str]) -> DataFrame:
+    """ogrtindex analog (apps/ogrtindex.cpp): one row per vector FILE with
+    its layer extent as a POLYGON WKT footprint plus feature count —
+    the catalog a spatial query planner prunes against.
+
+    Metadata-only by construction: each format's extent comes from
+    header/catalog bytes alone — the shapefile main-file header's bbox
+    (spec bytes 36..68), the FlatGeobuf header envelope, the GeoPackage
+    gpkg_contents registry row, GeoParquet's 'geo' footer bbox — so
+    indexing a thousand files reads a few KB per file, never the
+    features. GeoJSONSeq (no header) falls back to a bounded feature
+    scan, reported in the ``exact`` column."""
+    import json as _json
+    import os
+    import sqlite3
+    import struct as _st
+
+    rows = []
+    for p in paths:
+        name = os.path.basename(p)
+        ext = os.path.splitext(p)[1].lower()
+        minx = miny = maxx = maxy = None
+        count = None
+        exact = True
+        if ext == ".shp":
+            with open(p, "rb") as f:
+                hdr = f.read(100)
+            minx, miny, maxx, maxy = _st.unpack_from("<4d", hdr, 36)
+        elif ext == ".fgb":
+            from ..formats import read_fgb_header
+
+            h = read_fgb_header(p)
+            if h["envelope"]:
+                minx, miny, maxx, maxy = h["envelope"]
+            count = h["features_count"] or None
+        elif ext == ".gpkg":
+            con = sqlite3.connect(p)
+            try:
+                r = con.execute(
+                    "SELECT min_x, min_y, max_x, max_y, table_name "
+                    "FROM gpkg_contents WHERE data_type='features' LIMIT 1"
+                ).fetchone()
+                if r and r[0] is not None:
+                    minx, miny, maxx, maxy = r[:4]
+                if r:
+                    count = con.execute(
+                        f'SELECT COUNT(*) FROM "{r[4]}"'
+                    ).fetchone()[0]
+            finally:
+                con.close()
+        elif ext == ".parquet" or os.path.isdir(p):
+            from ..formats import geoparquet_metadata
+
+            meta = geoparquet_metadata(p)
+            bb = meta["columns"][meta["primary_column"]].get("bbox")
+            if bb:
+                minx, miny, maxx, maxy = bb
+                # per-FILE bbox: for a directory this is only the first
+                # part's extent
+                exact = not os.path.isdir(p)
+        else:
+            # headerless ndjson: bounded scan of the first features
+            from .. import geom as _geom
+
+            exact = False
+            n = 0
+            env = [None] * 4
+            with open(p, "r", encoding="utf-8") as f:
+                for line in f:
+                    line = line.lstrip("\x1e").strip().rstrip(",")
+                    if not line:
+                        continue
+                    n += 1
+                    if n > 1000:
+                        break
+                    gj = _json.loads(line).get("geometry")
+                    if not gj:
+                        continue
+                    g = _geom.parse_geojson(gj)
+                    e = _geom.Geometry(g.kind, g.parts).envelope()
+                    env = [
+                        e[0] if env[0] is None else min(env[0], e[0]),
+                        e[1] if env[1] is None else min(env[1], e[1]),
+                        e[2] if env[2] is None else max(env[2], e[2]),
+                        e[3] if env[3] is None else max(env[3], e[3]),
+                    ]
+            minx, miny, maxx, maxy = env
+            count = n if n <= 1000 else None
+        wkt = None
+        if minx is not None:
+            wkt = (
+                f"POLYGON (({minx!r} {miny!r}, {maxx!r} {miny!r}, "
+                f"{maxx!r} {maxy!r}, {minx!r} {maxy!r}, {minx!r} {miny!r}))"
+            )
+        rows.append((name, p, wkt, minx, miny, maxx, maxy, count, exact))
+    return spark.createDataFrame(
+        rows,
+        "name string, location string, footprint string, minx double, "
+        "miny double, maxx double, maxy double, feature_count long, "
+        "exact boolean",
+    )

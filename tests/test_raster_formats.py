@@ -354,3 +354,38 @@ class TestReviewFixes:
             if dec.ndim == 2:
                 dec = dec[:, :, None]
             assert r.checksum == gdal_checksum(dec[:, :, 0].astype(np.float64))
+
+
+def test_vector_tile_index(spark, tmp_path):
+    """ogrtindex analog: per-file extents from HEADER bytes only (shp bbox
+    words, fgb envelope, gpkg_contents, geoparquet footer)."""
+    from gdal_spark.formats import (
+        write_flatgeobuf,
+        write_geopackage,
+        write_geoparquet,
+        write_shapefile,
+    )
+    from gdal_spark.operators.vector import vector_tile_index
+
+    def pts(x0):
+        return spark.createDataFrame(
+            [(i, geom.wkb_point(x0 + i * 1.0, i * 2.0)) for i in range(10)],
+            "id bigint, geometry binary",
+        )
+
+    shp = str(tmp_path / "a.shp")
+    write_shapefile(pts(0.0), shp)
+    fgb = str(tmp_path / "b.fgb")
+    write_flatgeobuf(pts(100.0), fgb, index_node_size=16)
+    gpkg = str(tmp_path / "c.gpkg")
+    write_geopackage(pts(200.0), gpkg, "pts", srid=3857)
+    gpq = str(tmp_path / "d")
+    write_geoparquet(pts(300.0).coalesce(1), gpq)
+
+    idx = vector_tile_index(spark, [shp, fgb, gpkg, gpq])
+    rows = {r.name: r for r in idx.collect()}
+    assert rows["a.shp"].minx == 0.0 and rows["a.shp"].maxx == 9.0
+    assert rows["b.fgb"].minx == 100.0 and rows["b.fgb"].feature_count == 10
+    assert rows["c.gpkg"].minx == 200.0 and rows["c.gpkg"].feature_count == 10
+    assert rows["d"].minx == 300.0 and rows["d"].maxy == 18.0
+    assert all(r.footprint.startswith("POLYGON") for r in rows.values())
