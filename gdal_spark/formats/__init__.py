@@ -18,6 +18,7 @@ from .geopackage import scan_geopackage, write_geopackage  # noqa: F401
 from .geojson import (  # noqa: F401
     scan_geojson,
     scan_geojson_seq,
+    stream_geojson_seq,
     write_geojson_seq,
 )
 from .csvdriver import scan_csv_vector, write_csv_vector  # noqa: F401

@@ -124,6 +124,45 @@ def scan_geojson_seq(spark, path: str, sample: int = 1000):
     return spark.read.text(_local(path)).mapInPandas(parse, schema=_schema_of(props))
 
 
+def stream_geojson_seq(spark, directory: str, schema_from: str,
+                       sample: int = 1000):
+    """STREAMING variant: GeoJSONSeq is line-delimited, so Spark's file
+    text stream ingests arriving feature files incrementally — the
+    engine's vector formats plug straight into Structured Streaming
+    (watermarks, availableNow incremental runs, snapshot sinks all
+    compose downstream). Schema comes from ``schema_from`` (an existing
+    sample file — a stream cannot be probed before it exists); the parse
+    is the identical Arrow pass the batch scan uses."""
+    feats = []
+    with open(_local(schema_from), "r", encoding="utf-8") as fh:
+        for line in fh:
+            line = _clean_line(line)
+            if line:
+                feats.append(json.loads(line))
+            if len(feats) >= sample:
+                break
+    props = _infer_props(feats)
+    cols = ["geometry"] + [k for k, _t in props]
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for s in pdf["value"]:
+                s = _clean_line(s)
+                if not s:
+                    continue
+                rows.append(_feature_row(json.loads(s), props))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.readStream.format("text")
+        .load(_local(directory))
+        .mapInPandas(parse, schema=_schema_of(props))
+    )
+
+
 def scan_geojson(spark, path: str, sample: int = 1000):
     """Whole-document FeatureCollection files (non-splittable by design):
     one file = one task via the binaryFile source; a glob of N files fans

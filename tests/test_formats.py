@@ -641,3 +641,54 @@ def test_fgb_bbox_search_prunes_and_is_exact(spark, tmp_path):
         r.id for r in scan_flatgeobuf(spark, p2, bbox=box).collect()
     )
     assert got2 == expect
+
+
+def test_stream_geojson_seq_incremental(spark, tmp_path):
+    """Vector features arriving as ndjson files run through Structured
+    Streaming: two availableNow passes pick up exactly the new files."""
+    import json as J
+
+    from gdal_spark.formats import stream_geojson_seq
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def feature(i):
+        return J.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [i * 1.0, -i * 1.0]},
+            "properties": {"fid": i},
+        })
+
+    (src / "a.geojsonl").write_text("\n".join(feature(i) for i in range(5)))
+    stream = stream_geojson_seq(
+        spark, str(src), schema_from=str(src / "a.geojsonl")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.fid for r in spark.read.parquet(str(out)).collect()) == list(range(5))
+    # late-arriving file: the next incremental run ingests ONLY it
+    (src / "b.geojsonl").write_text("\n".join(feature(i) for i in range(5, 8)))
+    stream2 = stream_geojson_seq(
+        spark, str(src), schema_from=str(src / "a.geojsonl")
+    )
+    q2 = (
+        stream2.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert sorted(r.fid for r in rows) == list(range(8))
+    g = geom.parse_wkb(bytes([r for r in rows if r.fid == 6][0].geometry))
+    assert g.parts.ravel().tolist() == [6.0, -6.0]
