@@ -5511,6 +5511,101 @@ def q_kml_roundtrip_sql():
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window document chunking (functions.chunk — RAG/training
+    prep): the deterministic BPE corpus chunked into 24-token windows
+    with overlap 6; per chunk (token count, token-id sum). Oracle = the
+    same fully independent naive replica the bpe entry uses (sequential
+    rank-order encode) plus plain-Python windowing — literal VALUES."""
+    from gdal_spark.functions.bpe import train_bpe
+    from gdal_spark.functions.chunk import chunk_documents
+
+    df = spark.createDataFrame(
+        _bpe_corpus(), "doc_id bigint, text string"
+    ).repartition(8)
+    merges = train_bpe(df, num_merges=48)
+    ch = chunk_documents(df, merges, chunk_tokens=24, overlap=6,
+                         keep_tokens=True)
+    return ch.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("sum_ids"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q_chunk_documents_sql():
+    import re as _re
+    from collections import Counter as _Counter
+
+    from gdal_spark.functions.bpe import PRETOKEN_PATTERN
+
+    pat = _re.compile(PRETOKEN_PATTERN, _re.ASCII)
+    docs = _bpe_corpus()
+    corpus = [list(w.encode()) for _i, t in docs for w in pat.findall(t)]
+    merges = []
+    for rank in range(48):
+        counts = _Counter()
+        for s in corpus:
+            for p in zip(s, s[1:]):
+                counts[p] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        nid = 256 + rank
+        nxt = []
+        for s in corpus:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        corpus = nxt
+
+    def enc(text):
+        ids = []
+        for w in pat.findall(text):
+            s = list(w.encode())
+            for rank, (a, b) in enumerate(merges):
+                nid = 256 + rank
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(nid)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            ids.extend(s)
+        return ids
+
+    rows = []
+    for did, t in docs:
+        ids = enc(t)
+        start, ci = 0, 0
+        while True:
+            w = ids[start:start + 24]
+            if not w and ci > 0:
+                break
+            rows.append((did, ci, len(w), sum(w)))
+            ci += 1
+            if start + 24 >= len(ids):
+                break
+            start += 18
+    return _vals_sql(
+        rows, ["doc_id", "chunk_idx", "n_tokens", "sum_ids"],
+        "doc_id, chunk_idx",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5579,6 +5674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
+        "chunk_documents": q_chunk_documents,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5681,6 +5777,7 @@ def oracle_sql() -> dict[str, str]:
         "aaigrid_roundtrip": q_aaigrid_roundtrip_sql(),
         "geoparquet_roundtrip": q_geoparquet_roundtrip_sql(),
         "kml_roundtrip": q_kml_roundtrip_sql(),
+        "chunk_documents": q_chunk_documents_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
