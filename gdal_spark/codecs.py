@@ -328,6 +328,8 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         return decode_gsj(buf)
     if fmt in ("pnm", "pgm", "ppm"):
         return decode_pnm(buf)
+    if fmt == "bmp":
+        return decode_bmp(buf)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -344,6 +346,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_jpeg(arr)
     if fmt in ("pnm", "pgm", "ppm"):
         return encode_pnm(arr)
+    if fmt == "bmp":
+        return encode_bmp(arr)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -409,3 +413,68 @@ def encode_pnm(arr: np.ndarray) -> bytes:
     h, w = a.shape[:2]
     del ch
     return magic + f"\n{w} {h}\n{maxval}\n".encode() + body
+
+
+# ---------------------------------------------------------------------------
+# BMP — reference frmts/bmp/bmpdataset.cpp; implemented from the public
+# Windows BITMAPFILEHEADER/BITMAPINFOHEADER layout: 'BM' magic, pixel-data
+# offset at byte 10, 40-byte info header (width, signed height — positive
+# means bottom-up rows), BI_RGB only, rows padded to 4 bytes, BGR order,
+# 8-bit palette (BGRX quads) expanded to RGB like the palette-PNG path.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"BM":
+        raise ValueError(f"not a BMP: magic {buf[:2]!r}")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if compression != 0:
+        raise ValueError(f"only BI_RGB supported (compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    if bpp == 24:
+        raw = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                            offset=data_off)
+        rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        out = rows[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 8:
+        n_colors = struct.unpack_from("<I", buf, 46)[0] or 256
+        pal = np.frombuffer(buf, dtype=np.uint8, count=4 * n_colors,
+                            offset=14 + hdr_size).reshape(n_colors, 4)
+        raw = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                            offset=data_off)
+        idx = raw.reshape(h, row_bytes)[:, :w]
+        out = pal[idx][:, :, [2, 1, 0]]  # BGRX quads -> RGB
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    del planes
+    return np.ascontiguousarray(out[::-1] if bottom_up else out)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    if a.shape[2] != 3:
+        raise ValueError(f"BMP encoder wants gray or RGB, got {a.shape}")
+    h, w = a.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    )
+    return header + data

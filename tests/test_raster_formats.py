@@ -389,3 +389,39 @@ def test_vector_tile_index(spark, tmp_path):
     assert rows["c.gpkg"].minx == 200.0 and rows["c.gpkg"].feature_count == 10
     assert rows["d"].minx == 300.0 and rows["d"].maxy == 18.0
     assert all(r.footprint.startswith("POLYGON") for r in rows.values())
+
+
+class TestBMP:
+    def test_roundtrip_24bit(self):
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 255, size=(11, 7, 3)).astype(np.uint8)  # odd width -> row pad
+        enc = codecs.encode_bmp(a)
+        assert enc[:2] == b"BM"
+        assert np.array_equal(codecs.decode_bmp(enc), a)
+        g = rng.integers(0, 255, size=(5, 6)).astype(np.uint8)
+        dec = codecs.decode_bmp(codecs.encode_bmp(g))
+        assert np.array_equal(dec[:, :, 0], g) and dec.shape == (5, 6, 3)
+
+    def test_8bit_palette_and_topdown(self):
+        import struct as S
+
+        # hand-build: 2x2 8-bit palette BMP, top-down (negative height)
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                       [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)])
+        rows = bytes([0, 1, 0, 0]) + bytes([2, 3, 0, 0])  # padded to 4
+        off = 14 + 40 + len(pal)
+        buf = (b"BM" + S.pack("<IHHI", off + len(rows), 0, 0, off)
+               + S.pack("<IiiHHIIiiII", 40, 2, -2, 1, 8, 0, len(rows),
+                        0, 0, 4, 0) + pal + rows)
+        a = codecs.decode_bmp(buf)
+        assert a.shape == (2, 2, 3)
+        assert a[0, 0].tolist() == [255, 0, 0] and a[0, 1].tolist() == [0, 255, 0]
+        assert a[1, 0].tolist() == [0, 0, 255] and a[1, 1].tolist() == [9, 9, 9]
+
+    def test_dispatch_and_rejects(self):
+        a = np.zeros((4, 4, 3), dtype=np.uint8)
+        assert np.array_equal(
+            codecs.decode_image(codecs.encode_image(a, "bmp"), "bmp"), a
+        )
+        with pytest.raises(ValueError):
+            codecs.decode_bmp(b"XX")
