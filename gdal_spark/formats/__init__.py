@@ -34,3 +34,4 @@ from .geoparquet import (  # noqa: F401
     write_geoparquet,
 )
 from .kml import scan_kml, write_kml  # noqa: F401
+from .gpx import scan_gpx, write_gpx  # noqa: F401

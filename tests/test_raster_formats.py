@@ -425,3 +425,52 @@ class TestBMP:
         )
         with pytest.raises(ValueError):
             codecs.decode_bmp(b"XX")
+
+
+class TestGPX:
+    def test_waypoints_and_tracks_roundtrip(self, spark, tmp_path):
+        from gdal_spark.formats import scan_gpx, write_gpx
+
+        wpts = spark.createDataFrame(
+            [
+                (geom.wkb_point(12.5, 47.25), "summit", 1234.5, "2020-01-01T00:00:00Z"),
+                (geom.wkb_point(-3.125, 50.0), None, None, None),
+            ],
+            "geometry binary, name string, ele double, time string",
+        )
+        p = str(tmp_path / "w.gpx")
+        assert write_gpx(wpts, p, layer="waypoints") == 2
+        back = scan_gpx(spark, p, layer="waypoints").collect()
+        by = {round(geom.parse_wkb(bytes(r.geometry)).parts[0][0], 3): r for r in back}
+        assert by[12.5].name == "summit" and by[12.5].ele == 1234.5
+        assert by[-3.125].name is None and by[-3.125].ele is None
+
+        mls = (
+            b"\x01" + (5).to_bytes(4, "little") + (2).to_bytes(4, "little")
+            + geom.wkb_linestring(np.array([[0.0, 0.0], [1.0, 1.0]]))
+            + geom.wkb_linestring(np.array([[2.0, 2.0], [3.0, 3.0], [4.0, 4.0]]))
+        )
+        trks = spark.createDataFrame(
+            [(mls, "ride")], "geometry binary, name string"
+        )
+        p2 = str(tmp_path / "t.gpx")
+        write_gpx(trks, p2, layer="tracks")
+        t = scan_gpx(spark, p2, layer="tracks").collect()[0]
+        assert t.name == "ride" and t.n_points == 5
+        g = geom.parse_wkb(bytes(t.geometry))
+        assert g.kind == geom.WKB_MULTILINESTRING and len(g.parts) == 2
+
+    def test_gpx10_namespace_and_routes(self, spark, tmp_path):
+        doc = (
+            '<gpx version="1.0" xmlns="http://www.topografix.com/GPX/1/0">'
+            '<rte><name>r1</name>'
+            '<rtept lat="1" lon="2"/><rtept lat="3" lon="4"/></rte></gpx>'
+        )
+        p = tmp_path / "r.gpx"
+        p.write_text(doc)
+        from gdal_spark.formats import scan_gpx
+
+        r = scan_gpx(spark, str(p), layer="routes").collect()[0]
+        assert r.name == "r1" and r.n_points == 2
+        g = geom.parse_wkb(bytes(r.geometry))
+        np.testing.assert_array_equal(g.parts[0], [[2.0, 1.0], [4.0, 3.0]])
