@@ -35,3 +35,4 @@ from .geoparquet import (  # noqa: F401
 )
 from .kml import scan_kml, write_kml  # noqa: F401
 from .gpx import scan_gpx, write_gpx  # noqa: F401
+from .gml import scan_gml, write_gml  # noqa: F401

@@ -474,3 +474,62 @@ class TestGPX:
         assert r.name == "r1" and r.n_points == 2
         g = geom.parse_wkb(bytes(r.geometry))
         np.testing.assert_array_equal(g.parts[0], [[2.0, 1.0], [4.0, 3.0]])
+
+
+class TestGML:
+    def test_ogr_roundtrip(self, spark, tmp_path):
+        from gdal_spark.formats import scan_gml, write_gml
+
+        rows = [
+            (0, geom.wkb_point(2.5, -7.25), "alpha", "10"),
+            (1, geom.wkb_polygon(
+                [np.array([[0, 0], [8, 0], [8, 8], [0, 8]], float),
+                 np.array([[3, 3], [5, 3], [5, 5], [3, 5]], float)]
+            ), None, "20"),
+            (2, geom.wkb_multipolygon(
+                [[np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)],
+                 [np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float)]]
+            ), "gamma", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, geometry binary, name string, v string"
+        ).drop("id")
+        p = str(tmp_path / "t.gml")
+        assert write_gml(df, p, layer="things") == 3
+        back = scan_gml(spark, p)
+        got = sorted(back.collect(), key=lambda r: (r.name is None, r.name or ""))
+        by = {r.name: r for r in got}
+        g0 = geom.parse_wkb(bytes(by["alpha"].geometry))
+        assert g0.parts.ravel().tolist() == [2.5, -7.25]
+        assert by["alpha"].v == "10"
+        poly = [r for r in got if r.name is None][0]
+        assert _poly_area_kml(poly.geometry) == 64.0 - 4.0
+        gm = geom.parse_wkb(bytes(by["gamma"].geometry))
+        assert gm.kind == geom.WKB_MULTIPOLYGON and len(gm.parts) == 2
+
+    def test_gml2_coordinates_and_urn_axis_swap(self, spark, tmp_path):
+        doc = (
+            '<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs" '
+            'xmlns:gml="http://www.opengis.net/gml">'
+            "<gml:featureMember><app:f xmlns:app='http://x/'>"
+            "<app:geom><gml:Point "
+            'srsName="urn:ogc:def:crs:EPSG::4326">'
+            "<gml:pos>51.5 -0.12</gml:pos></gml:Point></app:geom>"
+            "<app:label>urnpt</app:label></app:f></gml:featureMember>"
+            "<gml:featureMember><app:f xmlns:app='http://x/'>"
+            '<app:geom><gml:LineString srsName="EPSG:4326">'
+            "<gml:coordinates>1,2 3,4</gml:coordinates>"
+            "</gml:LineString></app:geom>"
+            "<app:label>gml2</app:label></app:f></gml:featureMember>"
+            "</wfs:FeatureCollection>"
+        )
+        p = tmp_path / "w.gml"
+        p.write_text(doc)
+        from gdal_spark.formats import scan_gml
+
+        rows = {r.label: r for r in scan_gml(spark, str(p)).collect()}
+        # urn: srsName -> lat,lon input swapped to x=lon, y=lat
+        gp = geom.parse_wkb(bytes(rows["urnpt"].geometry))
+        assert gp.parts.ravel().tolist() == [-0.12, 51.5]
+        gl = geom.parse_wkb(bytes(rows["gml2"].geometry))
+        np.testing.assert_array_equal(gl.parts[0], [[1.0, 2.0], [3.0, 4.0]])
