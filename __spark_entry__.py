@@ -5606,6 +5606,105 @@ def q_chunk_documents_sql():
     )
 
 
+def q_gml_roundtrip(spark, sf_dir):
+    """GML driver round-trip (formats.gml — Simple Features subset;
+    reference ogr/ogrsf_frmts/gml/): region points through the OGR-layout
+    sink and the per-file fan-out scan; x/y re-derive from the re-parsed
+    posList geometry, the attribute from element text."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_gml, write_gml
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    rg = _t(spark, sf_dir, "region")
+    k = F.col("r_regionkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 13 % 2880) * 0.125 - 180.0
+    y = (k * 17 % 1440) * 0.125 - 90.0
+    src = rg.select(
+        F.col("r_name").alias("name"),
+        pt_udf(x, y).alias("geometry"),
+        (k * 7).cast("string").alias("val"),
+    ).orderBy("name")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gml_")
+    path = os.path.join(tmp, "regions.gml")
+    write_gml(src, path, layer="region")
+    out = scan_gml(spark, path)
+    return out.select(
+        F.col("name"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("val"),
+    ).orderBy("name")
+
+
+def q_gml_roundtrip_sql():
+    return (
+        "SELECT r_name AS name, "
+        "(r_regionkey * 13 % 2880) * 0.125 - 180.0 AS x, "
+        "(r_regionkey * 17 % 1440) * 0.125 - 90.0 AS y, "
+        "CAST(r_regionkey * 7 AS VARCHAR) AS val "
+        "FROM region ORDER BY name"
+    )
+
+
+def q_gpx_roundtrip(spark, sf_dir):
+    """GPX driver round-trip (formats.gpx — Topografix 1.1 waypoints;
+    reference ogr/ogrsf_frmts/gpx/): supplier waypoints (lat/lon
+    ATTRIBUTES per spec) with elevation through the sink and the
+    per-file scan; x/y re-derive from the re-parsed geometry, ele from
+    the element."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_gpx, write_gpx
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 37 % 2880) * 0.125 - 180.0
+    y = (k * 41 % 1440) * 0.125 - 90.0
+    src = s.select(
+        pt_udf(x, y).alias("geometry"),
+        F.concat(F.lit("wp"), k).alias("name"),
+        ((k % 80) * 12.5).alias("ele"),
+    ).orderBy("name")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gpx_")
+    path = os.path.join(tmp, "sup.gpx")
+    write_gpx(src, path, layer="waypoints")
+    out = scan_gpx(spark, path, layer="waypoints")
+    return out.select(
+        F.col("name"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("ele"),
+    ).orderBy("name")
+
+
+def q_gpx_roundtrip_sql():
+    return (
+        "SELECT 'wp' || s_suppkey AS name, "
+        "(s_suppkey * 37 % 2880) * 0.125 - 180.0 AS x, "
+        "(s_suppkey * 41 % 1440) * 0.125 - 90.0 AS y, "
+        "(s_suppkey % 80) * 12.5 AS ele "
+        "FROM supplier ORDER BY name"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5675,6 +5774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
         "chunk_documents": q_chunk_documents,
+        "gml_roundtrip": q_gml_roundtrip,
+        "gpx_roundtrip": q_gpx_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,
@@ -5778,6 +5879,8 @@ def oracle_sql() -> dict[str, str]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip_sql(),
         "kml_roundtrip": q_kml_roundtrip_sql(),
         "chunk_documents": q_chunk_documents_sql(),
+        "gml_roundtrip": q_gml_roundtrip_sql(),
+        "gpx_roundtrip": q_gpx_roundtrip_sql(),
         "grid_metrics": q_grid_metrics_sql(),
         "utm_forward": q_utm_forward_sql(),
         "lcc_forward": q_lcc_forward_sql(),
