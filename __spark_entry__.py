@@ -5713,7 +5713,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior round and re-checkable via tools/check_oracles.py) at the tail.
     Rotate per round if the cap persists."""
     return {
-        # --- never driver-checked before round 4 (VERDICT r3 task #1) ---
+        # --- never driver-checked (VERDICT r4 task #1): the 11 entries that
+        #     sat at positions 50-60 of the round-4 dict, just past the
+        #     driver's 50-entry window. Standing rule: new entries go FIRST.
+        "location_info": q_location_info,
+        "pansharpen_checksums": q_pansharpen_checksums,
+        "viewshed_counts": q_viewshed_counts,
+        "dither_checksums": q_dither_checksums,
+        "augment_checksums": q_augment_checksums,
+        "aaigrid_roundtrip": q_aaigrid_roundtrip,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "kml_roundtrip": q_kml_roundtrip,
+        "chunk_documents": q_chunk_documents,
+        "gml_roundtrip": q_gml_roundtrip,
+        "gpx_roundtrip": q_gpx_roundtrip,
+        # --- rotated: driver-checked in r4 only once; keep in-window ---
         "compare_report": q_compare_report,
         "gdalmove": q_gdalmove,
         "session_windows": q_session_windows,
@@ -5765,17 +5779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip,
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
-        "location_info": q_location_info,
-        "pansharpen_checksums": q_pansharpen_checksums,
-        "viewshed_counts": q_viewshed_counts,
-        "dither_checksums": q_dither_checksums,
-        "augment_checksums": q_augment_checksums,
-        "aaigrid_roundtrip": q_aaigrid_roundtrip,
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
-        "kml_roundtrip": q_kml_roundtrip,
-        "chunk_documents": q_chunk_documents,
-        "gml_roundtrip": q_gml_roundtrip,
-        "gpx_roundtrip": q_gpx_roundtrip,
         # --- load-bearing core (driver-checked window) ---
         "world_tile_checksums": q_world_tile_checksums,
         "layer_intersection": q_layer_intersection,

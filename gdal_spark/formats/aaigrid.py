@@ -86,17 +86,19 @@ def format_aaigrid(arr: np.ndarray, gt, nodata: float | None = -9999.0) -> str:
         raise ValueError("AAIGrid requires a north-up, unrotated grid")
     if abs(abs(gt[1]) - abs(gt[5])) > 1e-12:
         raise ValueError("AAIGrid requires square cells (use dx/dy readers)")
+    # float() unwrap everywhere: repr(np.float64(v)) is 'np.float64(v)'
+    # under numpy>=2, which would corrupt the file silently.
     lines = [
         f"ncols {w}",
         f"nrows {h}",
-        f"xllcorner {gt[0]!r}",
-        f"yllcorner {(gt[3] + h * gt[5])!r}",
-        f"cellsize {gt[1]!r}",
+        f"xllcorner {float(gt[0])!r}",
+        f"yllcorner {float(gt[3] + h * gt[5])!r}",
+        f"cellsize {float(gt[1])!r}",
     ]
     if nodata is not None:
-        lines.append(f"NODATA_value {nodata!r}")
+        lines.append(f"NODATA_value {float(nodata)!r}")
         a = np.where(np.isnan(a), nodata, a)
-    body = "\n".join(" ".join(repr(v) for v in row) for row in a)
+    body = "\n".join(" ".join(repr(float(v)) for v in row) for row in a)
     return "\n".join(lines) + "\n" + body + "\n"
 
 

@@ -41,6 +41,16 @@ from pyspark.sql import functions as F
 from ._util import local_path as _local
 from .. import geom
 
+# Common geographic (lat/long) EPSG codes, for labeling the PROJJSON
+# "type" field honestly (ADVICE r4: 4269/NAD83 etc. must not be called
+# ProjectedCRS). Same family list the GML axis-order rule uses.
+_GEOGRAPHIC_EPSG = frozenset({
+    4326, 4269, 4267, 4258, 4283, 4171, 4619, 4275, 4301, 4312, 4313,
+    4149, 4150, 4151, 4152, 4167, 4230, 4231, 4237, 4240, 4265, 4272,
+    4277, 4284, 4289, 4299, 4322, 4324, 4490, 4555, 4612, 4617, 4659,
+    4668, 4674, 4755, 4759, 4761, 4765, 4979,
+})
+
 _KIND_NAMES = {
     geom.WKB_POINT: "Point",
     geom.WKB_LINESTRING: "LineString",
@@ -71,12 +81,22 @@ def _geo_meta(primary: str, types: list[str], bbox, srid: int | None,
             }
         }
     if srid and srid != 4326:
-        # minimal PROJJSON-shaped CRS (EPSG id only; see module docstring)
+        # minimal PROJJSON-shaped CRS (EPSG id only; see module docstring).
+        # "type" is only emitted when the family is actually known: the
+        # engine's projection registry identifies projected CRS, a small
+        # allowlist identifies common geographic CRS (e.g. 4269 NAD83),
+        # and anything else carries just the authority/code id so a strict
+        # reader is never fed a mislabeled CRS object.
+        from .. import proj as _proj
+
         col["crs"] = {
-            "type": "ProjectedCRS",
             "name": f"EPSG:{srid}",
             "id": {"authority": "EPSG", "code": int(srid)},
         }
+        if int(srid) in _GEOGRAPHIC_EPSG:
+            col["crs"]["type"] = "GeographicCRS"
+        elif _proj.get_transformer(int(srid)) is not None:
+            col["crs"]["type"] = "ProjectedCRS"
     return json.dumps(
         {
             "version": "1.1.0",

@@ -25,8 +25,13 @@ binaryFile, single-document streaming sink, like KML/GPX.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from xml.sax.saxutils import escape
+
+# XML NCName (ASCII subset): element tags are interpolated from column
+# names on write, so anything else would emit an unparseable document.
+_NCNAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 import numpy as np
 import pandas as pd
@@ -57,21 +62,50 @@ def _iter_named(el, names):
             yield c
 
 
+# EPSG codes whose official axis order is lat,long (geographic 2D) or
+# northing,easting — the only CRS the reference's GML_IsSRSLatLongOrder
+# (gmlutils.cpp) inverts when named in authority-compliant urn form.
+# Projected easting/northing CRS (e.g. UTM 326xx) must NOT be swapped.
+_LATLONG_EPSG = frozenset({
+    4326, 4269, 4267, 4258, 4283, 4171, 4619, 4275, 4301, 4312, 4313,
+    4149, 4150, 4151, 4152, 4167, 4230, 4231, 4237, 4240, 4265, 4272,
+    4277, 4284, 4289, 4299, 4322, 4324, 4490, 4555, 4612, 4617, 4659,
+    4668, 4674, 4755, 4759, 4761, 4765, 4979,
+})
+
+
 def _swap_axes(el) -> bool:
-    """GDAL's lat/long inversion rule: only the urn:ogc:def:crs form
-    implies lat,lon axis order (GML_INVERT_AXIS_ORDER_IF_LAT_LONG)."""
+    """GDAL's lat/long inversion rule (gmlutils.cpp GML_IsSRSLatLongOrder):
+    only the authority-compliant ``urn:ogc:def:crs:EPSG::code`` form implies
+    official axis order, and only CRS that are actually lat/long (geographic)
+    get inverted — a urn-form projected CRS (easting/northing, e.g. UTM
+    32632) is read as written."""
     srs = el.get("srsName") or ""
-    return srs.startswith("urn:ogc:def:crs:EPSG")
+    if not srs.startswith("urn:ogc:def:crs:EPSG"):
+        return False
+    code = srs.rsplit(":", 1)[-1]
+    try:
+        return int(code) in _LATLONG_EPSG
+    except ValueError:
+        return False
 
 
 def _coords_from(el, swap: bool) -> np.ndarray:
-    """pos / posList / coordinates text under `el` -> (n, 2) array."""
+    """pos / posList / coordinates text under `el` -> (n, 2) array.
+    Repeated <gml:pos> siblings (legal GML3 for LineString/LinearRing;
+    the reference concatenates them in gml2ogrgeometry) accumulate."""
+    pos_rows: list[np.ndarray] = []
     for c in el.iter():
         t = _strip(c.tag)
         if t in ("posList", "pos"):
             vals = np.asarray((c.text or "").split(), dtype=np.float64)
             dim = int(c.get("srsDimension") or 2)
             pts = vals.reshape(-1, dim)[:, :2]
+            if t == "pos":
+                pos_rows.append(pts)
+                continue
+            if pos_rows:
+                pts = np.vstack(pos_rows + [pts])
             return pts[:, ::-1] if swap else pts
         if t == "coordinates":
             # GML2: "x,y x,y" with optional cs/ts overrides
@@ -84,6 +118,9 @@ def _coords_from(el, swap: bool) -> np.ndarray:
             ]
             a = np.asarray(pts, dtype=np.float64)
             return a[:, ::-1] if swap else a
+    if pos_rows:
+        pts = np.vstack(pos_rows)
+        return pts[:, ::-1] if swap else pts
     return np.zeros((0, 2), dtype=np.float64)
 
 
@@ -183,13 +220,16 @@ def scan_gml(spark, path_glob: str, sample: int = 100):
 
 
 def _pos_list(arr) -> str:
-    return " ".join(f"{x!r} {y!r}" for x, y in np.asarray(arr, float))
+    # float() unwrap: repr(np.float64(v)) is 'np.float64(v)' under numpy>=2
+    return " ".join(
+        f"{float(x)!r} {float(y)!r}" for x, y in np.asarray(arr, float)
+    )
 
 
 def _gml_geometry(wkb: bytes) -> str:
     g = geom.parse_wkb(bytes(wkb))
     if g.kind == geom.WKB_POINT:
-        x, y = g.parts[0]
+        x, y = (float(v) for v in g.parts[0])
         return f"<gml:Point><gml:pos>{x!r} {y!r}</gml:pos></gml:Point>"
     if g.kind == geom.WKB_LINESTRING:
         coords = g.parts[0] if isinstance(g.parts, list) else g.parts
@@ -223,6 +263,13 @@ def write_gml(df, path: str, layer: str = "layer",
     """OGR-layout single-document sink; attributes serialize as element
     text (the OGR string representation). Streams toLocalIterator."""
     attrs = [c for c in df.columns if c != geometry]
+    for name in [layer] + attrs:
+        if not _NCNAME_RE.match(name):
+            raise ValueError(
+                f"gml write: {name!r} is not a valid XML NCName; rename the "
+                "column/layer before writing (spaces, colons and XML-special "
+                "characters would produce an unparseable document)"
+            )
     count = 0
     with open(_local(path), "w", encoding="utf-8") as f:
         f.write(

@@ -166,13 +166,16 @@ def scan_kml(spark, path_glob: str, sample: int = 100):
 
 
 def _fmt_coords(arr) -> str:
-    return " ".join(f"{x!r},{y!r}" for x, y in np.asarray(arr, float))
+    # float() unwrap: repr(np.float64(v)) is 'np.float64(v)' under numpy>=2
+    return " ".join(
+        f"{float(x)!r},{float(y)!r}" for x, y in np.asarray(arr, float)
+    )
 
 
 def _geometry_kml(wkb: bytes) -> str:
     g = geom.parse_wkb(bytes(wkb))
     if g.kind == geom.WKB_POINT:
-        x, y = g.parts[0]
+        x, y = (float(v) for v in g.parts[0])
         return f"<Point><coordinates>{x!r},{y!r}</coordinates></Point>"
     if g.kind == geom.WKB_LINESTRING:
         coords = g.parts[0] if isinstance(g.parts, list) else g.parts

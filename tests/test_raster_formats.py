@@ -533,3 +533,56 @@ class TestGML:
         assert gp.parts.ravel().tolist() == [-0.12, 51.5]
         gl = geom.parse_wkb(bytes(rows["gml2"].geometry))
         np.testing.assert_array_equal(gl.parts[0], [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_urn_projected_crs_not_swapped(self, spark, tmp_path):
+        # ADVICE r4: urn-form PROJECTED CRS (easting/northing, e.g. UTM
+        # 32632) must be read as written — only lat/long CRS invert.
+        doc = (
+            '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">'
+            "<gml:featureMember><app:f xmlns:app='http://x/'>"
+            "<app:geom><gml:Point "
+            'srsName="urn:ogc:def:crs:EPSG::32632">'
+            "<gml:pos>500000 4649776</gml:pos></gml:Point></app:geom>"
+            "</app:f></gml:featureMember></gml:FeatureCollection>"
+        )
+        p = tmp_path / "utm.gml"
+        p.write_text(doc)
+        from gdal_spark.formats import scan_gml
+
+        r = scan_gml(spark, str(p)).collect()[0]
+        g = geom.parse_wkb(bytes(r.geometry))
+        assert g.parts.ravel().tolist() == [500000.0, 4649776.0]
+
+    def test_repeated_pos_accumulates(self, spark, tmp_path):
+        # GML3 LineString written as repeated <gml:pos> siblings (legal;
+        # the reference's gml2ogrgeometry concatenates them).
+        doc = (
+            '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">'
+            "<gml:featureMember><app:f xmlns:app='http://x/'>"
+            "<app:geom><gml:LineString>"
+            "<gml:pos>1 2</gml:pos><gml:pos>3 4</gml:pos>"
+            "<gml:pos>5 6</gml:pos>"
+            "</gml:LineString></app:geom>"
+            "</app:f></gml:featureMember></gml:FeatureCollection>"
+        )
+        p = tmp_path / "mp.gml"
+        p.write_text(doc)
+        from gdal_spark.formats import scan_gml
+
+        r = scan_gml(spark, str(p)).collect()[0]
+        g = geom.parse_wkb(bytes(r.geometry))
+        np.testing.assert_array_equal(
+            g.parts[0], [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+        )
+
+    def test_write_rejects_non_ncname_columns(self, spark, tmp_path):
+        from gdal_spark.formats import write_gml
+
+        df = spark.createDataFrame(
+            [(geom.wkb_point(0.0, 0.0), "v")],
+            "geometry binary, `bad name` string",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="NCName"):
+            write_gml(df, str(tmp_path / "bad.gml"))
