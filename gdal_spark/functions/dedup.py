@@ -254,7 +254,9 @@ def minhash_lsh_pairs(
     ).select("id", "shingles")
     sh_df = sh_df.persist()
     mh = sh_df.select(
-        "id", _minhash_udf(num_hashes, seed)(F.col("shingles")).alias("minhash")
+        "id",
+        F.size("shingles").alias("n_sh"),
+        _minhash_udf(num_hashes, seed)(F.col("shingles")).alias("minhash"),
     )
     mh = mh.persist()
     banded = mh.select(
@@ -281,6 +283,10 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
+    # NOTE: the exact size-ratio cut lives in the est stage below, NOT in
+    # the band join — carrying n_sh through the bands-way explode widens
+    # every banded row and was A/B-measured SLOWER (9.1-9.6s vs 7.3-7.6s
+    # interleaved at sf0.1) than attaching sizes once per candidate pair.
     if not verify:
         cands = cands.localCheckpoint(eager=True)
         mh.unpersist()
@@ -289,19 +295,44 @@ def minhash_lsh_pairs(
     # two-stage verify, both linear in |candidates| (never the all-pairs
     # shingle join, which explodes on shared-vocabulary corpora):
     # 1. signature-agreement estimate (64 longs per side, cheap zip_with)
-    #    culls the LSH false positives with a safety margin,
+    #    PLUS two EXACT set-size bounds — J >= t forces
+    #    |sh_a|/|sh_b| in [t, 1/t] (since n_inter <= min and
+    #    union >= max) — culling before any shingle array moves,
     # 2. exact shingle Jaccard only on the survivors.
     # The verify joins attach per-doc arrays to CANDIDATE PAIRS, and the
-    # verify stage dominates this query's wall time when the corpus has
+    # verify stage dominated this query's wall time when the corpus has
     # large near-dup clusters (pairs are quadratic in cluster size; at
-    # sf0.1 ~772k pairs survive the est prefilter for 256 final pairs).
+    # sf0.1 ~772k pairs survived the est-only prefilter for 256 final
+    # pairs — 3000x more verify work than output). The size-ratio cut is
+    # exact (zero recall loss) and int-column-only, so the array-bearing
+    # join downstream sees orders of magnitude fewer pairs.
     # NOTE: an explicit broadcast hint on the doc side was A/B-measured
     # SLOWER than letting Catalyst/AQE choose (20-25s vs 15.5s at sf0.1,
     # interleaved runs) — leave join selection to the optimizer.
     sig = mh
     est = (
-        cands.join(sig.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
-        .join(sig.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
+        cands.join(
+            sig.select(
+                F.col("id").alias("id_a"),
+                F.col("minhash").alias("mh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sig.select(
+                F.col("id").alias("id_b"),
+                F.col("minhash").alias("mh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        # exact bound first (cheap int compare, no array touch): J >= t
+        # requires t*n_b <= n_a and t*n_a <= n_b
+        .where(
+            (F.col("n_a") >= F.lit(float(threshold)) * F.col("n_b"))
+            & (F.col("n_b") >= F.lit(float(threshold)) * F.col("n_a"))
+        )
         .withColumn(
             "est",
             F.size(
