@@ -5705,6 +5705,74 @@ def q_gpx_roundtrip_sql():
     )
 
 
+def q_gtiff_roundtrip(spark, sf_dir):
+    """GeoTIFF driver round-trip (formats.gtiff — frmts/gtiff analog,
+    from-spec TIFF 6.0 + GeoTIFF; conformance-pinned in tests/test_gtiff
+    against autotest byte.tif cs 4672 / bug4468 cs 2923 / LZW-tiled
+    subifds cs 35731): one uint16 grid per nation row (cell(y,x) =
+    key*1000 + y*5 + x) written through the DISTRIBUTED task-per-row
+    sink with LZW + horizontal predictor 2 + GeoKeys (UTM zone 1+key),
+    re-scanned with one-task-per-file fan-out, then piped through the
+    existing gdal2xyz operator — per-image (w, h, gt0, srid, pixel sum)
+    only match the closed-form SQL if the IFD layout, LZW early-change
+    coding, predictor math, geotransform tags, and GeoKey SRID all
+    survive the trip."""
+    import os
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_gtiff, write_gtiff
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    import numpy as np
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            codecs.encode_raw(
+                (k * 1000 + np.arange(30, dtype=np.uint16)).reshape(6, 5)
+            ),
+            5, 6, "raw",
+            float(k * 10), 1.0, 0.0, 6.0, 0.0, -1.0,
+            32601 + int(k), None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_tif_")
+    write_gtiff(src, tmp, compression="lzw", predictor=True)
+    imgs = scan_gtiff(spark, os.path.join(tmp, "*.tif"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_gtiff_roundtrip_sql():
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 5 AS w, 6 AS h, "
+        "CAST(n_nationkey * 10 AS DOUBLE) AS gt0, "
+        "32601 + n_nationkey AS srid, "
+        "CAST(n_nationkey * 30000 + 435 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5713,6 +5781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior round and re-checkable via tools/check_oracles.py) at the tail.
     Rotate per round if the cap persists."""
     return {
+        # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gtiff_roundtrip": q_gtiff_roundtrip,
         # --- never driver-checked (VERDICT r4 task #1): the 11 entries that
         #     sat at positions 50-60 of the round-4 dict, just past the
         #     driver's 50-entry window. Standing rule: new entries go FIRST.
@@ -5873,6 +5943,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
+        "gtiff_roundtrip": q_gtiff_roundtrip_sql(),
         "location_info": q_location_info_sql(),
         "pansharpen_checksums": q_pansharpen_checksums_sql(),
         "viewshed_counts": q_viewshed_counts_sql(),

@@ -33,6 +33,12 @@ from .geoparquet import (  # noqa: F401
     scan_geoparquet,
     write_geoparquet,
 )
+from .gtiff import (  # noqa: F401
+    format_gtiff,
+    parse_gtiff,
+    scan_gtiff,
+    write_gtiff,
+)
 from .kml import scan_kml, write_kml  # noqa: F401
 from .gpx import scan_gpx, write_gpx  # noqa: F401
 from .gml import scan_gml, write_gml  # noqa: F401

@@ -1,0 +1,186 @@
+"""GeoTIFF driver conformance + roundtrip tests.
+
+Conformance fixtures are byte-identical GDAL autotest DATA files (no
+code) with md5 provenance in tests/data/README.md; the expected values
+(band checksums, geotransforms, EPSG codes, pixel probes) come from the
+reference's own test expectations:
+
+- byte.tif: checksum 4672 (quoted throughout autotest), EPSG 26711.
+- bug4468.tif: Deflate + predictor 2, band-1 checksum 2923
+  (autotest/gcore/tiff_write.py test_tiff_write_105).
+- tiff_with_subifds.tif: LZW tiled, band-1 checksum 35731, pixel (0,0)
+  = 220, SubIFDs ignored (autotest/gcore/tiff_read_subifds.py).
+- small_world.tif: planar RGB strips, EPSG 4326.
+- classictiff_four_strip_be_short.tif: big-endian with SHORT-typed
+  strip offsets at 178..181 (autotest/gcore/tiff_read.py
+  test_tiff_read_stripoffset_types).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.checksum import gdal_checksum
+from gdal_spark.formats.gtiff import (
+    format_gtiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+    parse_gtiff,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _read(name):
+    with open(os.path.join(DATA, name), "rb") as f:
+        return f.read()
+
+
+class TestConformance:
+    def test_byte_tif(self):
+        arr, gt, srid, nodata = parse_gtiff(_read("byte.tif"))
+        assert arr.shape == (20, 20) and arr.dtype == np.uint8
+        assert gdal_checksum(arr) == 4672
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        assert srid == 26711 and nodata is None
+
+    def test_small_world_planar_rgb(self):
+        arr, gt, srid, _ = parse_gtiff(_read("small_world.tif"))
+        assert arr.shape == (200, 400, 3) and arr.dtype == np.uint8
+        assert gt == (-180.0, 0.9, 0.0, 90.0, 0.0, -0.9)
+        assert srid == 4326
+        assert gdal_checksum(arr[:, :, 0]) == 30111
+
+    def test_deflate_predictor2(self):
+        arr, _, _, _ = parse_gtiff(_read("bug4468.tif"))
+        assert arr.ndim == 3
+        assert gdal_checksum(arr[:, :, 0]) == 2923
+
+    def test_lzw_tiled_first_ifd_only(self):
+        arr, gt, srid, _ = parse_gtiff(_read("tiff_with_subifds.tif"))
+        # the main IFD (1024x512), not the 3 SubIFD overviews
+        assert arr.shape == (512, 1024)
+        assert gdal_checksum(arr) == 35731
+        assert arr[0, 0] == 220
+
+    def test_big_endian_short_offsets(self):
+        buf = _read("classictiff_four_strip_be_short.tif")
+        arr, _, _, _ = parse_gtiff(buf)
+        assert arr.shape == (4, 1)
+        # strips live at offsets 178..181 (one byte per row), so each
+        # pixel must equal the file byte at its strip offset
+        expect = np.array([[buf[178 + r]] for r in range(4)], np.uint8)
+        np.testing.assert_array_equal(arr, expect)
+
+
+class TestCodecs:
+    def test_packbits_hand_example(self):
+        # TIFF 6.0 §9 worked example (the spec's own bytes)
+        enc = bytes(
+            [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+             0x00, 0x2A, 0x22, 0xF7, 0xAA]
+        )
+        dec = (b"\xaa" * 3 + b"\x80\x00\x2a" + b"\xaa" * 4
+               + b"\x80\x00\x2a\x22" + b"\xaa" * 10)
+        assert packbits_decode(enc) == dec
+        assert packbits_decode(packbits_encode(dec)) == dec
+
+    def test_lzw_roundtrip_with_table_clears(self):
+        rng = np.random.default_rng(3)
+        data = bytes(rng.integers(0, 256, 120000, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(data)) == data
+        runs = b"".join(bytes([i % 7]) * 50 for i in range(999))
+        assert lzw_decode(lzw_encode(runs)) == runs
+
+
+class TestWriteRead:
+    @pytest.mark.parametrize("comp", ["none", "deflate", "lzw", "packbits"])
+    @pytest.mark.parametrize("tiled", [False, True])
+    def test_byte_reencode_all_paths(self, comp, tiled):
+        arr, gt, srid, _ = parse_gtiff(_read("byte.tif"))
+        b = format_gtiff(arr, gt, srid=srid, nodata=-42.5, compression=comp,
+                         predictor=(comp != "none"),
+                         tile_size=16 if tiled else None)
+        a2, g2, s2, n2 = parse_gtiff(b)
+        assert np.array_equal(a2, arr)
+        assert g2 == gt and s2 == srid and n2 == -42.5
+        assert gdal_checksum(a2) == 4672
+
+    def test_uint16_and_rgb_and_float(self):
+        rng = np.random.default_rng(11)
+        cases = [
+            rng.integers(0, 60000, (37, 23), dtype=np.uint16),
+            rng.integers(0, 255, (19, 31, 3), dtype=np.uint8),
+            rng.normal(size=(11, 13)).astype(np.float32),
+        ]
+        for a in cases:
+            preds = [False] if a.dtype.kind == "f" else [False, True]
+            for pred in preds:
+                b = format_gtiff(a, (10.0, 0.5, 0.0, 20.0, 0.0, -0.5),
+                                 srid=4326, compression="lzw",
+                                 predictor=pred, tile_size=16)
+                a2, _, s2, _ = parse_gtiff(b)
+                assert np.array_equal(a2, a) and s2 == 4326
+
+    def test_rotated_gt_uses_model_transformation(self):
+        a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        gt = (100.0, 2.0, 0.5, 200.0, -0.25, -2.0)
+        a2, g2, _, _ = parse_gtiff(format_gtiff(a, gt))
+        assert np.array_equal(a2, a) and g2 == gt
+
+    def test_rejects_bigtiff_and_non_tiff(self):
+        with pytest.raises(ValueError, match="BigTIFF"):
+            parse_gtiff(b"II+\x00" + b"\x00" * 32)
+        with pytest.raises(ValueError, match="byte-order"):
+            parse_gtiff(b"PK\x03\x04junk")
+
+
+class TestSpark:
+    def test_distributed_scan_and_sink(self, spark, tmp_path):
+        from gdal_spark import codecs
+        from gdal_spark.formats import scan_gtiff, write_gtiff
+
+        rng = np.random.default_rng(5)
+        arrs = {f"img{i}": rng.integers(0, 255, (8 + i, 9, 1), np.uint8)
+                for i in range(6)}
+        rows = [
+            (k, codecs.encode_raw(v), 9, v.shape[0], "raw",
+             float(i * 10), 1.0, 0.0, 50.0, 0.0, -1.0, 32632, None)
+            for i, (k, v) in enumerate(sorted(arrs.items()))
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+            "gt5 double, srid int, nodata double",
+        ).repartition(3)
+        out = str(tmp_path / "tifs")
+        paths = write_gtiff(df, out, compression="deflate", predictor=True)
+        assert len(paths) == 6
+        back = scan_gtiff(spark, os.path.join(out, "*.tif"))
+        assert back.rdd.getNumPartitions() >= 1
+        got = {r.image_id: r for r in back.collect()}
+        assert set(got) == set(arrs)
+        for i, (k, v) in enumerate(sorted(arrs.items())):
+            r = got[k]
+            a = codecs.decode_image(bytes(r.bytes), r.fmt)
+            np.testing.assert_array_equal(
+                a.reshape(v.shape[0], 9), v[:, :, 0]
+            )
+            assert (r.gt0, r.gt1, r.gt5) == (float(i * 10), 1.0, -1.0)
+            assert r.srid == 32632
+
+    def test_scan_conformance_files(self, spark):
+        from gdal_spark.formats import scan_gtiff
+
+        r = {x.image_id: x for x in scan_gtiff(
+            spark, os.path.join(DATA, "byte.tif")).collect()}["byte"]
+        assert (r.w, r.h, r.srid) == (20, 20, 26711)
+        from gdal_spark import codecs
+
+        assert gdal_checksum(
+            codecs.decode_image(bytes(r.bytes), r.fmt)
+        ) == 4672
