@@ -5773,6 +5773,101 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_datum_shift(spark, sf_dir):
+    """OSGB36 datum shift (EPSG transformation 1314 Helmert
+    position-vector, gdal_spark.proj.DatumShift — the geocentric
+    pipeline from public EPSG Guidance Note 7-2; reference role:
+    ogr/ogrct.cpp:1003-1032, which delegates to PROJ) applied
+    WGS84 -> OSGB36 to customer-derived points over Great Britain,
+    checked against a FULLY INDEPENDENT re-derivation of the whole
+    pipeline in DuckDB SQL: closed-form geodetic->geocentric on WGS84,
+    inverse 7-parameter Helmert (transpose rotation), Bowring first
+    guess + two unrolled Newton refinements on the Airy 1830 ellipsoid.
+    Rounded to 1e-8 deg (~1 mm)."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def fwd(batches):
+        import numpy as np
+
+        from gdal_spark.proj import DATUM_TABLE
+
+        shift = DATUM_TABLE[27700]
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+            lon = (k * 7 % 750) / 100.0 - 6.0
+            lat = (k * 13 % 800) / 100.0 + 50.0
+            lo, la = shift.to_local(lon, lat)
+            yield pd.DataFrame(
+                {
+                    "pid": k,
+                    "lon_osgb": np.round(lo, 8),
+                    "lat_osgb": np.round(la, 8),
+                }
+            )
+
+    return c.mapInPandas(
+        fwd, schema="pid long, lon_osgb double, lat_osgb double"
+    ).orderBy("pid")
+
+
+def q_datum_shift_sql():
+    # independent SQL unroll of the GN7-2 geocentric pipeline; constants
+    # recomputed here from the raw ellipsoid/transformation parameters
+    import math as _m
+
+    fw = 1.0 / 298.257223563          # WGS84 flattening
+    e2w = fw * (2.0 - fw)
+    aw = 6378137.0
+    aa, rfa = 6377563.396, 299.3249646  # Airy 1830
+    fa = 1.0 / rfa
+    e2a = fa * (2.0 - fa)
+    ba = aa * (1.0 - fa)
+    ep2a = e2a / (1.0 - e2a)
+    arc = _m.pi / (180.0 * 3600.0)
+    rx, ry, rz = 0.1502 * arc, 0.2470 * arc, 0.8421 * arc
+    s = 1.0 + (-20.4894) * 1e-6
+
+    def newton(src):
+        # one Newton refinement of geodetic latitude on Airy:
+        # nu = a/sqrt(1-e2 sin^2 phi), h = p/cos(phi)-nu,
+        # phi' = atan2(z, p*(1 - e2*nu/(nu+h)))
+        nu = f"({aa!r} / sqrt(1.0 - {e2a!r} * sin(phi) * sin(phi)))"
+        return (
+            f"SELECT pid, x, y, z, p, atan2(z, p * (1.0 - {e2a!r} * {nu} "
+            f"/ ({nu} + (p / cos(phi) - {nu})))) AS phi FROM {src}"
+        )
+
+    return (
+        "WITH pts AS (SELECT c_custkey AS pid, "
+        "(c_custkey * 7 % 750) / 100.0 - 6.0 AS lon, "
+        "(c_custkey * 13 % 800) / 100.0 + 50.0 AS lat FROM customer), "
+        "g AS (SELECT pid, radians(lon) AS lam, radians(lat) AS phi "
+        "FROM pts), "
+        f"w AS (SELECT pid, lam, phi, {aw!r} / "
+        f"sqrt(1.0 - {e2w!r} * sin(phi) * sin(phi)) AS nu FROM g), "
+        "xyz AS (SELECT pid, nu * cos(phi) * cos(lam) AS x, "
+        "nu * cos(phi) * sin(lam) AS y, "
+        f"nu * (1.0 - {e2w!r}) * sin(phi) AS z FROM w), "
+        f"inv AS (SELECT pid, (x - 446.448) / {s!r} AS u, "
+        f"(y - (-125.157)) / {s!r} AS v, "
+        f"(z - 542.060) / {s!r} AS t FROM xyz), "
+        f"loc AS (SELECT pid, u + {rz!r} * v - {ry!r} * t AS x, "
+        f"-{rz!r} * u + v + {rx!r} * t AS y, "
+        f"{ry!r} * u - {rx!r} * v + t AS z FROM inv), "
+        "b0 AS (SELECT pid, x, y, z, sqrt(x * x + y * y) AS p FROM loc), "
+        f"b1 AS (SELECT pid, x, y, z, p, atan2(z * {aa!r}, p * {ba!r}) "
+        "AS th FROM b0), "
+        "b2 AS (SELECT pid, x, y, z, p, atan2(z + "
+        f"{ep2a!r} * {ba!r} * sin(th) * sin(th) * sin(th), p - "
+        f"{e2a!r} * {aa!r} * cos(th) * cos(th) * cos(th)) AS phi FROM b1), "
+        f"n1 AS ({newton('b2')}), n2 AS ({newton('n1')}) "
+        "SELECT pid, round(degrees(atan2(y, x)), 8) AS lon_osgb, "
+        "round(degrees(phi), 8) AS lat_osgb FROM n2 ORDER BY pid"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ordering is deliberate: the driver's CORRECTNESS gate checks a
     bounded prefix of this dict (50 entries in round 3), so entries that have
@@ -5782,6 +5877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "datum_shift": q_datum_shift,
         "gtiff_roundtrip": q_gtiff_roundtrip,
         # --- never driver-checked (VERDICT r4 task #1): the 11 entries that
         #     sat at positions 50-60 of the round-4 dict, just past the
@@ -5943,6 +6039,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
+        "datum_shift": q_datum_shift_sql(),
         "gtiff_roundtrip": q_gtiff_roundtrip_sql(),
         "location_info": q_location_info_sql(),
         "pansharpen_checksums": q_pansharpen_checksums_sql(),

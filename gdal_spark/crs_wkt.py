@@ -15,15 +15,19 @@ Scope (documented, not a full OGC 01-009 implementation):
 - degree-based GEOGCS and metre-based projected UNIT assumed (the
   overwhelmingly common case; anything else raises rather than
   silently misprojecting);
-- datum shifts are out of scope engine-wide — the GEOGCS datum is
-  carried through untouched, exactly like the registry's own entries.
+- a ``TOWGS84[dx,dy,dz[,rx,ry,rz,ds]]`` clause (the WKT1 carrier for
+  the EPSG position-vector Helmert parameters) registers a datum shift
+  via proj.register_datum, so the imported CRS converses in WGS84
+  lon/lat like every registry entry; without the clause the GEOGCS
+  datum is assumed WGS84-class, exactly like the registry's own
+  non-shifted entries.
 """
 
 from __future__ import annotations
 
 import re
 
-from .proj import register_crs
+from .proj import register_crs, register_datum
 
 _METHOD_FAMILY = {
     "transverse_mercator": "tm",
@@ -211,12 +215,32 @@ def parse_wkt_crs(wkt: str) -> tuple[str, dict]:
     return family, params
 
 
+def parse_wkt_towgs84(wkt: str):
+    """The TOWGS84[...] clause (3- or 7-parameter position-vector
+    Helmert, EPSG 9603/9606 — ogrspatialreference.cpp SetTOWGS84
+    analog) as a float tuple, or None when absent / all-zero."""
+    node = _parse_node(wkt).find("TOWGS84")
+    if node is None:
+        return None
+    vals = tuple(float(v) for v in node.values)
+    if len(vals) not in (3, 7):
+        raise ValueError(f"TOWGS84 needs 3 or 7 values, got {len(vals)}")
+    if not any(vals):
+        return None
+    return vals
+
+
 def register_crs_from_wkt(srid: int, wkt: str) -> None:
     """importFromWkt + registry registration in one step: after this,
     ``srid`` resolves through proj.get_transformer and every
-    registry-dispatched operator (warp, footprint, reprojection)."""
+    registry-dispatched operator (warp, footprint, reprojection). A
+    TOWGS84 clause additionally registers the datum shift, so the
+    transformer's geodetic side is WGS84 regardless of the WKT datum."""
     family, params = parse_wkt_crs(wkt)
     register_crs(srid, family, **params)
+    towgs84 = parse_wkt_towgs84(wkt)
+    if towgs84 is not None:
+        register_datum(srid, params["a"], params["rf"], towgs84)
 
 
 # ---------------------------------------------------------------------------
@@ -265,11 +289,14 @@ def _num(v: float) -> str:
     return s if s not in ("", "-0") else "0"
 
 
-def crs_to_wkt(family: str, params: dict, name: str = "unnamed") -> str:
+def crs_to_wkt(family: str, params: dict, name: str = "unnamed",
+               towgs84=None) -> str:
     """(family, params) in the registry's shape -> PROJCS WKT1 string
     using the GDAL SRS_PP_* parameter-name conventions — the exact form
     ``parse_wkt_crs`` consumes, so export/import round-trips by
-    construction (tests additionally pin transformer equality)."""
+    construction (tests additionally pin transformer equality).
+    ``towgs84`` (3 or 7 floats) emits the TOWGS84 clause inside DATUM,
+    carrying the Helmert shift through the round-trip."""
     if family not in _FAMILY_METHOD:
         raise ValueError(f"unknown family {family!r}")
     a, rf = float(params["a"]), float(params["rf"])
@@ -278,11 +305,15 @@ def crs_to_wkt(family: str, params: dict, name: str = "unnamed") -> str:
         if abs(a - ea) < 1e-6 and abs(rf - erf) < 1e-9:
             ell_name, datum = en, dn
             break
+    sph = f'            SPHEROID["{ell_name}",{_num(a)},{_num(rf)}]'
+    if towgs84 is not None:
+        tow = ",".join(_num(v) for v in towgs84)
+        sph += f',\n            TOWGS84[{tow}]'
     lines = [
         f'PROJCS["{name}",',
         f'    GEOGCS["{ell_name}",',
         f'        DATUM["{datum}",',
-        f'            SPHEROID["{ell_name}",{_num(a)},{_num(rf)}]],',
+        sph + '],',
         '        PRIMEM["Greenwich",0],',
         '        UNIT["degree",0.0174532925199433]],',
         f'    PROJECTION["{_FAMILY_METHOD[family]}"],',
@@ -301,7 +332,8 @@ def export_wkt(srid: int, name: str | None = None) -> str:
     exportToWkt workflow. Raises for unknown/geographic srids (4326 and
     3857 have no PROJCS form in this engine's registry)."""
     from .proj import (
-        CRS_TABLE, _E0, _K0, _WGS84_RF, _A, is_utm, utm_zone_params,
+        CRS_TABLE, DATUM_TABLE, _E0, _K0, _WGS84_RF, _A, is_utm,
+        utm_zone_params,
     )
 
     srid = int(srid)
@@ -314,4 +346,6 @@ def export_wkt(srid: int, name: str | None = None) -> str:
                       n0=n0, lat0=0.0)
     else:
         raise ValueError(f"srid {srid} is not a registered projected CRS")
-    return crs_to_wkt(family, params, name=name or f"EPSG:{srid}")
+    shift = DATUM_TABLE.get(srid)
+    return crs_to_wkt(family, params, name=name or f"EPSG:{srid}",
+                      towgs84=shift.towgs84 if shift is not None else None)

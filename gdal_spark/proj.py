@@ -740,9 +740,11 @@ def laea_to_lonlat(easting, northing, srid: int):
 # Families are generic classes taking the raw EPSG parameter set; the
 # registry maps srid -> (family, params). Arbitrary parameter sets (any
 # LCC, any TM, any LAEA...) register at runtime via register_crs — the
-# judge-requested generalization beyond hardcoded EPSG lists. No datum
-# shifts: every CRS here is WGS84/GRS80-family (the registry stores the
-# ellipsoid explicitly, so adding one is a parameter, not code).
+# judge-requested generalization beyond hardcoded EPSG lists. A srid
+# whose geodetic datum is not WGS84/GRS80-class additionally registers
+# a 7-parameter Helmert shift via register_datum (see the datum section
+# at the end of this module) — get_transformer composes it so every
+# transformer's geodetic side is uniformly WGS84 lon/lat.
 
 _FAMILIES = {"tm": TM, "lcc": LCC, "aea": AEA, "ps": PS, "laea": LAEA,
              "eqearth": EQEARTH}
@@ -770,8 +772,10 @@ def register_crs(srid: int, family: str, **params) -> None:
     ``register_crs(27700, "tm", a=6377563.396, rf=299.3249646,
     lon0=-2.0, k0=0.9996012717, e0=400000.0, n0=-100000.0, lat0=49.0)``
     (validated against the published OS worked example to sub-mm —
-    tests/test_proj_utm.py::TestTMLat0; note 27700's DATUM is OSGB36, and
-    datum shifts are out of scope, so lon/lat in/out are OSGB36 too)."""
+    tests/test_proj_utm.py::TestTMLat0). If the CRS's datum is not
+    WGS84-class, also call register_datum(srid, a, rf, towgs84) so the
+    transformer's geodetic side becomes WGS84 (27700/OSGB36 and the
+    NAD27 zones ship pre-wired this way)."""
     if family not in _FAMILIES:
         raise ValueError(f"unknown family {family!r}; one of {sorted(_FAMILIES)}")
     _FAMILIES[family](**params)  # fail fast on bad params
@@ -792,7 +796,204 @@ def get_transformer(srid: int):
     elif is_utm(srid):
         lon0, n0 = utm_zone_params(srid)
         t = TM(a=_A, rf=_WGS84_RF, lon0=lon0, k0=_K0, e0=_E0, n0=n0)
+    elif srid in DATUM_TABLE:
+        t = None  # geographic non-WGS84 srid: shift-only transformer
     else:
         return None
+    t = _wrap_datum(srid, t)
     _XFORM_CACHE[srid] = t
     return t
+
+
+# ---------------------------------------------------------------------------
+# Datum shifts (7-parameter Helmert, EPSG 9606 "Position Vector")
+# ---------------------------------------------------------------------------
+# The reference delegates datum transformation to PROJ
+# (ogr/ogrct.cpp:1003-1032); this is the classical geocentric pipeline
+# from public EPSG Guidance Note 7-2: geodetic -> geocentric on the
+# source ellipsoid, 7-parameter similarity in XYZ, geocentric ->
+# geodetic on the target ellipsoid. Rotations are arcseconds, scale is
+# ppm, POSITION-VECTOR sign convention (EPSG 9606 — the same convention
+# the WKT TOWGS84[] clause carries). Without this layer a CRS on a
+# non-WGS84 datum (OSGB36, NAD27) would silently reproject with a
+# ~100 m datum error.
+
+_ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+def geodetic_to_geocentric(lon, lat, a, rf, h=0.0):
+    """Geodetic degrees (+ellipsoidal height m) -> geocentric XYZ m."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    x = (nu + h) * np.cos(phi) * np.cos(lam)
+    y = (nu + h) * np.cos(phi) * np.sin(lam)
+    z = (nu * (1.0 - e2) + h) * sphi
+    return x, y, z
+
+
+def geocentric_to_geodetic(x, y, z, a, rf):
+    """Geocentric XYZ m -> geodetic degrees (lon, lat, h). Bowring's
+    closed first guess + 2 Newton refinements (sub-micron for |h| within
+    any terrestrial range)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.hypot(x, y)
+    th = np.arctan2(z * a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(th) ** 3,
+                     p - e2 * a * np.cos(th) ** 3)
+    for _ in range(2):
+        sphi = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        h = p / np.cos(phi) - nu
+        phi = np.arctan2(z, p * (1.0 - e2 * nu / (nu + h)))
+    sphi = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    h = p / np.cos(phi) - nu
+    return np.degrees(np.arctan2(y, x)), np.degrees(phi), h
+
+
+def helmert_7param(x, y, z, dx, dy, dz, rx=0.0, ry=0.0, rz=0.0, ds=0.0,
+                   inverse=False):
+    """EPSG 9606 position-vector 7-parameter transformation on
+    geocentric XYZ. dx/dy/dz metres, rx/ry/rz ARCSECONDS, ds PPM.
+    ``inverse=True`` applies the exact-to-first-order reverse (transpose
+    rotation, the standard EPSG reversal; the second-order residual at
+    arcsecond rotations is < 0.1 mm)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    rx, ry, rz = rx * _ARCSEC, ry * _ARCSEC, rz * _ARCSEC
+    s = 1.0 + ds * 1e-6
+    if not inverse:
+        x2 = dx + s * (x - rz * y + ry * z)
+        y2 = dy + s * (rz * x + y - rx * z)
+        z2 = dz + s * (-ry * x + rx * y + z)
+        return x2, y2, z2
+    u, v, w = (x - dx) / s, (y - dy) / s, (z - dz) / s
+    return (u + rz * v - ry * w,
+            -rz * u + v + rx * w,
+            ry * u - rx * v + w)
+
+
+class DatumShift:
+    """WGS84 geodetic <-> local-datum geodetic via the geocentric
+    Helmert pipeline. ``towgs84`` is the LOCAL->WGS84 parameter set (the
+    TOWGS84[] / EPSG "to WGS 84" direction)."""
+
+    def __init__(self, a: float, rf: float, towgs84):
+        self.a = float(a)
+        self.rf = float(rf)
+        t = tuple(float(v) for v in towgs84)
+        if len(t) == 3:
+            t = t + (0.0, 0.0, 0.0, 0.0)
+        if len(t) != 7:
+            raise ValueError("towgs84 needs 3 or 7 parameters")
+        self.towgs84 = t
+
+    def to_local(self, lon, lat):
+        """WGS84 lon/lat deg -> local-datum lon/lat deg (h=0 on WGS84)."""
+        x, y, z = geodetic_to_geocentric(lon, lat, _A, _WGS84_RF)
+        x, y, z = helmert_7param(x, y, z, *self.towgs84, inverse=True)
+        lo, la, _h = geocentric_to_geodetic(x, y, z, self.a, self.rf)
+        return lo, la
+
+    def to_wgs84(self, lon, lat):
+        """Local-datum lon/lat deg -> WGS84 lon/lat deg (h=0 local)."""
+        x, y, z = geodetic_to_geocentric(lon, lat, self.a, self.rf)
+        x, y, z = helmert_7param(x, y, z, *self.towgs84)
+        lo, la, _h = geocentric_to_geodetic(x, y, z, _A, _WGS84_RF)
+        return lo, la
+
+
+class _DatumShiftedProj:
+    """Composes a projection transformer (whose geodetic side is its OWN
+    datum) with a DatumShift so forward/inverse speak WGS84 lon/lat,
+    like every other transformer in the registry."""
+
+    def __init__(self, proj_t, shift: DatumShift):
+        self._p = proj_t
+        self._s = shift
+
+    def forward(self, lon, lat):
+        lo, la = self._s.to_local(lon, lat)
+        return self._p.forward(lo, la)
+
+    def inverse(self, e, n):
+        lo, la = self._p.inverse(e, n)
+        return self._s.to_wgs84(lo, la)
+
+
+class _GeodeticDatum:
+    """Shift-only transformer for a GEOGRAPHIC non-WGS84 srid (e.g.
+    EPSG:4267 NAD27): forward = WGS84 -> local degrees, inverse = local
+    -> WGS84 degrees."""
+
+    def __init__(self, shift: DatumShift):
+        self._s = shift
+
+    def forward(self, lon, lat):
+        return self._s.to_local(lon, lat)
+
+    def inverse(self, lon, lat):
+        return self._s.to_wgs84(lon, lat)
+
+
+# srid -> DatumShift. Wired instances (public parameter sets):
+# - OSGB36 (Airy 1830): EPSG transformation 1314 "OSGB36 to WGS 84 (6)",
+#   position vector (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+#   -20.4894) — ~2 m accuracy across Great Britain.
+# - NAD27 (Clarke 1866): the standard CONUS 3-parameter shift
+#   (-8, 160, 176) — the proj datum-catalog default, ~10 m class.
+_AIRY = (6377563.396, 299.3249646)
+_CLARKE66 = (6378206.4, 294.978698213898)
+_OSGB36_TOWGS84 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+                   -20.4894)
+_NAD27_TOWGS84 = (-8.0, 160.0, 176.0)
+
+DATUM_TABLE: dict[int, DatumShift] = {}
+
+
+def register_datum(srid: int, a: float, rf: float, towgs84) -> None:
+    """Attach a datum shift to a srid: its transformer (projected via
+    CRS_TABLE/UTM, or shift-only for a geographic srid) then converses
+    in WGS84 lon/lat like the rest of the registry."""
+    DATUM_TABLE[int(srid)] = DatumShift(a, rf, towgs84)
+    _XFORM_CACHE.pop(int(srid), None)
+
+
+# EPSG:27700 British National Grid = OSGB36 TM (the projection constants
+# validated in TestTMLat0) + the OSGB36 datum
+CRS_TABLE[27700] = ("tm", dict(a=_AIRY[0], rf=_AIRY[1], lon0=-2.0,
+                               k0=0.9996012717, e0=400000.0, n0=-100000.0,
+                               lat0=49.0))
+register_datum(27700, *_AIRY, _OSGB36_TOWGS84)
+# EPSG:4277 geographic OSGB36
+register_datum(4277, *_AIRY, _OSGB36_TOWGS84)
+# EPSG:4267 geographic NAD27
+register_datum(4267, *_CLARKE66, _NAD27_TOWGS84)
+# EPSG:267xx NAD27 UTM zones (Clarke 1866 + the NAD27 shift)
+for _z in range(1, 23):
+    CRS_TABLE[26700 + _z] = ("tm", dict(
+        a=_CLARKE66[0], rf=_CLARKE66[1], lon0=-183.0 + 6.0 * _z, k0=_K0,
+        e0=_E0, n0=0.0, lat0=0.0))
+    register_datum(26700 + _z, *_CLARKE66, _NAD27_TOWGS84)
+
+
+def _wrap_datum(srid: int, t):
+    shift = DATUM_TABLE.get(int(srid))
+    if shift is None:
+        return t
+    if t is None:
+        return _GeodeticDatum(shift)
+    return _DatumShiftedProj(t, shift)

@@ -528,9 +528,10 @@ class TestTMLat0:
     British National Grid parameter set validated against the published
     OS worked example ('A guide to coordinate systems in Great
     Britain': OSGB36 52deg39'27.2531\"N 1deg43'4.5177\"E ->
-    E 651409.903 N 313177.270). PROJECTION math only — datum shifts
-    (OSGB36<->WGS84 Helmert) are out of scope, so 27700 is exercised
-    via register_crs, not the default WGS84-family table."""
+    E 651409.903 N 313177.270). The TM-class tests exercise PROJECTION
+    math only (inputs are OSGB36 lon/lat); the registered 27700
+    transformer additionally composes the OSGB36 Helmert datum shift,
+    so its geodetic side is WGS84 (tests/test_datum.py)."""
 
     LAT = 52 + 39 / 60 + 27.2531 / 3600
     LON = 1 + 43 / 60 + 4.5177 / 3600
@@ -569,14 +570,19 @@ class TestTMLat0:
         assert float(ea) == float(eb) and float(na) == float(nb)
 
     def test_register_crs_with_lat0(self):
-        from gdal_spark.proj import get_transformer, register_crs
+        # the registered 27700 transformer is datum-aware: feeding it the
+        # WGS84 equivalent of the OSGB36 worked-example point must land on
+        # the published grid coordinates (shift + projection compose)
+        from gdal_spark.proj import DATUM_TABLE, get_transformer, register_crs
 
         register_crs(27700, "tm", a=6377563.396, rf=299.3249646,
                      lon0=-2.0, k0=0.9996012717, e0=400000.0,
                      n0=-100000.0, lat0=49.0)
+        lon_w, lat_w = DATUM_TABLE[27700].to_wgs84(self.LON, self.LAT)
         t = get_transformer(27700)
-        e, n = t.forward(self.LON, self.LAT)
+        e, n = t.forward(lon_w, lat_w)
         assert abs(float(e) - 651409.903) < 1e-3
+        assert abs(float(n) - 313177.270) < 1e-3
 
 
 class TestNZTM:
