@@ -3138,24 +3138,47 @@ def q_translate_window_sql():
 
 
 def _local_warp_rows():
+    # driver-local replay of the full distributed chain — grid suggestion,
+    # bilinear warp_array, uint8 clip/round, re-encode in the row's own
+    # format (lossy for jpg), decode, first-band GDAL checksum — so the
+    # VALUES oracle pins warped PIXELS, not just the output grid
+    import numpy as np
+
+    from gdal_spark import codecs as C
     from gdal_spark import fixtures
-    from gdal_spark.operators.warp import suggested_output_grid
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.operators.warp import suggested_output_grid, warp_array
 
     rows = []
     for i in range(8):
         rec = fixtures.image_record(i, tier="t2")
         gt = tuple(rec[f"gt{j}"] for j in range(6))
-        _dst_gt, ow, oh = suggested_output_grid(
+        src = C.decode_image(rec["bytes"], rec["fmt"])
+        dst_gt, ow, oh = suggested_output_grid(
             gt, rec["srid"], rec["w"], rec["h"], 3857
         )
-        rows.append((rec["image_id"], int(ow), int(oh), 3857, rec["caption"]))
+        out, _alpha = warp_array(
+            src, gt, rec["srid"], (oh, ow), dst_gt, 3857, "bilinear"
+        )
+        arr = np.clip(np.round(out), 0, 255).astype(np.uint8)
+        fmt = rec["fmt"]
+        if fmt == "jpg" and arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        buf = C.encode_image(arr, fmt)
+        dec = C.decode_image(buf, fmt)
+        cks = int(image_checksums(np.atleast_3d(dec))[0])
+        rows.append(
+            (rec["image_id"], int(ow), int(oh), 3857, rec["caption"], cks)
+        )
     rows.sort()
     return rows
 
 
 def q_warp_reproject_sql():
     return _vals_sql(
-        _local_warp_rows(), ["image_id", "w", "h", "srid", "caption"], "image_id"
+        _local_warp_rows(),
+        ["image_id", "w", "h", "srid", "caption", "checksum"],
+        "image_id",
     )
 
 
@@ -4172,14 +4195,50 @@ def q_translate_window(spark, sf_dir):
 
 
 def q_warp_reproject(spark, sf_dir):
-    """Distributed warp 4326->3857 over fixture images (rows-only; PSNR
-    and caption invariants are asserted in tests)."""
+    """Distributed warp 4326->3857 over fixture images. The entry now
+    carries PIXEL CONTENT through the gate (VERDICT r4 task #5): each
+    output row's bytes are decoded and the first-band GDAL checksum of
+    the warped pixels rides next to the output-grid metadata, so the
+    DuckDB VALUES oracle (a driver-local replay of the identical
+    suggested_output_grid + warp_array + re-encode/decode chain) pins
+    the resampled pixels bit-for-bit, not just the grid shape."""
     from gdal_spark import fixtures
     from gdal_spark.operators.warp import warp_images
 
     imgs = fixtures.images_df(spark, 8, tier="t2", partitions=4)
     out = warp_images(imgs, 3857, resampling="bilinear")
-    return out.select("image_id", "w", "h", "srid", "caption").orderBy("image_id")
+
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark import codecs as C
+    from gdal_spark.checksum import image_checksums
+
+    def cks(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "image_id": r.image_id,
+                    "w": int(r.w),
+                    "h": int(r.h),
+                    "srid": int(r.srid),
+                    "caption": r.caption,
+                    "checksum": image_checksums(
+                        np.atleast_3d(C.decode_image(bytes(r.bytes), r.fmt))
+                    )[0],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "w", "h", "srid", "caption", "checksum"],
+            )
+
+    return out.mapInPandas(
+        cks,
+        schema="image_id string, w int, h int, srid int, caption string, "
+               "checksum int",
+    ).orderBy("image_id")
 
 
 def q_minhash_lsh(spark, sf_dir):
