@@ -42,3 +42,8 @@ from .gtiff import (  # noqa: F401
 from .kml import scan_kml, write_kml  # noqa: F401
 from .gpx import scan_gpx, write_gpx  # noqa: F401
 from .gml import scan_gml, write_gml  # noqa: F401
+from .filegdb import (  # noqa: F401
+    layer_info as filegdb_layer_info,
+    list_layers as filegdb_list_layers,
+    scan_filegdb,
+)
