@@ -105,6 +105,95 @@ def with_lsh_signature(
     return df.withColumn(out, sig), planes
 
 
+def train_kmeans_distributed(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 12,
+    seed: int = 42,
+    init_sample: int = 4096,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """DISTRIBUTED Lloyd's k-means on the FULL corpus (spherical — rows
+    are L2-normalized, assignment by max cosine, centroids re-normalized
+    each round): the 100-TB trainer VERDICT r4 task #7 asks for, for
+    when a sampled quantizer is not representative enough.
+
+    Each iteration is ONE Arrow pass over the vectors: every batch
+    computes its (k x dim) partial sum matrix + k counts, the shuffle
+    carries only those tiny partials (k rows per partition, never a
+    vector row), and the driver folds them into new centroids —
+    map-side-combine k-means, the classic MLlib shape re-expressed over
+    mapInPandas. Initialization is seeded k-means++ on a bounded sample
+    (``init_sample``; or pass ``init`` explicitly). Deterministic for a
+    given corpus/seed/partitioning; across DIFFERENT partitionings the
+    per-cluster partial sums fold in a different float order, so
+    centroids can drift by ~1 ulp (assignments are argmax over well-
+    separated scores and stay identical in practice — the parity test
+    pins 1-partition vs 8-partition equality to 1e-12).
+
+    Returns (k, dim) L2-normalized centroids. Same fixed point as local
+    full-data Lloyd from the same init (tests pin parity)."""
+    if init is not None:
+        C = np.asarray(init, dtype=np.float64).copy()
+        k = len(C)
+    else:
+        C = train_ivf_centroids(
+            corpus, vec_col, k, sample=init_sample, iters=0, seed=seed
+        )
+    vecs = corpus.select(vec_col).persist()
+    try:
+        dim = C.shape[1]
+
+        def partials_factory(C_now):
+            def partials(batches):
+                sums = np.zeros((k, dim), dtype=np.float64)
+                counts = np.zeros(k, dtype=np.int64)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    M = _unit_rows(
+                        np.array(list(pdf[vec_col]), dtype=np.float64)
+                    )
+                    a = np.argmax(M @ C_now.T, axis=1)
+                    np.add.at(sums, a, M)
+                    counts += np.bincount(a, minlength=k)
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.arange(k, dtype=np.int64),
+                        "cnt": counts,
+                        "s": list(sums),
+                    }
+                )
+
+            return partials
+
+        for _ in range(iters):
+            rows = (
+                vecs.mapInPandas(
+                    partials_factory(C.copy()),
+                    schema="cluster long, cnt long, s array<double>",
+                )
+                .collect()
+            )
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            # fold per-partition partials in (partition order agnostic:
+            # addition per cluster cell is the only reduction)
+            for r in sorted(rows, key=lambda r: r.cluster):
+                sums[r.cluster] += np.asarray(r.s, dtype=np.float64)
+                counts[r.cluster] += r.cnt
+            for j in range(k):
+                if counts[j]:
+                    v = sums[j] / counts[j]
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        C[j] = v / n
+        return C
+    finally:
+        vecs.unpersist()
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -115,7 +204,8 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
     SAMPLE (the standard IVF training recipe — centroids come from a
-    sample, assignment is distributed). Deterministic: seeded k-means++
+    sample, assignment is distributed; for full-corpus training use
+    ``train_kmeans_distributed``). Deterministic: seeded k-means++
     init, fixed iteration count. Returns (n_lists, dim) L2-normalized
     centroids."""
     rows = corpus.select(vec_col).limit(sample).collect()

@@ -169,3 +169,95 @@ class TestIvfPqResidual:
         b = sorted(map(tuple, ivfpq_topk(
             emb, qs, k=3, n_lists=4, nprobe=2, by_residual=True).collect()))
         assert a == b
+
+
+class TestDistributedKMeans:
+    def _blobs(self, spark, nparts):
+        rng = np.random.default_rng(5)
+        centers = np.array(
+            [[10.0] + [0.0] * 31, [0.0] * 16 + [10.0] + [0.0] * 15,
+             [-10.0] + [0.0] * 31]
+        )
+        vecs = np.concatenate(
+            [c + rng.normal(scale=0.3, size=(40, 32)) for c in centers]
+        )
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+             for i in range(len(vecs))],
+            "vec_id long, embedding array<double>",
+        ).repartition(nparts)
+        return df, vecs
+
+    def _local_lloyd(self, X, C, iters):
+        from gdal_spark.functions.simsearch import _unit_rows
+
+        Xn = _unit_rows(np.asarray(X, dtype=np.float64))
+        C = np.asarray(C, dtype=np.float64).copy()
+        for _ in range(iters):
+            a = np.argmax(Xn @ C.T, axis=1)
+            for j in range(len(C)):
+                m = a == j
+                if m.any():
+                    v = Xn[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        C[j] = v / n
+        return C
+
+    def test_parity_with_local_full_data_lloyd(self, spark):
+        from gdal_spark.functions.simsearch import (
+            train_ivf_centroids,
+            train_kmeans_distributed,
+        )
+
+        df, vecs = self._blobs(spark, 4)
+        init = train_ivf_centroids(df, "embedding", 3, sample=120,
+                                   iters=0, seed=7)
+        got = train_kmeans_distributed(
+            df, "embedding", k=3, iters=10, init=init
+        )
+        want = self._local_lloyd(vecs, init, 10)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_partition_invariance(self, spark):
+        # the Lloyd iterations must not depend on partitioning; the
+        # k-means++ INIT samples via limit().collect() whose row order
+        # is partitioning-dependent, so both runs share an explicit init
+        from gdal_spark.functions.simsearch import train_kmeans_distributed
+
+        _, vecs = self._blobs(spark, 1)
+        init = vecs[[0, 40, 80]] / np.linalg.norm(
+            vecs[[0, 40, 80]], axis=1, keepdims=True
+        )
+        a = train_kmeans_distributed(
+            self._blobs(spark, 1)[0], "embedding", iters=8, init=init
+        )
+        b = train_kmeans_distributed(
+            self._blobs(spark, 8)[0], "embedding", iters=8, init=init
+        )
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+    def test_ivf_with_distributed_centroids_exhaustive_equals_exact(
+        self, spark
+    ):
+        from gdal_spark.functions.simsearch import (
+            cosine_topk,
+            ivf_topk,
+            train_kmeans_distributed,
+        )
+
+        df, _ = self._blobs(spark, 4)
+        C = train_kmeans_distributed(df, "embedding", k=3, iters=6, seed=7)
+        q = [(r.vec_id, list(r.embedding))
+             for r in df.where("vec_id < 2").collect()]
+        exact = {
+            (r.qid, r.vec_id)
+            for r in cosine_topk(df, q, k=5).collect()
+        }
+        approx = {
+            (r.qid, r.vec_id)
+            for r in ivf_topk(
+                df, q, k=5, n_lists=3, nprobe=3, centroids=C
+            ).collect()
+        }
+        assert exact == approx
