@@ -5832,6 +5832,174 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_pipeline_end_to_end(spark, sf_dir):
+    """The COMPOSED training-data pipeline (VERDICT r4 task #8) as one
+    flow: ingest -> dedup_corpus ladder (exact md5 rung + MinHash-LSH
+    near-dup clusters at the proven near-exact-recall configuration) ->
+    GPT-3 appendix-C decontamination against the eval split (doc_id %
+    13 == 0) -> token-window chunking (byte-level tokenizer, 64-token
+    windows) -> capacity-200 sequence packing across 8 shards. Emits a
+    per-stage summary (stage, shard, n, tokens) so the DuckDB oracle can
+    replay EVERY stage in one SQL chain: exact-dup window, 5-gram
+    Jaccard pairs + recursive-CTE connected components, word-3-gram
+    decontamination, byte-window chunk expansion, and the recursive
+    first-fit packing walk — each fragment individually proven by its
+    own entry (exact_dup_groups, minhash_lsh/dup_clusters,
+    decontaminate, chunk_documents, pack_sequences), composed here."""
+    from gdal_spark.functions.chunk import chunk_documents
+    from gdal_spark.functions.decontam import decontaminate
+    from gdal_spark.functions.dedup import dedup_corpus
+    from gdal_spark.functions.pack import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    evald = d.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+
+    kept, report = dedup_corpus(
+        train, jaccard_threshold=0.5, seed=42,
+        minhash_kw=dict(num_hashes=64, bands=32, est_margin=0.3),
+    )
+    kept = kept.localCheckpoint(eager=True)
+    report = report.localCheckpoint(eager=True)
+    contaminated = (
+        decontaminate(kept, evald, n=3)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    chunks = chunk_documents(
+        clean.where(F.col("text").isNotNull()), merges=[], chunk_tokens=64
+    ).localCheckpoint(eager=True)
+    packed = pack_sequences(
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+            "n_tokens",
+        ),
+        capacity=200, n_shards=8, id_col="chunk_id", tokens_col="n_tokens",
+    )
+
+    m1 = F.lit(-1).cast("long")
+
+    def stat(df_in, stage, tokens_col=None):
+        aggs = [F.count("*").cast("long").alias("n")]
+        if tokens_col is not None:
+            aggs.append(
+                F.coalesce(F.sum(tokens_col), F.lit(0)).cast("long")
+                .alias("tokens")
+            )
+        out = df_in.agg(*aggs)
+        if tokens_col is None:
+            out = out.withColumn("tokens", m1)
+        return out.select(
+            F.lit(stage).alias("stage"), m1.alias("shard"), "n", "tokens"
+        )
+
+    pack_rows = packed.groupBy("shard").agg(
+        (F.max("bin_id") + 1).cast("long").alias("n"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    ).select(F.lit("6_pack").alias("stage"), F.col("shard").cast("long"),
+             "n", "tokens")
+
+    return (
+        stat(train, "0_ingest")
+        .unionByName(stat(report.where(F.col("stage") == "exact"),
+                          "1_drop_exact"))
+        .unionByName(stat(report.where(F.col("stage") == "near"),
+                          "2_drop_near"))
+        .unionByName(stat(kept, "3_kept"))
+        .unionByName(stat(clean, "4_clean"))
+        .unionByName(stat(chunks, "5_chunks", tokens_col="n_tokens"))
+        .unionByName(pack_rows)
+        .orderBy("stage", "shard")
+    )
+
+
+def q_pipeline_end_to_end_sql():
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    grams = (
+        "array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')"
+    )
+    step = "w.fill > 0 AND w.fill + r.nt > 200"
+    return (
+        "WITH RECURSIVE "
+        "base AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 13 <> 0), "
+        "ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0), "
+        f"wt AS (SELECT doc_id, {norm} AS s, text FROM base "
+        "WHERE text IS NOT NULL), "
+        "ek AS (SELECT doc_id FROM (SELECT doc_id, "
+        "min(doc_id) OVER (PARTITION BY md5(s)) AS m FROM wt) "
+        "WHERE doc_id = m), "
+        "s1 AS (SELECT wt.doc_id, wt.s, wt.text FROM wt "
+        "JOIN ek USING (doc_id)), "
+        "idx AS (SELECT unnest(range(1, 20001)) AS i), "
+        "sh AS (SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g "
+        "FROM s1 JOIN idx ON i <= greatest(length(s) - 4, 1)), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni "
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "prs AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+        "WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5), "
+        "nodes AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM prs "
+        "UNION ALL SELECT id_b, id_a FROM prs), "
+        "reach(id, lab) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id), "
+        "ndrop AS (SELECT id FROM reach GROUP BY id HAVING id <> min(lab)), "
+        "s2 AS (SELECT doc_id, text FROM s1 "
+        "WHERE doc_id NOT IN (SELECT id FROM ndrop)), "
+        "kept AS (SELECT doc_id, text FROM s2 UNION ALL "
+        "SELECT doc_id, text FROM base WHERE text IS NULL), "
+        f"kt AS (SELECT doc_id, string_split({norm}, ' ') AS toks "
+        "FROM kept WHERE text IS NOT NULL), "
+        f"et AS (SELECT doc_id, string_split({norm}, ' ') AS toks "
+        "FROM ev WHERE text IS NOT NULL), "
+        f"tg AS (SELECT DISTINCT kt.doc_id, {grams} AS gram FROM kt "
+        "JOIN idx ON i <= len(toks) - 2), "
+        f"eg AS (SELECT DISTINCT {grams} AS gram FROM et "
+        "JOIN idx ON i <= len(toks) - 2), "
+        "cont AS (SELECT DISTINCT doc_id FROM tg "
+        "WHERE gram IN (SELECT gram FROM eg)), "
+        "clean AS (SELECT doc_id, text FROM kept "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM cont)), "
+        "cw AS (SELECT doc_id, strlen(text) AS nt FROM clean "
+        "WHERE text IS NOT NULL), "
+        "cidx AS (SELECT unnest(range(0, 4000)) AS ci), "
+        "chunks AS (SELECT doc_id, ci AS chunk_idx, CASE WHEN nt = 0 "
+        "THEN 0 ELSE least(64, nt - ci * 64) END AS ntok FROM cw "
+        "JOIN cidx ON ci < greatest(1, CAST(ceil(nt / 64.0) AS BIGINT))), "
+        "pt AS (SELECT doc_id * 1000 + chunk_idx AS cid, "
+        "(doc_id * 1000 + chunk_idx) % 8 AS shard, "
+        "CAST(ntok AS BIGINT) AS nt FROM chunks), "
+        "pr AS (SELECT shard, cid, nt, row_number() OVER "
+        "(PARTITION BY shard ORDER BY cid) AS rn FROM pt), "
+        "walk AS (SELECT shard, rn, cid, nt, CAST(0 AS BIGINT) AS bin, "
+        "nt AS fill FROM pr WHERE rn = 1 "
+        "UNION ALL SELECT r.shard, r.rn, r.cid, r.nt, "
+        f"CASE WHEN {step} THEN w.bin + 1 ELSE w.bin END, "
+        f"CASE WHEN {step} THEN r.nt ELSE w.fill + r.nt END "
+        "FROM walk w JOIN pr r ON r.shard = w.shard AND r.rn = w.rn + 1) "
+        "SELECT * FROM ("
+        "SELECT '0_ingest' AS stage, CAST(-1 AS BIGINT) AS shard, "
+        "(SELECT count(*) FROM base) AS n, CAST(-1 AS BIGINT) AS tokens "
+        "UNION ALL SELECT '1_drop_exact', -1, "
+        "(SELECT count(*) FROM wt) - (SELECT count(*) FROM s1), -1 "
+        "UNION ALL SELECT '2_drop_near', -1, "
+        "(SELECT count(*) FROM ndrop), -1 "
+        "UNION ALL SELECT '3_kept', -1, (SELECT count(*) FROM kept), -1 "
+        "UNION ALL SELECT '4_clean', -1, (SELECT count(*) FROM clean), -1 "
+        "UNION ALL SELECT '5_chunks', -1, (SELECT count(*) FROM chunks), "
+        "(SELECT coalesce(sum(ntok), 0) FROM chunks) "
+        "UNION ALL SELECT '6_pack', shard, max(bin) + 1, sum(nt) "
+        "FROM walk GROUP BY shard"
+        ") ORDER BY stage, shard"
+    )
+
+
 def q_filegdb_read(spark, sf_dir):
     """ESRI FileGeodatabase read (OpenFileGDB analog,
     gdal_spark.formats.filegdb; reference role:
@@ -6041,6 +6209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "pipeline_end_to_end": q_pipeline_end_to_end,
         "filegdb_read": q_filegdb_read,
         "datum_shift": q_datum_shift,
         "gtiff_roundtrip": q_gtiff_roundtrip,
@@ -6204,6 +6373,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
+        "pipeline_end_to_end": q_pipeline_end_to_end_sql(),
         "filegdb_read": q_filegdb_read_sql(),
         "datum_shift": q_datum_shift_sql(),
         "gtiff_roundtrip": q_gtiff_roundtrip_sql(),

@@ -642,6 +642,7 @@ def dedup_corpus(
     semantic_threshold: float = 0.95,
     n_clusters: int = 8,
     seed: int = 42,
+    minhash_kw: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The composed dedup LADDER of a training-data pipeline, each rung
     cheaper-per-candidate than the next: exact (md5 groupBy) -> MinHash
@@ -669,8 +670,11 @@ def dedup_corpus(
     )
 
     # rung 2: MinHash-LSH pairs -> connected clusters -> keep reps
+    # (minhash_kw tunes num_hashes/bands/est_margin — e.g. 64/32/0.3 for
+    # the near-exact-recall configuration the oracle entries pin)
     pairs = minhash_lsh_pairs(
-        s1, id_col, text_col, threshold=jaccard_threshold, seed=seed
+        s1, id_col, text_col, threshold=jaccard_threshold, seed=seed,
+        **(minhash_kw or {}),
     )
     labels = dup_clusters(pairs)
     near_drops = labels.where(~F.col("keep")).select("id").localCheckpoint(
