@@ -46,6 +46,23 @@ def _points_merc(spark, sf_dir):
     )
 
 
+def _points_lonlat(spark, sf_dir):
+    """orders -> deterministic lon/lat degrees (the pre-Mercator half of
+    :func:`_points_merc`, for sphere-native cell encoders)."""
+    o = _t(spark, sf_dir, "orders")
+    lon = (F.col("o_orderkey") * 9973 % 36000) / 100.0 - 180.0
+    lat = ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 16000) / 100.0 - 80.0
+    return o.select(
+        F.col("o_orderkey").alias("pid"), lon.alias("lon"), lat.alias("lat")
+    )
+
+
+def _pts_lonlat_sql() -> str:
+    lon = "((o_orderkey * 9973 % 36000) / 100.0 - 180.0)"
+    lat = "(((o_orderkey * 7919 + o_custkey) % 16000) / 100.0 - 80.0)"
+    return f"SELECT o_orderkey AS pid, {lon} AS lon, {lat} AS lat FROM orders"
+
+
 def _pts_merc_sql() -> str:
     lon = "((o_orderkey * 9973 % 36000) / 100.0 - 180.0)"
     lat = "(((o_orderkey * 7919 + o_custkey) % 16000) / 100.0 - 80.0)"
@@ -5832,6 +5849,164 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_s2_cells(spark, sf_dir):
+    """True S2 cell encoding (gdal_spark.cells_s2 — the north star's
+    "vectorized H3/S2 cell encoding" as PURE Spark Column math: cube-face
+    projection, quadratic st reprojection, 8 lookup-table Hilbert steps,
+    all inside whole-stage codegen). Points -> level-12 cells + their
+    level-5 ancestors (bit math), per-cell counts. The DuckDB oracle
+    replays the INDEPENDENT 2-bit-automaton form of the curve (30
+    recursive-CTE steps with the published position<->(i,j) tables), so
+    the two implementations share only the public constants."""
+    from gdal_spark.cells_s2 import col_cell_at_level, with_s2_cell
+
+    pts = _points_lonlat(spark, sf_dir)
+    enc = with_s2_cell(pts, "lon", "lat", level=12, out="cell12")
+    return (
+        enc.withColumn("cell5", col_cell_at_level("cell12", 5))
+        .groupBy("cell12", "cell5")
+        .agg(F.count("*").alias("n"), F.min("pid").alias("min_pid"))
+        .orderBy(F.col("n").desc(), F.col("cell12").asc())
+        .limit(100)
+    )
+
+
+def q_s2_cells_sql():
+    # IJ2POS flattened over idx = ori*4 + ij, POS2ORI over pos — the
+    # published 2-bit Hilbert automaton tables (cells_s2.py docstring)
+    ij2pos = [0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0]
+    ij = "((i >> k) & 1) * 2 + ((j >> k) & 1)"
+    pbits = (
+        f"CASE ori * 4 + {ij} "
+        + " ".join(f"WHEN {n} THEN {v}" for n, v in enumerate(ij2pos[:-1]))
+        + f" ELSE {ij2pos[-1]} END"
+    )
+    pos2ori = "CASE {p} WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END"
+    two = {"61": 2**61, "63": 2**63, "64": 2**64}
+    # level-l id = face*2^61 + (pos >> (60-2l)) * 2^(61-2l) + 2^(60-2l)
+    enc12 = (
+        f"CAST(face AS HUGEINT) * {two['61']} "
+        f"+ CAST(pos >> 36 AS HUGEINT) * {2**37} + {2**36}"
+    )
+    enc5 = (
+        f"CAST(face AS HUGEINT) * {two['61']} "
+        f"+ CAST(pos >> 50 AS HUGEINT) * {2**51} + {2**50}"
+    )
+    wrap = (
+        "CAST(CASE WHEN {h} >= " + str(two["63"]) + " THEN {h} - "
+        + str(two["64"]) + " ELSE {h} END AS BIGINT)"
+    )
+    return (
+        "WITH RECURSIVE "
+        f"pts AS ({_pts_lonlat_sql()}), "
+        "xyz AS (SELECT pid, "
+        "cos(radians(lat)) * cos(radians(lon)) AS x, "
+        "cos(radians(lat)) * sin(radians(lon)) AS y, "
+        "sin(radians(lat)) AS z FROM pts), "
+        "fc AS (SELECT pid, x, y, z, "
+        "CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN "
+        "CASE WHEN x < 0 THEN 3 ELSE 0 END "
+        "WHEN abs(y) >= abs(z) THEN CASE WHEN y < 0 THEN 4 ELSE 1 END "
+        "ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS face FROM xyz), "
+        "uv AS (SELECT pid, face, "
+        "CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z "
+        "WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u, "
+        "CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z "
+        "WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM fc), "
+        "st AS (SELECT pid, face, "
+        "CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u) "
+        "ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s, "
+        "CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v) "
+        "ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t FROM uv), "
+        "ij AS (SELECT pid, face, "
+        f"least(greatest(CAST(floor(s * {1 << 30}) AS BIGINT), 0), "
+        f"{(1 << 30) - 1}) AS i, "
+        f"least(greatest(CAST(floor(t * {1 << 30}) AS BIGINT), 0), "
+        f"{(1 << 30) - 1}) AS j FROM st), "
+        "walk AS ("
+        "SELECT pid, face, i, j, 29 AS k, face & 1 AS ori, "
+        "CAST(0 AS BIGINT) AS pos FROM ij "
+        "UNION ALL SELECT pid, face, i, j, k - 1, "
+        f"xor(ori, {pos2ori.format(p='(' + pbits + ')')}), "
+        f"pos * 4 + ({pbits}) FROM walk WHERE k >= 0), "
+        "leafpos AS (SELECT pid, face, pos FROM walk WHERE k = -1), "
+        f"ids AS (SELECT pid, {wrap.format(h='(' + enc12 + ')')} AS cell12, "
+        f"{wrap.format(h='(' + enc5 + ')')} AS cell5 FROM leafpos) "
+        "SELECT cell12, cell5, count(*) AS n, min(pid) AS min_pid FROM ids "
+        "GROUP BY 1, 2 ORDER BY n DESC, cell12 ASC LIMIT 100"
+    )
+
+
+_S2_RECT = (
+    "(n_nationkey * 137 % 300) - 160.0",
+    "(n_nationkey * 89 % 130) - 70.0",
+    "10 + (n_nationkey % 7) * 3",
+    "8 + (n_nationkey % 5) * 3",
+)
+
+
+def q_s2_rect_join(spark, sf_dir):
+    """S2-covering spatial join: nation-derived lon/lat rectangles are
+    covered at level 8 (gdal_spark.cells_s2.cover_rect, conservative
+    superset), the cover explodes to a broadcast (cell, rect) table,
+    points equi-join on their own level-8 cell (pure Column encoder) and
+    an exact rect containment filter removes covering slack — the
+    distributed pattern the north star names for footprint x layer
+    joins. Oracle: brute-force rect-filter cross join (no S2 at all), so
+    any covering miss OR encoder disagreement breaks the row hash."""
+    import numpy as np
+
+    from gdal_spark.cells_s2 import cover_rect, with_s2_cell
+
+    n = _t(spark, sf_dir, "nation")
+    lon0 = (F.col("n_nationkey") * 137 % 300) - 160.0
+    lat0 = (F.col("n_nationkey") * 89 % 130) - 70.0
+    w = 10 + (F.col("n_nationkey") % 7) * 3
+    h = 8 + (F.col("n_nationkey") % 5) * 3
+    rects = n.select(
+        F.col("n_nationkey").alias("rect_id"),
+        lon0.alias("lon0"), lat0.alias("lat0"),
+        (lon0 + w).alias("lon1"), (lat0 + h).alias("lat1"),
+    ).toPandas()
+    cover_rows = [
+        (int(r.rect_id), int(c))
+        for r in rects.itertuples()
+        for c in cover_rect(r.lon0, r.lat0, r.lon1, r.lat1, 8)
+    ]
+    cov = spark.createDataFrame(
+        pd.DataFrame(cover_rows, columns=["rect_id", "cell"]).astype(
+            {"rect_id": np.int64, "cell": np.int64}
+        )
+    )
+    rdf = spark.createDataFrame(rects)
+    pts = with_s2_cell(
+        _points_lonlat(spark, sf_dir), "lon", "lat", level=8, out="cell"
+    )
+    return (
+        pts.join(F.broadcast(cov), "cell")
+        .join(F.broadcast(rdf), "rect_id")
+        .where(
+            (F.col("lon") >= F.col("lon0")) & (F.col("lon") <= F.col("lon1"))
+            & (F.col("lat") >= F.col("lat0")) & (F.col("lat") <= F.col("lat1"))
+        )
+        .groupBy("rect_id")
+        .agg(F.count("*").alias("n"), F.min("pid").alias("min_pid"))
+    )
+
+
+def q_s2_rect_join_sql():
+    lon0, lat0, w, h = _S2_RECT
+    return (
+        f"WITH rects AS (SELECT n_nationkey AS rect_id, {lon0} AS lon0, "
+        f"{lat0} AS lat0, {lon0} + ({w}) AS lon1, {lat0} + ({h}) AS lat1 "
+        "FROM nation), "
+        f"pts AS ({_pts_lonlat_sql()}) "
+        "SELECT rect_id, count(*) AS n, min(pid) AS min_pid "
+        "FROM rects JOIN pts ON lon >= lon0 AND lon <= lon1 "
+        "AND lat >= lat0 AND lat <= lat1 GROUP BY 1"
+    )
+
+
 def q_pipeline_end_to_end(spark, sf_dir):
     """The COMPOSED training-data pipeline (VERDICT r4 task #8) as one
     flow: ingest -> dedup_corpus ladder (exact md5 rung + MinHash-LSH
@@ -6209,6 +6384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "s2_cells": q_s2_cells,
+        "s2_rect_join": q_s2_rect_join,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "filegdb_read": q_filegdb_read,
         "datum_shift": q_datum_shift,
@@ -6373,6 +6550,8 @@ def oracle_sql() -> dict[str, str]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
+        "s2_cells": q_s2_cells_sql(),
+        "s2_rect_join": q_s2_rect_join_sql(),
         "pipeline_end_to_end": q_pipeline_end_to_end_sql(),
         "filegdb_read": q_filegdb_read_sql(),
         "datum_shift": q_datum_shift_sql(),
