@@ -6007,6 +6007,48 @@ def q_s2_rect_join_sql():
     )
 
 
+def q_hexbin(spark, sf_dir):
+    """H3-style hexagonal density binning (gdal_spark.cells.col_hex_cell:
+    axial coords + cube rounding as pure Column math). Oracle replays the
+    identical expressions with trunc-based rounding in DuckDB."""
+    from gdal_spark.cells import col_hex_cell
+
+    pts = _points_merc(spark, sf_dir)
+    q, r = col_hex_cell(F.col("x"), F.col("y"), 250000.0)
+    return (
+        pts.select(q.alias("hq"), r.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("hq").asc(), F.col("hr").asc())
+        .limit(50)
+    )
+
+
+def q_hexbin_sql():
+    import numpy as np
+
+    s3 = repr(float(np.sqrt(3.0) / 3.0))
+    sz = "250000.0"
+    rnd = "trunc({v} + CASE WHEN {v} >= 0 THEN 0.5 ELSE -0.5 END)"
+    return (
+        f"WITH pts AS ({_pts_merc_sql()}), "
+        f"frac AS (SELECT (x * {s3} - y * (1.0 / 3.0)) / {sz} AS qf, "
+        f"(y * (2.0 / 3.0)) / {sz} AS rf FROM pts), "
+        "cube AS (SELECT qf, rf, -qf - rf AS sf, "
+        f"{rnd.format(v='qf')} AS rq, {rnd.format(v='rf')} AS rr, "
+        f"{rnd.format(v='(-qf - rf)')} AS rs FROM frac), "
+        "fixed AS (SELECT "
+        "CASE WHEN abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > "
+        "abs(rs - sf) THEN -rr - rs ELSE rq END AS hq, "
+        "CASE WHEN NOT (abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > "
+        "abs(rs - sf)) AND abs(rr - rf) > abs(rs - sf) "
+        "THEN -rq - rs ELSE rr END AS hr FROM cube) "
+        "SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr, "
+        "count(*) AS n FROM fixed "
+        "GROUP BY 1, 2 ORDER BY n DESC, hq ASC, hr ASC LIMIT 50"
+    )
+
+
 def q_pipeline_end_to_end(spark, sf_dir):
     """The COMPOSED training-data pipeline (VERDICT r4 task #8) as one
     flow: ingest -> dedup_corpus ladder (exact md5 rung + MinHash-LSH
@@ -6386,6 +6428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (standing rule: new entries go FIRST) ---
         "s2_cells": q_s2_cells,
         "s2_rect_join": q_s2_rect_join,
+        "hexbin": q_hexbin,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "filegdb_read": q_filegdb_read,
         "datum_shift": q_datum_shift,
@@ -6552,6 +6595,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": q_bpe_tokenize_sql(),
         "s2_cells": q_s2_cells_sql(),
         "s2_rect_join": q_s2_rect_join_sql(),
+        "hexbin": q_hexbin_sql(),
         "pipeline_end_to_end": q_pipeline_end_to_end_sql(),
         "filegdb_read": q_filegdb_read_sql(),
         "datum_shift": q_datum_shift_sql(),

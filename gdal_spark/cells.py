@@ -118,3 +118,75 @@ def quadkey_str(cell):
             digit += 2
         key += str(digit)
     return key
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (H3-style planar aggregation cells)
+
+
+def hex_cell(x, y, size: float):
+    """Planar pointy-top hexagon assignment — the H3-usage-pattern density
+    aggregation (hex bins have uniform neighbor distance and ~13% lower
+    quantization error than squares) without H3's icosahedral global
+    index, which planar/Mercator workloads don't need. Standard axial
+    coordinates + cube rounding:
+
+        q = (x * sqrt(3)/3 - y/3) / size,  r = (2/3 * y) / size
+
+    fractional cube ``(q, -q-r, r)`` rounds per-component, then the
+    component with the LARGEST rounding error is recomputed from the
+    other two so q+s+r == 0 stays exact. Returns (q, r) int64 axial ids.
+
+    numpy twin of :func:`col_hex_cell`; the DuckDB oracle replays the
+    identical expressions, association order preserved.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    qf = (x * (np.sqrt(3.0) / 3.0) - y * (1.0 / 3.0)) / size
+    rf = (y * (2.0 / 3.0)) / size
+    sf = -qf - rf
+    # round half away from zero (matches Spark/DuckDB round())
+    # trunc-toward-zero after the half-offset == round half away from
+    # zero, and matches the Column path's cast("long") exactly
+    rq = np.trunc(qf + np.where(qf >= 0, 0.5, -0.5))
+    rr = np.trunc(rf + np.where(rf >= 0, 0.5, -0.5))
+    rs = np.trunc(sf + np.where(sf >= 0, 0.5, -0.5))
+    dq, dr, ds = np.abs(rq - qf), np.abs(rr - rf), np.abs(rs - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -rr - rs, rq)
+    r = np.where(fix_r, -rq - rs, rr)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def hex_center(q, r, size: float):
+    """Axial (q, r) -> center (x, y) of the pointy-top hexagon."""
+    q = np.asarray(q, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    return (
+        size * (np.sqrt(3.0) * q + np.sqrt(3.0) / 2.0 * r),
+        size * (1.5 * r),
+    )
+
+
+def col_hex_cell(x, y, size: float):
+    """Column form of :func:`hex_cell` -> (q, r) Column pair; pure
+    whole-stage-codegen math (trig-free), identical expression order."""
+    from pyspark.sql import functions as F
+
+    s3 = float(np.sqrt(3.0) / 3.0)
+    qf = (x * s3 - y * (1.0 / 3.0)) / size
+    rf = (y * (2.0 / 3.0)) / size
+    sf = -qf - rf
+    # cast-to-long truncates toward zero in both Spark and DuckDB
+    rq = (qf + F.when(qf >= 0, 0.5).otherwise(-0.5)).cast("long")
+    rr = (rf + F.when(rf >= 0, 0.5).otherwise(-0.5)).cast("long")
+    rs = (sf + F.when(sf >= 0, 0.5).otherwise(-0.5)).cast("long")
+    dq = F.abs(rq - qf)
+    dr = F.abs(rr - rf)
+    ds = F.abs(rs - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    q = F.when(fix_q, -rr - rs).otherwise(rq)
+    r = F.when(fix_r, -rq - rs).otherwise(rr)
+    return q, r

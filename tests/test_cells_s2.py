@@ -185,3 +185,48 @@ class TestSparkParity:
             10,
         )
         assert np.array_equal(out["cell"].to_numpy(), ref)
+
+
+class TestHexBin:
+    def test_nearest_center_invariant(self):
+        from gdal_spark.cells import hex_cell, hex_center
+
+        rng = np.random.default_rng(0)
+        size = 250000.0
+        x = rng.uniform(-2e7, 2e7, 20000)
+        y = rng.uniform(-2e7, 2e7, 20000)
+        q, r = hex_cell(x, y, size)
+        cx, cy = hex_center(q, r, size)
+        d0 = np.hypot(x - cx, y - cy)
+        assert d0.max() <= size * 1.0000001  # within circumradius
+        for dq in (-1, 0, 1):
+            for dr in (-1, 0, 1):
+                if dq == dr == 0:
+                    continue
+                nx, ny = hex_center(q + dq, r + dr, size)
+                assert np.all(d0 <= np.hypot(x - nx, y - ny) + 1e-6)
+
+    def test_column_matches_numpy(self, spark):
+        from pyspark.sql import functions as F
+
+        from gdal_spark.cells import col_hex_cell, hex_cell
+
+        rng = np.random.default_rng(1)
+        n = 5000
+        pdf = pd.DataFrame(
+            {
+                "pid": np.arange(n),
+                "x": rng.uniform(-2e7, 2e7, n),
+                "y": rng.uniform(-2e7, 2e7, n),
+            }
+        )
+        q, r = col_hex_cell(F.col("x"), F.col("y"), 100000.0)
+        out = (
+            spark.createDataFrame(pdf)
+            .select("pid", q.alias("q"), r.alias("r"))
+            .orderBy("pid")
+            .toPandas()
+        )
+        nq, nr = hex_cell(pdf["x"].to_numpy(), pdf["y"].to_numpy(), 100000.0)
+        assert np.array_equal(out["q"].to_numpy(), nq)
+        assert np.array_equal(out["r"].to_numpy(), nr)
