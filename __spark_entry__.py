@@ -5849,6 +5849,129 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def _gtiff_windowed_src(spark, sf_dir, overviews):
+    """Shared fixture for the windowed/COG entries: one 48x64 int32
+    grid per nation row with cell(y, x) = key*100000 + y*64 + x,
+    written through the DISTRIBUTED GeoTIFF sink as 16px tiles +
+    Deflate (+ optional embedded overview IFDs)."""
+    import os
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import write_gtiff
+
+    import numpy as np
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = (yy * 64 + xx).astype(np.int32)
+    rows = [
+        (
+            f"n{k}",
+            codecs.encode_raw(np.int32(k * 100000) + base),
+            64, 48, "raw",
+            float(k * 10), 1.0, 0.0, 48.0, 0.0, -1.0,
+            32601 + int(k), None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_cog_")
+    write_gtiff(src, tmp, compression="deflate", tile_size=16,
+                overviews=overviews)
+    return os.path.join(tmp, "*.tif")
+
+
+def q_gtiff_windowed(spark, sf_dir):
+    """COG-posture windowed GeoTIFF scan (formats.scan_gtiff_windowed —
+    the 100-TB raster read path: the driver parses ONLY the IFD chain
+    with targeted seeks, groups block-rows into row-band windows from
+    the per-block byte counts, and fans out exactly one task per
+    window, each seeking/decoding only its own blocks). target_bytes=1
+    forces one window per 16px block-row, so every 48-row grid splits
+    into three 16-row windows with shifted geotransforms; per-window
+    (w, h, gt3, pixel sum) only match the closed-form SQL if the
+    planner's row-banding, the window block decode, and the gt shift
+    are all exact."""
+    from gdal_spark.formats import scan_gtiff_windowed
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    glob = _gtiff_windowed_src(spark, sf_dir, overviews=None)
+    imgs = scan_gtiff_windowed(spark, glob, target_bytes=1)
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt3", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_gtiff_windowed_sql():
+    return (
+        "SELECT 'n' || n_nationkey || '_w00' || wi AS image_id, "
+        "64 AS w, 16 AS h, CAST(48 - 16 * wi AS DOUBLE) AS gt3, "
+        "32601 + n_nationkey AS srid, "
+        "CAST(n_nationkey * 102400000.0 + 1048576 * wi + 523776 AS DOUBLE) "
+        "AS sum_val "
+        "FROM nation CROSS JOIN (VALUES (0), (1), (2)) AS wv(wi) "
+        "ORDER BY image_id"
+    )
+
+
+def q_gtiff_overview(spark, sf_dir):
+    """COG overview-level read: the same grids written WITH an embedded
+    2x decimation IFD (format_gtiff overviews=[2] -> NewSubfileType=1
+    directory, 2x2 exact box average), scanned at level=1 windowed.
+    The oracle replays the decimation closed-form: the 2x2 mean of the
+    linear cell pattern lands exactly on value+32.5 with an even
+    neighbor, so round-half-to-even gives ov(y', x') = key*100000 +
+    128*y' + 2*x' + 32 — per-window sums + the 2x-coarsened window
+    geotransform pin the overview write, the IFD-chain walk, AND the
+    average kernel bit-for-bit."""
+    from gdal_spark.formats import scan_gtiff_windowed
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    glob = _gtiff_windowed_src(spark, sf_dir, overviews=[2])
+    imgs = scan_gtiff_windowed(spark, glob, level=1, target_bytes=1)
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt3", "gt5")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_gtiff_overview_sql():
+    # window 0 = overview rows 0..15 (512 px), window 1 = rows 16..23
+    # (256 px); sums derived in q_gtiff_overview's docstring
+    return (
+        "SELECT 'n' || n_nationkey || '_w00' || wi AS image_id, "
+        "32 AS w, CASE wi WHEN 0 THEN 16 ELSE 8 END AS h, "
+        "CAST(CASE wi WHEN 0 THEN 48 ELSE 16 END AS DOUBLE) AS gt3, "
+        "CAST(-2 AS DOUBLE) AS gt5, "
+        "CAST(CASE wi WHEN 0 THEN n_nationkey * 51200000 + 523776 "
+        "ELSE n_nationkey * 25600000 + 655104 END AS DOUBLE) AS sum_val "
+        "FROM nation CROSS JOIN (VALUES (0), (1)) AS wv(wi) "
+        "ORDER BY image_id"
+    )
+
+
 def q_s2_cells(spark, sf_dir):
     """True S2 cell encoding (gdal_spark.cells_s2 — the north star's
     "vectorized H3/S2 cell encoding" as PURE Spark Column math: cube-face
@@ -6426,6 +6549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gtiff_windowed": q_gtiff_windowed,
+        "gtiff_overview": q_gtiff_overview,
         "s2_cells": q_s2_cells,
         "s2_rect_join": q_s2_rect_join,
         "hexbin": q_hexbin,
@@ -6593,6 +6718,8 @@ def oracle_sql() -> dict[str, str]:
         "csv_vector_roundtrip": q_csv_vector_roundtrip_sql(),
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip_sql(),
         "bpe_tokenize": q_bpe_tokenize_sql(),
+        "gtiff_windowed": q_gtiff_windowed_sql(),
+        "gtiff_overview": q_gtiff_overview_sql(),
         "s2_cells": q_s2_cells_sql(),
         "s2_rect_join": q_s2_rect_join_sql(),
         "hexbin": q_hexbin_sql(),

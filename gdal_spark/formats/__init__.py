@@ -35,8 +35,13 @@ from .geoparquet import (  # noqa: F401
 )
 from .gtiff import (  # noqa: F401
     format_gtiff,
+    gtiff_levels,
     parse_gtiff,
+    plan_gtiff_windows,
+    read_gtiff_window,
+    read_ifd_chain,
     scan_gtiff,
+    scan_gtiff_windowed,
     write_gtiff,
 )
 from .kml import scan_kml, write_kml  # noqa: F401

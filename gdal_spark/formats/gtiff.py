@@ -35,6 +35,21 @@ georef as gt0..gt5 + srid columns), after which every raster operator
 (warp, tile, contour, DEM, zonal...) applies unchanged. The sink
 (:func:`write_gtiff`) is file-per-row, written BY THE TASK that holds
 the row — a distributed many-files sink with no driver funnel.
+
+Cloud-Optimized-GeoTIFF posture (the 100-TB path): one-task-per-file
+caps the file size an executor can hold, so :func:`scan_gtiff_windowed`
+reads a SINGLE huge GeoTIFF distributed — the driver parses only the
+IFD chain with targeted seeks (:func:`read_ifd_chain`: header + tag
+values, never pixel blocks — exactly the bytes a COG reader range-
+requests), groups block-rows into ~``target_bytes`` row-band windows
+from the per-block byte counts (:func:`plan_gtiff_windows`), and each
+task seeks/reads/decodes ONLY its own windows' blocks
+(:func:`read_gtiff_window`). Reduced-resolution IFDs in the chain
+(NewSubfileType bit 1 — the COG overview layout, ref
+frmts/gtiff/cogdriver.cpp semantics) are exposed as levels, and
+:func:`format_gtiff` can WRITE them (``overviews=[2,4,...]``, 2x2
+average like the reference's default overview resampling), so the
+engine round-trips the COG layout it scans.
 """
 
 from __future__ import annotations
@@ -68,6 +83,7 @@ _TYPES = {
     12: ("d", 8),  # DOUBLE
 }
 
+_T_NEW_SUBFILE_TYPE = 254
 _T_IMAGE_WIDTH = 256
 _T_IMAGE_LENGTH = 257
 _T_BITS_PER_SAMPLE = 258
@@ -255,23 +271,76 @@ def packbits_encode(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _read_ifd(buf: bytes, bo: str, off: int) -> dict:
-    (n,) = struct.unpack_from(bo + "H", buf, off)
-    tags = {}
+def _read_ifd_fh(f, bo: str, off: int) -> tuple[dict, int]:
+    """Parse ONE IFD from a seekable file object with targeted reads:
+    the entry block, then each out-of-line tag value. Returns
+    (tags, next_ifd_offset). Never touches pixel blocks — over an
+    object store this is exactly the byte set a COG reader fetches."""
+    f.seek(off)
+    head = f.read(2)
+    (n,) = struct.unpack(bo + "H", head)
+    ent = f.read(12 * n + 4)
+    (nxt,) = struct.unpack_from(bo + "I", ent, 12 * n)
+    pending = []  # (tag, typ, cnt, voff) out-of-line values
+    tags: dict = {}
     for k in range(n):
-        base = off + 2 + 12 * k
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, base)
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", ent, 12 * k)
         if typ not in _TYPES:
             continue
         letter, size = _TYPES[typ]
         total = cnt * size
-        voff = base + 8 if total <= 4 else struct.unpack_from(bo + "I", buf, base + 8)[0]
+        if total <= 4:
+            raw = ent[12 * k + 8:12 * k + 8 + total]
+            if typ == 2:
+                tags[tag] = raw.split(b"\x00")[0].decode("latin-1")
+            else:
+                tags[tag] = list(struct.unpack(bo + str(cnt) + letter, raw))
+        else:
+            (voff,) = struct.unpack_from(bo + "I", ent, 12 * k + 8)
+            pending.append((tag, typ, cnt, voff))
+    for tag, typ, cnt, voff in sorted(pending, key=lambda p: p[3]):
+        letter, size = _TYPES[typ]
+        f.seek(voff)
+        raw = f.read(cnt * size)
         if typ == 2:
-            raw = buf[voff:voff + cnt]
             tags[tag] = raw.split(b"\x00")[0].decode("latin-1")
         else:
-            tags[tag] = list(struct.unpack_from(bo + str(cnt) + letter, buf, voff))
-    return tags
+            tags[tag] = list(struct.unpack(bo + str(cnt) + letter, raw))
+    return tags, int(nxt)
+
+
+def _open_tiff(f) -> str:
+    """Check the byte-order mark + magic; return the struct prefix."""
+    f.seek(0)
+    head = f.read(8)
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (no II/MM byte-order mark)")
+    (magic,) = struct.unpack_from(bo + "H", head, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF (magic 43) not supported; classic only")
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    return bo
+
+
+def read_ifd_chain(f) -> tuple[str, list[dict]]:
+    """Walk the whole IFD chain (main image + COG-style overview
+    directories) with header-byte reads only. Returns (byte-order
+    prefix, [tags per IFD])."""
+    bo = _open_tiff(f)
+    f.seek(4)
+    (off,) = struct.unpack(bo + "I", f.read(4))
+    chain = []
+    seen = set()
+    while off and off not in seen and len(chain) < 64:
+        seen.add(off)
+        tags, off = _read_ifd_fh(f, bo, off)
+        chain.append(tags)
+    return bo, chain
 
 
 def _dtype_for(bits: int, sfmt: int, bo: str):
@@ -289,23 +358,10 @@ def _depredict(block: np.ndarray) -> np.ndarray:
     return np.cumsum(block, axis=1, dtype=np.int64).astype(block.dtype)
 
 
-def parse_gtiff(buf: bytes):
-    """TIFF bytes -> (array (h, w) or (h, w, c), geotransform tuple,
-    srid int, nodata float|None). First IFD only."""
-    if buf[:2] == b"II":
-        bo = "<"
-    elif buf[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF (no II/MM byte-order mark)")
-    (magic,) = struct.unpack_from(bo + "H", buf, 2)
-    if magic == 43:
-        raise ValueError("BigTIFF (magic 43) not supported; classic only")
-    if magic != 42:
-        raise ValueError(f"bad TIFF magic {magic}")
-    (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
-    tags = _read_ifd(buf, bo, ifd_off)
-
+def _level_from_tags(tags: dict, bo: str) -> dict:
+    """Extract one IFD's decode parameters + block index (offsets /
+    byte counts) into a plain dict — everything a task needs to decode
+    any block of this level without re-reading the header."""
     w = int(tags[_T_IMAGE_WIDTH][0])
     h = int(tags[_T_IMAGE_LENGTH][0])
     spp = int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0])
@@ -314,12 +370,14 @@ def parse_gtiff(buf: bytes):
         raise ValueError(f"heterogeneous BitsPerSample {bits_l} unsupported")
     bits = int(bits_l[0])
     comp = int(tags.get(_T_COMPRESSION, [1])[0])
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_DEFLATE,
+                    _COMP_DEFLATE_OLD, _COMP_PACKBITS):
+        raise ValueError(f"compression {comp} unsupported "
+                         "(none/LZW/Deflate/PackBits)")
     planar = int(tags.get(_T_PLANAR_CONFIG, [1])[0])
     pred = int(tags.get(_T_PREDICTOR, [1])[0])
     sfmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
-    dtype = _dtype_for(bits, sfmt, bo)
-    bpp = dtype.itemsize
-
+    _dtype_for(bits, sfmt, bo)  # validate early
     tiled = _T_TILE_OFFSETS in tags
     if tiled:
         bw = int(tags[_T_TILE_WIDTH][0])
@@ -328,61 +386,30 @@ def parse_gtiff(buf: bytes):
         counts = tags.get(_T_TILE_BYTE_COUNTS)
     else:
         bw = w
-        bh = int(tags.get(_T_ROWS_PER_STRIP, [h])[0])
-        bh = min(bh, h)
+        bh = min(int(tags.get(_T_ROWS_PER_STRIP, [h])[0]), h)
         offsets = tags[_T_STRIP_OFFSETS]
         counts = tags.get(_T_STRIP_BYTE_COUNTS)
     if counts is None:
         raise ValueError("missing Strip/TileByteCounts")
-
     across = (w + bw - 1) // bw
     down = (h + bh - 1) // bh
     per_plane = across * down
     nplanes = spp if planar == 2 else 1
-    chans = 1 if planar == 2 else spp
     if len(offsets) < per_plane * nplanes:
         raise ValueError(
             f"{len(offsets)} blocks < expected {per_plane * nplanes}"
         )
+    return {
+        "bo": bo, "w": w, "h": h, "spp": spp, "bits": bits, "sfmt": sfmt,
+        "comp": comp, "planar": planar, "pred": pred, "tiled": tiled,
+        "bw": bw, "bh": bh, "across": across, "down": down,
+        "offsets": [int(o) for o in offsets],
+        "counts": [int(c) for c in counts],
+    }
 
-    out = np.zeros((h, w, spp), dtype=dtype.newbyteorder("="))
-    for plane in range(nplanes):
-        for bi in range(per_plane):
-            o = int(offsets[plane * per_plane + bi])
-            c = int(counts[plane * per_plane + bi])
-            if o == 0 and c == 0:
-                continue  # sparse block -> stays zero
-            raw = buf[o:o + c]
-            if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
-                raw = zlib.decompress(raw)
-            elif comp == _COMP_LZW:
-                raw = lzw_decode(raw)
-            elif comp == _COMP_PACKBITS:
-                raw = packbits_decode(raw)
-            elif comp != _COMP_NONE:
-                raise ValueError(f"compression {comp} unsupported "
-                                 "(none/LZW/Deflate/PackBits)")
-            ty, tx = (bi // across) * bh, (bi % across) * bw
-            rows = min(bh, h - ty)
-            cols = min(bw, w - tx)
-            # tiles are always full-size in the file; strips may be short
-            frows = bh if tiled else rows
-            want = frows * bw * chans * bpp
-            if len(raw) < want:
-                raw = raw + b"\x00" * (want - len(raw))
-            block = np.frombuffer(raw[:want], dtype=dtype).reshape(
-                frows, bw, chans
-            )
-            if pred == 2:
-                block = _depredict(block)
-            if plane == 0 and nplanes == 1:
-                out[ty:ty + rows, tx:tx + cols, :] = block[:rows, :cols, :]
-            else:
-                out[ty:ty + rows, tx:tx + cols, plane] = block[:rows, :cols, 0]
 
-    arr = out[:, :, 0] if spp == 1 else out
-
-    # --- georeferencing ---
+def _georef_from_tags(tags: dict):
+    """(geotransform, srid, nodata) from the GeoTIFF / GDAL tags."""
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
     if _T_MODEL_TRANSFORMATION in tags:
         t = tags[_T_MODEL_TRANSFORMATION]
@@ -417,6 +444,122 @@ def parse_gtiff(buf: bytes):
             nodata = float(str(nd).strip())
         except ValueError:
             pass
+    return gt, srid, nodata
+
+
+def _decode_block(raw: bytes, lvl: dict, frows: int) -> np.ndarray:
+    """One compressed block -> (frows, bw, chans) array."""
+    comp = lvl["comp"]
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        raw = zlib.decompress(raw)
+    elif comp == _COMP_LZW:
+        raw = lzw_decode(raw)
+    elif comp == _COMP_PACKBITS:
+        raw = packbits_decode(raw)
+    dtype = _dtype_for(lvl["bits"], lvl["sfmt"], lvl["bo"])
+    chans = 1 if lvl["planar"] == 2 else lvl["spp"]
+    want = frows * lvl["bw"] * chans * dtype.itemsize
+    if len(raw) < want:
+        raw = raw + b"\x00" * (want - len(raw))
+    block = np.frombuffer(raw[:want], dtype=dtype).reshape(
+        frows, lvl["bw"], chans
+    )
+    if lvl["pred"] == 2:
+        block = _depredict(block)
+    return block
+
+
+def read_gtiff_window(f, lvl: dict, x0: int, y0: int, ww: int, wh: int):
+    """Decode exactly the blocks of ``lvl`` intersecting the pixel
+    window (x0, y0, ww, wh) from a seekable file object. Bytes touched
+    = the window's own compressed blocks — nothing else (the COG
+    access pattern; the accounting test pins this with a counting
+    file wrapper). Returns (wh, ww[, spp]) array."""
+    w, h = lvl["w"], lvl["h"]
+    if not (0 <= x0 and 0 <= y0 and x0 + ww <= w and y0 + wh <= h):
+        raise ValueError(f"window {(x0, y0, ww, wh)} outside {w}x{h}")
+    bw, bh, across = lvl["bw"], lvl["bh"], lvl["across"]
+    per_plane = lvl["across"] * lvl["down"]
+    spp = lvl["spp"]
+    nplanes = spp if lvl["planar"] == 2 else 1
+    dtype = _dtype_for(lvl["bits"], lvl["sfmt"], lvl["bo"])
+    out = np.zeros((wh, ww, spp), dtype=dtype.newbyteorder("="))
+    offsets, counts = lvl["offsets"], lvl["counts"]
+    for plane in range(nplanes):
+        for by in range(y0 // bh, (y0 + wh - 1) // bh + 1):
+            for bx in range(x0 // bw, (x0 + ww - 1) // bw + 1):
+                bi = plane * per_plane + by * across + bx
+                o, c = offsets[bi], counts[bi]
+                ty, tx = by * bh, bx * bw
+                rows = min(bh, h - ty)
+                cols = min(bw, w - tx)
+                if o == 0 and c == 0:
+                    continue  # sparse block -> stays zero
+                frows = bh if lvl["tiled"] else rows
+                f.seek(o)
+                block = _decode_block(f.read(c), lvl, frows)
+                # intersect block extent with the window
+                ry0 = max(ty, y0)
+                ry1 = min(ty + rows, y0 + wh)
+                rx0 = max(tx, x0)
+                rx1 = min(tx + cols, x0 + ww)
+                sub = block[ry0 - ty:ry1 - ty, rx0 - tx:rx1 - tx, :]
+                if plane == 0 and nplanes == 1:
+                    out[ry0 - y0:ry1 - y0, rx0 - x0:rx1 - x0, :] = sub
+                else:
+                    out[ry0 - y0:ry1 - y0, rx0 - x0:rx1 - x0, plane] = (
+                        sub[:, :, 0]
+                    )
+    return out[:, :, 0] if spp == 1 else out
+
+
+def gtiff_levels(f) -> tuple[list[dict], tuple, int, float | None]:
+    """All usable resolution levels of an open TIFF: level 0 = the
+    main image; levels 1+ = chain IFDs that are reduced-resolution
+    (NewSubfileType bit 1, the COG overview layout — or, leniently,
+    any later directory strictly smaller than the main image; other
+    pages are ignored like the reference's default single-dataset
+    Open). Georef comes from the main IFD; each overview level gets
+    the scaled geotransform."""
+    bo, chain = read_ifd_chain(f)
+    if not chain:
+        raise ValueError("TIFF with no IFD")
+    main = _level_from_tags(chain[0], bo)
+    gt, srid, nodata = _georef_from_tags(chain[0])
+    main["gt"] = gt
+    levels = [main]
+    for tags in chain[1:]:
+        sub = int(tags.get(_T_NEW_SUBFILE_TYPE, [0])[0])
+        try:
+            lvl = _level_from_tags(tags, bo)
+        except (ValueError, KeyError):
+            continue
+        reduced = (sub & 1) or (
+            lvl["w"] < main["w"] and lvl["h"] < main["h"]
+        )
+        if not reduced:
+            continue
+        fx = main["w"] / lvl["w"]
+        fy = main["h"] / lvl["h"]
+        lvl["gt"] = (gt[0], gt[1] * fx, gt[2] * fx,
+                     gt[3], gt[4] * fy, gt[5] * fy)
+        levels.append(lvl)
+    return levels, gt, srid, nodata
+
+
+def parse_gtiff(buf: bytes):
+    """TIFF bytes -> (array (h, w) or (h, w, c), geotransform tuple,
+    srid int, nodata float|None). First IFD only."""
+    import io
+
+    f = io.BytesIO(buf)
+    bo = _open_tiff(f)
+    f.seek(4)
+    (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+    tags, _ = _read_ifd_fh(f, bo, ifd_off)
+    lvl = _level_from_tags(tags, bo)
+    arr = read_gtiff_window(f, lvl, 0, 0, lvl["w"], lvl["h"])
+    gt, srid, nodata = _georef_from_tags(tags)
     return arr, gt, srid, nodata
 
 
@@ -428,23 +571,20 @@ _W_COMP = {"none": _COMP_NONE, "deflate": _COMP_DEFLATE,
            "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS}
 
 
-def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
-                 nodata: float | None = None, compression: str = "deflate",
-                 predictor: bool = False, tile_size: int | None = None) -> bytes:
-    """array (+ georef) -> classic little-endian GeoTIFF bytes: single
-    IFD, chunky planar, strips (~64 KiB each, libtiff-style) or
-    ``tile_size``-square tiles, Deflate by default. ``predictor`` turns
-    on horizontal differencing (integer dtypes only)."""
-    a = np.ascontiguousarray(arr)
-    if a.ndim == 2:
-        a = a[:, :, None]
+def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
+                 compression: str, predictor: bool,
+                 tile_size: int | None, ifd_off: int,
+                 next_ifd: int | None, reduced: bool) -> bytes:
+    """One complete IFD section (directory + overflow values + pixel
+    blocks) laid out to start at absolute offset ``ifd_off``. The
+    next-IFD pointer is patched in by the caller via ``next_ifd``
+    (``None`` means "unknown yet" and writes 0 — caller must know).
+    ``reduced`` marks a COG overview directory (NewSubfileType=1, no
+    georef tags — georef lives on the main IFD, as the reference
+    writes it)."""
     h, w, spp = a.shape
     dt = a.dtype
-    if dt.kind not in "uif" or dt.itemsize not in (1, 2, 4, 8):
-        raise ValueError(f"dtype {dt} unsupported")
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
-    if predictor and dt.kind == "f":
-        raise ValueError("predictor=2 is for integer samples")
     a = a.astype(dt.newbyteorder("<"), copy=False)
     comp = _W_COMP[compression]
     bpp = dt.itemsize
@@ -490,6 +630,8 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
     def add(tag, typ, vals):
         entries.append((tag, typ, len(vals), list(vals)))
 
+    if reduced:
+        add(_T_NEW_SUBFILE_TYPE, 4, [1])
     add(_T_IMAGE_WIDTH, 3, [w])
     add(_T_IMAGE_LENGTH, 3, [h])
     add(_T_BITS_PER_SAMPLE, 3, [bpp * 8] * spp)
@@ -505,7 +647,7 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
         add(_T_TILE_WIDTH, 3, [bw])
         add(_T_TILE_LENGTH, 3, [bh])
     add(_T_SAMPLE_FORMAT, 3, [sfmt] * spp)
-    if gt is not None:
+    if gt is not None and not reduced:
         if gt[2] or gt[4]:
             add(_T_MODEL_TRANSFORMATION, 12,
                 [gt[1], gt[2], 0.0, gt[0], gt[4], gt[5], 0.0, gt[3],
@@ -513,7 +655,7 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
         else:
             add(_T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
             add(_T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
-    if srid:
+    if srid and not reduced:
         from .geoparquet import _GEOGRAPHIC_EPSG
 
         geographic = int(srid) in _GEOGRAPHIC_EPSG
@@ -523,7 +665,7 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
         gk += ([_GK_GEOGRAPHIC_TYPE, 0, 1, int(srid)] if geographic
                else [_GK_PROJECTED_CS_TYPE, 0, 1, int(srid)])
         add(_T_GEO_KEY_DIRECTORY, 3, gk)
-    if nodata is not None:
+    if nodata is not None and not reduced:
         s = (f"{nodata:.17g}\x00").encode("ascii")
         entries.append((_T_GDAL_NODATA, 2, len(s), [s]))
 
@@ -534,7 +676,6 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
     entries.sort(key=lambda e: e[0])
 
     n = len(entries)
-    ifd_off = 8
     data_off = ifd_off + 2 + n * 12 + 4  # overflow area starts here
     overflow = bytearray()
     fixed = []
@@ -567,15 +708,74 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
                 overflow[ovf:ovf + len(payload)] = payload
 
     out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", ifd_off)
     out += struct.pack("<H", n)
     for tag, typ, cnt, inline, ovf in fixed:
         out += struct.pack("<HHI", tag, typ, cnt)
         out += inline if inline is not None else struct.pack("<I", data_off + ovf)
-    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<I", next_ifd or 0)
     out += overflow
     for b in blocks:
         out += b
+    return bytes(out)
+
+
+def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
+                 nodata: float | None = None, compression: str = "deflate",
+                 predictor: bool = False, tile_size: int | None = None,
+                 overviews: list[int] | None = None) -> bytes:
+    """array (+ georef) -> classic little-endian GeoTIFF bytes: main
+    IFD, chunky planar, strips (~64 KiB each, libtiff-style) or
+    ``tile_size``-square tiles, Deflate by default. ``predictor`` turns
+    on horizontal differencing (integer dtypes only). ``overviews``
+    appends reduced-resolution IFDs at the given decimation factors
+    (2x2-average resampled, NewSubfileType=1 — the COG overview
+    layout), which :func:`gtiff_levels` / :func:`scan_gtiff_windowed`
+    then expose as levels 1+."""
+    from ..resample import resize_average
+
+    a = np.ascontiguousarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, _spp = a.shape
+    dt = a.dtype
+    if dt.kind not in "uif" or dt.itemsize not in (1, 2, 4, 8):
+        raise ValueError(f"dtype {dt} unsupported")
+    if predictor and dt.kind == "f":
+        raise ValueError("predictor=2 is for integer samples")
+
+    images: list[tuple[np.ndarray, bool]] = [(a, False)]
+    for fac in overviews or []:
+        fac = int(fac)
+        if fac < 2:
+            raise ValueError(f"overview factor {fac} must be >= 2")
+        oh = max(1, (h + fac - 1) // fac)
+        ow = max(1, (w + fac - 1) // fac)
+        ov = resize_average(a, oh, ow)
+        if dt.kind in "ui":
+            ov = np.rint(ov)
+        images.append((np.ascontiguousarray(ov.astype(dt)), True))
+
+    # lay sections out sequentially: each section's size is known once
+    # built, so the next IFD's absolute offset is too
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    sections: list[bytes] = []
+    cur = 8
+    offsets = []
+    for img, reduced in images:
+        sec = _ifd_section(img, gt, srid, nodata, compression, predictor,
+                           tile_size, cur, None, reduced)
+        offsets.append(cur)
+        sections.append(sec)
+        cur += len(sec)
+    for i, sec in enumerate(sections):
+        if i + 1 < len(sections):
+            # patch this section's next-IFD pointer (last 4 bytes of
+            # the directory part = after 2 + 12n entry bytes)
+            (n,) = struct.unpack_from("<H", sec, 0)
+            ptr_at = 2 + 12 * n
+            sec = (sec[:ptr_at] + struct.pack("<I", offsets[i + 1])
+                   + sec[ptr_at + 4:])
+        out += sec
     return bytes(out)
 
 
@@ -618,10 +818,151 @@ def scan_gtiff(spark, path_glob: str):
     )
 
 
+def plan_gtiff_windows(lvl: dict, target_bytes: int = 32 << 20):
+    """Group consecutive block-rows of one level into row-band windows
+    whose COMPRESSED input is ~``target_bytes`` each (from the IFD's
+    per-block byte counts — no pixel bytes touched). Returns
+    ``[(block_row_start, block_row_end, nbytes)]``; every window is at
+    least one block-row, so a single giant strip still yields one
+    (documented) unsplittable task."""
+    across, down = lvl["across"], lvl["down"]
+    per_plane = across * down
+    nplanes = lvl["spp"] if lvl["planar"] == 2 else 1
+    counts = lvl["counts"]
+    row_bytes = [
+        sum(
+            counts[p * per_plane + by * across + bx]
+            for p in range(nplanes)
+            for bx in range(across)
+        )
+        for by in range(down)
+    ]
+    windows = []
+    start, acc = 0, 0
+    for by in range(down):
+        if acc and acc + row_bytes[by] > target_bytes:
+            windows.append((start, by, acc))
+            start, acc = by, 0
+        acc += row_bytes[by]
+    windows.append((start, down, acc))
+    return windows
+
+
+def scan_gtiff_windowed(spark, path_glob: str, level: int = 0,
+                        target_bytes: int = 32 << 20):
+    """Distributed WINDOWED GeoTIFF read — the scale path for files too
+    big for :func:`scan_gtiff`'s one-task-per-file shape (a 100 GB COG
+    must not be one task). The driver reads only header/IFD bytes per
+    file (:func:`read_ifd_chain`), plans ~``target_bytes`` row-band
+    windows from the block byte counts, and fans out EXACTLY one task
+    per window; each task seeks/reads/decodes only its own blocks and
+    emits a standard images-table row with the window's shifted
+    geotransform, so every downstream raster operator composes
+    unchanged. ``level`` selects a reduced-resolution IFD (COG
+    overview) — reading level k touches 1/4^k of the bytes.
+
+    Window rows are named ``{stem}_w{k:03d}`` when a file splits
+    (single-window files keep the plain stem, drop-in compatible with
+    :func:`scan_gtiff`)."""
+    import glob as _glob
+    import json
+
+    pat = local_path(path_glob)
+    paths = (sorted(_glob.glob(pat))
+             if any(ch in pat for ch in "*?[") else [pat])
+    if not paths:
+        raise FileNotFoundError(path_glob)
+
+    tasks = []
+    for path in paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        with open(path, "rb") as f:
+            levels, _gt, srid, nodata = gtiff_levels(f)
+        if level >= len(levels):
+            raise ValueError(
+                f"{path}: level {level} requested, file has {len(levels)}"
+            )
+        lvl = levels[level]
+        gtl = lvl["gt"]
+        nplanes = lvl["spp"] if lvl["planar"] == 2 else 1
+        per_plane = lvl["across"] * lvl["down"]
+        wins = plan_gtiff_windows(lvl, target_bytes)
+        many = len(wins) > 1
+        for wi, (by0, by1, _nb) in enumerate(wins):
+            y0 = by0 * lvl["bh"]
+            wh = min(lvl["h"], by1 * lvl["bh"]) - y0
+            # slice ONLY this window's block index into the task (the
+            # full offsets array of a 100k-block file must not ride on
+            # every task)
+            sl_off, sl_cnt = [], []
+            for p in range(nplanes):
+                for by in range(by0, by1):
+                    lo = p * per_plane + by * lvl["across"]
+                    sl_off += lvl["offsets"][lo:lo + lvl["across"]]
+                    sl_cnt += lvl["counts"][lo:lo + lvl["across"]]
+            sub = {
+                k: lvl[k]
+                for k in ("bo", "w", "spp", "bits", "sfmt", "comp",
+                          "planar", "pred", "tiled", "bw", "bh", "across")
+            }
+            sub.update(h=wh, down=by1 - by0, offsets=sl_off, counts=sl_cnt)
+            tasks.append((
+                path,
+                f"{stem}_w{wi:03d}" if many else stem,
+                json.dumps(sub),
+                gtl[0] + y0 * gtl[2], gtl[1], gtl[2],
+                gtl[3] + y0 * gtl[5], gtl[4], gtl[5],
+                int(srid),
+                float(nodata) if nodata is not None else None,
+            ))
+
+    # one slice per window: exactly one task per planned byte span
+    # (repartition's round-robin can clump — same fix as the FGB scan)
+    tdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(tasks, len(tasks)),
+        "path string, image_id string, lvl string, gt0 double, "
+        "gt1 double, gt2 double, gt3 double, gt4 double, gt5 double, "
+        "srid int, nodata double",
+    )
+
+    def read_windows(batches):
+        import json as _json
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lvl = _json.loads(r.lvl)
+                with open(r.path, "rb") as f:
+                    arr = read_gtiff_window(f, lvl, 0, 0,
+                                            lvl["w"], lvl["h"])
+                if np.dtype(arr.dtype) not in codecs._DTYPE_CODES:
+                    arr = arr.astype(
+                        np.float64 if arr.dtype.kind in "uif" else arr.dtype
+                    )
+                rows.append({
+                    "image_id": r.image_id,
+                    "bytes": codecs.encode_raw(arr),
+                    "w": arr.shape[1], "h": arr.shape[0], "fmt": "raw",
+                    "gt0": r.gt0, "gt1": r.gt1, "gt2": r.gt2,
+                    "gt3": r.gt3, "gt4": r.gt4, "gt5": r.gt5,
+                    "srid": r.srid,
+                    "nodata": None if pd.isna(r.nodata) else float(r.nodata),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "gt0", "gt1",
+                         "gt2", "gt3", "gt4", "gt5", "srid", "nodata"],
+            )
+
+    return tdf.mapInPandas(read_windows, schema=OUT_SCHEMA)
+
+
 def write_gtiff(df, out_dir: str, compression: str = "deflate",
-                predictor: bool = False, tile_size: int | None = None):
+                predictor: bool = False, tile_size: int | None = None,
+                overviews: list[int] | None = None):
     """One .tif per row, written by the task that holds the row (the
-    same distributed many-files layout as the AAIGrid sink)."""
+    same distributed many-files layout as the AAIGrid sink).
+    ``overviews`` embeds COG-style reduced-resolution IFDs."""
     out_dir = local_path(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     has_nodata = "nodata" in df.columns
@@ -641,7 +982,7 @@ def write_gtiff(df, out_dir: str, compression: str = "deflate",
                     f.write(format_gtiff(
                         arr, gt, srid=srid, nodata=nd,
                         compression=compression, predictor=predictor,
-                        tile_size=tile_size,
+                        tile_size=tile_size, overviews=overviews,
                     ))
                 names.append(path)
             yield pd.DataFrame({"path": names})

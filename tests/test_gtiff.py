@@ -184,3 +184,158 @@ class TestSpark:
         assert gdal_checksum(
             codecs.decode_image(bytes(r.bytes), r.fmt)
         ) == 4672
+
+
+class TestWindowedScan:
+    """COG-posture reads: header-only planning, per-window tasks,
+    overview levels (formats.gtiff.scan_gtiff_windowed)."""
+
+    def _write(self, tmp_path, name, arr, **kw):
+        from gdal_spark.formats import format_gtiff
+
+        p = tmp_path / name
+        p.write_bytes(format_gtiff(
+            arr, (100.0, 2.0, 0.0, 900.0, 0.0, -2.0), srid=32601,
+            nodata=-9.0, **kw,
+        ))
+        return str(p)
+
+    def test_windowed_equals_whole(self, spark, tmp_path):
+        from gdal_spark import codecs
+        from gdal_spark.formats import scan_gtiff_windowed
+
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 60000, (90, 41), dtype=np.uint16)
+        self._write(tmp_path, "big.tif", a, compression="lzw",
+                    predictor=True, tile_size=16)
+        df = scan_gtiff_windowed(
+            spark, str(tmp_path / "big.tif"), target_bytes=1)
+        rows = sorted(df.collect(), key=lambda r: r.image_id)
+        assert len(rows) == 6  # 90 rows / 16-high tile rows
+        assert df.rdd.getNumPartitions() == 6
+        got = np.vstack([
+            codecs.decode_image(bytes(r.bytes), r.fmt).reshape(r.h, r.w)
+            for r in rows
+        ])
+        np.testing.assert_array_equal(got, a)
+        # window geotransforms tile the source vertically
+        for k, r in enumerate(rows):
+            assert r.gt3 == 900.0 - 2.0 * (16 * k)
+            assert (r.gt0, r.gt1, r.gt5, r.srid, r.nodata) == (
+                100.0, 2.0, -2.0, 32601, -9.0)
+
+    def test_windowed_striped_and_planar(self, spark, tmp_path):
+        """Short final strip + a real planar conformance file."""
+        from gdal_spark import codecs
+        from gdal_spark.formats import parse_gtiff, scan_gtiff_windowed
+
+        rng = np.random.default_rng(8)
+        a = rng.integers(0, 255, (37, 2000, 3), dtype=np.uint8)
+        self._write(tmp_path, "strips.tif", a, compression="deflate")
+        df = scan_gtiff_windowed(
+            spark, str(tmp_path / "strips.tif"), target_bytes=1)
+        rows = sorted(df.collect(), key=lambda r: r.image_id)
+        assert len(rows) > 1
+        got = np.vstack([
+            codecs.decode_image(bytes(r.bytes), r.fmt) for r in rows
+        ])
+        np.testing.assert_array_equal(got, a)
+
+        src = os.path.join(DATA, "small_world.tif")
+        whole, _, _, _ = parse_gtiff(open(src, "rb").read())
+        rows = sorted(
+            scan_gtiff_windowed(spark, src, target_bytes=1).collect(),
+            key=lambda r: r.image_id,
+        )
+        got = np.vstack([
+            codecs.decode_image(bytes(r.bytes), r.fmt) for r in rows
+        ])
+        np.testing.assert_array_equal(got, whole)
+
+    def test_overview_level_scan(self, spark, tmp_path):
+        from gdal_spark import codecs
+        from gdal_spark.formats import scan_gtiff_windowed
+        from gdal_spark.resample import resize_average
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 255, (64, 48), dtype=np.uint8)
+        self._write(tmp_path, "cog.tif", a, compression="deflate",
+                    tile_size=16, overviews=[2, 4])
+        r = scan_gtiff_windowed(
+            spark, str(tmp_path / "cog.tif"), level=2).collect()[0]
+        assert (r.w, r.h) == (12, 16)
+        assert (r.gt1, r.gt5) == (8.0, -8.0)  # 4x coarser
+        exp = np.rint(resize_average(a, 16, 12)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            codecs.decode_image(bytes(r.bytes), r.fmt).reshape(16, 12), exp)
+        with pytest.raises(ValueError, match="level 3"):
+            scan_gtiff_windowed(
+                spark, str(tmp_path / "cog.tif"), level=3).collect()
+
+    def test_single_window_keeps_stem(self, spark, tmp_path):
+        from gdal_spark.formats import scan_gtiff_windowed
+
+        a = np.arange(20 * 9, dtype=np.uint8).reshape(20, 9)
+        self._write(tmp_path, "one.tif", a)
+        ids = [r.image_id for r in scan_gtiff_windowed(
+            spark, str(tmp_path / "one.tif")).collect()]
+        assert ids == ["one"]
+
+    def test_byte_tif_conformance_windowed(self, spark):
+        from gdal_spark import codecs
+        from gdal_spark.formats import scan_gtiff_windowed
+
+        rows = sorted(
+            scan_gtiff_windowed(
+                spark, os.path.join(DATA, "byte.tif"), target_bytes=1
+            ).collect(),
+            key=lambda r: r.image_id,
+        )
+        got = np.vstack([
+            codecs.decode_image(bytes(r.bytes), r.fmt).reshape(r.h, r.w)
+            for r in rows
+        ])
+        assert gdal_checksum(got) == 4672
+        assert rows[0].srid == 26711
+
+
+class TestWindowedByteAccounting:
+    """Pin the COG access pattern: planning touches only header/IFD
+    bytes; a window read touches only its own compressed blocks."""
+
+    def test_bytes_touched(self):
+        import io
+
+        from gdal_spark.formats import (format_gtiff, gtiff_levels,
+                                        plan_gtiff_windows,
+                                        read_gtiff_window)
+
+        class Counting(io.BytesIO):
+            def __init__(self, b):
+                super().__init__(b)
+                self.nread = 0
+
+            def read(self, n=-1):
+                r = super().read(n)
+                self.nread += len(r)
+                return r
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 255, (512, 256), dtype=np.uint8)
+        buf = format_gtiff(a, (0.0, 1.0, 0.0, 512.0, 0.0, -1.0),
+                           compression="deflate", tile_size=32)
+        f = Counting(buf)
+        levels, _, _, _ = gtiff_levels(f)
+        header_bytes = f.nread
+        assert header_bytes < len(buf) * 0.05
+
+        lvl = levels[0]
+        wins = plan_gtiff_windows(lvl, target_bytes=1)
+        assert len(wins) == 16
+        by0, by1, nbytes = wins[3]
+        f2 = Counting(buf)
+        out = read_gtiff_window(f2, lvl, 0, by0 * 32, 256,
+                                (by1 - by0) * 32)
+        np.testing.assert_array_equal(out, a[by0 * 32:by1 * 32])
+        assert f2.nread == nbytes
+        assert f2.nread < len(buf) / 8
