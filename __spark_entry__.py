@@ -15,6 +15,7 @@ verified by tests/ (checksum goldens, brute-force oracles).
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -4258,6 +4259,116 @@ def q_warp_reproject(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def _local_pipeline_cli_rows():
+    # driver-local replay of the exact step chain the pipeline string
+    # lowers to: clip (translate srcwin + re-encode in the row's own
+    # fmt, lossy for jpg), scale (second translate pass, second
+    # re-encode), hillshade (first band, Horn, z=3) encoded raw — so
+    # the VALUES oracle pins the CLI lowering end to end, pixels
+    # included, not just that some steps ran.
+    import numpy as np
+
+    from gdal_spark import codecs as C
+    from gdal_spark import fixtures
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.operators.dem import dem_array
+    from gdal_spark.operators.translate import translate_array
+
+    rows = []
+    for i in range(12):
+        rec = fixtures.image_record(i, tier="t2")
+        fmt = rec["fmt"]
+        arr = C.decode_image(rec["bytes"], fmt)
+        for kwargs in (
+            {"srcwin": (2, 2, 20, 20)},
+            {"scale": (0.0, 255.0, 10.0, 200.0)},
+        ):
+            arr = translate_array(arr, out_dtype=np.uint8, **kwargs)
+            if fmt == "jpg" and arr.ndim == 3 and arr.shape[2] == 4:
+                arr = arr[:, :, :3]
+            arr = C.decode_image(C.encode_image(arr, fmt), fmt)
+        band = arr[:, :, 0] if arr.ndim == 3 else arr
+        out = dem_array(
+            band.astype(np.float64), "hillshade",
+            xres=abs(rec["gt1"]), yres=abs(rec["gt5"]),
+            z_factor=3.0, azimuth=315.0, altitude=45.0,
+        )
+        filled = np.nan_to_num(out, nan=-9999.0)
+        dec = C.decode_image(C.encode_raw(filled), "raw")
+        cks = int(image_checksums(np.atleast_3d(dec))[0])
+        rows.append(
+            (rec["image_id"], int(out.shape[1]), int(out.shape[0]), cks)
+        )
+    rows.sort()
+    return rows
+
+
+def q_pipeline_cli(spark, sf_dir):
+    """`gdal raster pipeline` CLI string lowered onto the distributed
+    engine (gdal_spark/pipeline.py; reference
+    apps/gdalalg_raster_pipeline.cpp step registry + `!` chaining from
+    apps/gdalalg_abstract_pipeline.h): fixture images written to
+    parquet, then the verbatim pipeline text
+    ``read ... ! clip --window ! scale ! hillshade`` runs through
+    parse_pipeline/run_pipeline — one fused narrow Catalyst stage, no
+    shuffle. Emits per-image output-grid shape + first-band GDAL
+    checksum of the hillshaded pixels; the oracle replays the identical
+    chain driver-locally (incl. both per-step re-encode round-trips)."""
+    import tempfile
+
+    from gdal_spark import fixtures
+    from gdal_spark.pipeline import run_pipeline
+
+    src = os.path.join(
+        tempfile.gettempdir(), "gdal_spark_pipeline_cli_images.parquet"
+    )
+    fixtures.images_df(spark, 12, tier="t2", partitions=4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    out = run_pipeline(
+        spark,
+        f"gdal raster pipeline read {src} "
+        "! clip --window=2,2,20,20 "
+        "! scale --src-min=0 --src-max=255 --dst-min=10 --dst-max=200 "
+        "! hillshade --zfactor=3 --azimuth=315 --altitude=45",
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark import codecs as C
+    from gdal_spark.checksum import image_checksums
+
+    def cks(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "image_id": r.image_id,
+                    "w": int(r.w),
+                    "h": int(r.h),
+                    "checksum": image_checksums(
+                        np.atleast_3d(C.decode_image(bytes(r.bytes), r.fmt))
+                    )[0],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "checksum"]
+            )
+
+    return out.mapInPandas(
+        cks, schema="image_id string, w int, h int, checksum int"
+    ).orderBy("image_id")
+
+
+def q_pipeline_cli_sql():
+    return _vals_sql(
+        _local_pipeline_cli_rows(),
+        ["image_id", "w", "h", "checksum"],
+        "image_id",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH pairs, exact-verified: with r=2 bands the candidate
     recall at J=0.5 is 1-(0.75)^32 ~ 0.9999 and the widened signature
@@ -6549,6 +6660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "pipeline_cli": q_pipeline_cli,
         "gtiff_windowed": q_gtiff_windowed,
         "gtiff_overview": q_gtiff_overview,
         "s2_cells": q_s2_cells,
@@ -6682,6 +6794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pipeline_cli": q_pipeline_cli_sql(),
         "tile_assign_z8": q_tile_assign_z8_sql(),
         "cell_pack_z10": q_cell_pack_z10_sql(),
         "xyz_tms_flip": q_xyz_tms_flip_sql(),
