@@ -636,6 +636,35 @@ def main():
             out,
         )
 
+    # 25. pipeline CLI: a composed read ! clip ! scale ! hillshade string
+    # lowers to ONE narrow chain — every step is a MapInPandas stacked in
+    # the same stage, zero exchanges, nothing materialized between steps
+    with _tf.TemporaryDirectory() as td3:
+        from gdal_spark.pipeline import run_pipeline
+
+        src = f"{td3}/images.parquet"
+        fixtures.images_df(spark, 8, tier="t2", partitions=2).write.parquet(src)
+        pdf = run_pipeline(
+            spark,
+            f"gdal raster pipeline read {src} "
+            "! clip --window=2,2,20,20 "
+            "! scale --src-min=0 --src-max=255 --dst-min=10 --dst-max=200 "
+            "! hillshade --zfactor=3",
+        )
+        audit(
+            "pipeline_cli_fused",
+            pdf,
+            [
+                ("no_exchange", lambda p: "Exchange" not in p),
+                # 3 lowered steps = exactly 3 stacked Arrow passes
+                ("three_arrow_steps",
+                 lambda p: len(re.findall(r"\bMapInPandas\b(?! \()", p)) == 3
+                 or p.count("MapInPandas (") == 3),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+            ],
+            out,
+        )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
