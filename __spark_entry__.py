@@ -4369,6 +4369,79 @@ def q_pipeline_cli_sql():
     )
 
 
+def q_pipeline_vector_cli(spark, sf_dir):
+    """`gdal vector pipeline` CLI string over a real format driver
+    (gdal_spark/pipeline.py; reference apps/gdalalg_vector_pipeline.cpp
+    step registry): orders-derived points go out through the DISTRIBUTED
+    GeoJSONSeq sink (json.dumps shortest-repr floats, exact round-trip),
+    then the verbatim text ``read pts.ndjson ! filter --bbox !
+    reproject --src-crs ! select --fields`` runs through run_pipeline —
+    ndjson scan, inclusive envelope bbox cut, closed-form 4326->3857
+    vertex transform, projection, all one narrow chain. Unlike the
+    raster twin (a driver-local replay), this oracle is fully
+    INDEPENDENT closed-form SQL: the bbox filter and the spherical
+    mercator forward are re-derived in DuckDB from the integer point
+    recipe — no engine code on the oracle path."""
+    import tempfile
+
+    from gdal_spark.formats import write_geojson_seq
+    from gdal_spark.pipeline import run_pipeline
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    lon = (k * 9973 % 36000) / 100.0 - 180.0
+    lat = ((k * 7919 + F.col("o_custkey")) % 16000) / 100.0 - 80.0
+    src = o.select(
+        k.alias("pid"),
+        pt_udf(lon, lat).alias("geometry"),
+        (k % 5).cast("long").alias("bucket"),
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_pvec_")
+    path = os.path.join(tmp, "pts.ndjson")
+    write_geojson_seq(src, path)
+    out = run_pipeline(
+        spark,
+        f"gdal vector pipeline read {path} "
+        "! filter --bbox=-90,-45,90,45 "
+        "! reproject --src-crs=EPSG:4326 --dst-crs=EPSG:3857 "
+        "! select --fields=pid,bucket",
+    )
+    # x is pure rational arithmetic (lon * OS / 180) — bit-exact across
+    # numpy/JVM/DuckDB; y carries ln/tan, where numpy (engine) and DuckDB
+    # (oracle) differ by 1 ulp on ~half the inputs, so y is pinned to a
+    # decimeter (boundary-collision odds ~1 ulp / 0.1 m per row)
+    return out.select(
+        F.col("pid"),
+        _st_centroid_x(F.col("wkb")).alias("x"),
+        F.round(_st_centroid_y(F.col("wkb")), 1).alias("y_dm"),
+        F.col("bucket"),
+    ).orderBy("pid")
+
+
+def q_pipeline_vector_cli_sql():
+    lon = "((o_orderkey * 9973 % 36000) / 100.0 - 180.0)"
+    lat = "(((o_orderkey * 7919 + o_custkey) % 16000) / 100.0 - 80.0)"
+    mx = f"{lon} * 20037508.342789244 / 180.0"
+    my = (
+        f"ln(tan((90.0 + {lat}) * pi() / 360.0)) / (pi() / 180.0) "
+        "* 20037508.342789244 / 180.0"
+    )
+    return (
+        f"SELECT o_orderkey AS pid, {mx} AS x, ROUND({my}, 1) AS y_dm, "
+        "CAST(o_orderkey % 5 AS BIGINT) AS bucket FROM orders "
+        f"WHERE {lon} BETWEEN -90 AND 90 AND {lat} BETWEEN -45 AND 45 "
+        "ORDER BY pid"
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH pairs, exact-verified: with r=2 bands the candidate
     recall at J=0.5 is 1-(0.75)^32 ~ 0.9999 and the widened signature
@@ -6661,6 +6734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
         "pipeline_cli": q_pipeline_cli,
+        "pipeline_vector_cli": q_pipeline_vector_cli,
         "gtiff_windowed": q_gtiff_windowed,
         "gtiff_overview": q_gtiff_overview,
         "s2_cells": q_s2_cells,
@@ -6795,6 +6869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_cli": q_pipeline_cli_sql(),
+        "pipeline_vector_cli": q_pipeline_vector_cli_sql(),
         "tile_assign_z8": q_tile_assign_z8_sql(),
         "cell_pack_z10": q_cell_pack_z10_sql(),
         "xyz_tms_flip": q_xyz_tms_flip_sql(),
