@@ -6033,6 +6033,100 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_vrt_mosaic(spark, sf_dir):
+    """VRT driver (formats.vrt — frmts/vrt analog): one .vrt mosaic per
+    nation row over three GeoTIFF tiles written by the DISTRIBUTED gtiff
+    sink — source a (8x8, value 3k+1) with NO rects (the reference's
+    identity placement, GetSrcDstWindow UNINIT scale = 1), source b
+    (6x6, value 3k+2) as a ComplexSource (ScaleRatio 2 / ScaleOffset 5)
+    painted over a at dst (6,2), source c (4x4, value 3k+3) nearest-
+    stretched SrcRect 4x4 -> DstRect 4x8 painted last. The scan parses
+    only the XML driver-side and fans out ONE TASK PER SOURCE; the
+    groupBy compose paints fragments in document order. Per-image
+    (w, h, gt0, srid, pixel sum) only match the closed-form SQL if the
+    window composition, painter order, complex scaling, and the 8x12
+    canvas clip all land exactly: sum = 52*(3k+1) + 12*(6k+9) +
+    32*(3k+3) = 324k + 256."""
+    import os
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_vrt, write_gtiff
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    import numpy as np
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tile_rows = []
+    for k in keys:
+        for tag, side, val in (("a", 8, 3 * k + 1), ("b", 6, 3 * k + 2),
+                               ("c", 4, 3 * k + 3)):
+            tile_rows.append((
+                f"n{k}{tag}",
+                codecs.encode_raw(
+                    np.full((side, side), val, dtype=np.uint8)),
+                side, side, "raw",
+                0.0, 1.0, 0.0, float(side), 0.0, -1.0, 0, None,
+            ))
+    tiles = spark.createDataFrame(
+        tile_rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(8)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_vrt_")
+    write_gtiff(tiles, tmp, compression="deflate")
+    for k in keys:
+        xml = f"""<VRTDataset rasterXSize="12" rasterYSize="8">
+  <SRS>EPSG:{32601 + int(k)}</SRS>
+  <GeoTransform>{float(k * 10)!r}, 1.0, 0.0, 8.0, 0.0, -1.0</GeoTransform>
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">n{k}a.tif</SourceFilename>
+    </SimpleSource>
+    <ComplexSource>
+      <SourceFilename relativeToVRT="1">n{k}b.tif</SourceFilename>
+      <SrcRect xOff="0" yOff="0" xSize="6" ySize="6"/>
+      <DstRect xOff="6" yOff="2" xSize="6" ySize="6"/>
+      <ScaleRatio>2.0</ScaleRatio>
+      <ScaleOffset>5.0</ScaleOffset>
+    </ComplexSource>
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">n{k}c.tif</SourceFilename>
+      <SrcRect xOff="0" yOff="0" xSize="4" ySize="4"/>
+      <DstRect xOff="8" yOff="0" xSize="4" ySize="8"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>
+"""
+        with open(os.path.join(tmp, f"n{k}.vrt"), "w") as f:
+            f.write(xml)
+    imgs = scan_vrt(spark, os.path.join(tmp, "*.vrt"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_vrt_mosaic_sql():
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 12 AS w, 8 AS h, "
+        "CAST(n_nationkey * 10 AS DOUBLE) AS gt0, "
+        "32601 + n_nationkey AS srid, "
+        "CAST(324 * n_nationkey + 256 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def _gtiff_windowed_src(spark, sf_dir, overviews):
     """Shared fixture for the windowed/COG entries: one 48x64 int32
     grid per nation row with cell(y, x) = key*100000 + y*64 + x,
@@ -6733,6 +6827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "vrt_mosaic": q_vrt_mosaic,
         "pipeline_cli": q_pipeline_cli,
         "pipeline_vector_cli": q_pipeline_vector_cli,
         "gtiff_windowed": q_gtiff_windowed,
@@ -6868,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vrt_mosaic": q_vrt_mosaic_sql(),
         "pipeline_cli": q_pipeline_cli_sql(),
         "pipeline_vector_cli": q_pipeline_vector_cli_sql(),
         "tile_assign_z8": q_tile_assign_z8_sql(),

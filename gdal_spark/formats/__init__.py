@@ -44,6 +44,12 @@ from .gtiff import (  # noqa: F401
     scan_gtiff_windowed,
     write_gtiff,
 )
+from .vrt import (  # noqa: F401
+    materialize_vrt,
+    parse_vrt,
+    scan_vrt,
+    write_vrt,
+)
 from .kml import scan_kml, write_kml  # noqa: F401
 from .gpx import scan_gpx, write_gpx  # noqa: F401
 from .gml import scan_gml, write_gml  # noqa: F401
