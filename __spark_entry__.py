@@ -6033,6 +6033,70 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_mbtiles_roundtrip(spark, sf_dir):
+    """MBTiles driver (formats.mbtiles — frmts/mbtiles/mbtilesdataset.cpp
+    analog): tile the world fixture to z0-1, stream the pyramid into one
+    .mbtiles (spec tables, UNIQUE zoom/col/row triple, TMS tile_row,
+    bounds/zoom metadata), then scan it back DISTRIBUTED (driver plans
+    rowid ranges from sqlite aggregates only, one task per range) and
+    re-derive each tile's GDAL checksum from the decoded bytes. Oracle =
+    the independent driver-local pyramid replay (_local_world_pyramid_rows,
+    the same kernel VALUES world_tile_checksums pins), so this entry
+    proves write->scan preserves the exact tile set, the
+    tile_row = 2^z - 1 - y_xyz flip, and the pixel bytes bit-for-bit."""
+    import os
+    import tempfile
+
+    from gdal_spark import fixtures
+    from gdal_spark.formats import scan_mbtiles, write_mbtiles
+    from gdal_spark.operators.tile import tile_pyramid
+
+    world = fixtures.images_df(spark, 1, tier="t2", partitions=1)
+    tiles = tile_pyramid(world, 0, 1, resampling="bilinear", persist=False)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="gdal_spark_mbt_"), "world.mbtiles"
+    )
+    write_mbtiles(tiles, path, name="world")
+
+    def checksum_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark import codecs as C
+        from gdal_spark.checksum import gdal_checksum
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "z": pdf["z"],
+                    "tx": pdf["tx"],
+                    "ty": pdf["ty"],
+                    "y_xyz": pdf["y_xyz"],
+                    "checksum": [
+                        int(gdal_checksum(
+                            np.atleast_3d(C.decode_png(bytes(b)))[:, :, 0]))
+                        for b in pdf["data"]
+                    ],
+                }
+            )
+
+    return (
+        scan_mbtiles(spark, path, num_partitions=4)
+        .mapInPandas(
+            checksum_batches,
+            schema="z int, tx long, ty long, y_xyz long, checksum int",
+        )
+        .orderBy("z", "tx", "ty")
+    )
+
+
+def q_mbtiles_roundtrip_sql():
+    rows = [r[:5] for r in _local_world_pyramid_rows()]
+    return _vals_sql(
+        rows, ["z", "tx", "ty", "y_xyz", "checksum"], "z, tx, ty"
+    )
+
+
 def q_vrt_mosaic(spark, sf_dir):
     """VRT driver (formats.vrt — frmts/vrt analog): one .vrt mosaic per
     nation row over three GeoTIFF tiles written by the DISTRIBUTED gtiff
@@ -6827,6 +6891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
         "pipeline_cli": q_pipeline_cli,
         "pipeline_vector_cli": q_pipeline_vector_cli,
@@ -6963,6 +7028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),
         "pipeline_cli": q_pipeline_cli_sql(),
         "pipeline_vector_cli": q_pipeline_vector_cli_sql(),

@@ -50,6 +50,11 @@ from .vrt import (  # noqa: F401
     scan_vrt,
     write_vrt,
 )
+from .mbtiles import (  # noqa: F401
+    mbtiles_info,
+    scan_mbtiles,
+    write_mbtiles,
+)
 from .kml import scan_kml, write_kml  # noqa: F401
 from .gpx import scan_gpx, write_gpx  # noqa: F401
 from .gml import scan_gml, write_gml  # noqa: F401
