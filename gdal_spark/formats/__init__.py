@@ -49,6 +49,7 @@ from .vrt import (  # noqa: F401
     parse_vrt,
     scan_vrt,
     write_vrt,
+    write_warped_vrt,
 )
 from .mbtiles import (  # noqa: F401
     mbtiles_info,

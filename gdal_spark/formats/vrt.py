@@ -30,6 +30,17 @@ are out of scope here — the engine's pixel-function surface is
 ``operators.stats.raster_calc`` (SURVEY §2: Spark's lazy DataFrame DAG
 IS the VRT; this driver is the interchange shim for on-disk .vrt files).
 Nested .vrt sources recurse to depth 4.
+
+WARPED VRT (``subClass="VRTWarpedDataset"``, frmts/vrt/vrtwarped.cpp +
+the GDALWarpOptions serialization of alg/gdalwarper.cpp:1918-2205): the
+lazy gdalwarp artifact — dst grid + ``<GDALWarpOptions>`` carrying
+ResampleAlg / SourceDataset / MaxError / SourceSRS. Reads lower onto the
+engine's own ``operators.warp.warp_array`` (every GRA_* kernel name maps
+to its gdalwarp -r twin); ``write_warped_vrt`` emits the artifact from
+HEADER BYTES ONLY (georef tags, never a pixel) so describing a 100 GB
+reprojection costs one metadata read. In the distributed scan each
+warped .vrt is one task (the source file is that task's whole input);
+a directory of them fans out task-per-file.
 """
 
 from __future__ import annotations
@@ -66,6 +77,18 @@ _DTYPES = {
 _DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 _MAX_DEPTH = 4
+
+# GDALSerializeWarpOptions / GDALDeserializeWarpOptions name table
+# (alg/gdalwarper.cpp:1921-1948, 2166-2193) -> the engine's gdalwarp -r
+# kernel names (operators/warp.py + resample.py)
+_GDAL_RESAMPLE = {
+    "NearestNeighbour": "near", "Bilinear": "bilinear", "Cubic": "cubic",
+    "CubicSpline": "cubicspline", "Lanczos": "lanczos", "Average": "average",
+    "RootMeanSquare": "rms", "Mode": "mode", "Maximum": "max",
+    "Minimum": "min", "Median": "med", "Quartile1": "q1", "Quartile3": "q3",
+    "Sum": "sum", "Default": "near",
+}
+_RESAMPLE_GDAL = {v: k for k, v in _GDAL_RESAMPLE.items() if k != "Default"}
 
 
 def _srid_from_srs(text: str | None) -> int:
@@ -105,6 +128,8 @@ def parse_vrt(text: str, base_dir: str) -> dict:
     else:
         gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
     srid = _srid_from_srs(getattr(root.find("SRS"), "text", None))
+    if root.get("subClass") == "VRTWarpedDataset":
+        return _parse_warped(root, base_dir, W, H, gt, srid)
     bands = []
     for bel in root.findall("VRTRasterBand"):
         dt = bel.get("dataType", "Byte")
@@ -152,6 +177,179 @@ def parse_vrt(text: str, base_dir: str) -> dict:
     if not bands:
         raise ValueError("VRTDataset has no VRTRasterBand")
     return {"w": W, "h": H, "gt": gt, "srid": srid, "bands": bands}
+
+
+def _parse_warped(root, base_dir: str, W: int, H: int, gt, srid: int) -> dict:
+    """``subClass="VRTWarpedDataset"`` -> warped descriptor. Parses the
+    GDALWarpOptions subset a gdalwarp-written artifact carries: the
+    source dataset path, the ResampleAlg name table, ApproxTransformer
+    MaxError, ReprojectionTransformer SourceSRS/TargetSRS, and the
+    BandList's SrcNoDataReal."""
+    bands = root.findall("VRTRasterBand")
+    dt = bands[0].get("dataType", "Byte") if bands else "Byte"
+    if dt not in _DTYPES:
+        raise ValueError(f"unsupported VRT dataType {dt!r}")
+    nd_el = bands[0].find("NoDataValue") if bands else None
+    nodata = (float(nd_el.text) if nd_el is not None and nd_el.text
+              else None)
+    wo = root.find("GDALWarpOptions")
+    if wo is None:
+        raise ValueError("VRTWarpedDataset without GDALWarpOptions")
+    sd = wo.find("SourceDataset")
+    if sd is None or not (sd.text or "").strip():
+        raise ValueError("GDALWarpOptions without SourceDataset")
+    fn = sd.text.strip()
+    if sd.get("relativeToVRT", "0") == "1":
+        fn = os.path.join(base_dir, fn)
+    alg_name = getattr(wo.find("ResampleAlg"), "text", None) or "Default"
+    alg = _GDAL_RESAMPLE.get(alg_name.strip())
+    if alg is None:
+        raise ValueError(f"unrecognised ResampleAlg {alg_name!r}")
+    me_el = wo.find(".//ApproxTransformer/MaxError")
+    max_error = float(me_el.text) if me_el is not None and me_el.text else None
+    src_srs = wo.find(".//ReprojectionTransformer/SourceSRS")
+    src_srid = _srid_from_srs(getattr(src_srs, "text", None))
+    if not srid:
+        tgt = wo.find(".//ReprojectionTransformer/TargetSRS")
+        srid = _srid_from_srs(getattr(tgt, "text", None))
+    snd = wo.find(".//BandList/BandMapping/SrcNoDataReal")
+    src_nodata = float(snd.text) if snd is not None and snd.text else None
+    return {
+        "w": W, "h": H, "gt": gt, "srid": srid, "warped": True,
+        "src_filename": fn, "resampling": alg, "max_error": max_error,
+        "src_srid": src_srid, "src_nodata": src_nodata,
+        "bands": [{"band": 1, "dtype": dt, "nodata": nodata,
+                   "sources": []}],
+    }
+
+
+def _read_source_georef(path: str, _depth: int = 0):
+    """Georeferenced source read -> (array, gt, srid, nodata). Warped
+    sources must carry their own georef: .tif, .asc (gt only), or a
+    nested .vrt (depth-capped)."""
+    p = local_path(path)
+    ext = os.path.splitext(p)[1].lower().lstrip(".")
+    if ext in ("tif", "tiff"):
+        from .gtiff import parse_gtiff
+
+        with open(p, "rb") as f:
+            return parse_gtiff(f.read())
+    if ext == "asc":
+        from .aaigrid import parse_aaigrid
+
+        with open(p) as f:
+            arr, gt, nodata = parse_aaigrid(f.read())
+        return arr, gt, 0, nodata
+    if ext == "vrt":
+        if _depth >= _MAX_DEPTH:
+            raise ValueError(f"nested VRT deeper than {_MAX_DEPTH}: {path}")
+        with open(p) as f:
+            desc = parse_vrt(f.read(), os.path.dirname(p))
+        return materialize_vrt(desc, _depth + 1)
+    raise ValueError(
+        f"warped-VRT source needs a georeferenced format, got {path!r}")
+
+
+def _materialize_warped(desc: dict, _depth: int = 0):
+    """Warped descriptor -> (array in band dtype, gt, srid, nodata): the
+    in-task warp, lowering GDALWarpOptions onto operators.warp.warp_array
+    (the ChunkAndWarpImage analog). Pixels where the warp kernel found no
+    valid source (alpha 0) take the band NoDataValue (or 0)."""
+    from ..operators.warp import warp_array
+
+    src, src_gt, src_srid, _src_nd = _read_source_georef(
+        desc["src_filename"], _depth)
+    if desc["src_srid"]:
+        src_srid = desc["src_srid"]
+    a = np.asarray(src, dtype=np.float64)
+    out, alpha = warp_array(
+        a, src_gt, src_srid, (desc["h"], desc["w"]), desc["gt"],
+        desc["srid"], desc["resampling"], approx_error=desc["max_error"],
+        src_nodata=desc["src_nodata"],
+    )
+    b = desc["bands"][0]
+    fill = b["nodata"] if b["nodata"] is not None else 0.0
+    out = np.where(
+        (alpha == 0)[..., None] if out.ndim == 3 else alpha == 0, fill, out)
+    dt = _DTYPES[b["dtype"]]
+    if np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        out = np.clip(np.round(out), info.min, info.max)
+    return out.astype(dt), desc["gt"], desc["srid"], b["nodata"]
+
+
+def write_warped_vrt(src_path: str, vrt_path: str, dst_srid: int,
+                     resampling: str = "near",
+                     max_error: float | None = 0.125,
+                     relative: bool = True) -> str:
+    """gdalwarp -of VRT analog: describe a reprojection lazily. Reads
+    ONLY the source's georef header (gtiff_levels walks tag bytes — the
+    COG read discipline), computes the suggested output grid, and emits
+    the reference's GDALWarpOptions serialization shape so real GDAL can
+    open the artifact. No pixel is touched. SRS elements carry the
+    ``EPSG:n`` user-input form (both this parser and the reference's
+    SetFromUserInput accept it; WKT1 would also work via crs_wkt but is
+    only exportable for registered projected CRS)."""
+    from ..operators.warp import suggested_output_grid
+
+    if resampling not in _RESAMPLE_GDAL:
+        raise ValueError(f"unknown resampling {resampling!r}")
+    src_path = local_path(src_path)
+    ext = os.path.splitext(src_path)[1].lower().lstrip(".")
+    if ext not in ("tif", "tiff"):
+        raise ValueError("write_warped_vrt reads georef headers from .tif")
+    from .gtiff import gtiff_levels
+
+    with open(src_path, "rb") as f:
+        levels, gt, srid, _nd = gtiff_levels(f)
+    w, h = levels[0]["w"], levels[0]["h"]
+    bits, sfmt = levels[0]["bits"], levels[0].get("sfmt", 1)
+    dt_name = {(8, 1): "Byte", (16, 1): "UInt16", (16, 2): "Int16",
+               (32, 1): "UInt32", (32, 2): "Int32", (32, 3): "Float32",
+               (64, 3): "Float64"}.get((bits, sfmt), "Byte")
+    if not srid:
+        raise ValueError(f"{src_path} has no SRS; cannot describe a warp")
+    dst_gt, out_w, out_h = suggested_output_grid(gt, srid, w, h, dst_srid)
+    vrt_path = local_path(vrt_path)
+    base = os.path.dirname(os.path.abspath(vrt_path))
+    fn = os.path.abspath(src_path)
+    rel = relative and os.path.dirname(fn) == base
+    shown = os.path.basename(fn) if rel else fn
+    me = ("" if max_error is None else
+          f"""
+      <ApproxTransformer>
+        <MaxError>{float(max_error)!r}</MaxError>
+        <BaseTransformer>""")
+    me_close = "" if max_error is None else """
+        </BaseTransformer>
+      </ApproxTransformer>"""
+    xml = f"""<VRTDataset rasterXSize="{out_w}" rasterYSize="{out_h}" subClass="VRTWarpedDataset">
+  <SRS>EPSG:{dst_srid}</SRS>
+  <GeoTransform>{", ".join(repr(float(v)) for v in dst_gt)}</GeoTransform>
+  <VRTRasterBand dataType="{dt_name}" band="1" subClass="VRTWarpedRasterBand"/>
+  <GDALWarpOptions>
+    <ResampleAlg>{_RESAMPLE_GDAL[resampling]}</ResampleAlg>
+    <WorkingDataType>Float64</WorkingDataType>
+    <SourceDataset relativeToVRT="{int(rel)}">{escape(shown)}</SourceDataset>
+    <Transformer>{me}
+          <GenImgProjTransformer>
+            <ReprojectTransformer>
+              <ReprojectionTransformer>
+                <SourceSRS>EPSG:{srid}</SourceSRS>
+                <TargetSRS>EPSG:{dst_srid}</TargetSRS>
+              </ReprojectionTransformer>
+            </ReprojectTransformer>
+          </GenImgProjTransformer>{me_close}
+    </Transformer>
+    <BandList>
+      <BandMapping src="1" dst="1"/>
+    </BandList>
+  </GDALWarpOptions>
+</VRTDataset>
+"""
+    with open(vrt_path, "w") as f:
+        f.write(xml)
+    return vrt_path
 
 
 def _read_source_band(path: str, band: int, _depth: int = 0) -> np.ndarray:
@@ -225,6 +423,8 @@ def materialize_vrt(desc: dict, _depth: int = 0):
     in the band dtype, gt, srid, nodata). The in-task path for nested
     sources, and the driver-local replay used by tests/oracles; the
     distributed scan reproduces this bit-for-bit via fragments."""
+    if desc.get("warped"):
+        return _materialize_warped(desc, _depth)
     W, H = desc["w"], desc["h"]
     dts = {b["dtype"] for b in desc["bands"]}
     if len(dts) != 1:
@@ -257,9 +457,13 @@ def scan_vrt(spark, path_glob: str):
         raise ValueError(f"no .vrt files match {path_glob!r}")
     plan_rows = []
     metas = {}
+    warped = []
     for p in paths:
         with open(p) as f:
             desc = parse_vrt(f.read(), os.path.dirname(p))
+        if desc.get("warped"):
+            warped.append((p, desc))
+            continue
         metas[p] = desc
         for b in desc["bands"]:
             for order, src in enumerate(b["sources"]):
@@ -365,7 +569,41 @@ def scan_vrt(spark, path_glob: str):
     # and therefore no row (the reference reads such a dataset as an
     # all-zero canvas; callers wanting that degenerate row can
     # materialize_vrt() it driver-side — it costs no source reads)
-    return frags.groupBy("vrt").applyInPandas(compose, schema=OUT_SCHEMA)
+    composed = frags.groupBy("vrt").applyInPandas(compose, schema=OUT_SCHEMA)
+    if not warped:
+        return composed
+
+    # warped VRTs: the whole source raster is one task's input (the warp
+    # kernel needs the full grid), so fan out exactly one task per file
+    wdescs = {p: d for p, d in warped}
+    wb = spark.sparkContext.broadcast(wdescs)
+    wplan = spark.createDataFrame(
+        [(p,) for p, _ in warped], "vrt string",
+    ).repartition(len(warped))
+
+    def run_warp(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["vrt"]:
+                desc = wb.value[p]
+                arr, gt, srid, nodata = _materialize_warped(desc)
+                out.append({
+                    "image_id": os.path.splitext(os.path.basename(p))[0],
+                    "bytes": codecs.encode_raw(arr),
+                    "w": desc["w"], "h": desc["h"], "fmt": "raw",
+                    "gt0": gt[0], "gt1": gt[1], "gt2": gt[2],
+                    "gt3": gt[3], "gt4": gt[4], "gt5": gt[5],
+                    "srid": srid, "nodata": nodata,
+                })
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt",
+                              "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
+                              "srid", "nodata"])
+
+    warped_df = wplan.mapInPandas(run_warp, schema=OUT_SCHEMA)
+    if not plan_rows:
+        return warped_df
+    return composed.unionByName(warped_df)
 
 
 def write_vrt(df, vrt_path: str, src_dir: str | None = None,

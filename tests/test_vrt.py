@@ -289,3 +289,142 @@ class TestScan:
         exp = arr.copy()
         exp[arr == 9] = 0
         np.testing.assert_array_equal(arr2, exp)
+
+
+class TestWarpedVRT:
+    """subClass=VRTWarpedDataset (frmts/vrt/vrtwarped.cpp): the lazy
+    gdalwarp artifact. write -> parse -> materialize vs a direct
+    warp_array replay, GDAL's own GDALWarpOptions serialization shape,
+    and the one-task-per-file distributed scan mixed with mosaics."""
+
+    def _src(self, tmp):
+        # a 16x16 UTM-11N grid, 100 m pixels
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 255, size=(16, 16), dtype=np.uint8)
+        gt = (500000.0, 100.0, 0.0, 4000000.0, 0.0, -100.0)
+        p = os.path.join(tmp, "src.tif")
+        _write_tif(p, arr, gt=gt, srid=32611)
+        return p, arr, gt
+
+    def test_write_parse_fields(self, tmp_path):
+        from gdal_spark.formats import write_warped_vrt
+        from gdal_spark.operators.warp import suggested_output_grid
+
+        tmp = str(tmp_path)
+        sp, arr, gt = self._src(tmp)
+        vp = write_warped_vrt(sp, os.path.join(tmp, "warp.vrt"), 4326,
+                              resampling="bilinear", max_error=0.125)
+        d = parse_vrt(open(vp).read(), tmp)
+        assert d["warped"] and d["srid"] == 4326
+        assert d["resampling"] == "bilinear"
+        assert d["src_srid"] == 32611
+        assert d["max_error"] == 0.125
+        assert os.path.basename(d["src_filename"]) == "src.tif"
+        egt, ew, eh = suggested_output_grid(gt, 32611, 16, 16, 4326)
+        assert (d["w"], d["h"]) == (ew, eh)
+        assert d["gt"] == pytest.approx(egt)
+
+    def test_materialize_matches_warp_array(self, tmp_path):
+        from gdal_spark.formats import write_warped_vrt
+        from gdal_spark.operators.warp import warp_array
+
+        tmp = str(tmp_path)
+        sp, arr, gt = self._src(tmp)
+        vp = write_warped_vrt(sp, os.path.join(tmp, "warp.vrt"), 4326,
+                              resampling="near", max_error=None)
+        d = parse_vrt(open(vp).read(), tmp)
+        got, ggt, gsrid, _ = materialize_vrt(d)
+        exp, alpha = warp_array(
+            arr.astype(np.float64), gt, 32611, (d["h"], d["w"]),
+            d["gt"], 4326, "near")
+        exp = np.where(alpha == 0, 0.0, exp)
+        np.testing.assert_array_equal(
+            got, np.clip(np.round(exp), 0, 255).astype(np.uint8))
+        assert gsrid == 4326 and got.shape == (d["h"], d["w"])
+        assert alpha.all()  # fully-covered grid: no fill pixel hidden
+
+    def test_gdal_serialization_shape_parses(self, tmp_path):
+        # the reference's own GDALSerializeWarpOptions layout
+        # (alg/gdalwarper.cpp:1918-2205), incl. a BandList nodata
+        tmp = str(tmp_path)
+        sp, arr, gt = self._src(tmp)
+        xml = """<VRTDataset rasterXSize="20" rasterYSize="18" subClass="VRTWarpedDataset">
+  <SRS>EPSG:4326</SRS>
+  <GeoTransform>-117.0, 0.001, 0, 36.2, 0, -0.001</GeoTransform>
+  <VRTRasterBand dataType="Byte" band="1" subClass="VRTWarpedRasterBand">
+    <NoDataValue>255</NoDataValue>
+  </VRTRasterBand>
+  <GDALWarpOptions>
+    <WarpMemoryLimit>6.71089e+07</WarpMemoryLimit>
+    <ResampleAlg>CubicSpline</ResampleAlg>
+    <WorkingDataType>Byte</WorkingDataType>
+    <SourceDataset relativeToVRT="1">src.tif</SourceDataset>
+    <Transformer>
+      <ApproxTransformer>
+        <MaxError>0.25</MaxError>
+        <BaseTransformer>
+          <GenImgProjTransformer>
+            <ReprojectTransformer>
+              <ReprojectionTransformer>
+                <SourceSRS>EPSG:32611</SourceSRS>
+                <TargetSRS>EPSG:4326</TargetSRS>
+              </ReprojectionTransformer>
+            </ReprojectTransformer>
+          </GenImgProjTransformer>
+        </BaseTransformer>
+      </ApproxTransformer>
+    </Transformer>
+    <BandList>
+      <BandMapping src="1" dst="1">
+        <SrcNoDataReal>17</SrcNoDataReal>
+      </BandMapping>
+    </BandList>
+  </GDALWarpOptions>
+</VRTDataset>
+"""
+        d = parse_vrt(xml, tmp)
+        assert d["warped"] and d["resampling"] == "cubicspline"
+        assert d["max_error"] == 0.25 and d["src_srid"] == 32611
+        assert d["src_nodata"] == 17.0
+        assert d["bands"][0]["nodata"] == 255.0
+        arr2, _, srid, nodata = materialize_vrt(d)
+        assert arr2.shape == (18, 20) and srid == 4326 and nodata == 255.0
+
+    def test_scan_mixed_mosaic_and_warped(self, spark, tmp_path):
+        from gdal_spark.formats import write_warped_vrt
+
+        tmp = str(tmp_path)
+        mp, a, b = _vrt_two_sources(tmp)
+        sp, arr, gt = self._src(tmp)
+        vp = write_warped_vrt(sp, os.path.join(tmp, "warp.vrt"), 4326,
+                              resampling="bilinear")
+        rows = {r.image_id: r
+                for r in scan_vrt(spark, os.path.join(tmp, "*.vrt")).collect()}
+        assert set(rows) == {"mosaic", "warp"}
+        # warped row == driver-local materialize replay
+        d = parse_vrt(open(vp).read(), tmp)
+        exp, egt, esrid, _ = materialize_vrt(d)
+        r = rows["warp"]
+        got = codecs.decode_image(bytes(r.bytes), r.fmt)
+        np.testing.assert_array_equal(got, exp)
+        assert (r.w, r.h, r.srid) == (exp.shape[1], exp.shape[0], esrid)
+        assert (r.gt0, r.gt1) == pytest.approx((egt[0], egt[1]))
+        # the mosaic row still composes
+        m = rows["mosaic"]
+        assert (m.w, m.h, m.srid) == (12, 12, 32611)
+
+    def test_unknown_resample_rejected(self, tmp_path):
+        from gdal_spark.formats import write_warped_vrt
+
+        tmp = str(tmp_path)
+        sp, _, _ = self._src(tmp)
+        with pytest.raises(ValueError, match="unknown resampling"):
+            write_warped_vrt(sp, os.path.join(tmp, "w.vrt"), 4326,
+                             resampling="bogus")
+        xml = ('<VRTDataset rasterXSize="4" rasterYSize="4" '
+               'subClass="VRTWarpedDataset"><SRS>EPSG:4326</SRS>'
+               "<GeoTransform>0,1,0,0,0,-1</GeoTransform>"
+               '<VRTRasterBand dataType="Byte" band="1"/>'
+               "</VRTDataset>")
+        with pytest.raises(ValueError, match="GDALWarpOptions"):
+            parse_vrt(xml, tmp)
