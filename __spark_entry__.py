@@ -6191,6 +6191,108 @@ def q_vrt_mosaic_sql():
     )
 
 
+def _vrt_warped_sources(tmp):
+    """Shared fixture for the warped-VRT entry and its oracle replay:
+    eight deterministic 20x16 UTM rasters (zones 1-8) written as LZW
+    GeoTIFFs + one gdalwarp-of-VRT artifact each (bilinear -> 4326)."""
+    import os
+
+    import numpy as np
+
+    from gdal_spark.formats import write_warped_vrt
+    from gdal_spark.formats.gtiff import format_gtiff
+
+    y, x = np.mgrid[0:20, 0:16]
+    for k in range(8):
+        arr = ((k * 37 + y * 11 + x * 7) % 251).astype(np.uint8)
+        gt = (500000.0 + k * 5000.0, 100.0, 0.0,
+              4000000.0 - k * 3000.0, 0.0, -100.0)
+        sp = os.path.join(tmp, f"w{k}.tif")
+        with open(sp, "wb") as f:
+            f.write(format_gtiff(arr, gt, srid=32601 + k,
+                                 compression="lzw"))
+        write_warped_vrt(sp, os.path.join(tmp, f"w{k}.vrt"), 4326,
+                         resampling="bilinear", max_error=0.125)
+
+
+def q_vrt_warped(spark, sf_dir):
+    """Warped VRT (formats.vrt — frmts/vrt/vrtwarped.cpp analog): eight
+    gdalwarp -of VRT artifacts (UTM zones 1-8 -> 4326, bilinear,
+    MaxError 0.125) written from GeoTIFF HEADER BYTES ONLY, then read
+    back through the distributed scan — one warp task per file — with
+    each output's first-band GDAL checksum riding next to the suggested
+    output grid. The VALUES oracle replays the identical
+    parse -> warp_array -> NoData-fill -> uint8 chain driver-locally,
+    so the gate pins warped pixels AND the serialized-artifact
+    round-trip, at any parallelism."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark import codecs as C
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.formats import scan_vrt
+
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_wvrt_")
+    _vrt_warped_sources(tmp)
+    out = scan_vrt(spark, os.path.join(tmp, "*.vrt"))
+
+    def cks(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "image_id": r.image_id,
+                    "w": int(r.w),
+                    "h": int(r.h),
+                    "srid": int(r.srid),
+                    "checksum": image_checksums(
+                        np.atleast_3d(C.decode_image(bytes(r.bytes), r.fmt))
+                    )[0],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "srid", "checksum"])
+
+    return out.mapInPandas(
+        cks, schema="image_id string, w int, h int, srid int, checksum int",
+    ).orderBy("image_id")
+
+
+def _local_vrt_warped_rows():
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs as C  # noqa: F401  (parity with entry)
+    from gdal_spark.checksum import image_checksums
+    from gdal_spark.formats import materialize_vrt, parse_vrt
+
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_wvrt_oracle_")
+    _vrt_warped_sources(tmp)
+    rows = []
+    for k in range(8):
+        vp = os.path.join(tmp, f"w{k}.vrt")
+        with open(vp) as f:
+            desc = parse_vrt(f.read(), tmp)
+        arr, _gt, srid, _nd = materialize_vrt(desc)
+        cks = int(image_checksums(np.atleast_3d(arr))[0])
+        rows.append((f"w{k}", desc["w"], desc["h"], srid, cks))
+    rows.sort()
+    return rows
+
+
+def q_vrt_warped_sql():
+    return _vals_sql(
+        _local_vrt_warped_rows(),
+        ["image_id", "w", "h", "srid", "checksum"],
+        "image_id",
+    )
+
+
 def _gtiff_windowed_src(spark, sf_dir, overviews):
     """Shared fixture for the windowed/COG entries: one 48x64 int32
     grid per nation row with cell(y, x) = key*100000 + y*64 + x,
@@ -6891,6 +6993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "vrt_warped": q_vrt_warped,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
         "pipeline_cli": q_pipeline_cli,
@@ -7028,6 +7131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vrt_warped": q_vrt_warped_sql(),
         "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),
         "pipeline_cli": q_pipeline_cli_sql(),
