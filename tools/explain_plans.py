@@ -665,6 +665,38 @@ def main():
             out,
         )
 
+    # 26. warped VRT scan: one warp task per .vrt file — a single
+    # round-robin fan-out exchange of the (tiny) path plan, ONE Arrow
+    # pass doing read+warp+encode, no per-row Python, no cartesian
+    with _tf.TemporaryDirectory() as td4:
+        import numpy as np
+
+        from gdal_spark.formats import scan_vrt, write_warped_vrt
+        from gdal_spark.formats.gtiff import format_gtiff
+
+        for k in range(4):
+            arr = (np.arange(256, dtype=np.uint8).reshape(16, 16) + k)
+            gt = (500000.0, 100.0, 0.0, 4000000.0, 0.0, -100.0)
+            sp2 = f"{td4}/w{k}.tif"
+            with open(sp2, "wb") as fh:
+                fh.write(format_gtiff(arr, gt, srid=32611))
+            write_warped_vrt(sp2, f"{td4}/w{k}.vrt", 4326,
+                             resampling="bilinear")
+        wdf = scan_vrt(spark, f"{td4}/*.vrt")
+        audit(
+            "warped_vrt_task_per_file",
+            wdf,
+            [
+                ("one_fanout_exchange",
+                 lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+                ("one_arrow_pass",
+                 lambda p: p.count("MapInPandas") >= 1),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+                ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            ],
+            out,
+        )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
