@@ -611,7 +611,7 @@ def write_vrt(df, vrt_path: str, src_dir: str | None = None,
               nbands: int | None = None, dtype=None,
               resolution: str = "highest",
               target_res: tuple[float, float] | None = None,
-              relative: bool = True) -> str:
+              relative: bool = True, separate: bool = False) -> str:
     """gdalbuildvrt analog emitting the LAZY artifact: place every row of
     an images-table DataFrame onto the union grid as one SimpleSource per
     band (``apps/gdalbuildvrt_lib.cpp`` semantics: union extent,
@@ -621,6 +621,14 @@ def write_vrt(df, vrt_path: str, src_dir: str | None = None,
     are collected; pixels never move. Files are assumed at
     ``{src_dir}/{image_id}.{ext}`` (the ``write_gtiff``/``write_aaigrid``
     layout) unless ``filename_col`` names a column carrying paths.
+
+    ``separate=True`` is gdalbuildvrt -separate (gdalbuildvrt_lib.cpp
+    SEPARATE mode): each input becomes its OWN output band (band i =
+    i-th image in image_id order, reading the input's first band)
+    instead of painting a mosaic — the band-stack artifact used to fuse
+    per-epoch / per-sensor rasters into one dataset. The distributed
+    scan composes it like any multi-band VRT (channel count = input
+    count; keep it within the raw codec's channel budget).
 
     ``nbands``/``dtype`` default from decoding ONE row's bytes
     driver-side (a single small fetch); pass them to avoid it."""
@@ -636,13 +644,15 @@ def write_vrt(df, vrt_path: str, src_dir: str | None = None,
     if has_nodata:
         cols.append("nodata")
     rows = df.select(*cols).orderBy("image_id").collect()
-    if nbands is None or dtype is None:
+    if dtype is None or (nbands is None and not separate):
         one = df.select("bytes", "fmt").limit(1).collect()[0]
         a = np.asarray(codecs.decode_image(bytes(one.bytes), one.fmt))
-        if nbands is None:
+        if nbands is None and not separate:
             nbands = a.shape[2] if a.ndim == 3 else 1
         if dtype is None:
             dtype = a.dtype
+    if separate:
+        nbands = len(rows)
     dt_name = _DTYPE_NAMES.get(np.dtype(dtype))
     if dt_name is None:
         raise ValueError(f"no VRT dataType for dtype {dtype}")
@@ -657,7 +667,7 @@ def write_vrt(df, vrt_path: str, src_dir: str | None = None,
     )
     for b in range(1, nbands + 1):
         lines.append(f'  <VRTRasterBand dataType="{dt_name}" band="{b}">')
-        for r in rows:
+        for r in ([rows[b - 1]] if separate else rows):
             if filename_col:
                 fn = getattr(r, filename_col)
             else:
@@ -677,7 +687,8 @@ def write_vrt(df, vrt_path: str, src_dir: str | None = None,
                 f'      <SourceFilename relativeToVRT="{int(rel)}">'
                 f"{escape(shown)}</SourceFilename>"
             )
-            lines.append(f"      <SourceBand>{b}</SourceBand>")
+            lines.append(
+                f"      <SourceBand>{1 if separate else b}</SourceBand>")
             lines.append(
                 f'      <SrcRect xOff="0" yOff="0" xSize="{r.w}" '
                 f'ySize="{r.h}"/>'

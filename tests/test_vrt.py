@@ -428,3 +428,44 @@ class TestWarpedVRT:
                "</VRTDataset>")
         with pytest.raises(ValueError, match="GDALWarpOptions"):
             parse_vrt(xml, tmp)
+
+
+class TestSeparate:
+    def test_separate_band_stack(self, spark, tmp_path):
+        # gdalbuildvrt -separate: 3 co-registered single-band inputs ->
+        # one 3-band VRT, band i = input i (image_id order)
+        from gdal_spark.formats import write_gtiff
+
+        tmp = str(tmp_path)
+        arrs = {}
+        recs = []
+        for i in range(3):
+            arr = ((np.arange(36, dtype=np.uint8).reshape(6, 6) * (i + 1))
+                   % 200)
+            arrs[f"s{i}"] = arr
+            recs.append({
+                "image_id": f"s{i}", "bytes": codecs.encode_raw(arr),
+                "w": 6, "h": 6, "fmt": "raw", "gt0": 0.0, "gt1": 1.0,
+                "gt2": 0.0, "gt3": 6.0, "gt4": 0.0, "gt5": -1.0,
+                "srid": 32611, "nodata": None})
+        df = spark.createDataFrame(
+            recs,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+            "gt5 double, srid int, nodata double")
+        write_gtiff(df, tmp)
+        vp = write_vrt(df, os.path.join(tmp, "stack.vrt"), src_dir=tmp,
+                       separate=True)
+        d = parse_vrt(open(vp).read(), tmp)
+        assert len(d["bands"]) == 3
+        assert all(len(b["sources"]) == 1 for b in d["bands"])
+        assert all(b["sources"][0]["band"] == 1 for b in d["bands"])
+        # local materialize == channel stack
+        arr3, _, srid, _ = materialize_vrt(d)
+        assert arr3.shape == (6, 6, 3) and srid == 32611
+        for i in range(3):
+            np.testing.assert_array_equal(arr3[:, :, i], arrs[f"s{i}"])
+        # distributed scan parity
+        r = scan_vrt(spark, vp).collect()[0]
+        got = codecs.decode_image(bytes(r.bytes), r.fmt)
+        np.testing.assert_array_equal(got, arr3)
