@@ -5,7 +5,9 @@ from-scratch implementation of the published TIFF 6.0 + GeoTIFF 1.1
 specifications, not a libtiff port). Supported subset, per the round-4
 review's scoping:
 
-- classic TIFF (``II``/``MM``, magic 42), first IFD = the main image
+- classic TIFF (``II``/``MM``, magic 42) AND BigTIFF (magic 43 —
+  8-byte offsets, 20-byte IFD entries, LONG8/SLONG8/IFD8 types; the
+  container every real >4 GB COG ships in), first IFD = the main image
   (later IFDs — overviews — and SubIFDs are ignored, like the
   reference's default Open of a multi-dir file);
 - striped (RowsPerStrip) AND tiled (TileWidth/TileLength) layouts, with
@@ -81,6 +83,9 @@ _TYPES = {
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
 
 _T_NEW_SUBFILE_TYPE = 254
@@ -271,32 +276,48 @@ def packbits_encode(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _read_ifd_fh(f, bo: str, off: int) -> tuple[dict, int]:
+def _read_ifd_fh(f, bo: str, off: int, big: bool = False) -> tuple[dict, int]:
     """Parse ONE IFD from a seekable file object with targeted reads:
     the entry block, then each out-of-line tag value. Returns
     (tags, next_ifd_offset). Never touches pixel blocks — over an
-    object store this is exactly the byte set a COG reader fetches."""
+    object store this is exactly the byte set a COG reader fetches.
+
+    Classic layout: SHORT entry count, 12-byte entries (value field 4
+    bytes), LONG next pointer. BigTIFF: LONG8 count, 20-byte entries
+    (value field 8 bytes), LONG8 next pointer (TIFF 6.0 §2 / BigTIFF
+    spec; ref frmts/gtiff semantics via libtiff's TIFFReadDirectory)."""
+    esz, inl = (20, 8) if big else (12, 4)
     f.seek(off)
-    head = f.read(2)
-    (n,) = struct.unpack(bo + "H", head)
-    ent = f.read(12 * n + 4)
-    (nxt,) = struct.unpack_from(bo + "I", ent, 12 * n)
+    if big:
+        (n,) = struct.unpack(bo + "Q", f.read(8))
+    else:
+        (n,) = struct.unpack(bo + "H", f.read(2))
+    if n > 65535:
+        raise ValueError(f"implausible IFD entry count {n}")
+    ent = f.read(esz * n + inl)
+    (nxt,) = struct.unpack_from(bo + ("Q" if big else "I"), ent, esz * n)
     pending = []  # (tag, typ, cnt, voff) out-of-line values
     tags: dict = {}
     for k in range(n):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", ent, 12 * k)
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", ent, esz * k)
+            (cnt,) = struct.unpack_from(bo + "Q", ent, esz * k + 4)
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", ent, esz * k)
         if typ not in _TYPES:
             continue
         letter, size = _TYPES[typ]
         total = cnt * size
-        if total <= 4:
-            raw = ent[12 * k + 8:12 * k + 8 + total]
+        vpos = esz * k + (12 if big else 8)
+        if total <= inl:
+            raw = ent[vpos:vpos + total]
             if typ == 2:
                 tags[tag] = raw.split(b"\x00")[0].decode("latin-1")
             else:
                 tags[tag] = list(struct.unpack(bo + str(cnt) + letter, raw))
         else:
-            (voff,) = struct.unpack_from(bo + "I", ent, 12 * k + 8)
+            (voff,) = struct.unpack_from(bo + ("Q" if big else "I"),
+                                         ent, vpos)
             pending.append((tag, typ, cnt, voff))
     for tag, typ, cnt, voff in sorted(pending, key=lambda p: p[3]):
         letter, size = _TYPES[typ]
@@ -309,8 +330,11 @@ def _read_ifd_fh(f, bo: str, off: int) -> tuple[dict, int]:
     return tags, int(nxt)
 
 
-def _open_tiff(f) -> str:
-    """Check the byte-order mark + magic; return the struct prefix."""
+def _open_tiff(f) -> tuple[str, bool]:
+    """Check the byte-order mark + magic; return (struct prefix,
+    is_bigtiff). BigTIFF (magic 43) additionally carries the offset
+    byte-size (must be 8) and a zero pad word before the first-IFD
+    LONG8 offset."""
     f.seek(0)
     head = f.read(8)
     if head[:2] == b"II":
@@ -320,25 +344,37 @@ def _open_tiff(f) -> str:
     else:
         raise ValueError("not a TIFF (no II/MM byte-order mark)")
     (magic,) = struct.unpack_from(bo + "H", head, 2)
+    if magic == 42:
+        return bo, False
     if magic == 43:
-        raise ValueError("BigTIFF (magic 43) not supported; classic only")
-    if magic != 42:
-        raise ValueError(f"bad TIFF magic {magic}")
-    return bo
+        osize, pad = struct.unpack_from(bo + "HH", head, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError(f"BigTIFF with offset size {osize}/pad {pad}")
+        return bo, True
+    raise ValueError(f"bad TIFF magic {magic}")
+
+
+def _first_ifd_offset(f, bo: str, big: bool) -> int:
+    if big:
+        f.seek(8)
+        (off,) = struct.unpack(bo + "Q", f.read(8))
+    else:
+        f.seek(4)
+        (off,) = struct.unpack(bo + "I", f.read(4))
+    return int(off)
 
 
 def read_ifd_chain(f) -> tuple[str, list[dict]]:
     """Walk the whole IFD chain (main image + COG-style overview
-    directories) with header-byte reads only. Returns (byte-order
-    prefix, [tags per IFD])."""
-    bo = _open_tiff(f)
-    f.seek(4)
-    (off,) = struct.unpack(bo + "I", f.read(4))
+    directories) with header-byte reads only, classic or BigTIFF.
+    Returns (byte-order prefix, [tags per IFD])."""
+    bo, big = _open_tiff(f)
+    off = _first_ifd_offset(f, bo, big)
     chain = []
     seen = set()
     while off and off not in seen and len(chain) < 64:
         seen.add(off)
-        tags, off = _read_ifd_fh(f, bo, off)
+        tags, off = _read_ifd_fh(f, bo, off, big)
         chain.append(tags)
     return bo, chain
 
@@ -553,10 +589,9 @@ def parse_gtiff(buf: bytes):
     import io
 
     f = io.BytesIO(buf)
-    bo = _open_tiff(f)
-    f.seek(4)
-    (ifd_off,) = struct.unpack(bo + "I", f.read(4))
-    tags, _ = _read_ifd_fh(f, bo, ifd_off)
+    bo, big = _open_tiff(f)
+    ifd_off = _first_ifd_offset(f, bo, big)
+    tags, _ = _read_ifd_fh(f, bo, ifd_off, big)
     lvl = _level_from_tags(tags, bo)
     arr = read_gtiff_window(f, lvl, 0, 0, lvl["w"], lvl["h"])
     gt, srid, nodata = _georef_from_tags(tags)
@@ -574,14 +609,16 @@ _W_COMP = {"none": _COMP_NONE, "deflate": _COMP_DEFLATE,
 def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
                  compression: str, predictor: bool,
                  tile_size: int | None, ifd_off: int,
-                 next_ifd: int | None, reduced: bool) -> bytes:
+                 next_ifd: int | None, reduced: bool,
+                 big: bool = False) -> bytes:
     """One complete IFD section (directory + overflow values + pixel
     blocks) laid out to start at absolute offset ``ifd_off``. The
     next-IFD pointer is patched in by the caller via ``next_ifd``
     (``None`` means "unknown yet" and writes 0 — caller must know).
     ``reduced`` marks a COG overview directory (NewSubfileType=1, no
     georef tags — georef lives on the main IFD, as the reference
-    writes it)."""
+    writes it). ``big`` lays the directory out in the BigTIFF shape
+    (LONG8 count/next pointer, 20-byte entries, LONG8 block offsets)."""
     h, w, spp = a.shape
     dt = a.dtype
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
@@ -671,12 +708,16 @@ def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
 
     off_tag = _T_TILE_OFFSETS if tile_size else _T_STRIP_OFFSETS
     cnt_tag = _T_TILE_BYTE_COUNTS if tile_size else _T_STRIP_BYTE_COUNTS
-    add(off_tag, 4, [0] * len(blocks))  # placeholder, patched below
-    add(cnt_tag, 4, [len(b) for b in blocks])
+    off_typ = 16 if big else 4  # LONG8 offsets are the point of BigTIFF
+    off_letter = "Q" if big else "I"
+    add(off_tag, off_typ, [0] * len(blocks))  # placeholder, patched below
+    add(cnt_tag, off_typ, [len(b) for b in blocks])
     entries.sort(key=lambda e: e[0])
 
     n = len(entries)
-    data_off = ifd_off + 2 + n * 12 + 4  # overflow area starts here
+    esz, inl = (20, 8) if big else (12, 4)
+    # overflow area starts after: count field + entries + next pointer
+    data_off = ifd_off + (8 + n * esz + 8 if big else 2 + n * esz + 4)
     overflow = bytearray()
     fixed = []
     for tag, typ, cnt, vals in entries:
@@ -685,8 +726,8 @@ def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
             payload = vals[0]
         else:
             payload = struct.pack("<" + str(cnt) + letter, *vals)
-        if len(payload) <= 4:
-            fixed.append((tag, typ, cnt, payload.ljust(4, b"\x00"), None))
+        if len(payload) <= inl:
+            fixed.append((tag, typ, cnt, payload.ljust(inl, b"\x00"), None))
         else:
             fixed.append((tag, typ, cnt, None, len(overflow)))
             overflow += payload
@@ -701,18 +742,19 @@ def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
         cur += len(b)
     for i, (tag, typ, cnt, inline, ovf) in enumerate(fixed):
         if tag == off_tag:
-            payload = struct.pack("<" + str(cnt) + "I", *offs)
-            if len(payload) <= 4:
-                fixed[i] = (tag, typ, cnt, payload.ljust(4, b"\x00"), None)
+            payload = struct.pack("<" + str(cnt) + off_letter, *offs)
+            if len(payload) <= inl:
+                fixed[i] = (tag, typ, cnt, payload.ljust(inl, b"\x00"), None)
             else:
                 overflow[ovf:ovf + len(payload)] = payload
 
     out = bytearray()
-    out += struct.pack("<H", n)
+    out += struct.pack("<Q" if big else "<H", n)
     for tag, typ, cnt, inline, ovf in fixed:
-        out += struct.pack("<HHI", tag, typ, cnt)
-        out += inline if inline is not None else struct.pack("<I", data_off + ovf)
-    out += struct.pack("<I", next_ifd or 0)
+        out += struct.pack("<HHQ" if big else "<HHI", tag, typ, cnt)
+        out += (inline if inline is not None
+                else struct.pack("<Q" if big else "<I", data_off + ovf))
+    out += struct.pack("<Q" if big else "<I", next_ifd or 0)
     out += overflow
     for b in blocks:
         out += b
@@ -722,15 +764,20 @@ def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
 def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
                  nodata: float | None = None, compression: str = "deflate",
                  predictor: bool = False, tile_size: int | None = None,
-                 overviews: list[int] | None = None) -> bytes:
-    """array (+ georef) -> classic little-endian GeoTIFF bytes: main
-    IFD, chunky planar, strips (~64 KiB each, libtiff-style) or
+                 overviews: list[int] | None = None,
+                 bigtiff: bool | str = "auto") -> bytes:
+    """array (+ georef) -> little-endian GeoTIFF bytes: main IFD,
+    chunky planar, strips (~64 KiB each, libtiff-style) or
     ``tile_size``-square tiles, Deflate by default. ``predictor`` turns
     on horizontal differencing (integer dtypes only). ``overviews``
     appends reduced-resolution IFDs at the given decimation factors
     (2x2-average resampled, NewSubfileType=1 — the COG overview
     layout), which :func:`gtiff_levels` / :func:`scan_gtiff_windowed`
-    then expose as levels 1+."""
+    then expose as levels 1+. ``bigtiff`` selects the container:
+    True/False force BigTIFF/classic, ``"auto"`` (the reference's
+    ``BIGTIFF=IF_SAFER`` discipline, gtiffdataset.cpp semantics)
+    switches to BigTIFF when the worst-case encoded size could
+    overflow classic's 32-bit offsets."""
     from ..resample import resize_average
 
     a = np.ascontiguousarray(arr)
@@ -742,6 +789,15 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
         raise ValueError(f"dtype {dt} unsupported")
     if predictor and dt.kind == "f":
         raise ValueError("predictor=2 is for integer samples")
+
+    if bigtiff == "auto":
+        # worst-case codec expansion: LZW 1.5x, PackBits 129/128,
+        # Deflate ~1.001x; 1.6x over raw (incl. 4/3 overview pyramid)
+        # comfortably bounds all three
+        raw = a.nbytes * (4 / 3 if overviews else 1)
+        big = raw * 1.6 > (1 << 32) - (1 << 20)
+    else:
+        big = bool(bigtiff)
 
     images: list[tuple[np.ndarray, bool]] = [(a, False)]
     for fac in overviews or []:
@@ -757,24 +813,39 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
 
     # lay sections out sequentially: each section's size is known once
     # built, so the next IFD's absolute offset is too
-    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    if big:
+        out = bytearray(b"II+\x00" + struct.pack("<HHQ", 8, 0, 16))
+        cur = 16
+    else:
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        cur = 8
     sections: list[bytes] = []
-    cur = 8
     offsets = []
     for img, reduced in images:
         sec = _ifd_section(img, gt, srid, nodata, compression, predictor,
-                           tile_size, cur, None, reduced)
+                           tile_size, cur, None, reduced, big)
         offsets.append(cur)
         sections.append(sec)
         cur += len(sec)
+    if not big and cur > (1 << 32) - 1:
+        raise ValueError(
+            f"classic TIFF would be {cur} bytes (> 4 GiB offsets); "
+            "pass bigtiff=True"
+        )
     for i, sec in enumerate(sections):
         if i + 1 < len(sections):
-            # patch this section's next-IFD pointer (last 4 bytes of
-            # the directory part = after 2 + 12n entry bytes)
-            (n,) = struct.unpack_from("<H", sec, 0)
-            ptr_at = 2 + 12 * n
-            sec = (sec[:ptr_at] + struct.pack("<I", offsets[i + 1])
-                   + sec[ptr_at + 4:])
+            # patch this section's next-IFD pointer (the pointer-sized
+            # field after the count + entries)
+            if big:
+                (n,) = struct.unpack_from("<Q", sec, 0)
+                ptr_at = 8 + 20 * n
+                sec = (sec[:ptr_at] + struct.pack("<Q", offsets[i + 1])
+                       + sec[ptr_at + 8:])
+            else:
+                (n,) = struct.unpack_from("<H", sec, 0)
+                ptr_at = 2 + 12 * n
+                sec = (sec[:ptr_at] + struct.pack("<I", offsets[i + 1])
+                       + sec[ptr_at + 4:])
         out += sec
     return bytes(out)
 
@@ -959,10 +1030,12 @@ def scan_gtiff_windowed(spark, path_glob: str, level: int = 0,
 
 def write_gtiff(df, out_dir: str, compression: str = "deflate",
                 predictor: bool = False, tile_size: int | None = None,
-                overviews: list[int] | None = None):
+                overviews: list[int] | None = None,
+                bigtiff: bool | str = "auto"):
     """One .tif per row, written by the task that holds the row (the
     same distributed many-files layout as the AAIGrid sink).
-    ``overviews`` embeds COG-style reduced-resolution IFDs."""
+    ``overviews`` embeds COG-style reduced-resolution IFDs;
+    ``bigtiff`` as in :func:`format_gtiff` (default IF_SAFER auto)."""
     out_dir = local_path(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     has_nodata = "nodata" in df.columns
@@ -983,6 +1056,7 @@ def write_gtiff(df, out_dir: str, compression: str = "deflate",
                         arr, gt, srid=srid, nodata=nd,
                         compression=compression, predictor=predictor,
                         tile_size=tile_size, overviews=overviews,
+                        bigtiff=bigtiff,
                     ))
                 names.append(path)
             yield pd.DataFrame({"path": names})

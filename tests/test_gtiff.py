@@ -14,6 +14,9 @@ reference's own test expectations:
 - classictiff_four_strip_be_short.tif: big-endian with SHORT-typed
   strip offsets at 178..181 (autotest/gcore/tiff_read.py
   test_tiff_read_stripoffset_types).
+- bigtiff_*.tif: BigTIFF (magic 43) variants with SHORT/LONG/LONG8
+  offset arrays, both endiannesses, expected strip offsets from the
+  same autotest parametrization.
 """
 
 import os
@@ -131,11 +134,91 @@ class TestWriteRead:
         a2, g2, _, _ = parse_gtiff(format_gtiff(a, gt))
         assert np.array_equal(a2, a) and g2 == gt
 
-    def test_rejects_bigtiff_and_non_tiff(self):
-        with pytest.raises(ValueError, match="BigTIFF"):
+    def test_rejects_bad_bigtiff_and_non_tiff(self):
+        # BigTIFF is supported, but only the spec's 8-byte-offset form
+        with pytest.raises(ValueError, match="offset size"):
             parse_gtiff(b"II+\x00" + b"\x00" * 32)
         with pytest.raises(ValueError, match="byte-order"):
             parse_gtiff(b"PK\x03\x04junk")
+
+
+class TestBigTIFF:
+    """BigTIFF (magic 43) conformance + write path. Fixture strip
+    offsets come from the reference's own expectations
+    (autotest/gcore/tiff_read.py test_tiff_read_stripoffset_types);
+    each fixture is a 1-byte-per-strip image, so every pixel must equal
+    the file byte at its expected strip offset."""
+
+    @pytest.mark.parametrize(
+        "name,offsets",
+        [
+            ("bigtiff_four_strip_short.tif", [316, 317, 318, 319]),
+            ("bigtiff_one_block_long8.tif", [272]),
+            ("bigtiff_one_block_be_long8.tif", [272]),
+            ("bigtiff_two_strip_be_long.tif", [284, 285]),
+        ],
+    )
+    def test_conformance_strip_offsets(self, name, offsets):
+        buf = _read(name)
+        arr, _, _, _ = parse_gtiff(buf)
+        assert arr.shape == (len(offsets), 1) and arr.dtype == np.uint8
+        expect = np.array([[buf[o]] for o in offsets], np.uint8)
+        np.testing.assert_array_equal(arr, expect)
+
+    @pytest.mark.parametrize("comp", ["none", "deflate", "lzw", "packbits"])
+    def test_write_roundtrip(self, comp):
+        arr, gt, srid, _ = parse_gtiff(_read("byte.tif"))
+        b = format_gtiff(arr, gt, srid=srid, nodata=-1.0, compression=comp,
+                         predictor=(comp != "none"), bigtiff=True)
+        assert b[:4] == b"II+\x00"
+        a2, g2, s2, n2 = parse_gtiff(b)
+        assert np.array_equal(a2, arr)
+        assert g2 == gt and s2 == srid and n2 == -1.0
+        assert gdal_checksum(a2) == 4672
+
+    def test_overviews_and_windowed_read(self):
+        import io
+
+        from gdal_spark.formats.gtiff import gtiff_levels, read_gtiff_window
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 255, (64, 48), dtype=np.uint8)
+        b = format_gtiff(a, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                         overviews=[2, 4], tile_size=16, bigtiff=True)
+        f = io.BytesIO(b)
+        levels, _, _, _ = gtiff_levels(f)
+        assert [(lv["w"], lv["h"]) for lv in levels] == [
+            (48, 64), (24, 32), (12, 16)
+        ]
+        np.testing.assert_array_equal(
+            read_gtiff_window(f, levels[0], 16, 32, 16, 16),
+            a[32:48, 16:32],
+        )
+
+    def test_auto_stays_classic_for_small(self):
+        a = np.zeros((8, 8), np.uint8)
+        assert format_gtiff(a, (0, 1, 0, 0, 0, -1))[:4] == b"II*\x00"
+
+    def test_spark_windowed_scan_bigtiff(self, spark, tmp_path):
+        from gdal_spark import codecs
+        from gdal_spark.formats import scan_gtiff_windowed
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 255, (96, 40), dtype=np.uint8)
+        p = tmp_path / "big.tif"
+        p.write_bytes(format_gtiff(a, (5.0, 2.0, 0.0, 9.0, 0.0, -2.0),
+                                   srid=3857, compression="none",
+                                   tile_size=16, bigtiff=True))
+        rows = (scan_gtiff_windowed(spark, str(p), target_bytes=1024)
+                .collect())
+        assert len(rows) > 1  # the file actually split into windows
+        got = np.zeros_like(a)
+        for r in sorted(rows, key=lambda r: r.gt3, reverse=True):
+            w = codecs.decode_image(bytes(r.bytes), r.fmt)
+            y0 = int(round((r.gt3 - 9.0) / -2.0))
+            got[y0:y0 + r.h, :] = w.reshape(r.h, r.w)
+            assert r.srid == 3857
+        np.testing.assert_array_equal(got, a)
 
 
 class TestSpark:
