@@ -5663,6 +5663,81 @@ def q_aaigrid_roundtrip_sql():
     )
 
 
+def q_dted_roundtrip(spark, sf_dir):
+    """DTED driver (formats.dted — frmts/dted/dted_api.c analog,
+    MIL-PRF-89020B): one level-0-spacing elevation cell per nation row
+    (6x5 int16 grid, cell(y,x) = key*7 + y*5 + x - 500 — negative for
+    every key, so the signed-magnitude encoding is load-bearing),
+    written through the DISTRIBUTED sink (one .dt0 per row by the task
+    holding it, UHL/DSI/ACC + per-column records with byte-sum
+    checksums) and re-read with one-task-per-file fan-out; per-image
+    (w, h, gt0, gt3, srid, nodata, sum/min/max of all cells) only match
+    the fully independent closed-form SQL if the header text fields,
+    south-to-north record order, sign-magnitude decode, and half-pixel
+    geotransform shift all round-trip exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_dted, write_dted
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for k in keys:
+        a = (np.arange(30, dtype=np.int32).reshape(6, 5)
+             + k * 7 - 500).astype(np.int16)
+        rows.append((
+            f"n{k}", bytearray(codecs.encode_raw(a)), 5, 6, "raw",
+            float(k) - 1.0 / 240, 1.0 / 120, 0.0,
+            40.0 + 1.0 / 240, 0.0, -1.0 / 120, 4326, -32767.0,
+        ))
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    )
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_dted_")
+    write_dted(src, tmp)
+    imgs = scan_dted(spark, os.path.join(tmp, "*.dt0"))
+    stats = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(
+            F.sum("value").alias("sum_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3", "srid", "nodata")
+        .join(stats, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_dted_roundtrip_sql():
+    # closed form: values are key*7 + (0..29) - 500 (no modulo wrap for
+    # any nation key), so sum = 30*(7k-500) + 435, min = 7k-500,
+    # max = 7k-471; gt0 = k - half pixel, gt3 = 40 + half pixel
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 5 AS w, 6 AS h, "
+        "CAST(n_nationkey - 1.0/240 AS DOUBLE) AS gt0, "
+        "CAST(40.0 + 1.0/240 AS DOUBLE) AS gt3, "
+        "4326 AS srid, CAST(-32767 AS DOUBLE) AS nodata, "
+        "CAST(210*n_nationkey - 14565 AS DOUBLE) AS sum_val, "
+        "CAST(7*n_nationkey - 500 AS DOUBLE) AS min_val, "
+        "CAST(7*n_nationkey - 471 AS DOUBLE) AS max_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_geoparquet_roundtrip(spark, sf_dir):
     """GeoParquet driver round-trip (formats.geoparquet — GeoParquet 1.1
     spec; reference ogr/ogrsf_frmts/parquet/): a supplier point layer
@@ -6993,6 +7068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "dted_roundtrip": q_dted_roundtrip,
         "vrt_warped": q_vrt_warped,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
@@ -7131,6 +7207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dted_roundtrip": q_dted_roundtrip_sql(),
         "vrt_warped": q_vrt_warped_sql(),
         "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),

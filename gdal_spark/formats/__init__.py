@@ -28,6 +28,7 @@ from .flatgeobuf import (  # noqa: F401
     write_flatgeobuf,
 )
 from .aaigrid import scan_aaigrid, write_aaigrid  # noqa: F401
+from .dted import format_dted, parse_dted, scan_dted, write_dted  # noqa: F401
 from .geoparquet import (  # noqa: F401
     geoparquet_metadata,
     scan_geoparquet,
