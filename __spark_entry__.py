@@ -5738,6 +5738,83 @@ def q_dted_roundtrip_sql():
     )
 
 
+def q_envi_roundtrip(spark, sf_dir):
+    """ENVI driver (formats.envi — frmts/raw/envidataset.cpp analog):
+    one 2-band uint16 cube per nation row (cell(y,x,b) = key*7 + b*100
+    + y*5 + x) written through the DISTRIBUTED .img+.hdr sink with BIP
+    interleaving and a per-key UTM zone in the map info, re-read with
+    one-task-per-file fan-out; per-(image, band) sums only match the
+    fully independent closed-form SQL if the header round-trip, the
+    pixel-interleaved deinterleave, and the UTM zone+hemisphere SRID
+    derivation are all right."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_envi, write_envi
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for k in keys:
+        yx = np.arange(30, dtype=np.uint16).reshape(6, 5)
+        cube = np.stack([yx + k * 7, yx + k * 7 + 100], axis=2)
+        rows.append((
+            f"n{k}", bytearray(codecs.encode_raw(cube)), 5, 6, "raw",
+            k * 3.0, 0.5, 0.0, 100.0, 0.0, -0.5,
+            32601 + (k % 60), None,
+        ))
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    )
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_envi_")
+    write_envi(src, tmp, interleave="bip")
+    imgs = scan_envi(spark, os.path.join(tmp, "*.img"))
+
+    def band_sums(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = codecs.decode_image(bytes(r.bytes), r.fmt)
+                for b in range(a.shape[2]):
+                    out.append({
+                        "image_id": r.image_id, "band": b,
+                        "w": int(r.w), "h": int(r.h),
+                        "gt0": float(r.gt0), "srid": int(r.srid),
+                        "band_sum": float(a[:, :, b].sum()),
+                    })
+            yield pd.DataFrame(
+                out, columns=["image_id", "band", "w", "h", "gt0",
+                              "srid", "band_sum"],
+            )
+
+    return imgs.mapInPandas(
+        band_sums,
+        schema="image_id string, band int, w int, h int, gt0 double, "
+               "srid int, band_sum double",
+    ).orderBy("image_id", "band")
+
+
+def q_envi_roundtrip_sql():
+    # closed form: band b holds key*7 + 100*b + (0..29), so the band
+    # sum is 30*(7*key + 100*b) + 435
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, b.band, 5 AS w, 6 AS h, "
+        "CAST(n_nationkey * 3.0 AS DOUBLE) AS gt0, "
+        "CAST(32601 + n_nationkey % 60 AS INT) AS srid, "
+        "CAST(30*(7*n_nationkey + 100*b.band) + 435 AS DOUBLE) AS band_sum "
+        "FROM nation CROSS JOIN (VALUES (0), (1)) AS b(band) "
+        "ORDER BY image_id, b.band"
+    )
+
+
 def q_geoparquet_roundtrip(spark, sf_dir):
     """GeoParquet driver round-trip (formats.geoparquet — GeoParquet 1.1
     spec; reference ogr/ogrsf_frmts/parquet/): a supplier point layer
@@ -7069,6 +7146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
         "dted_roundtrip": q_dted_roundtrip,
+        "envi_roundtrip": q_envi_roundtrip,
         "vrt_warped": q_vrt_warped,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
@@ -7208,6 +7286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dted_roundtrip": q_dted_roundtrip_sql(),
+        "envi_roundtrip": q_envi_roundtrip_sql(),
         "vrt_warped": q_vrt_warped_sql(),
         "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),
