@@ -5815,6 +5815,62 @@ def q_envi_roundtrip_sql():
     )
 
 
+def q_mif_roundtrip(spark, sf_dir):
+    """MapInfo MIF/MID driver (formats.mif — ogr/ogrsf_frmts/mitab
+    analog, golden-pinned vs all_geoms.mif.golden.csv in tests): a
+    supplier point layer with Char/Integer/Float columns writes to one
+    .mif/.mid pair (single-document sink) and re-reads through the
+    distributed scan; x/y re-derive from the WKB geometry and the
+    attributes pass through the delimited .mid with quoted strings, so
+    the closed-form SQL only matches if geometry text, column typing,
+    and quoting all round-trip."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_mif, write_mif
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    @F.pandas_udf("binary")
+    def pt_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from gdal_spark import geom
+
+        return pd.Series([geom.wkb_point(x, y) for x, y in zip(xs, ys)])
+
+    x = (k * 37 % 720) * 0.5 - 180.0
+    y = (k * 41 % 360) * 0.5 - 90.0
+    src = s.select(
+        pt_udf(x, y).alias("geometry"),
+        F.concat(F.lit("sup,\""), k.cast("string")).alias("name"),
+        k.cast("int").alias("skey"),
+        ((k % 400) * 0.25).alias("acct"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_mif_")
+    path = os.path.join(tmp, "sup.mif")
+    write_mif(src, path)
+    out = scan_mif(spark, path)
+    return out.select(
+        F.col("skey"),
+        _st_centroid_x(F.col("geometry")).alias("x"),
+        _st_centroid_y(F.col("geometry")).alias("y"),
+        F.col("name"),
+        F.col("acct"),
+    ).orderBy("skey")
+
+
+def q_mif_roundtrip_sql():
+    return (
+        "SELECT CAST(s_suppkey AS INT) AS skey, "
+        "CAST((s_suppkey * 37 % 720) * 0.5 - 180.0 AS DOUBLE) AS x, "
+        "CAST((s_suppkey * 41 % 360) * 0.5 - 90.0 AS DOUBLE) AS y, "
+        "'sup,\"' || CAST(s_suppkey AS VARCHAR) AS name, "
+        "CAST((s_suppkey % 400) * 0.25 AS DOUBLE) AS acct "
+        "FROM supplier ORDER BY skey"
+    )
+
+
 def q_geoparquet_roundtrip(spark, sf_dir):
     """GeoParquet driver round-trip (formats.geoparquet — GeoParquet 1.1
     spec; reference ogr/ogrsf_frmts/parquet/): a supplier point layer
@@ -7147,6 +7203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (standing rule: new entries go FIRST) ---
         "dted_roundtrip": q_dted_roundtrip,
         "envi_roundtrip": q_envi_roundtrip,
+        "mif_roundtrip": q_mif_roundtrip,
         "vrt_warped": q_vrt_warped,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
@@ -7287,6 +7344,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dted_roundtrip": q_dted_roundtrip_sql(),
         "envi_roundtrip": q_envi_roundtrip_sql(),
+        "mif_roundtrip": q_mif_roundtrip_sql(),
         "vrt_warped": q_vrt_warped_sql(),
         "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),
