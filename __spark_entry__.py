@@ -5815,6 +5815,84 @@ def q_envi_roundtrip_sql():
     )
 
 
+def q_srtmhgt_roundtrip(spark, sf_dir):
+    """SRTM HGT driver (formats.srtmhgt — frmts/srtmhgt analog): one
+    1-degree elevation tile per nation row (7x7 test grid via
+    strict_size=False; cell(y,x) = key*7 + y*7 + x - 100, negative for
+    small keys so the big-endian int16 encode is signed), written
+    through the DISTRIBUTED sink that derives each FILE NAME from its
+    own georef (N43W080-style — the name IS the georef), re-read with
+    one-task-per-file fan-out; per-tile (image_id, gt0, gt3, nodata,
+    sum/min/max) only match the closed-form SQL if the name
+    derivation, half-post geotransform rule, and byte order hold."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_srtmhgt, write_srtmhgt
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    n = 7
+    rows = []
+    for k in keys:
+        a = (np.arange(n * n, dtype=np.int32).reshape(n, n)
+             + k * 7 - 100).astype(np.int16)
+        lat, lon = k % 45 - 20, k
+        rows.append((
+            f"t{k}", bytearray(codecs.encode_raw(a)), n, n, "raw",
+            lon - 0.5 / (n - 1), 1.0 / (n - 1), 0.0,
+            lat + 1 + 0.5 / (n - 1), 0.0, -1.0 / (n - 1),
+            4326, -32768.0,
+        ))
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    )
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_hgt_")
+    write_srtmhgt(src, tmp)
+    imgs = scan_srtmhgt(spark, os.path.join(tmp, "*.hgt"),
+                        strict_size=False)
+    stats = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(
+            F.sum("value").alias("sum_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+    return (
+        imgs.select("image_id", "gt0", "gt3", "nodata")
+        .join(stats, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_srtmhgt_roundtrip_sql():
+    # names derive from the integer SW corner (lat = key%45 - 20,
+    # lon = key); tile sum = 49*(7k - 100) + sum(0..48)
+    return (
+        "SELECT CASE WHEN n_nationkey % 45 - 20 >= 0 THEN 'N' ELSE 'S' END "
+        "|| lpad(CAST(abs(n_nationkey % 45 - 20) AS VARCHAR), 2, '0') "
+        "|| 'E' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS image_id, "
+        "CAST(n_nationkey - 0.5/6.0 AS DOUBLE) AS gt0, "
+        "CAST(n_nationkey % 45 - 20 + 1 + 0.5/6.0 AS DOUBLE) AS gt3, "
+        "CAST(-32768 AS DOUBLE) AS nodata, "
+        "CAST(343*n_nationkey - 3724 AS DOUBLE) AS sum_val, "
+        "CAST(7*n_nationkey - 100 AS DOUBLE) AS min_val, "
+        "CAST(7*n_nationkey - 52 AS DOUBLE) AS max_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_mif_roundtrip(spark, sf_dir):
     """MapInfo MIF/MID driver (formats.mif — ogr/ogrsf_frmts/mitab
     analog, golden-pinned vs all_geoms.mif.golden.csv in tests): a
@@ -7204,6 +7282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dted_roundtrip": q_dted_roundtrip,
         "envi_roundtrip": q_envi_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
+        "srtmhgt_roundtrip": q_srtmhgt_roundtrip,
         "vrt_warped": q_vrt_warped,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
@@ -7345,6 +7424,7 @@ def oracle_sql() -> dict[str, str]:
         "dted_roundtrip": q_dted_roundtrip_sql(),
         "envi_roundtrip": q_envi_roundtrip_sql(),
         "mif_roundtrip": q_mif_roundtrip_sql(),
+        "srtmhgt_roundtrip": q_srtmhgt_roundtrip_sql(),
         "vrt_warped": q_vrt_warped_sql(),
         "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),
