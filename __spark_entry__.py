@@ -5815,6 +5815,75 @@ def q_envi_roundtrip_sql():
     )
 
 
+def q_netcdf_roundtrip(spark, sf_dir):
+    """netCDF classic driver (formats.netcdf — frmts/netcdf analog,
+    CDF-1 from the published spec): one CF-layout .nc per nation row
+    (float32 grid cell(y,x) = key*7 + y*5 + x - 60.5, UTM srid per
+    key via the spatial_ref WKT, nodata as _FillValue), written
+    through the DISTRIBUTED sink and re-read one-task-per-file; the
+    closed-form SQL only matches if the big-endian header/data
+    round-trip, the GeoTransform attribute, the AUTHORITY-bearing WKT
+    export/import, and the fill-value plumbing all hold."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_netcdf, write_netcdf
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for k in keys:
+        a = (np.arange(30, dtype=np.float64).reshape(6, 5)
+             + k * 7 - 60.5).astype(np.float32)
+        rows.append((
+            f"n{k}", bytearray(codecs.encode_raw(a)), 5, 6, "raw",
+            k * 2.0, 0.5, 0.0, 30.0, 0.0, -0.5,
+            32601 + (k % 60), -9999.0,
+        ))
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    )
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_nc_")
+    write_netcdf(src, tmp)
+    imgs = scan_netcdf(spark, os.path.join(tmp, "*.nc"))
+    stats = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(
+            F.sum("value").alias("sum_val"),
+            F.min("value").alias("min_val"),
+        )
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "srid", "nodata")
+        .join(stats, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_netcdf_roundtrip_sql():
+    # float32 cells k*7 + (0..29) - 60.5 are exactly representable
+    # (x.5 halves), so the sum is exact: 30*(7k - 60.5) + 435
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 5 AS w, 6 AS h, "
+        "CAST(n_nationkey * 2.0 AS DOUBLE) AS gt0, "
+        "CAST(32601 + n_nationkey % 60 AS INT) AS srid, "
+        "CAST(-9999 AS DOUBLE) AS nodata, "
+        "CAST(210*n_nationkey - 1380 AS DOUBLE) AS sum_val, "
+        "CAST(7*n_nationkey - 60.5 AS DOUBLE) AS min_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_srtmhgt_roundtrip(spark, sf_dir):
     """SRTM HGT driver (formats.srtmhgt — frmts/srtmhgt analog): one
     1-degree elevation tile per nation row (7x7 test grid via
@@ -7283,6 +7352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envi_roundtrip": q_envi_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
         "srtmhgt_roundtrip": q_srtmhgt_roundtrip,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
         "vrt_warped": q_vrt_warped,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
@@ -7425,6 +7495,7 @@ def oracle_sql() -> dict[str, str]:
         "envi_roundtrip": q_envi_roundtrip_sql(),
         "mif_roundtrip": q_mif_roundtrip_sql(),
         "srtmhgt_roundtrip": q_srtmhgt_roundtrip_sql(),
+        "netcdf_roundtrip": q_netcdf_roundtrip_sql(),
         "vrt_warped": q_vrt_warped_sql(),
         "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),

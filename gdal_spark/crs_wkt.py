@@ -347,5 +347,9 @@ def export_wkt(srid: int, name: str | None = None) -> str:
     else:
         raise ValueError(f"srid {srid} is not a registered projected CRS")
     shift = DATUM_TABLE.get(srid)
-    return crs_to_wkt(family, params, name=name or f"EPSG:{srid}",
-                      towgs84=shift.towgs84 if shift is not None else None)
+    wkt = crs_to_wkt(family, params, name=name or f"EPSG:{srid}",
+                     towgs84=shift.towgs84 if shift is not None else None)
+    # close with the outermost AUTHORITY node (the GDAL exportToWkt
+    # shape) so downstream consumers (netCDF spatial_ref, GeoParquet)
+    # can recover the EPSG code without a registry lookup
+    return wkt[:-1] + f',\n    AUTHORITY["EPSG","{srid}"]]'
