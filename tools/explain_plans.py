@@ -697,6 +697,65 @@ def main():
             out,
         )
 
+    # 27. ENVI scan: driver reads only the tiny .hdr texts, then ONE
+    # round-robin fan-out exchange of the (path, header) plan and ONE
+    # Arrow pass doing read+deinterleave+encode — the plan shape shared
+    # by the driver-planned format scans (GeoTIFF windowed, FGB ranges)
+    with _tf.TemporaryDirectory() as td5:
+        import numpy as np
+
+        from gdal_spark import codecs as _cd
+        from gdal_spark.formats import scan_envi
+        from gdal_spark.formats.envi import format_envi
+
+        for k in range(4):
+            arr = (np.arange(64, dtype=np.uint8).reshape(8, 8) + k)
+            cube, hdr = format_envi(arr, (0.0, 1.0, 0.0, 8.0, 0.0, -1.0))
+            with open(f"{td5}/c{k}.img", "wb") as fh:
+                fh.write(cube)
+            with open(f"{td5}/c{k}.hdr", "w") as fh:
+                fh.write(hdr)
+        edf = scan_envi(spark, f"{td5}/*.img")
+        audit(
+            "envi_scan_task_per_cube",
+            edf,
+            [
+                ("one_fanout_exchange",
+                 lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+                ("one_arrow_pass",
+                 lambda p: p.count("MapInPandas") >= 1),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+                ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            ],
+            out,
+        )
+
+        # 28. headerless-file scans (DTED/SRTM/netCDF): the binaryFile
+        # source already yields one split per file, so the whole scan is
+        # ZERO exchanges and ONE Arrow pass — no driver planning at all
+        from gdal_spark.formats import scan_dted
+        from gdal_spark.formats.dted import format_dted
+
+        for k in range(3):
+            a = (np.arange(16, dtype=np.int16).reshape(4, 4) + k)
+            with open(f"{td5}/n{k}.dt0", "wb") as fh:
+                fh.write(format_dted(
+                    a, (float(k) - 1 / 240, 1 / 120, 0.0,
+                        10.0 + 1 / 240, 0.0, -1 / 120)
+                ))
+        ddf = scan_dted(spark, f"{td5}/*.dt0")
+        audit(
+            "headerless_file_scan_one_pass",
+            ddf,
+            [
+                ("no_exchange", lambda p: "Exchange" not in p),
+                ("one_arrow_pass",
+                 lambda p: p.count("MapInPandas") >= 1),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+            ],
+            out,
+        )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
