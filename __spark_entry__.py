@@ -5815,6 +5815,95 @@ def q_envi_roundtrip_sql():
     )
 
 
+def q_dxf_read(spark, sf_dir):
+    """DXF reader (formats.dxf — ogr/ogrsf_frmts/dxf analog, arc
+    tessellation golden-pinned in tests): one CAD sheet per nation row
+    holding a POINT, a LINE, a SOLID (corners joined 1-2-4-3) and a
+    closed LWPOLYLINE, every entity on layer 'n{key}'; the distributed
+    scan fans one task per file and the per-layer (feature count,
+    vertex count, sum of x, sum of y) only match the closed-form SQL
+    if entity parsing, the SOLID ring order, and polyline closure are
+    all right."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_dxf
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_dxf_")
+
+    def ent(kind, layer, codes):
+        out = [("0", kind), ("8", layer)]
+        out += [(str(c), repr(float(v))) for c, v in codes]
+        return out
+
+    for k in keys:
+        pairs = [("0", "SECTION"), ("2", "ENTITIES")]
+        lay = f"n{k}"
+        pairs += ent("POINT", lay, [(10, k), (20, 3 * k)])
+        pairs += ent("LINE", lay, [(10, 0), (20, 0), (11, k), (21, 1)])
+        # SOLID corners (k,k),(k+2,k),(k,k+2),(k+2,k+2) -> ring 1-2-4-3
+        pairs += ent("SOLID", lay, [
+            (10, k), (20, k), (11, k + 2), (21, k),
+            (12, k), (22, k + 2), (13, k + 2), (23, k + 2),
+        ])
+        # closed LWPOLYLINE triangle (k,k),(k+4,k),(k,k+3)
+        pairs += [("0", "LWPOLYLINE"), ("8", lay), ("90", "3"),
+                  ("70", "1"),
+                  ("10", repr(float(k))), ("20", repr(float(k))),
+                  ("10", repr(float(k + 4))), ("20", repr(float(k))),
+                  ("10", repr(float(k))), ("20", repr(float(k + 3)))]
+        pairs += [("0", "ENDSEC"), ("0", "EOF")]
+        with open(os.path.join(tmp, f"s{k}.dxf"), "w") as f:
+            f.write("\n".join(v for p in pairs for v in p) + "\n")
+
+    feats = scan_dxf(spark, os.path.join(tmp, "*.dxf"))
+
+    @F.pandas_udf("struct<n:int,sx:double,sy:double>")
+    def vsum(wkbs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from gdal_spark import geom as G
+
+        ns, xs, ys = [], [], []
+        for w in wkbs:
+            g = G.parse_wkb(bytes(w))
+            cs = np.vstack(list(G._iter_coords(g)))
+            ns.append(len(cs))
+            xs.append(float(cs[:, 0].sum()))
+            ys.append(float(cs[:, 1].sum()))
+        return pd.DataFrame({"n": ns, "sx": xs, "sy": ys})
+
+    return (
+        feats.select(F.col("Layer").alias("layer"),
+                     vsum(F.col("geometry")).alias("v"))
+        .groupBy("layer")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("v.n").alias("n_vertices"),
+            F.sum("v.sx").alias("sum_x"),
+            F.sum("v.sy").alias("sum_y"),
+        )
+        .orderBy("layer")
+    )
+
+
+def q_dxf_read_sql():
+    # per sheet: POINT (1 vertex, x=k, y=3k), LINE (2 verts, x=k, y=1),
+    # SOLID ring 5 verts (x=5k+4, y=5k+4), closed LWPOLYLINE 4 verts
+    # (x=4k+4, y=4k+3)
+    return (
+        "SELECT 'n' || n_nationkey AS layer, 4 AS n_features, "
+        "CAST(12 AS BIGINT) AS n_vertices, "
+        "CAST(11*n_nationkey + 8 AS DOUBLE) AS sum_x, "
+        "CAST(12*n_nationkey + 8 AS DOUBLE) AS sum_y "
+        "FROM nation ORDER BY layer"
+    )
+
+
 def q_netcdf_roundtrip(spark, sf_dir):
     """netCDF classic driver (formats.netcdf — frmts/netcdf analog,
     CDF-1 from the published spec): one CF-layout .nc per nation row
@@ -7353,6 +7442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mif_roundtrip": q_mif_roundtrip,
         "srtmhgt_roundtrip": q_srtmhgt_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
+        "dxf_read": q_dxf_read,
         "vrt_warped": q_vrt_warped,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_mosaic": q_vrt_mosaic,
@@ -7496,6 +7586,7 @@ def oracle_sql() -> dict[str, str]:
         "mif_roundtrip": q_mif_roundtrip_sql(),
         "srtmhgt_roundtrip": q_srtmhgt_roundtrip_sql(),
         "netcdf_roundtrip": q_netcdf_roundtrip_sql(),
+        "dxf_read": q_dxf_read_sql(),
         "vrt_warped": q_vrt_warped_sql(),
         "mbtiles_roundtrip": q_mbtiles_roundtrip_sql(),
         "vrt_mosaic": q_vrt_mosaic_sql(),
