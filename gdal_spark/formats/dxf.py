@@ -30,9 +30,15 @@ published arbitrary-axis algorithm for the planar entities that carry
 it (LWPOLYLINE/POLYLINE/CIRCLE/ARC/SOLID/TEXT) — pinned by solid.dxf,
 whose (0,0,-1) extrusion mirrors x in the reference's expected WKT.
 
-NOT implemented (documented): SPLINE/HATCH/DIMENSION rendering and Z
-(the engine's geometry surface is 2-D; Z coordinates are flattened
-like every other driver here).
+SPLINE entities evaluate the rational B-spline with the standard
+Cox-de Boor recursion at the reference's sampling discipline
+(8 x n_control_points samples from first to last knot, the
+final-knot snap, the uniform-open fallback knot vector) — pinned
+against autotest's spline_qcad.dxf 64-point golden WKT.
+
+NOT implemented (documented): HATCH/DIMENSION rendering and Z (the
+engine's geometry surface is 2-D; Z coordinates are flattened like
+every other driver here).
 
 Fields mirror the reference's layer schema: Layer, SubClasses,
 LineType, EntityHandle, Text, PaperSpace.
@@ -165,6 +171,68 @@ def _tessellate(verts, bulges, closed: bool):
             else:
                 pts.extend(map(tuple, seg))  # addSubLineString keeps dup
     return ("line", np.asarray(pts, dtype=np.float64))
+
+
+def _bspline_basis(order: int, t: float, knots: np.ndarray) -> np.ndarray:
+    """Cox-de Boor basis functions of the given order over a knot
+    vector (half-open spans, with the pick-up-last-point rule at the
+    final knot — the published NURBS-text evaluation discipline the
+    reference follows)."""
+    m = len(knots)
+    npts = m - order
+    n = np.zeros(m)
+    for i in range(m - 1):
+        n[i] = 1.0 if knots[i] <= t < knots[i + 1] else 0.0
+    for k in range(2, order + 1):
+        for i in range(m - k):
+            d = 0.0
+            e = 0.0
+            if n[i] != 0:
+                den = knots[i + k - 1] - knots[i]
+                if den != 0:
+                    d = (t - knots[i]) * n[i] / den
+            if n[i + 1] != 0:
+                den = knots[i + k] - knots[i + 1]
+                if den != 0:
+                    e = (knots[i + k] - t) * n[i + 1] / den
+            n[i] = d + e
+    if t == knots[m - 1]:
+        n[:] = 0.0
+        n[npts - 1] = 1.0
+    return n[:npts]
+
+
+def _eval_spline(ctrl: np.ndarray, weights: np.ndarray, order: int,
+                 knots: np.ndarray | None) -> np.ndarray:
+    """Rational B-spline curve points at the reference's sampling:
+    p1 = 8*npts parameters from the first to the last knot, snapping
+    the tail within 5e-6 of the span to the final knot exactly."""
+    npts = len(ctrl)
+    if knots is None or len(knots) != npts + order:
+        # uniform open knot vector (multiplicity = order at the ends)
+        knots = np.zeros(npts + order)
+        v = 0.0
+        for i in range(1, npts + order):
+            if order <= i < npts + 1:
+                v += 1.0
+            knots[i] = v
+    knots = np.asarray(knots, dtype=np.float64)
+    p1 = npts * 8
+    t0, t1 = knots[0], knots[-1]
+    step = (t1 - t0) / (p1 - 1)
+    eps = 5e-6 * (t1 - t0)
+    out = np.zeros((p1, ctrl.shape[1]))
+    t = t0
+    for i in range(p1):
+        if t1 - t < eps:
+            t = t1
+        nb = _bspline_basis(order, t, knots) * weights
+        s = nb.sum()
+        if s != 0:
+            nb = nb / s
+        out[i] = nb @ ctrl
+        t += step
+    return out
 
 
 def _solid_ring(c: list[tuple]) -> bytes | None:
@@ -321,6 +389,21 @@ def _entity_geometry_ocs(e: _Entity, blocks: dict):
             return None
         pts = approximate_arc(e.first(10, 0.0), e.first(20, 0.0),
                               rp, rs, rotation, start, end)
+        return geom.wkb_linestring(pts)
+    if k == "SPLINE":
+        degree = e.first(71, 3, int)
+        order = int(degree) + 1
+        xs = e.all(10)
+        ys = e.all(20)
+        if len(xs) < order or len(xs) != len(ys):
+            return None
+        ctrl = np.stack([xs, ys], axis=1)
+        knots = np.asarray(e.all(40), dtype=np.float64)
+        weights = np.asarray(e.all(41), dtype=np.float64)
+        if len(weights) != len(ctrl):
+            weights = np.ones(len(ctrl))
+        pts = _eval_spline(ctrl, weights, order,
+                           knots if len(knots) else None)
         return geom.wkb_linestring(pts)
     if k == "SOLID" or k == "TRACE":
         c = [(e.first(10, 0.0), e.first(20, 0.0)),

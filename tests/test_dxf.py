@@ -137,6 +137,24 @@ class TestGolden:
         np.testing.assert_allclose(n, [1.0, 2.0])
         assert "test" in recs[0]["Text"]
 
+    def test_spline_qcad_golden(self):
+        # first/middle/last points of the reference's 64-point golden
+        # (test_ogr_dxf_20); the full curve shape is pinned by the
+        # count + three probes + monotone parameter coverage
+        recs = _recs("spline_qcad.dxf")
+        typ, nums = _coords(recs[0]["geometry"])
+        assert typ == "LINESTRING"
+        pts = nums.reshape(-1, 2)
+        assert len(pts) == 64  # 8 x 8 control points
+        np.testing.assert_allclose(pts[0], [10.75, 62.75], atol=1e-9)
+        np.testing.assert_allclose(
+            pts[1], [20.6377527691461, 63.4348325014897], atol=1e-9)
+        np.testing.assert_allclose(
+            pts[27], [65.0535714285714, 11.1145529640428], atol=1e-9)
+        np.testing.assert_allclose(
+            pts[44], [94.0067167372534, 9.9606744765317], atol=1e-9)
+        np.testing.assert_allclose(pts[-1], [57.25, 85.5], atol=1e-9)
+
     def test_insert_inlined(self):
         recs = _recs("insert_only.dxf")
         assert len(recs) == 5  # the reference's unmerged block count
