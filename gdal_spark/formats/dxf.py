@@ -36,9 +36,16 @@ Cox-de Boor recursion at the reference's sampling discipline
 final-knot snap, the uniform-open fallback knot vector) — pinned
 against autotest's spline_qcad.dxf 64-point golden WKT.
 
-NOT implemented (documented): HATCH/DIMENSION rendering and Z (the
-engine's geometry surface is 2-D; Z coordinates are flattened like
-every other driver here).
+HATCH entities become polygons: boundary paths (line / circular /
+elliptic-arc edges, bulged polyline loops) chain into closed rings
+the OGRBuildPolygonFromEdges way (greedy endpoint matching within an
+envelope-scaled tolerance, auto-close) — pinned against hatch.dxf's
+expected polygons. ``parse_dxf(arc_step=...)`` exposes the
+OGR_ARC_STEPSIZE knob the reference's own hatch test sets.
+
+NOT implemented (documented): DIMENSION rendering, HATCH spline
+edges, and Z (the engine's geometry surface is 2-D; Z coordinates
+are flattened like every other driver here).
 
 Fields mirror the reference's layer schema: Layer, SubClasses,
 LineType, EntityHandle, Text, PaperSpace.
@@ -78,14 +85,15 @@ def _pairs(text: str):
 
 
 def approximate_arc(cx: float, cy: float, rp: float, rs: float,
-                    rotation: float, a0: float, a1: float) -> np.ndarray:
+                    rotation: float, a0: float, a1: float,
+                    step: float = _ARC_STEP) -> np.ndarray:
     """OGRGeometryFactory::approximateArcAngles with the default
     4-degree step: angles NEGATED, n = max(2, ceil(|sweep|/4) + 1)
     points over n-1 slices; a full 360 circle drops the last slice
     point and closes exactly on the first."""
     full = abs(a1 - a0) == 360.0
     a0, a1 = -a0, -a1
-    n = max(2, int(math.ceil(abs(a1 - a0) / _ARC_STEP)) + 1)
+    n = max(2, int(math.ceil(abs(a1 - a0) / step)) + 1)
     slice_ = (a1 - a0) / (n - 1)
     if full:
         n -= 1
@@ -101,7 +109,8 @@ def approximate_arc(cx: float, cy: float, rp: float, rs: float,
     return np.asarray(pts, dtype=np.float64)
 
 
-def _emit_bulge_arc(x1, y1, x2, y2, bulge: float) -> np.ndarray:
+def _emit_bulge_arc(x1, y1, x2, y2, bulge: float,
+                    step: float = _ARC_STEP) -> np.ndarray:
     """ogrdxf_polyline_smooth.cpp EmitArc, exactly: radius from the
     sagitta formula, center via the perpendicular apothem, the
     line-direction angle adjustments, then approximate_arc with the
@@ -137,13 +146,13 @@ def _emit_bulge_arc(x1, y1, x2, y2, bulge: float) -> np.ndarray:
     rotation = linedir * 180.0 if (clockwise and linedir == 1.0) else 0.0
     if abs(end - start) > 361.0:
         return np.array([[x1, y1], [x2, y2]])
-    pts = approximate_arc(ccx, ccy, r, r, rotation, start, end)
+    pts = approximate_arc(ccx, ccy, r, r, rotation, start, end, step)
     pts[0] = (x1, y1)
     pts[-1] = (x2, y2)
     return pts
 
 
-def _tessellate(verts, bulges, closed: bool):
+def _tessellate(verts, bulges, closed: bool, step: float = _ARC_STEP):
     """DXFSmoothPolyline::Tessellate over (x, y) vertices with
     per-vertex bulges (the bulge applies to the segment STARTING at
     that vertex)."""
@@ -165,7 +174,7 @@ def _tessellate(verts, bulges, closed: bool):
                 pts.append((x1, y1))
             pts.append((x2, y2))
         else:
-            seg = _emit_bulge_arc(x1, y1, x2, y2, b)
+            seg = _emit_bulge_arc(x1, y1, x2, y2, b, step)
             if not pts:
                 pts.extend(map(tuple, seg))
             else:
@@ -233,6 +242,165 @@ def _eval_spline(ctrl: np.ndarray, weights: np.ndarray, order: int,
         out[i] = nb @ ctrl
         t += step
     return out
+
+
+def _hatch_geometry(e: "_Entity", step: float) -> bytes | None:
+    """TranslateHATCH: collect boundary-path edges (line / circular
+    arc / elliptic arc / polyline loops with bulges), then chain them
+    into closed rings the OGRBuildPolygonFromEdges way (greedy
+    endpoint matching within an envelope-scaled tolerance, auto
+    close)."""
+    pairs = e.pairs
+    chains: list[np.ndarray] = []
+    i = 0
+    n = len(pairs)
+
+    def at(j):
+        return pairs[j] if j < n else (None, None)
+
+    # advance to the path count
+    while i < n and pairs[i][0] != 91:
+        i += 1
+    if i >= n:
+        return None
+    npaths = int(pairs[i][1])
+    i += 1
+    for _ in range(npaths):
+        while i < n and pairs[i][0] != 92:
+            i += 1
+        if i >= n:
+            break
+        ptype = int(pairs[i][1])
+        i += 1
+        if ptype & 0x02:  # polyline loop
+            has_bulge = False
+            closed = False
+            nv = 0
+            if at(i)[0] == 72:
+                has_bulge = int(pairs[i][1]) != 0
+                i += 1
+            if at(i)[0] == 73:
+                closed = int(pairs[i][1]) != 0
+                i += 1
+            if at(i)[0] == 93:
+                nv = int(pairs[i][1])
+                i += 1
+            verts, bulges = [], []
+            for _v in range(nv):
+                x = y = 0.0
+                b = 0.0
+                if at(i)[0] == 10:
+                    x = float(pairs[i][1])
+                    i += 1
+                if at(i)[0] == 20:
+                    y = float(pairs[i][1])
+                    i += 1
+                if has_bulge and at(i)[0] == 42:
+                    b = float(pairs[i][1])
+                    i += 1
+                verts.append((x, y))
+                bulges.append(b)
+            if verts:
+                _, pts = _tessellate(verts, bulges, closed, step)
+                chains.append(pts)
+        else:  # edge list
+            nedges = 0
+            if at(i)[0] == 93:
+                nedges = int(pairs[i][1])
+                i += 1
+            for _e in range(nedges):
+                if at(i)[0] != 72:
+                    break
+                etype = int(pairs[i][1])
+                i += 1
+
+                def take(code, default=0.0):
+                    nonlocal i
+                    if at(i)[0] == code:
+                        v = float(pairs[i][1])
+                        i += 1
+                        return v
+                    return default
+
+                if etype == 1:
+                    x1, y1 = take(10), take(20)
+                    x2, y2 = take(11), take(21)
+                    chains.append(np.array([[x1, y1], [x2, y2]]))
+                elif etype == 2:
+                    cx, cy = take(10), take(20)
+                    r = take(40)
+                    a0, a1 = take(50), take(51)
+                    ccw = take(73, 0.0) != 0.0
+                    if a0 > a1:
+                        a1 += 360.0
+                    if ccw:
+                        a0, a1 = -a0, -a1
+                    if abs(a1 - a0) <= 361.0:
+                        chains.append(
+                            approximate_arc(cx, cy, r, r, 0.0, a0, a1,
+                                            step)
+                        )
+                elif etype == 3:
+                    cx, cy = take(10), take(20)
+                    mx, my = take(11), take(21)
+                    ratio = take(40)
+                    a0, a1 = take(50), take(51)
+                    ccw = take(73, 0.0) != 0.0
+                    rp = math.hypot(mx, my)
+                    rot = math.degrees(math.atan2(my, mx))
+                    if a0 > a1:
+                        a1 += 360.0
+                    if ccw:
+                        a0, a1 = -a0, -a1
+                    if abs(a1 - a0) <= 361.0:
+                        chains.append(
+                            approximate_arc(cx, cy, rp, ratio * rp, rot,
+                                            a0, a1, step)
+                        )
+                else:  # spline edges unsupported -> abandon this path
+                    break
+        # skip the source-object references (97 count + 330 handles)
+        if at(i)[0] == 97:
+            nref = int(pairs[i][1])
+            i += 1
+            for _r in range(nref):
+                if at(i)[0] == 330:
+                    i += 1
+    if not chains:
+        return None
+
+    # OGRBuildPolygonFromEdges, best-effort + auto-close: greedy chain
+    env = np.vstack(chains)
+    tol = max(env[:, 0].ptp(), env[:, 1].ptp()) * 1e-7
+    unused = list(chains)
+    rings: list[np.ndarray] = []
+    while unused:
+        ring = unused.pop(0)
+        progress = True
+        while progress:
+            progress = False
+            tail = ring[-1]
+            for j, c in enumerate(unused):
+                if np.hypot(*(c[0] - tail)) <= tol:
+                    ring = np.vstack([ring, c[1:]])
+                elif np.hypot(*(c[-1] - tail)) <= tol:
+                    ring = np.vstack([ring, c[::-1][1:]])
+                else:
+                    continue
+                unused.pop(j)
+                progress = True
+                break
+        if np.hypot(*(ring[0] - ring[-1])) > tol:
+            ring = np.vstack([ring, ring[:1]])  # auto close
+        else:
+            ring[-1] = ring[0]
+        if len(ring) >= 4:
+            rings.append(ring)
+    if not rings:
+        return None
+    from .mif import _organize_rings
+
+    return _organize_rings(rings)
 
 
 def _solid_ring(c: list[tuple]) -> bytes | None:
@@ -325,14 +493,15 @@ def _wkb_apply_ocs(e: "_Entity", wkb: bytes | None) -> bytes | None:
     return wkb
 
 
-def _entity_geometry(e: _Entity, blocks: dict):
-    g = _entity_geometry_ocs(e, blocks)
+def _entity_geometry(e: _Entity, blocks: dict, step: float = _ARC_STEP):
+    g = _entity_geometry_ocs(e, blocks, step)
     if e.kind == "POINT" or e.kind == "LINE":
         return g  # WCS entities per the DXF spec
     return _wkb_apply_ocs(e, g)
 
 
-def _entity_geometry_ocs(e: _Entity, blocks: dict):
+def _entity_geometry_ocs(e: _Entity, blocks: dict,
+                         step: float = _ARC_STEP):
     k = e.kind
     if k == "POINT" or k == "TEXT" or k == "MTEXT":
         return geom.wkb_point(e.first(10, 0.0), e.first(20, 0.0))
@@ -356,14 +525,14 @@ def _entity_geometry_ocs(e: _Entity, blocks: dict):
         verts = [(x, y if y is not None else 0.0) for x, y in verts]
         if not verts:
             return None
-        kind, pts = _tessellate(verts, bulges, closed)
+        kind, pts = _tessellate(verts, bulges, closed, step)
         if kind == "point":
             return geom.wkb_point(float(pts[0, 0]), float(pts[0, 1]))
         return geom.wkb_linestring(pts)
     if k == "CIRCLE":
         r = e.first(40, 0.0)
         pts = approximate_arc(e.first(10, 0.0), e.first(20, 0.0),
-                              r, r, 0.0, 0.0, 360.0)
+                              r, r, 0.0, 0.0, 360.0, step)
         return geom.wkb_linestring(pts)
     if k == "ARC":
         r = e.first(40, 0.0)
@@ -374,7 +543,7 @@ def _entity_geometry_ocs(e: _Entity, blocks: dict):
         if abs(end - start) > 361.0:
             return None
         pts = approximate_arc(e.first(10, 0.0), e.first(20, 0.0),
-                              r, r, 0.0, start, end)
+                              r, r, 0.0, start, end, step)
         return geom.wkb_linestring(pts)
     if k == "ELLIPSE":
         ax, ay = e.first(11, 0.0), e.first(21, 0.0)
@@ -388,8 +557,10 @@ def _entity_geometry_ocs(e: _Entity, blocks: dict):
         if abs(end - start) > 361.0:
             return None
         pts = approximate_arc(e.first(10, 0.0), e.first(20, 0.0),
-                              rp, rs, rotation, start, end)
+                              rp, rs, rotation, start, end, step)
         return geom.wkb_linestring(pts)
+    if k == "HATCH":
+        return _hatch_geometry(e, step)
     if k == "SPLINE":
         degree = e.first(71, 3, int)
         order = int(degree) + 1
@@ -444,10 +615,10 @@ def _transform_wkb(wkb: bytes, sx, sy, rot_deg, tx, ty) -> bytes:
     return wkb
 
 
-def parse_dxf(text: str):
+def parse_dxf(text: str, arc_step: float = _ARC_STEP):
     """DXF text -> [{'geometry': wkb|None, Layer, SubClasses, LineType,
     EntityHandle, Text, PaperSpace}] in entity order (the reference's
-    single ``entities`` layer)."""
+    single ``entities`` layer). ``arc_step`` is OGR_ARC_STEPSIZE."""
     pairs = _pairs(text)
     # split into sections
     blocks: dict[str, list[_Entity]] = {}
@@ -548,7 +719,7 @@ def parse_dxf(text: str):
             verts, bulges, closed = e.resolved  # type: ignore
             if not verts:
                 return
-            kind, pts = _tessellate(verts, bulges, closed)
+            kind, pts = _tessellate(verts, bulges, closed, arc_step)
             g = (geom.wkb_point(float(pts[0, 0]), float(pts[0, 1]))
                  if kind == "point" else geom.wkb_linestring(pts))
             records.append({"geometry": _wkb_apply_ocs(e, g), **props(e)})
@@ -563,7 +734,7 @@ def parse_dxf(text: str):
                 rot = e.first(50, 0.0)
                 ip = props(e)
                 for be in ents:
-                    g = _entity_geometry(be, blocks)
+                    g = _entity_geometry(be, blocks, arc_step)
                     if g is None:
                         continue
                     g = _transform_wkb(g, sx, sy, rot,
@@ -575,7 +746,7 @@ def parse_dxf(text: str):
             return
         if e.kind in ("SEQEND", "VERTEX", "ENDBLK", "BLOCK"):
             return
-        g = _entity_geometry(e, blocks)
+        g = _entity_geometry(e, blocks, arc_step)
         if g is None and e.kind not in (
             "POINT", "LINE", "LWPOLYLINE", "CIRCLE", "ARC", "ELLIPSE",
             "SOLID", "TRACE", "3DFACE", "TEXT", "MTEXT",

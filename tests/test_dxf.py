@@ -155,6 +155,34 @@ class TestGolden:
             pts[44], [94.0067167372534, 9.9606744765317], atol=1e-9)
         np.testing.assert_allclose(pts[-1], [57.25, 85.5], atol=1e-9)
 
+    def test_hatch_polygons(self):
+        # test_ogr_dxf_24 with OGR_ARC_STEPSIZE=45: the first hatch's
+        # circular-arc edge loop and the third's polyline loop
+        with open(os.path.join(DATA, "hatch.dxf")) as f:
+            recs = parse_dxf(f.read(), arc_step=45.0)
+        assert len(recs) == 3
+        t0, n0 = _coords(recs[0]["geometry"])
+        assert t0 == "POLYGON"
+        np.testing.assert_allclose(n0, [
+            2, 1, 1.646446609406726, 0.853553390593274, 1.5, 0.5,
+            1.646446609406726, 0.146446609406726, 2, 0,
+            2.146446609406726, -0.353553390593274, 2.5, -0.5,
+            2.853553390593274, -0.353553390593274, 3.0, -0.0,
+            3.353553390593274, 0.146446609406726, 3.5, 0.5,
+            3.353553390593274, 0.853553390593273, 3, 1,
+            2.853553390593274, 1.353553390593274, 2.5, 1.5,
+            2.146446609406726, 1.353553390593274, 2, 1,
+        ], atol=1e-9)
+        t2, n2 = _coords(recs[2]["geometry"])
+        assert t2 == "POLYGON"
+        np.testing.assert_allclose(
+            n2, [-1, -1, -1, 0, 0, 0, -1, -1], atol=1e-12)
+        # the middle full-circle hatch closes on itself
+        t1, n1 = _coords(recs[1]["geometry"])
+        assert t1 == "POLYGON"
+        np.testing.assert_allclose(n1[:2], [0.0, 0.0], atol=1e-12)
+        np.testing.assert_allclose(n1[-2:], n1[:2], atol=1e-12)
+
     def test_insert_inlined(self):
         recs = _recs("insert_only.dxf")
         assert len(recs) == 5  # the reference's unmerged block count
