@@ -6477,6 +6477,117 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def _gtiff_jpeg_image(k: int):
+    """Per-nation smooth gradient (JPEG-friendly: no hard edges, so
+    quality-95 baseline coding stays above the 40 dB bar)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    return np.clip(xx * 2 + yy + (k * 7) % 50, 0, 255).astype(np.uint8)
+
+
+def _gtiff_jpeg_golden():
+    """Driver-local replay for gtiff_jpeg_checksums: the same
+    format_gtiff(jpeg) -> parse_gtiff chain per nation key. The codec
+    is deterministic, so the distributed scan must reproduce these
+    exact checksums."""
+    from gdal_spark.checksum import gdal_checksum
+    from gdal_spark.codecs import psnr
+    from gdal_spark.formats.gtiff import format_gtiff, parse_gtiff
+
+    rows = []
+    for k in range(25):
+        src = _gtiff_jpeg_image(k)
+        buf = format_gtiff(
+            src, (k * 10.0, 1.0, 0.0, 48.0, 0.0, -1.0),
+            srid=32601 + k, compression="jpeg", jpeg_quality=95,
+        )
+        arr, _gt, srid, _ = parse_gtiff(buf)
+        rows.append((
+            f"n{k}", arr.shape[1], arr.shape[0], srid,
+            int(gdal_checksum(arr)), int(psnr(src, arr) >= 40.0),
+        ))
+    return rows
+
+
+def q_gtiff_jpeg_checksums(spark, sf_dir):
+    """JPEG-in-TIFF (compression 7, TIFF TechNote 2) through the
+    engine's own from-scratch T.81 codec wired into the GeoTIFF driver
+    (formats/gtiff.py + jpeg.py; reference frmts/gtiff JPEG path via
+    libjpeg — conformance on autotest byte_jpg_* fixtures in
+    tests/test_gtiff.py): one smooth gradient per nation row written
+    through the DISTRIBUTED sink with compression='jpeg' (MCU-aligned
+    strips, photometric YCbCr for RGB, edge-replicated tile padding),
+    re-scanned one-task-per-file, decoded, and reduced to per-image
+    GDAL checksums + a PSNR>=40 flag vs the re-derived lossless
+    source — the north rule's lossy-codec invariant, end to end.
+    Oracle = the identical driver-local replay (deterministic codec),
+    the vrt_warped VALUES pattern."""
+    import os
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_gtiff, write_gtiff
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}", codecs.encode_raw(_gtiff_jpeg_image(int(k))),
+            64, 48, "raw",
+            float(k * 10), 1.0, 0.0, 48.0, 0.0, -1.0,
+            32601 + int(k), None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_jtif_")
+    write_gtiff(src, tmp, compression="jpeg", jpeg_quality=95)
+    imgs = scan_gtiff(spark, os.path.join(tmp, "*.tif"))
+
+    def reduce_fn(batches):
+        import numpy as np
+
+        from gdal_spark.checksum import gdal_checksum
+        from gdal_spark.codecs import decode_image, psnr
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_image(bytes(r.bytes), r.fmt)
+                ref = _gtiff_jpeg_image(int(r.image_id[1:]))
+                out.append((
+                    r.image_id, arr.shape[1], arr.shape[0], int(r.srid),
+                    int(gdal_checksum(arr)), int(psnr(ref, arr) >= 40.0),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "w", "h", "srid", "checksum",
+                         "psnr_ok"],
+            )
+
+    return imgs.mapInPandas(
+        reduce_fn,
+        schema="image_id string, w int, h int, srid int, "
+               "checksum bigint, psnr_ok int",
+    ).orderBy("image_id")
+
+
+def q_gtiff_jpeg_checksums_sql():
+    return _vals_sql(
+        _gtiff_jpeg_golden(),
+        ["image_id", "w", "h", "srid", "checksum", "psnr_ok"],
+        "image_id",
+    )
+
+
 def q_mbtiles_roundtrip(spark, sf_dir):
     """MBTiles driver (formats.mbtiles — frmts/mbtiles/mbtilesdataset.cpp
     analog): tile the world fixture to z0-1, stream the pyramid into one
@@ -7437,6 +7548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums,
         "dted_roundtrip": q_dted_roundtrip,
         "envi_roundtrip": q_envi_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
@@ -7581,6 +7693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums_sql(),
         "dted_roundtrip": q_dted_roundtrip_sql(),
         "envi_roundtrip": q_envi_roundtrip_sql(),
         "mif_roundtrip": q_mif_roundtrip_sql(),

@@ -13,8 +13,11 @@ review's scoping:
 - striped (RowsPerStrip) AND tiled (TileWidth/TileLength) layouts, with
   SHORT- or LONG-typed offset/bytecount arrays;
 - PlanarConfiguration 1 (chunky) and 2 (band-separate);
-- Compression 1 (none), 5 (LZW, MSB-first with early change), 8/32946
-  (Deflate), 32773 (PackBits); horizontal differencing Predictor 2;
+- Compression 1 (none), 5 (LZW, MSB-first with early change), 7
+  (new-style JPEG per TIFF TechNote 2, incl. the shared JPEGTables
+  tag, through the engine's own T.81 codec — old-style 6 rejected
+  with a clear error, like modern libtiff), 8/32946 (Deflate), 32773
+  (PackBits); horizontal differencing Predictor 2;
 - BitsPerSample 8/16/32/64 with SampleFormat uint/int/float;
 - geotransform from ModelTransformationTag (34264) else
   ModelPixelScaleTag (33550) + ModelTiepointTag (33922);
@@ -79,6 +82,7 @@ _TYPES = {
     3: ("H", 2),   # SHORT
     4: ("I", 4),   # LONG
     6: ("b", 1),   # SBYTE
+    7: ("B", 1),   # UNDEFINED (raw bytes — e.g. JPEGTables)
     8: ("h", 2),   # SSHORT
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
@@ -105,6 +109,8 @@ _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_BYTE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
+_T_JPEG_TABLES = 347
+_T_YCBCR_SUBSAMPLING = 530
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
 _T_MODEL_TRANSFORMATION = 34264
@@ -115,6 +121,8 @@ _T_GDAL_NODATA = 42113
 
 _COMP_NONE = 1
 _COMP_LZW = 5
+_COMP_JPEG_OLD = 6
+_COMP_JPEG = 7
 _COMP_DEFLATE = 8
 _COMP_DEFLATE_OLD = 32946
 _COMP_PACKBITS = 32773
@@ -313,6 +321,8 @@ def _read_ifd_fh(f, bo: str, off: int, big: bool = False) -> tuple[dict, int]:
             raw = ent[vpos:vpos + total]
             if typ == 2:
                 tags[tag] = raw.split(b"\x00")[0].decode("latin-1")
+            elif typ == 7:
+                tags[tag] = raw
             else:
                 tags[tag] = list(struct.unpack(bo + str(cnt) + letter, raw))
         else:
@@ -325,6 +335,8 @@ def _read_ifd_fh(f, bo: str, off: int, big: bool = False) -> tuple[dict, int]:
         raw = f.read(cnt * size)
         if typ == 2:
             tags[tag] = raw.split(b"\x00")[0].decode("latin-1")
+        elif typ == 7:
+            tags[tag] = raw
         else:
             tags[tag] = list(struct.unpack(bo + str(cnt) + letter, raw))
     return tags, int(nxt)
@@ -406,14 +418,33 @@ def _level_from_tags(tags: dict, bo: str) -> dict:
         raise ValueError(f"heterogeneous BitsPerSample {bits_l} unsupported")
     bits = int(bits_l[0])
     comp = int(tags.get(_T_COMPRESSION, [1])[0])
+    if comp == _COMP_JPEG_OLD:
+        raise ValueError(
+            "old-style JPEG (compression 6) unsupported — re-write with "
+            "new-style JPEG (7), like the reference driver recommends"
+        )
     if comp not in (_COMP_NONE, _COMP_LZW, _COMP_DEFLATE,
-                    _COMP_DEFLATE_OLD, _COMP_PACKBITS):
+                    _COMP_DEFLATE_OLD, _COMP_PACKBITS, _COMP_JPEG):
         raise ValueError(f"compression {comp} unsupported "
-                         "(none/LZW/Deflate/PackBits)")
+                         "(none/LZW/Deflate/PackBits/JPEG)")
     planar = int(tags.get(_T_PLANAR_CONFIG, [1])[0])
     pred = int(tags.get(_T_PREDICTOR, [1])[0])
     sfmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
     _dtype_for(bits, sfmt, bo)  # validate early
+    jtab = None
+    if comp == _COMP_JPEG:
+        if bits != 8 or sfmt != 1:
+            raise ValueError("JPEG-in-TIFF requires uint8 samples")
+        if planar != 1:
+            raise ValueError("JPEG-in-TIFF with planar config 2 "
+                             "unsupported")
+        jt = tags.get(_T_JPEG_TABLES)
+        if jt:
+            # JSON-safe (the windowed-scan plan ships the level dict
+            # as JSON): base64-encode the tables stream
+            import base64
+
+            jtab = base64.b64encode(bytes(jt)).decode("ascii")
     tiled = _T_TILE_OFFSETS in tags
     if tiled:
         bw = int(tags[_T_TILE_WIDTH][0])
@@ -438,7 +469,7 @@ def _level_from_tags(tags: dict, bo: str) -> dict:
     return {
         "bo": bo, "w": w, "h": h, "spp": spp, "bits": bits, "sfmt": sfmt,
         "comp": comp, "planar": planar, "pred": pred, "tiled": tiled,
-        "bw": bw, "bh": bh, "across": across, "down": down,
+        "bw": bw, "bh": bh, "across": across, "down": down, "jtab": jtab,
         "offsets": [int(o) for o in offsets],
         "counts": [int(c) for c in counts],
     }
@@ -486,6 +517,39 @@ def _georef_from_tags(tags: dict):
 def _decode_block(raw: bytes, lvl: dict, frows: int) -> np.ndarray:
     """One compressed block -> (frows, bw, chans) array."""
     comp = lvl["comp"]
+    if comp == _COMP_JPEG:
+        # New-style JPEG (TIFF TechNote 2): each strip/tile is a
+        # complete JPEG interchange stream, except that the quant +
+        # Huffman tables may live in the shared JPEGTables tag (an
+        # abbreviated SOI..tables..EOI stream) — splice them in after
+        # the block's SOI so the block decodes standalone
+        from ..jpeg import decode_jpeg
+
+        buf = bytes(raw)
+        jt64 = lvl.get("jtab")
+        if jt64 and buf[:2] == b"\xff\xd8":
+            import base64
+
+            jt = base64.b64decode(jt64)
+            if jt[:2] == b"\xff\xd8":
+                jt = jt[2:]
+            if jt[-2:] == b"\xff\xd9":
+                jt = jt[:-2]
+            buf = b"\xff\xd8" + jt + buf[2:]
+        img = decode_jpeg(buf)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        chans = lvl["spp"]
+        if img.shape[2] != chans:
+            raise ValueError(
+                f"JPEG block decoded {img.shape[2]} channels, "
+                f"IFD says {chans} samples/pixel"
+            )
+        block = np.zeros((frows, lvl["bw"], chans), dtype=np.uint8)
+        rr = min(frows, img.shape[0])
+        cc = min(lvl["bw"], img.shape[1])
+        block[:rr, :cc, :] = img[:rr, :cc, :]
+        return block
     if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
         raw = zlib.decompress(raw)
     elif comp == _COMP_LZW:
@@ -603,14 +667,15 @@ def parse_gtiff(buf: bytes):
 # ---------------------------------------------------------------------------
 
 _W_COMP = {"none": _COMP_NONE, "deflate": _COMP_DEFLATE,
-           "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS}
+           "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
+           "jpeg": _COMP_JPEG}
 
 
 def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
                  compression: str, predictor: bool,
                  tile_size: int | None, ifd_off: int,
                  next_ifd: int | None, reduced: bool,
-                 big: bool = False) -> bytes:
+                 big: bool = False, jpeg_quality: int = 75) -> bytes:
     """One complete IFD section (directory + overflow values + pixel
     blocks) laid out to start at absolute offset ``ifd_off``. The
     next-IFD pointer is patched in by the caller via ``next_ifd``
@@ -625,8 +690,24 @@ def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
     a = a.astype(dt.newbyteorder("<"), copy=False)
     comp = _W_COMP[compression]
     bpp = dt.itemsize
+    if comp == _COMP_JPEG:
+        if dt != np.uint8:
+            raise ValueError("JPEG compression requires uint8 samples")
+        if spp not in (1, 3):
+            raise ValueError(
+                f"JPEG compression takes 1 or 3 bands, got {spp} "
+                "(drop/flatten extra bands explicitly)"
+            )
+        if predictor:
+            raise ValueError("predictor does not apply to JPEG")
 
     def pack_block(block: np.ndarray) -> bytes:
+        if comp == _COMP_JPEG:
+            from ..jpeg import encode_jpeg
+
+            img = block[:, :, 0] if spp == 1 else block
+            return encode_jpeg(np.ascontiguousarray(img),
+                               quality=jpeg_quality)
         if predictor:
             block = np.concatenate(
                 [block[:, :1, :],
@@ -650,13 +731,26 @@ def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
             raise ValueError("TIFF tile size must be a multiple of 16")
         for ty in range(0, h, bh):
             for tx in range(0, w, bw):
-                t = np.zeros((bh, bw, spp), dtype=a.dtype)
                 sub = a[ty:ty + bh, tx:tx + bw, :]
-                t[:sub.shape[0], :sub.shape[1], :] = sub
+                if comp == _COMP_JPEG:
+                    # edge-replicate the pad area: a hard zero edge
+                    # rings (Gibbs) back into the valid pixels of the
+                    # DCT blocks that straddle it
+                    t = np.pad(sub, ((0, bh - sub.shape[0]),
+                                     (0, bw - sub.shape[1]), (0, 0)),
+                               mode="edge")
+                else:
+                    t = np.zeros((bh, bw, spp), dtype=a.dtype)
+                    t[:sub.shape[0], :sub.shape[1], :] = sub
                 blocks.append(pack_block(t))
     else:
         bw = w
         rps = max(1, 65536 // max(1, w * spp * bpp))
+        if comp == _COMP_JPEG:
+            # MCU-aligned strips (libtiff rounds RowsPerStrip to the
+            # JPEG vertical sampling block — 16 for 4:2:0, 8 for gray)
+            mcu = 16 if spp == 3 else 8
+            rps = max(mcu, rps // mcu * mcu)
         bh = min(rps, h)
         for ty in range(0, h, bh):
             blocks.append(pack_block(a[ty:ty + bh, :, :]))
@@ -673,7 +767,12 @@ def _ifd_section(a: np.ndarray, gt, srid: int, nodata: float | None,
     add(_T_IMAGE_LENGTH, 3, [h])
     add(_T_BITS_PER_SAMPLE, 3, [bpp * 8] * spp)
     add(_T_COMPRESSION, 3, [comp])
-    add(_T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+    if comp == _COMP_JPEG and spp == 3:
+        # the encoder writes 4:2:0 YCbCr streams — say so in the IFD
+        add(_T_PHOTOMETRIC, 3, [6])
+        add(_T_YCBCR_SUBSAMPLING, 3, [2, 2])
+    else:
+        add(_T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
     add(_T_SAMPLES_PER_PIXEL, 3, [spp])
     if not tile_size:
         add(_T_ROWS_PER_STRIP, 3 if bh < 65536 else 4, [bh])
@@ -765,7 +864,8 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
                  nodata: float | None = None, compression: str = "deflate",
                  predictor: bool = False, tile_size: int | None = None,
                  overviews: list[int] | None = None,
-                 bigtiff: bool | str = "auto") -> bytes:
+                 bigtiff: bool | str = "auto",
+                 jpeg_quality: int = 75) -> bytes:
     """array (+ georef) -> little-endian GeoTIFF bytes: main IFD,
     chunky planar, strips (~64 KiB each, libtiff-style) or
     ``tile_size``-square tiles, Deflate by default. ``predictor`` turns
@@ -823,7 +923,8 @@ def format_gtiff(arr: np.ndarray, gt, srid: int = 0,
     offsets = []
     for img, reduced in images:
         sec = _ifd_section(img, gt, srid, nodata, compression, predictor,
-                           tile_size, cur, None, reduced, big)
+                           tile_size, cur, None, reduced, big,
+                           jpeg_quality=jpeg_quality)
         offsets.append(cur)
         sections.append(sec)
         cur += len(sec)
@@ -972,9 +1073,10 @@ def scan_gtiff_windowed(spark, path_glob: str, level: int = 0,
                     sl_off += lvl["offsets"][lo:lo + lvl["across"]]
                     sl_cnt += lvl["counts"][lo:lo + lvl["across"]]
             sub = {
-                k: lvl[k]
+                k: lvl.get(k)
                 for k in ("bo", "w", "spp", "bits", "sfmt", "comp",
-                          "planar", "pred", "tiled", "bw", "bh", "across")
+                          "planar", "pred", "tiled", "bw", "bh",
+                          "across", "jtab")
             }
             sub.update(h=wh, down=by1 - by0, offsets=sl_off, counts=sl_cnt)
             tasks.append((
@@ -1031,7 +1133,7 @@ def scan_gtiff_windowed(spark, path_glob: str, level: int = 0,
 def write_gtiff(df, out_dir: str, compression: str = "deflate",
                 predictor: bool = False, tile_size: int | None = None,
                 overviews: list[int] | None = None,
-                bigtiff: bool | str = "auto"):
+                bigtiff: bool | str = "auto", jpeg_quality: int = 75):
     """One .tif per row, written by the task that holds the row (the
     same distributed many-files layout as the AAIGrid sink).
     ``overviews`` embeds COG-style reduced-resolution IFDs;
@@ -1056,7 +1158,7 @@ def write_gtiff(df, out_dir: str, compression: str = "deflate",
                         arr, gt, srid=srid, nodata=nd,
                         compression=compression, predictor=predictor,
                         tile_size=tile_size, overviews=overviews,
-                        bigtiff=bigtiff,
+                        bigtiff=bigtiff, jpeg_quality=jpeg_quality,
                     ))
                 names.append(path)
             yield pd.DataFrame({"path": names})

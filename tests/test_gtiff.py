@@ -422,3 +422,116 @@ class TestWindowedByteAccounting:
         np.testing.assert_array_equal(out, a[by0 * 32:by1 * 32])
         assert f2.nread == nbytes
         assert f2.nread < len(buf) / 8
+
+
+class TestJpegInTiff:
+    """Compression 7 (new-style JPEG, TIFF TechNote 2) through the
+    engine's own from-scratch baseline codec (gdal_spark/jpeg.py).
+
+    Conformance inputs are real libjpeg-written autotest bytes (see
+    tests/data/README.md). Checksum parity with the reference is
+    IDCT-rounding-dependent (the reference's own expected values vary
+    by libjpeg version: 4771/4743 in tiff_write.py test_tiff_write_130),
+    so the pins here are (a) our own deterministic checksums as
+    regression goldens, one count off libjpeg's, and (b) pixel
+    closeness to the lossless byte.tif source bounded by the JPEG
+    quantization loss itself."""
+
+    def test_shared_jpegtables_fixture(self):
+        arr, gt, srid, _ = parse_gtiff(_read("byte_jpg_unusual_jpegtable.tif"))
+        assert arr.shape == (20, 20) and arr.dtype == np.uint8
+        assert srid == 26711
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        # libjpeg decodes this to checksum 4771; sub-LSB IDCT rounding
+        # differences put ours one count away — pinned as OUR golden
+        assert gdal_checksum(arr) == 4770
+        ref = parse_gtiff(_read("byte.tif"))[0]
+        assert np.abs(arr.astype(int) - ref.astype(int)).mean() < 10.0
+        assert np.abs(arr.astype(float).mean() - ref.astype(float).mean()) < 1.0
+
+    def test_standalone_stream_fixture(self):
+        # JPEGTABLESMODE=0: no JPEGTables tag, each strip self-contained
+        arr, _, srid, _ = parse_gtiff(_read("byte_jpg_tablesmodezero.tif"))
+        assert arr.shape == (20, 20) and srid == 26711
+        assert gdal_checksum(arr) == 4748  # libjpeg: 4743
+        ref = parse_gtiff(_read("byte.tif"))[0]
+        assert np.abs(arr.astype(int) - ref.astype(int)).mean() < 10.0
+
+    def test_irregular_tile_size_must_error(self):
+        # the reference's own test expects Checksum() to raise on this
+        # corrupt file (tiff_read.py test_tiff_read_irregular_tile_size)
+        with pytest.raises(ValueError):
+            parse_gtiff(_read("irregular_tile_size_jpeg_in_tiff.tif"))
+
+    def test_old_style_jpeg_rejected(self):
+        arr = np.zeros((8, 8), np.uint8)
+        b = bytearray(format_gtiff(arr, (0, 1, 0, 0, 0, -1),
+                                   compression="none"))
+        i = b.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+        b[i + 8] = 6  # patch Compression SHORT value to old-style JPEG
+        with pytest.raises(ValueError, match="old-style"):
+            parse_gtiff(bytes(b))
+
+    @pytest.mark.parametrize("tiled", [False, True])
+    def test_rgb_write_read_psnr(self, tiled):
+        from gdal_spark.codecs import psnr
+
+        x = np.linspace(0, 1, 97)
+        y = np.linspace(0, 1, 61)
+        g = np.outer(y, x) * 255
+        rgb = np.stack([g, g[::-1], np.fliplr(g)], axis=-1).astype(np.uint8)
+        gt = (100.0, 0.5, 0.0, 200.0, 0.0, -0.5)
+        b = format_gtiff(rgb, gt, srid=3857, compression="jpeg",
+                         jpeg_quality=90,
+                         tile_size=32 if tiled else None)
+        a2, g2, s2, _ = parse_gtiff(b)
+        assert a2.shape == rgb.shape and g2 == gt and s2 == 3857
+        assert psnr(rgb, a2) >= 40.0  # the north-rule lossy bar
+
+    def test_gray_write_read_and_overviews(self):
+        import io
+
+        from gdal_spark.codecs import psnr
+        from gdal_spark.formats.gtiff import gtiff_levels
+
+        g = (np.outer(np.linspace(0, 1, 50), np.linspace(0, 1, 70))
+             * 255).astype(np.uint8)
+        b = format_gtiff(g, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                         compression="jpeg", jpeg_quality=95,
+                         overviews=[2])
+        levels, *_ = gtiff_levels(io.BytesIO(b))
+        assert [(lv["w"], lv["h"]) for lv in levels] == [(70, 50), (35, 25)]
+        assert all(lv["comp"] == 7 for lv in levels)
+        a2 = parse_gtiff(b)[0]
+        assert psnr(g, a2) >= 40.0
+
+    def test_jpeg_write_validation(self):
+        with pytest.raises(ValueError, match="uint8"):
+            format_gtiff(np.zeros((8, 8), np.uint16), (0, 1, 0, 0, 0, -1),
+                         compression="jpeg")
+        with pytest.raises(ValueError, match="bands"):
+            format_gtiff(np.zeros((8, 8, 4), np.uint8), (0, 1, 0, 0, 0, -1),
+                         compression="jpeg")
+        with pytest.raises(ValueError, match="predictor"):
+            format_gtiff(np.zeros((8, 8), np.uint8), (0, 1, 0, 0, 0, -1),
+                         compression="jpeg", predictor=True)
+
+    def test_windowed_scan_jpeg(self, spark, tmp_path):
+        # a JPEG-compressed file through the COG windowed path: the
+        # JPEGTables-free per-strip streams decode per window
+        from gdal_spark import codecs
+        from gdal_spark.formats import scan_gtiff_windowed
+        from gdal_spark.codecs import psnr
+
+        g = (np.outer(np.linspace(0, 1, 128), np.linspace(0, 1, 2048))
+             * 255).astype(np.uint8)
+        p = tmp_path / "j.tif"
+        p.write_bytes(format_gtiff(g, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                                   compression="jpeg", jpeg_quality=95))
+        rows = (scan_gtiff_windowed(spark, str(p), target_bytes=512)
+                .orderBy("image_id").collect())
+        assert len(rows) > 1  # actually split into windows
+        parts = [codecs.decode_image(bytes(r.bytes), r.fmt) for r in rows]
+        whole = np.vstack(parts)
+        assert whole.shape == g.shape
+        assert psnr(g, whole) >= 40.0
