@@ -6477,6 +6477,77 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_zarr_roundtrip(spark, sf_dir):
+    """Zarr v2 driver round-trip (formats.zarr — frmts/zarr analog,
+    from the published v2 storage spec; conformance-pinned in
+    tests/test_zarr.py against autotest stores incl. byte_cf1.zarr ->
+    cs 4672 / EPSG:26711 via CF parameters): one 8x8 uint16 tile per
+    nation row, cell(y,x) = key*100 + y*8 + x, assembled DISTRIBUTED
+    into a single zarr array (driver writes JSON metadata + CF x/y
+    coordinate vars + the _CRS wkt from footprints only; every task
+    zlib-encodes its own disjoint chunk file), then re-scanned with
+    the chunk-per-task fan-out. Per-chunk (w, h, gt0, gt3, srid,
+    nodata, pixel sum) only match the closed-form SQL if the chunk
+    grid derivation, the coordinate-array geotransform (half-cell
+    shift), the _CRS wkt SRID, fill_value-as-nodata, and the zlib
+    chunk codec all survive the trip."""
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_zarr, write_zarr
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    import numpy as np
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    base = (np.arange(64, dtype=np.uint16)).reshape(8, 8)
+    rows = [
+        (
+            f"n{k}", codecs.encode_raw(base + np.uint16(k * 100)),
+            8, 8, "raw",
+            float((k % 5) * 8), 1.0, 0.0,
+            float(400 - (k // 5) * 8), 0.0, -1.0,
+            32633, None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    store = tempfile.mkdtemp(prefix="gdal_spark_zarr_") + "/nations.zarr"
+    write_zarr(src, store, array="band1", compressor="zlib")
+    imgs = scan_zarr(spark, store)
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3", "srid", "nodata")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_zarr_roundtrip_sql():
+    return (
+        "SELECT 'band1_cy' || CAST(n_nationkey // 5 AS INT) || "
+        "'_cx' || CAST(n_nationkey % 5 AS INT) AS image_id, "
+        "8 AS w, 8 AS h, "
+        "CAST((n_nationkey % 5) * 8 AS DOUBLE) AS gt0, "
+        "CAST(400 - (n_nationkey // 5) * 8 AS DOUBLE) AS gt3, "
+        "32633 AS srid, CAST(0 AS DOUBLE) AS nodata, "
+        "CAST(n_nationkey * 6400 + 2016 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def _gtiff_jpeg_image(k: int):
     """Per-nation smooth gradient (JPEG-friendly: no hard edges, so
     quality-95 baseline coding stays above the 40 dB bar)."""
@@ -7548,6 +7619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "zarr_roundtrip": q_zarr_roundtrip,
         "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums,
         "dted_roundtrip": q_dted_roundtrip,
         "envi_roundtrip": q_envi_roundtrip,
@@ -7693,6 +7765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zarr_roundtrip": q_zarr_roundtrip_sql(),
         "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums_sql(),
         "dted_roundtrip": q_dted_roundtrip_sql(),
         "envi_roundtrip": q_envi_roundtrip_sql(),

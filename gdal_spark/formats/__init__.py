@@ -81,3 +81,10 @@ from .filegdb import (  # noqa: F401
     list_layers as filegdb_list_layers,
     scan_filegdb,
 )
+from .zarr import (  # noqa: F401
+    list_zarr_arrays,
+    read_zarr_array,
+    scan_zarr,
+    write_zarr,
+    zarr_rasters,
+)

@@ -756,6 +756,45 @@ def main():
             out,
         )
 
+    # 32. Zarr scan: the chunk is the format's native task unit — the
+    # driver reads JSON metadata only, and the plan is ONE round-robin
+    # fan-out of the tiny (store, chunk-index) tuples plus ONE Arrow
+    # pass that opens/decompresses each task's own chunk file
+    with _tf.TemporaryDirectory() as td6:
+        import json as _json
+
+        import numpy as np
+
+        from gdal_spark.formats import scan_zarr
+
+        zd = f"{td6}/a.zarr"
+        import os as _os
+
+        _os.makedirs(zd)
+        with open(f"{zd}/.zarray", "w") as fh:
+            _json.dump({"zarr_format": 2, "shape": [16, 16],
+                        "chunks": [8, 8], "dtype": "|u1",
+                        "compressor": None, "fill_value": 0,
+                        "filters": None, "order": "C"}, fh)
+        for cy in range(2):
+            for cx in range(2):
+                with open(f"{zd}/{cy}.{cx}", "wb") as fh:
+                    fh.write(bytes(range(64)))
+        zdf = scan_zarr(spark, zd)
+        audit(
+            "zarr_scan_chunk_per_task",
+            zdf,
+            [
+                ("one_fanout_exchange",
+                 lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+                ("one_arrow_pass",
+                 lambda p: p.count("MapInPandas") >= 1),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+                ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            ],
+            out,
+        )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
