@@ -6477,6 +6477,79 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_osm_pbf_lines(spark, sf_dir):
+    """OSM PBF driver end-to-end (formats.osm — ogr/ogrsf_frmts/osm
+    analog, from-scratch protobuf-lite over the published PBF spec;
+    conformance-pinned in tests/test_osm.py against autotest test.pbf's
+    quoted features): four nodes + one way per nation row written
+    through the DISTRIBUTED sink (each task serializes its partition
+    as a self-contained zlib blob, the driver concatenates framed
+    bytes), re-scanned blob-per-task, and the `lines` layer assembled
+    the Spark way — posexplode way refs, EQUI-JOIN to node locations
+    (the reference builds a custom node database for this exact lookup;
+    the join is the distributed answer), aggregate per way. Per-way
+    (npts, sum_lon, sum_lat, name) only match the closed-form SQL if
+    the varint/zigzag/delta coding, string table, blob framing, and
+    the join-assembly all survive the trip."""
+    import json as _json
+    import tempfile
+
+    from gdal_spark.formats import scan_osm, write_osm_pbf
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    nodes = [
+        (k * 10 + j, float(k + j * 0.25), float(10 + k * 0.5), None)
+        for k in keys
+        for j in range(4)
+    ]
+    ways = [
+        (int(k), [k * 10 + j for j in range(4)],
+         _json.dumps({"name": f"w{k}"}))
+        for k in keys
+    ]
+    ndf = spark.createDataFrame(
+        nodes, "osm_id long, lon double, lat double, tags string"
+    ).repartition(4)
+    wdf = spark.createDataFrame(
+        ways, "osm_id long, refs array<long>, tags string"
+    ).repartition(2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_osm_") + "/nations.pbf"
+    write_osm_pbf(ndf, wdf, path)
+
+    n = scan_osm(spark, path, "nodes").select("osm_id", "lon", "lat")
+    w = scan_osm(spark, path, "ways")
+    ex = w.select(
+        F.col("osm_id").alias("way_id"), "tags",
+        F.posexplode("refs").alias("pos", "ref"),
+    )
+    j = ex.join(n.withColumnRenamed("osm_id", "ref"), "ref", "inner")
+    return (
+        j.groupBy("way_id")
+        .agg(
+            F.count("*").alias("npts"),
+            F.sum("lon").alias("sum_lon"),
+            F.sum("lat").alias("sum_lat"),
+            F.get_json_object(F.first("tags"), "$.name").alias("name"),
+        )
+        .select(F.col("way_id").alias("osm_id"), "npts",
+                "sum_lon", "sum_lat", "name")
+        .orderBy("osm_id")
+    )
+
+
+def q_osm_pbf_lines_sql():
+    return (
+        "SELECT n_nationkey AS osm_id, 4 AS npts, "
+        "CAST(4 * n_nationkey + 1.5 AS DOUBLE) AS sum_lon, "
+        "CAST(40 + 2 * n_nationkey AS DOUBLE) AS sum_lat, "
+        "'w' || n_nationkey AS name "
+        "FROM nation ORDER BY osm_id"
+    )
+
+
 def q_zarr_roundtrip(spark, sf_dir):
     """Zarr v2 driver round-trip (formats.zarr — frmts/zarr analog,
     from the published v2 storage spec; conformance-pinned in
@@ -7619,6 +7692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "osm_pbf_lines": q_osm_pbf_lines,
         "zarr_roundtrip": q_zarr_roundtrip,
         "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums,
         "dted_roundtrip": q_dted_roundtrip,
@@ -7765,6 +7839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "osm_pbf_lines": q_osm_pbf_lines_sql(),
         "zarr_roundtrip": q_zarr_roundtrip_sql(),
         "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums_sql(),
         "dted_roundtrip": q_dted_roundtrip_sql(),

@@ -88,3 +88,11 @@ from .zarr import (  # noqa: F401
     write_zarr,
     zarr_rasters,
 )
+from .osm import (  # noqa: F401
+    osm_blob_spans,
+    osm_points,
+    osm_way_lines,
+    read_osm,
+    scan_osm,
+    write_osm_pbf,
+)

@@ -795,6 +795,40 @@ def main():
             out,
         )
 
+    # 33. OSM way assembly: the reference's custom node database is a
+    # plain EQUI-JOIN here — blob-per-task scans on both sides, then
+    # posexplode -> join on node id -> partial-aggregated collect
+    with _tf.TemporaryDirectory() as td7:
+        import json as _json2
+
+        from gdal_spark.formats import osm_way_lines, write_osm_pbf
+
+        ndf = spark.createDataFrame(
+            [(i, 2.0 + i * 0.25, 49.0 + i * 0.5, None)
+             for i in range(1, 17)],
+            "osm_id long, lon double, lat double, tags string",
+        ).repartition(2)
+        wdf = spark.createDataFrame(
+            [(100 + i, [i, i + 1], _json2.dumps({"k": "v"}))
+             for i in range(1, 9)],
+            "osm_id long, refs array<long>, tags string",
+        ).repartition(2)
+        write_osm_pbf(ndf, wdf, f"{td7}/t.pbf")
+        odf = osm_way_lines(spark, f"{td7}/t.pbf")
+        audit(
+            "osm_lines_equijoin",
+            odf,
+            [
+                ("equi_join",
+                 r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+                ("no_cartesian", lambda p: "CartesianProduct" not in p),
+                ("partial_agg",
+                 r"HashAggregate.*partial|partial_|ObjectHashAggregate"),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+            ],
+            out,
+        )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
