@@ -6477,6 +6477,75 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_spatialite_roundtrip(spark, sf_dir):
+    """SpatiaLite driver round-trip (formats.spatialite —
+    ogr/ogrsf_frmts/sqlite analog, from the published BLOB-Geometry
+    spec over stdlib sqlite3; conformance-pinned in
+    tests/test_spatialite.py against autotest's compressed-geometry
+    poly_spatialite.sqlite incl. a cross-format pin vs the FlatGeobuf
+    reader): one square polygon per nation row exported into a
+    spatialite-layout database (spatial_ref_sys + geometry_columns v4
+    + BLOB-Geometry values with exact MBRs), re-scanned with the
+    rowid-range-planned distributed read, geometry decoded back to
+    WKB and reduced to per-feature coordinate sums. Matches the
+    closed-form SQL only if the blob header/class/ring layout, MBR,
+    and the range-planned scan all survive the trip."""
+    import struct as _struct
+    import tempfile
+
+    from gdal_spark.formats import scan_spatialite, write_spatialite
+    from gdal_spark.geom import wkb_polygon
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for k in keys:
+        s = 1 + k % 3
+        ring = [(k, k), (k + s, k), (k + s, k + s), (k, k + s), (k, k)]
+        rows.append((f"n{k}", float(k) * 1.5,
+                     bytearray(wkb_polygon([ring]))))
+    df = spark.createDataFrame(
+        rows, "name string, val double, geometry binary"
+    ).repartition(4)
+    path = tempfile.mkdtemp(prefix="gdal_spark_slite_") + "/n.sqlite"
+    write_spatialite(df, path, "shapes", srid=32631,
+                     geometry_type="POLYGON")
+    back = scan_spatialite(spark, path, "shapes", num_partitions=4)
+
+    def reduce_fn(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                wkb = bytes(r.geometry)
+                (n,) = _struct.unpack_from("<I", wkb, 9)
+                xy = _struct.unpack_from(f"<{2 * n}d", wkb, 13)
+                out.append((r.name, float(r.val), n,
+                            float(sum(xy[0::2])), float(sum(xy[1::2]))))
+            yield pd.DataFrame(
+                out, columns=["name", "val", "npts", "sum_x", "sum_y"]
+            )
+
+    return back.mapInPandas(
+        reduce_fn,
+        schema="name string, val double, npts int, "
+               "sum_x double, sum_y double",
+    ).orderBy("name")
+
+
+def q_spatialite_roundtrip_sql():
+    return (
+        "SELECT 'n' || n_nationkey AS name, "
+        "CAST(n_nationkey * 1.5 AS DOUBLE) AS val, 5 AS npts, "
+        "CAST(5 * n_nationkey + 2 * (1 + n_nationkey % 3) AS DOUBLE) "
+        "AS sum_x, "
+        "CAST(5 * n_nationkey + 2 * (1 + n_nationkey % 3) AS DOUBLE) "
+        "AS sum_y "
+        "FROM nation ORDER BY name"
+    )
+
+
 def q_osm_pbf_lines(spark, sf_dir):
     """OSM PBF driver end-to-end (formats.osm — ogr/ogrsf_frmts/osm
     analog, from-scratch protobuf-lite over the published PBF spec;
@@ -7692,6 +7761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "spatialite_roundtrip": q_spatialite_roundtrip,
         "osm_pbf_lines": q_osm_pbf_lines,
         "zarr_roundtrip": q_zarr_roundtrip,
         "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums,
@@ -7839,6 +7909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spatialite_roundtrip": q_spatialite_roundtrip_sql(),
         "osm_pbf_lines": q_osm_pbf_lines_sql(),
         "zarr_roundtrip": q_zarr_roundtrip_sql(),
         "gtiff_jpeg_checksums": q_gtiff_jpeg_checksums_sql(),

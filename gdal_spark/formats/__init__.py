@@ -96,3 +96,10 @@ from .osm import (  # noqa: F401
     scan_osm,
     write_osm_pbf,
 )
+from .spatialite import (  # noqa: F401
+    scan_spatialite,
+    spatialite_layers,
+    spatialite_to_wkb,
+    wkb_to_spatialite,
+    write_spatialite,
+)
