@@ -6477,6 +6477,51 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_xyz_grid(spark, sf_dir):
+    """XYZ ASCII grid driver (formats.xyz — frmts/xyz analog;
+    conformance-pinned in tests/test_xyz.py on the reference's own
+    autotest inputs incl. the missing-cell and 1e-3-jitter cases and
+    the byte.tif cs-4672 round-trip): a 5x5 grid whose cell (k%5,
+    k//5) carries value 7k+3 per nation key, written as x y z text,
+    re-read through the SPLITTABLE distributed scan (JVM csv source,
+    grid inferred from two small aggregations, Column-math cell
+    placement, applyInPandas assembly), then decomposed back to
+    pixel-center points by the gdal2xyz operator. Matching the
+    closed-form SQL pins grid inference, the north-up flip, dtype
+    election, and the half-cell-shift geotransform."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_xyz
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    td = tempfile.mkdtemp(prefix="gdal_spark_xyz_")
+    path = os.path.join(td, "grid.xyz")
+    with open(path, "w") as f:
+        f.write("X Y Z\n")
+        for k in sorted(keys):
+            f.write(f"{k % 5} {k // 5} {7 * k + 3}\n")
+    imgs = scan_xyz(spark, path)
+    return (
+        raster_to_xyz(imgs, stride=1)
+        .select("x", "y", F.col("value").cast("double").alias("value"))
+        .orderBy("y", "x")
+    )
+
+
+def q_xyz_grid_sql():
+    return (
+        "SELECT CAST(n_nationkey % 5 AS DOUBLE) AS x, "
+        "CAST(n_nationkey // 5 AS DOUBLE) AS y, "
+        "CAST(7 * n_nationkey + 3 AS DOUBLE) AS value "
+        "FROM nation ORDER BY y, x"
+    )
+
+
 def q_spatialite_roundtrip(spark, sf_dir):
     """SpatiaLite driver round-trip (formats.spatialite —
     ogr/ogrsf_frmts/sqlite analog, from the published BLOB-Geometry
@@ -7761,6 +7806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "xyz_grid": q_xyz_grid,
         "spatialite_roundtrip": q_spatialite_roundtrip,
         "osm_pbf_lines": q_osm_pbf_lines,
         "zarr_roundtrip": q_zarr_roundtrip,
@@ -7909,6 +7955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "xyz_grid": q_xyz_grid_sql(),
         "spatialite_roundtrip": q_spatialite_roundtrip_sql(),
         "osm_pbf_lines": q_osm_pbf_lines_sql(),
         "zarr_roundtrip": q_zarr_roundtrip_sql(),

@@ -103,3 +103,4 @@ from .spatialite import (  # noqa: F401
     wkb_to_spatialite,
     write_spatialite,
 )
+from .xyz import scan_xyz, write_xyz  # noqa: F401

@@ -1,78 +1,128 @@
-"""gdal2xyz analog: raster -> pixel-center point table."""
+"""XYZ ASCII grid driver tests — the reference's own autotest inputs
+(content quoted from autotest/gdrivers/xyz.py) through the splittable
+distributed scan, plus a byte.tif CreateCopy-equivalence round-trip
+(test_xyz_1 pins checksum 4672 surviving the trip)."""
+
+import os
 
 import numpy as np
 import pytest
 
-from gdal_spark.operators.translate import xyz_array
-from tests.conftest import spark  # noqa: F401
+from gdal_spark import codecs
+from gdal_spark.checksum import gdal_checksum
+from gdal_spark.formats import xyz as X
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
-class TestXyzKernel:
-    GT = (100.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+def _decode(row):
+    return codecs.decode_image(bytes(row.bytes), row.fmt)
 
-    def test_centers_and_values(self):
-        arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
-        px, py, x, y, b, v = xyz_array(arr, self.GT)
-        assert len(v) == 12 and set(b) == {0}
-        # pixel (0,0) center: gt0 + 0.5*gt1, gt3 + 0.5*gt5
-        i = np.flatnonzero((px == 0) & (py == 0))[0]
-        assert x[i] == 101.0 and y[i] == 499.0
-        assert v[i] == 0.0
-        i = np.flatnonzero((px == 3) & (py == 2))[0]
-        assert x[i] == 107.0 and y[i] == 495.0
-        assert v[i] == 11.0
 
-    def test_stride_and_bands(self):
-        arr = np.random.default_rng(0).integers(
-            0, 255, size=(8, 8, 3), dtype=np.uint8
+class TestScan:
+    def test_header_line_swapped_columns(self, spark, tmp_path):
+        # autotest test_xyz_3: "Y X Z" header + blank lines; the y=2
+        # grid row is the NORTH row here (north-up output; the mapping
+        # matches the reference's pixel values per grid row exactly)
+        p = tmp_path / "g.xyz"
+        p.write_text("Y X Z\n0 0 65\n\n\n0 1 66\n\n1 0 67\n\n"
+                     "1 1 68\n2 0 69\n2 1 70\n\n\n")
+        rows = X.scan_xyz(spark, str(p)).collect()
+        assert len(rows) == 1
+        a = _decode(rows[0])
+        assert a.dtype == np.uint8
+        assert a.tolist() == [[69, 70], [67, 68], [65, 66]]
+        r = rows[0]
+        assert (r.gt0, r.gt1, r.gt3, r.gt5) == (-0.5, 1.0, 2.5, -1.0)
+
+    def test_missing_cells_and_inexact_spacing(self, spark, tmp_path):
+        # autotest test_xyz_4 verbatim: holes read as 0 (NOT nodata),
+        # 1e-3-relative jitter snaps onto the regular grid
+        p = tmp_path / "h.xyz"
+        p.write_text(
+            "\n440750.001 3751290 1\n440809.999 3751290 2\n\n"
+            "440690 3751170.001 3\n440750.001 3751170.001 4\n"
+            "440870 3751170.001 6\n\n440810 3751050 7"
         )
-        px, py, x, y, b, v = xyz_array(arr, self.GT, stride=4, bands=[2, 0])
-        # 2x2 positions x 2 bands
-        assert len(v) == 8 and set(b.tolist()) == {0, 2}
-        m = (px == 4) & (py == 4) & (b == 2)
-        assert v[np.flatnonzero(m)[0]] == float(arr[4, 4, 2])
+        rows = X.scan_xyz(spark, str(p)).collect()
+        a = _decode(rows[0])
+        assert a.tolist() == [[0, 1, 2, 0], [3, 4, 0, 6], [0, 0, 7, 0]]
 
-    def test_skip_value(self):
-        arr = np.zeros((4, 4), dtype=np.uint8)
-        arr[1, 2] = 7
-        px, py, x, y, b, v = xyz_array(arr, self.GT, skip_value=0)
-        assert len(v) == 1 and v[0] == 7.0 and px[0] == 2 and py[0] == 1
+    def test_comma_separated_with_header(self, spark, tmp_path):
+        p = tmp_path / "c.xyz"
+        p.write_text("x,y,z\n10,20,1.5\n11,20,2.5\n10,21,3.5\n11,21,4.5\n")
+        rows = X.scan_xyz(spark, str(p)).collect()
+        a = _decode(rows[0])
+        assert a.dtype == np.float64
+        assert a.tolist() == [[3.5, 4.5], [1.5, 2.5]]
 
-    def test_rotated_gt(self):
-        gt = (10.0, 1.0, 0.25, 20.0, -0.5, -1.0)
-        arr = np.ones((2, 2), dtype=np.uint8)
-        px, py, x, y, b, v = xyz_array(arr, gt)
-        i = np.flatnonzero((px == 1) & (py == 0))[0]
-        assert x[i] == pytest.approx(10 + 1.5 * 1.0 + 0.5 * 0.25)
-        assert y[i] == pytest.approx(20 + 1.5 * -0.5 + 0.5 * -1.0)
+    def test_irregular_grid_rejected(self, spark, tmp_path):
+        p = tmp_path / "bad.xyz"
+        p.write_text("0 0 1\n1 0 2\n2.7 0 3\n10 0 4\n")
+        with pytest.raises(ValueError, match="regular grid"):
+            X.scan_xyz(spark, str(p))
+
+    def test_row_band_split(self, spark, tmp_path):
+        # tile_rows smaller than the grid splits into row-band images
+        lines = [
+            f"{i} {j} {(j * 8 + i) % 250}"
+            for j in range(16)
+            for i in range(8)
+        ]
+        p = tmp_path / "big.xyz"
+        p.write_text("\n".join(lines) + "\n")
+        rows = X.scan_xyz(spark, str(p), tile_rows=4).collect()
+        assert len(rows) == 4
+        whole = np.vstack([
+            _decode(r) for r in sorted(rows, key=lambda r: r.image_id)
+        ])
+        assert whole.shape == (16, 8)
+        # north-up: top row is j=15
+        assert whole[0].tolist() == [(15 * 8 + i) % 250 for i in range(8)]
+        tops = sorted(r.gt3 for r in rows)
+        assert tops == [3.5, 7.5, 11.5, 15.5]
 
 
-class TestXyzDistributed:
-    def test_matches_local_kernel(self, spark):
-        from gdal_spark import codecs as C
-        from gdal_spark import fixtures
-        from gdal_spark.operators.translate import raster_to_xyz
+class TestRoundTrip:
+    def test_byte_tif_checksum_survives(self, spark):
+        # the reference's test_xyz_1: CreateCopy(byte.tif) -> checksum
+        # 4672 and the documented half-cell-shifted geotransform
+        from gdal_spark.formats.gtiff import parse_gtiff
 
-        imgs = fixtures.images_df(spark, 3, tier="t2", partitions=2)
-        got = (
-            raster_to_xyz(imgs, stride=16)
-            .orderBy("image_id", "band", "py", "px")
-            .collect()
+        with open(os.path.join(DATA, "byte.tif"), "rb") as f:
+            arr, gt, srid, _ = parse_gtiff(f.read())
+        src = spark.createDataFrame(
+            [("byte", codecs.encode_raw(arr), 20, 20, "raw",
+              gt[0], gt[1], gt[2], gt[3], gt[4], gt[5], srid, None)],
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "gt0 double, gt1 double, gt2 double, gt3 double, "
+            "gt4 double, gt5 double, srid int, nodata double",
         )
-        want = []
-        for i in range(3):
-            rec = fixtures.image_record(i, tier="t2")
-            arr = C.decode_image(rec["bytes"], rec["fmt"])
-            gt = tuple(rec[f"gt{j}"] for j in range(6))
-            px, py, xs, ys, bs, vs = xyz_array(arr, gt, stride=16)
-            want.extend(
-                (rec["image_id"], int(b_), int(q), int(p))
-                for p, q, b_ in zip(px, py, bs)
-            )
-        want.sort()
-        assert [(r.image_id, r.band, r.py, r.px) for r in got] == want
-        # spot-check one value end-to-end
-        rec = fixtures.image_record(0, tier="t2")
-        arr = np.atleast_3d(C.decode_image(rec["bytes"], rec["fmt"]))
-        r0 = [r for r in got if r.image_id == rec["image_id"]][0]
-        assert r0.value == float(arr[r0.py, r0.px, r0.band])
+        import tempfile
+
+        td = tempfile.mkdtemp()
+        paths = X.write_xyz(src, td)
+        assert len(paths) == 1
+        back = X.scan_xyz(spark, paths[0]).collect()
+        a = _decode(back[0])
+        assert gdal_checksum(a) == 4672
+        r = back[0]
+        assert abs(r.gt0 - gt[0]) < 1e-6 and abs(r.gt3 - gt[3]) < 1e-6
+        assert abs(r.gt1 - gt[1]) < 1e-9 and abs(r.gt5 - gt[5]) < 1e-9
+
+    def test_header_and_separator_options(self, spark, tmp_path):
+        a = np.arange(12, dtype=np.int32).reshape(3, 4) * 1000
+        src = spark.createDataFrame(
+            [("t", codecs.encode_raw(a), 4, 3, "raw",
+              0.0, 1.0, 0.0, 3.0, 0.0, -1.0, 0, None)],
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "gt0 double, gt1 double, gt2 double, gt3 double, "
+            "gt4 double, gt5 double, srid int, nodata double",
+        )
+        paths = X.write_xyz(src, str(tmp_path), column_separator=",",
+                            add_header_line=True)
+        text = open(paths[0]).read()
+        assert text.startswith("X,Y,Z\n")
+        back = X.scan_xyz(spark, paths[0]).collect()
+        b = _decode(back[0])
+        assert b.dtype == np.int16 and np.array_equal(b, a.astype(np.int16))
