@@ -6477,6 +6477,72 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_ehdr_roundtrip(spark, sf_dir):
+    """EHdr (ESRI BIL / GridFloat) driver round-trip (formats.ehdr —
+    frmts/raw/ehdrdataset.cpp analog; conformance-pinned in
+    tests/test_ehdr.py on autotest's float32.bil cs 27 + the
+    size-inferred and .flt-extension dtype rules): one int16 grid per
+    nation row, cell(i) = key*100 + i, through the DISTRIBUTED
+    task-per-row .bil sink (SIGNEDINT header, pixel-center ULXMAP
+    georef, .prj) and the header-planned task-per-cube scan, reduced
+    via the gdal2xyz operator. Closed-form SQL pins the header
+    dialect, dtype election, and center-vs-corner georef math."""
+    import os
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_ehdr, write_ehdr
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    import numpy as np
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            codecs.encode_raw(
+                (k * 100 + np.arange(24, dtype=np.int16)).reshape(4, 6)
+            ),
+            6, 4, "raw",
+            float(k * 10), 0.5, 0.0, 20.0, 0.0, -0.5,
+            32601 + int(k), None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_ehdr_")
+    write_ehdr(src, tmp)
+    imgs = scan_ehdr(spark, os.path.join(tmp, "*"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_ehdr_roundtrip_sql():
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 6 AS w, 4 AS h, "
+        "CAST(n_nationkey * 10 AS DOUBLE) AS gt0, "
+        "32601 + n_nationkey AS srid, "
+        "CAST(n_nationkey * 2400 + 276 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_xyz_grid(spark, sf_dir):
     """XYZ ASCII grid driver (formats.xyz — frmts/xyz analog;
     conformance-pinned in tests/test_xyz.py on the reference's own
@@ -7806,6 +7872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "ehdr_roundtrip": q_ehdr_roundtrip,
         "xyz_grid": q_xyz_grid,
         "spatialite_roundtrip": q_spatialite_roundtrip,
         "osm_pbf_lines": q_osm_pbf_lines,
@@ -7955,6 +8022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ehdr_roundtrip": q_ehdr_roundtrip_sql(),
         "xyz_grid": q_xyz_grid_sql(),
         "spatialite_roundtrip": q_spatialite_roundtrip_sql(),
         "osm_pbf_lines": q_osm_pbf_lines_sql(),

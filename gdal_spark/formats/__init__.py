@@ -104,3 +104,4 @@ from .spatialite import (  # noqa: F401
     write_spatialite,
 )
 from .xyz import scan_xyz, write_xyz  # noqa: F401
+from .ehdr import parse_ehdr, scan_ehdr, write_ehdr  # noqa: F401
