@@ -6477,6 +6477,72 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_hfa_roundtrip(spark, sf_dir):
+    """HFA / ERDAS Imagine driver round-trip (formats.hfa — frmts/hfa
+    analog with a real MIF-dictionary interpreter; conformance-pinned
+    in tests/test_hfa.py on ERDAS-written autotest files: int.img cs
+    6691 + the quoted statistics, float.img cs 23529 + the (100,100)
+    pixel probe, both RLE-compressed): one int32 grid per nation row
+    through the DISTRIBUTED task-per-row .img sink (entry tree +
+    dictionary + Edms_State block table + Eprj_MapInfo) and the
+    task-per-file scan, reduced via gdal2xyz. Closed-form SQL pins
+    the dictionary serialization, block layout, and the
+    center-anchored MapInfo georef."""
+    import os
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_hfa, write_hfa
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    import numpy as np
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            codecs.encode_raw(
+                (k * 1000 + np.arange(30, dtype=np.int32)).reshape(6, 5)
+            ),
+            5, 6, "raw",
+            float(k * 10), 1.0, 0.0, 6.0, 0.0, -1.0, 0, None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_hfa_")
+    write_hfa(src, tmp)
+    imgs = scan_hfa(spark, os.path.join(tmp, "*.img"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_hfa_roundtrip_sql():
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 5 AS w, 6 AS h, "
+        "CAST(n_nationkey * 10 AS DOUBLE) AS gt0, "
+        "CAST(6 AS DOUBLE) AS gt3, "
+        "CAST(n_nationkey * 30000 + 435 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_ehdr_roundtrip(spark, sf_dir):
     """EHdr (ESRI BIL / GridFloat) driver round-trip (formats.ehdr —
     frmts/raw/ehdrdataset.cpp analog; conformance-pinned in
@@ -7872,6 +7938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "hfa_roundtrip": q_hfa_roundtrip,
         "ehdr_roundtrip": q_ehdr_roundtrip,
         "xyz_grid": q_xyz_grid,
         "spatialite_roundtrip": q_spatialite_roundtrip,
@@ -8022,6 +8089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hfa_roundtrip": q_hfa_roundtrip_sql(),
         "ehdr_roundtrip": q_ehdr_roundtrip_sql(),
         "xyz_grid": q_xyz_grid_sql(),
         "spatialite_roundtrip": q_spatialite_roundtrip_sql(),
