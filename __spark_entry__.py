@@ -6477,6 +6477,75 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_sidecar_roundtrip(spark, sf_dir):
+    """World-file + PAM .aux.xml sidecar georeferencing round-trip
+    (formats.sidecar — gcore/gdal_misc.cpp GDALReadWorldFile2 +
+    gcore/gdalpamdataset.cpp semantics; conformance-pinned in
+    tests/test_sidecar.py on the autotest-quoted test.wld and
+    byte_nogeoref.tfw expectations incl. comma decimals and the PAM
+    precedence): one uint8 grid per nation row through the DISTRIBUTED
+    task-per-row PNG sink (lossless codec + .pgw world file + .aux.xml
+    carrying SRS/NoDataValue) and the sidecar-paired task-per-file
+    scan, reduced via gdal2xyz. Closed-form SQL pins the
+    center-vs-corner world-file anchor math, the PAM override, and
+    the AUTHORITY SRID recovery."""
+    import os
+    import tempfile
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_plain_rasters, write_plain_rasters
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    import numpy as np
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            codecs.encode_raw(
+                (k * 9 + np.arange(24, dtype=np.uint8)).reshape(4, 6)
+            ),
+            6, 4, "raw",
+            float(k * 10), 0.5, 0.0, 20.0, 0.0, -0.5,
+            32601 + int(k), None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_sidecar_")
+    write_plain_rasters(src, tmp, fmt="png")
+    imgs = scan_plain_rasters(spark, os.path.join(tmp, "*.png"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt5", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_sidecar_roundtrip_sql():
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 6 AS w, 4 AS h, "
+        "CAST(n_nationkey * 10 AS DOUBLE) AS gt0, "
+        "CAST(-0.5 AS DOUBLE) AS gt5, "
+        "32601 + n_nationkey AS srid, "
+        "CAST(n_nationkey * 216 + 276 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_hfa_roundtrip(spark, sf_dir):
     """HFA / ERDAS Imagine driver round-trip (formats.hfa — frmts/hfa
     analog with a real MIF-dictionary interpreter; conformance-pinned
@@ -7938,6 +8007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "sidecar_roundtrip": q_sidecar_roundtrip,
         "hfa_roundtrip": q_hfa_roundtrip,
         "ehdr_roundtrip": q_ehdr_roundtrip,
         "xyz_grid": q_xyz_grid,
@@ -8089,6 +8159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sidecar_roundtrip": q_sidecar_roundtrip_sql(),
         "hfa_roundtrip": q_hfa_roundtrip_sql(),
         "ehdr_roundtrip": q_ehdr_roundtrip_sql(),
         "xyz_grid": q_xyz_grid_sql(),

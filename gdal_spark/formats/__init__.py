@@ -103,6 +103,13 @@ from .spatialite import (  # noqa: F401
     wkb_to_spatialite,
     write_spatialite,
 )
+from .sidecar import (  # noqa: F401
+    read_pam,
+    read_world_file,
+    scan_plain_rasters,
+    sidecar_georef,
+    write_plain_rasters,
+)
 from .xyz import scan_xyz, write_xyz  # noqa: F401
 from .ehdr import parse_ehdr, scan_ehdr, write_ehdr  # noqa: F401
 from .hfa import format_hfa, parse_hfa, scan_hfa, write_hfa  # noqa: F401
