@@ -6477,6 +6477,85 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_ntv2_roundtrip(spark, sf_dir):
+    """NTv2 datum grid-shift driver round-trip (formats.ntv2 —
+    frmts/raw/ntv2dataset.cpp analog; conformance-pinned in
+    tests/test_ntv2.py on both byte orders of the reference's own
+    autotest grid: band-2 checksum 10 and the exact subgrid-header
+    geotransform): one 4-band float32 shift grid per nation row,
+    cell(y,x,b) = key + 100*b + y*5 + x, through the DISTRIBUTED
+    task-per-row .gsb sink (11x16-byte records, positive-west
+    longitudes, SE-corner-first flipped storage) and the
+    task-per-subgrid scan. Per-(grid, band) sums only match the
+    fully independent closed-form SQL if the record layout, the
+    double-axis flip, and the header georef math all round-trip."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_ntv2, write_ntv2
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for k in keys:
+        yx = np.arange(20, dtype=np.float32).reshape(4, 5)
+        arr = np.stack([yx + k + 100 * b for b in range(4)], axis=2)
+        rows.append((
+            f"g{k}", bytearray(codecs.encode_raw(arr)), 5, 4, "raw",
+            float(k), 0.5, 0.0, 50.0, 0.0, -0.5, 4326, None,
+        ))
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_ntv2_")
+    write_ntv2(src, tmp)
+    imgs = scan_ntv2(spark, os.path.join(tmp, "*.gsb"))
+
+    def band_sums(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = codecs.decode_image(bytes(r.bytes), r.fmt)
+                for b in range(a.shape[2]):
+                    out.append({
+                        "image_id": r.image_id, "band": b,
+                        "w": int(r.w), "h": int(r.h),
+                        "gt0": float(r.gt0),
+                        "band_sum": float(a[:, :, b].sum()),
+                    })
+            yield pd.DataFrame(
+                out, columns=["image_id", "band", "w", "h", "gt0",
+                              "band_sum"],
+            )
+
+    return imgs.mapInPandas(
+        band_sums,
+        schema="image_id string, band int, w int, h int, gt0 double, "
+               "band_sum double",
+    ).orderBy("image_id", "band")
+
+
+def q_ntv2_roundtrip_sql():
+    # closed form: band b holds key + 100*b + (0..19), so the band
+    # sum is 20*(key + 100*b) + 190
+    return (
+        "SELECT 'g' || n_nationkey AS image_id, b.band, 5 AS w, "
+        "4 AS h, CAST(n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(20*(n_nationkey + 100*b.band) + 190 AS DOUBLE) "
+        "AS band_sum "
+        "FROM nation CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band) "
+        "ORDER BY image_id, b.band"
+    )
+
+
 def q_sidecar_roundtrip(spark, sf_dir):
     """World-file + PAM .aux.xml sidecar georeferencing round-trip
     (formats.sidecar — gcore/gdal_misc.cpp GDALReadWorldFile2 +
@@ -8007,6 +8086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "ntv2_roundtrip": q_ntv2_roundtrip,
         "sidecar_roundtrip": q_sidecar_roundtrip,
         "hfa_roundtrip": q_hfa_roundtrip,
         "ehdr_roundtrip": q_ehdr_roundtrip,
@@ -8159,6 +8239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ntv2_roundtrip": q_ntv2_roundtrip_sql(),
         "sidecar_roundtrip": q_sidecar_roundtrip_sql(),
         "hfa_roundtrip": q_hfa_roundtrip_sql(),
         "ehdr_roundtrip": q_ehdr_roundtrip_sql(),

@@ -103,6 +103,14 @@ from .spatialite import (  # noqa: F401
     wkb_to_spatialite,
     write_spatialite,
 )
+from .ntv2 import (  # noqa: F401
+    GridShift,
+    format_ntv2,
+    parse_ntv2,
+    register_grid_datum,
+    scan_ntv2,
+    write_ntv2,
+)
 from .sidecar import (  # noqa: F401
     read_pam,
     read_world_file,
