@@ -6477,6 +6477,74 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_gtx_roundtrip(spark, sf_dir):
+    """NOAA .gtx vertical shift grid driver round-trip (formats.gtx —
+    frmts/raw/gtxdataset.cpp analog; conformance-pinned in
+    tests/test_gtx.py on autotest's hydroc1.gtx: checksum 64183 +
+    the exact quoted geotransform, and a byte-identical re-write):
+    one float32 grid per nation row, cell(y,x) = key/4 + y*4 + x
+    (exactly representable halves/quarters), through the DISTRIBUTED
+    task-per-row .gtx sink (big-endian center-anchored header,
+    bottom-up scanline order) and the task-per-file scan, reduced
+    via gdal2xyz. Closed-form SQL pins the header anchor math and
+    the row flip."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_gtx, write_gtx
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"v{k}",
+            bytearray(codecs.encode_raw(
+                (k / 4.0 + np.arange(12, dtype=np.float32)).reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(k), 0.5, 0.0, 40.0, 0.0, -0.5, 4326, -88.8888,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gtx_")
+    write_gtx(src, tmp)
+    imgs = scan_gtx(spark, os.path.join(tmp, "*.gtx"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3", "nodata")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_gtx_roundtrip_sql():
+    # cell(y,x) = key/4 + (0..11); sum = 12*key/4 + 66 = 3*key + 66
+    return (
+        "SELECT 'v' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(40 AS DOUBLE) AS gt3, "
+        "CAST(-88.8888 AS DOUBLE) AS nodata, "
+        "CAST(3*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_ntv2_roundtrip(spark, sf_dir):
     """NTv2 datum grid-shift driver round-trip (formats.ntv2 —
     frmts/raw/ntv2dataset.cpp analog; conformance-pinned in
@@ -8086,6 +8154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gtx_roundtrip": q_gtx_roundtrip,
         "ntv2_roundtrip": q_ntv2_roundtrip,
         "sidecar_roundtrip": q_sidecar_roundtrip,
         "hfa_roundtrip": q_hfa_roundtrip,
@@ -8239,6 +8308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gtx_roundtrip": q_gtx_roundtrip_sql(),
         "ntv2_roundtrip": q_ntv2_roundtrip_sql(),
         "sidecar_roundtrip": q_sidecar_roundtrip_sql(),
         "hfa_roundtrip": q_hfa_roundtrip_sql(),

@@ -103,6 +103,13 @@ from .spatialite import (  # noqa: F401
     wkb_to_spatialite,
     write_spatialite,
 )
+from .gtx import (  # noqa: F401
+    VerticalShift,
+    format_gtx,
+    parse_gtx,
+    scan_gtx,
+    write_gtx,
+)
 from .ntv2 import (  # noqa: F401
     GridShift,
     format_ntv2,
