@@ -6477,6 +6477,78 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_gsg_roundtrip(spark, sf_dir):
+    """Golden Software Surfer grid drivers round-trip (formats.gsg —
+    frmts/gsg/* analog; conformance-pinned in tests/test_gsg.py on
+    all three autotest containers at checksum 4672 + the exact
+    quoted geotransform, with a byte-identical DSBB re-write): one
+    float32 grid per nation row through the DISTRIBUTED task-per-row
+    Surfer-6 DSBB sink, rotating the container per key
+    (gsag/gsbg/gs7bg by key % 3 — all three parse through one scan),
+    and the task-per-file scan, reduced via gdal2xyz. Closed-form
+    SQL pins the pixel-is-point half-cell anchor math and the
+    bottom-up row flip across every container."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_gsg, write_gsg
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    containers = ["gsag", "gsbg", "gs7bg"]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gsg_")
+    for c in containers:
+        rows = [
+            (
+                f"n{k}",
+                bytearray(codecs.encode_raw(
+                    (float(k) + np.arange(12, dtype=np.float32))
+                    .reshape(3, 4)
+                )),
+                4, 3, "raw",
+                float(k * 2), 0.5, 0.0, 30.0, 0.0, -0.5, 0, None,
+            )
+            for k in keys if containers[k % 3] == c
+        ]
+        if not rows:
+            continue
+        src = spark.createDataFrame(
+            rows,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "gt0 double, gt1 double, gt2 double, gt3 double, "
+            "gt4 double, gt5 double, srid int, nodata double",
+        ).repartition(4)
+        write_gsg(src, tmp, container=c)
+    imgs = scan_gsg(spark, os.path.join(tmp, "*.grd"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_gsg_roundtrip_sql():
+    # cell(y,x) = key + (0..11); sum = 12*key + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 2 AS DOUBLE) AS gt0, "
+        "CAST(30 AS DOUBLE) AS gt3, "
+        "CAST(12*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_gtx_roundtrip(spark, sf_dir):
     """NOAA .gtx vertical shift grid driver round-trip (formats.gtx —
     frmts/raw/gtxdataset.cpp analog; conformance-pinned in
@@ -8154,6 +8226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gsg_roundtrip": q_gsg_roundtrip,
         "gtx_roundtrip": q_gtx_roundtrip,
         "ntv2_roundtrip": q_ntv2_roundtrip,
         "sidecar_roundtrip": q_sidecar_roundtrip,
@@ -8308,6 +8381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gsg_roundtrip": q_gsg_roundtrip_sql(),
         "gtx_roundtrip": q_gtx_roundtrip_sql(),
         "ntv2_roundtrip": q_ntv2_roundtrip_sql(),
         "sidecar_roundtrip": q_sidecar_roundtrip_sql(),

@@ -103,6 +103,14 @@ from .spatialite import (  # noqa: F401
     wkb_to_spatialite,
     write_spatialite,
 )
+from .gsg import (  # noqa: F401
+    format_gs7bg,
+    format_gsag,
+    format_gsbg,
+    parse_gsg,
+    scan_gsg,
+    write_gsg,
+)
 from .gtx import (  # noqa: F401
     VerticalShift,
     format_gtx,
