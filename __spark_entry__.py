@@ -6477,6 +6477,74 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_rst_roundtrip(spark, sf_dir):
+    """Idrisi RST driver round-trip (formats.rst —
+    frmts/idrisi/IdrisiDataset.cpp analog; conformance-pinned in
+    tests/test_rst.py on autotest's byte.rst cs 5044 / real.rst cs
+    5275 and the BGR rgb24 interleave): one int16 grid per nation
+    row, cell(i) = 3*key - 5 + i, through the DISTRIBUTED
+    task-per-row .rst+.rdc sink (top-down rows, pixel-is-area
+    georef, utm-{zone}{n} ref system) and the rdc-planned
+    task-per-file scan, reduced via gdal2xyz. Closed-form SQL pins
+    the key-value header round-trip, the row order, and the UTM
+    srid derivation."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_rst, write_rst
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            bytearray(codecs.encode_raw(
+                (3 * k - 5 + np.arange(12, dtype=np.int16)).reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(k * 2), 0.5, 0.0, 40.0, 0.0, -0.5,
+            32601 + (k % 60), None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_rst_")
+    write_rst(src, tmp)
+    imgs = scan_rst(spark, os.path.join(tmp, "*.rst"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_rst_roundtrip_sql():
+    # cell(i) = 3*key - 5 + (0..11); sum = 12*(3*key - 5) + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 2 AS DOUBLE) AS gt0, "
+        "CAST(32601 + n_nationkey % 60 AS INT) AS srid, "
+        "CAST(36*n_nationkey + 6 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_gsg_roundtrip(spark, sf_dir):
     """Golden Software Surfer grid drivers round-trip (formats.gsg —
     frmts/gsg/* analog; conformance-pinned in tests/test_gsg.py on
@@ -8226,6 +8294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "rst_roundtrip": q_rst_roundtrip,
         "gsg_roundtrip": q_gsg_roundtrip,
         "gtx_roundtrip": q_gtx_roundtrip,
         "ntv2_roundtrip": q_ntv2_roundtrip,
@@ -8381,6 +8450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rst_roundtrip": q_rst_roundtrip_sql(),
         "gsg_roundtrip": q_gsg_roundtrip_sql(),
         "gtx_roundtrip": q_gtx_roundtrip_sql(),
         "ntv2_roundtrip": q_ntv2_roundtrip_sql(),

@@ -126,6 +126,13 @@ from .ntv2 import (  # noqa: F401
     scan_ntv2,
     write_ntv2,
 )
+from .rst import (  # noqa: F401
+    decode_rst,
+    format_rst,
+    parse_rdc,
+    scan_rst,
+    write_rst,
+)
 from .sidecar import (  # noqa: F401
     read_pam,
     read_world_file,
