@@ -6477,6 +6477,74 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_saga_roundtrip(spark, sf_dir):
+    """SAGA binary grid driver round-trip (formats.saga —
+    frmts/saga/sagadataset.cpp analog; conformance-pinned in
+    tests/test_saga.py on autotest's 4byteFloat grid at checksum 108
+    with EPSG:26711 recovered from the real ESRI .prj): one float32
+    grid per nation row, cell(i) = key/2 + i, through the
+    DISTRIBUTED task-per-row .sdat+.sgrd+.prj sink (bottom-up rows,
+    cell-center POSITION keys) and the header-planned task-per-grid
+    scan, reduced via gdal2xyz. Closed-form SQL pins the center
+    anchor math, the row flip, and the srid round-trip through the
+    engine's own exported WKT."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_saga, write_saga
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            bytearray(codecs.encode_raw(
+                (k / 2.0 + np.arange(12, dtype=np.float32)).reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(k * 2), 0.5, 0.0, 40.0, 0.0, -0.5,
+            32601 + (k % 60), -99999.0,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_saga_")
+    write_saga(src, tmp)
+    imgs = scan_saga(spark, os.path.join(tmp, "*.sdat"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_saga_roundtrip_sql():
+    # cell(i) = key/2 + (0..11); sum = 12*key/2 + 66 = 6*key + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 2 AS DOUBLE) AS gt0, "
+        "CAST(32601 + n_nationkey % 60 AS INT) AS srid, "
+        "CAST(6*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_rst_roundtrip(spark, sf_dir):
     """Idrisi RST driver round-trip (formats.rst —
     frmts/idrisi/IdrisiDataset.cpp analog; conformance-pinned in
@@ -8294,6 +8362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "saga_roundtrip": q_saga_roundtrip,
         "rst_roundtrip": q_rst_roundtrip,
         "gsg_roundtrip": q_gsg_roundtrip,
         "gtx_roundtrip": q_gtx_roundtrip,
@@ -8450,6 +8519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "saga_roundtrip": q_saga_roundtrip_sql(),
         "rst_roundtrip": q_rst_roundtrip_sql(),
         "gsg_roundtrip": q_gsg_roundtrip_sql(),
         "gtx_roundtrip": q_gtx_roundtrip_sql(),

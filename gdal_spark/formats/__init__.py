@@ -133,6 +133,13 @@ from .rst import (  # noqa: F401
     scan_rst,
     write_rst,
 )
+from .saga import (  # noqa: F401
+    decode_saga,
+    format_saga,
+    parse_sgrd,
+    scan_saga,
+    write_saga,
+)
 from .sidecar import (  # noqa: F401
     read_pam,
     read_world_file,
