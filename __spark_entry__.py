@@ -6477,6 +6477,73 @@ def q_gtiff_roundtrip_sql():
     )
 
 
+def q_usgsdem_roundtrip(spark, sf_dir):
+    """USGS ASCII DEM driver round-trip (formats.usgsdem —
+    frmts/usgsdem/usgsdemdataset.cpp analog; conformance-pinned in
+    tests/test_usgsdem.py on SEVEN autotest fixtures spanning every
+    header variant — old 864 / new 1024 / undocumented 893 / 1025
+    linefeed records / profile junk — all at the quoted checksums):
+    one int16 grid per nation row, cell(i) = 50*key + i, through the
+    DISTRIBUTED task-per-row writer (Fortran D-exponent fields,
+    1024-byte-aligned south-to-north column profiles, arc-second
+    corners) and the task-per-file scan, reduced via gdal2xyz.
+    Closed-form SQL pins the arc-second anchor math, the profile
+    orientation, and the datum srid."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_usgsdem, write_usgsdem
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"d{k}",
+            bytearray(codecs.encode_raw(
+                (50 * k + np.arange(12, dtype=np.int16)).reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(k), 0.25, 0.0, 50.0, 0.0, -0.25, 4326, -32767.0,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_usgsdem_")
+    write_usgsdem(src, tmp)
+    imgs = scan_usgsdem(spark, os.path.join(tmp, "*.dem"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_usgsdem_roundtrip_sql():
+    # cell(i) = 50*key + (0..11); sum = 600*key + 66
+    return (
+        "SELECT 'd' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey AS DOUBLE) AS gt0, 4326 AS srid, "
+        "CAST(600*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_saga_roundtrip(spark, sf_dir):
     """SAGA binary grid driver round-trip (formats.saga —
     frmts/saga/sagadataset.cpp analog; conformance-pinned in
@@ -8362,6 +8429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "usgsdem_roundtrip": q_usgsdem_roundtrip,
         "saga_roundtrip": q_saga_roundtrip,
         "rst_roundtrip": q_rst_roundtrip,
         "gsg_roundtrip": q_gsg_roundtrip,
@@ -8519,6 +8587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "usgsdem_roundtrip": q_usgsdem_roundtrip_sql(),
         "saga_roundtrip": q_saga_roundtrip_sql(),
         "rst_roundtrip": q_rst_roundtrip_sql(),
         "gsg_roundtrip": q_gsg_roundtrip_sql(),

@@ -61,6 +61,12 @@ from .gtiff import (  # noqa: F401
     scan_gtiff_windowed,
     write_gtiff,
 )
+from .usgsdem import (  # noqa: F401
+    format_usgsdem,
+    parse_usgsdem,
+    scan_usgsdem,
+    write_usgsdem,
+)
 from .vrt import (  # noqa: F401
     materialize_vrt,
     parse_vrt,
