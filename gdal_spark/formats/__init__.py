@@ -156,3 +156,9 @@ from .sidecar import (  # noqa: F401
 from .xyz import scan_xyz, write_xyz  # noqa: F401
 from .ehdr import parse_ehdr, scan_ehdr, write_ehdr  # noqa: F401
 from .hfa import format_hfa, parse_hfa, scan_hfa, write_hfa  # noqa: F401
+from .xlsx import (  # noqa: F401
+    materialize as xlsx_materialize,
+    parse_xlsx,
+    scan_xlsx,
+    write_xlsx,
+)
