@@ -8420,6 +8420,62 @@ def q_datum_shift_sql():
     )
 
 
+def q_ods_roundtrip(spark, sf_dir):
+    """ODS spreadsheet driver round-trip (formats.ods —
+    ogr/ogrsf_frmts/ods analog over stdlib zipfile+ElementTree;
+    conformance-pinned in tests/test_ods.py on FIVE autotest fixtures
+    incl. the 8-layer test.ods, the kspread string-datetime golden,
+    trailing repeated-empty-cell dropping, and the formula-text
+    fallback): a customer-derived table with int, XML-special string,
+    double, date, and timestamp columns writes to one OpenDocument
+    package (mimetype-first single-document sink) and re-reads through
+    the (file, sheet) scan; the closed-form SQL only matches if
+    text:p escaping, ISO-8601 date/datetime attribute values, header
+    detection, and first-data-row type inference all round-trip."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_ods, write_ods
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    src = c.select(
+        k.cast("int").alias("ckey"),
+        F.concat(F.lit('cus<&"'), k.cast("string")).alias("name"),
+        ((k % 700) * 0.125).alias("bal"),
+        F.date_add(F.to_date(F.lit("1994-06-15")), (k % 3000).cast("int"))
+        .alias("d"),
+        (F.to_timestamp(F.lit("2012-01-22 18:49:00")).cast("long")
+         + (k % 43200)).cast("timestamp").alias("ts"),
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_ods_")
+    path = os.path.join(tmp, "cus.ods")
+    write_ods(src, path, sheet_name="customers")
+    out = scan_ods(spark, path)
+    return out.select(
+        F.col("ckey"),
+        F.col("name"),
+        F.col("bal"),
+        F.date_format(F.col("d"), "yyyy-MM-dd").alias("d"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    ).orderBy("ckey")
+
+
+def q_ods_roundtrip_sql():
+    return (
+        "SELECT CAST(c_custkey AS INT) AS ckey, "
+        "'cus<&\"' || CAST(c_custkey AS VARCHAR) AS name, "
+        "CAST((c_custkey % 700) * 0.125 AS DOUBLE) AS bal, "
+        "strftime(DATE '1994-06-15' + "
+        "CAST(CAST(c_custkey % 3000 AS INT) AS BIGINT) * INTERVAL 1 DAY, "
+        "'%Y-%m-%d') AS d, "
+        "strftime(TIMESTAMP '2012-01-22 18:49:00' + "
+        "CAST(c_custkey % 43200 AS BIGINT) * INTERVAL 1 SECOND, "
+        "'%Y-%m-%d %H:%M:%S') AS ts "
+        "FROM customer ORDER BY ckey"
+    )
+
+
 def q_xlsx_roundtrip(spark, sf_dir):
     """XLSX spreadsheet driver round-trip (formats.xlsx —
     ogr/ogrsf_frmts/xlsx analog over stdlib zipfile+ElementTree;
@@ -8485,6 +8541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "ods_roundtrip": q_ods_roundtrip,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "usgsdem_roundtrip": q_usgsdem_roundtrip,
         "saga_roundtrip": q_saga_roundtrip,
@@ -8644,6 +8701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ods_roundtrip": q_ods_roundtrip_sql(),
         "xlsx_roundtrip": q_xlsx_roundtrip_sql(),
         "usgsdem_roundtrip": q_usgsdem_roundtrip_sql(),
         "saga_roundtrip": q_saga_roundtrip_sql(),

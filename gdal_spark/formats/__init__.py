@@ -162,3 +162,9 @@ from .xlsx import (  # noqa: F401
     scan_xlsx,
     write_xlsx,
 )
+from .ods import (  # noqa: F401
+    materialize as ods_materialize,
+    parse_ods,
+    scan_ods,
+    write_ods,
+)
