@@ -8420,6 +8420,87 @@ def q_datum_shift_sql():
     )
 
 
+def q_isg_grass_roundtrip(spark, sf_dir):
+    """GRASS ASCII grid + ISG geoid grid drivers
+    (formats.aaigrid siblings — frmts/aaigrid/aaigriddataset.cpp
+    GRASSASCIIDataset/ISGDataset analogs; conformance-pinned in
+    tests/test_isg_grass.py on SEVEN autotest fixtures incl. the
+    grassascii.txt cs-212 golden, the GEOIDEAR16 0.0167 auto-correction,
+    the dms-units header, and the ISG-2.0 half-cell expansion): one
+    float grid per nation row, EVEN keys through the GRASS writer+scan,
+    ODD keys through the ISG 2.0 writer+scan (half-cell header bounds
+    re-derived on read), reduced via gdal2xyz; the closed-form SQL pins
+    both geotransform anchors and the value sums. Values are halves so
+    the ISG float32 body is exact."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import (
+        scan_grassascii, scan_isg, write_grassascii, write_isg,
+    )
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"a{k}",
+            bytearray(codecs.encode_raw(
+                (0.5 * k + 0.5 * np.arange(12, dtype=np.float64))
+                .reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(k), 0.25, 0.0, 50.0 - k, 0.0, -0.5, 4326, -9999.0,
+        )
+        for k in keys
+    ]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double"
+    )
+    src = spark.createDataFrame(rows, schema).repartition(4)
+    grass = src.filter(F.col("image_id").substr(F.lit(2), F.lit(9))
+                       .cast("int") % 2 == 0)
+    isg = src.subtract(grass)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_isgr_")
+    write_grassascii(grass, os.path.join(tmp, "grass"))
+    write_isg(isg, os.path.join(tmp, "isg"))
+    back = scan_grassascii(
+        spark, os.path.join(tmp, "grass", "*.txt")
+    ).unionByName(
+        scan_isg(spark, os.path.join(tmp, "isg", "*.isg"))
+    )
+    sums = (
+        raster_to_xyz(back, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        back.select("image_id", "w", "h", "gt0", "gt3", "gt5")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_isg_grass_roundtrip_sql():
+    # cell(i) = 0.5*key + 0.5*i, i in 0..11 -> sum = 6*key + 33*0.5*... :
+    # sum = 12*(0.5*key) + 0.5*66 = 6*key + 33
+    return (
+        "SELECT 'a' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(50.0 - n_nationkey AS DOUBLE) AS gt3, "
+        "CAST(-0.5 AS DOUBLE) AS gt5, "
+        "CAST(6*n_nationkey + 33 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_ods_roundtrip(spark, sf_dir):
     """ODS spreadsheet driver round-trip (formats.ods —
     ogr/ogrsf_frmts/ods analog over stdlib zipfile+ElementTree;
@@ -8541,6 +8622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "isg_grass_roundtrip": q_isg_grass_roundtrip,
         "ods_roundtrip": q_ods_roundtrip,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "usgsdem_roundtrip": q_usgsdem_roundtrip,
@@ -8701,6 +8783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "isg_grass_roundtrip": q_isg_grass_roundtrip_sql(),
         "ods_roundtrip": q_ods_roundtrip_sql(),
         "xlsx_roundtrip": q_xlsx_roundtrip_sql(),
         "usgsdem_roundtrip": q_usgsdem_roundtrip_sql(),

@@ -168,3 +168,14 @@ from .ods import (  # noqa: F401
     scan_ods,
     write_ods,
 )
+from .aaigrid import (  # noqa: F401
+    format_grassascii,
+    format_isg,
+    parse_grassascii,
+    parse_isg,
+    parse_isg_header,
+    scan_grassascii,
+    scan_isg,
+    write_grassascii,
+    write_isg,
+)
