@@ -8420,6 +8420,74 @@ def q_datum_shift_sql():
     )
 
 
+def q_gxf_roundtrip(spark, sf_dir):
+    """Geosoft GXF driver round-trip (formats.gxf — frmts/gxf analog;
+    conformance-pinned in tests/test_gxf.py on BOTH autotest fixtures
+    at their quoted checksums 90 and 65042, incl. the GTYPE-3 base-90
+    compressed body with repeat groups and the center-of-cell anchor):
+    one float grid per nation row through the sense-1 GTYPE-0 writer
+    (rows south-to-north, origin at the lower-left CELL CENTER) and
+    the one-task-per-file scan, reduced via gdal2xyz; the closed-form
+    SQL only matches if the sense flip and the half-cell anchor math
+    both round-trip."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_gxf, write_gxf
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"x{k}",
+            bytearray(codecs.encode_raw(
+                (2.0 * k + 0.25 * np.arange(12, dtype=np.float64))
+                .reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(3 * k), 2.0, 0.0, 90.0 + k, 0.0, -1.5, 0, -9999.0,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gxf_")
+    write_gxf(src, tmp)
+    imgs = scan_gxf(spark, os.path.join(tmp, "*.gxf"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3", "gt5")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_gxf_roundtrip_sql():
+    # cell(i) = 2k + 0.25*i, i in 0..11 -> sum = 24k + 0.25*66
+    return (
+        "SELECT 'x' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(3 * n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(90.0 + n_nationkey AS DOUBLE) AS gt3, "
+        "CAST(-1.5 AS DOUBLE) AS gt5, "
+        "CAST(24*n_nationkey + 16.5 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_isg_grass_roundtrip(spark, sf_dir):
     """GRASS ASCII grid + ISG geoid grid drivers
     (formats.aaigrid siblings — frmts/aaigrid/aaigriddataset.cpp
@@ -8622,6 +8690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gxf_roundtrip": q_gxf_roundtrip,
         "isg_grass_roundtrip": q_isg_grass_roundtrip,
         "ods_roundtrip": q_ods_roundtrip,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -8783,6 +8852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gxf_roundtrip": q_gxf_roundtrip_sql(),
         "isg_grass_roundtrip": q_isg_grass_roundtrip_sql(),
         "ods_roundtrip": q_ods_roundtrip_sql(),
         "xlsx_roundtrip": q_xlsx_roundtrip_sql(),

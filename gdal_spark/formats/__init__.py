@@ -179,3 +179,4 @@ from .aaigrid import (  # noqa: F401
     write_grassascii,
     write_isg,
 )
+from .gxf import format_gxf, parse_gxf, scan_gxf, write_gxf  # noqa: F401
