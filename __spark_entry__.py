@@ -8420,6 +8420,90 @@ def q_datum_shift_sql():
     )
 
 
+def q_heightfield_roundtrip(spark, sf_dir):
+    """Terragen + Leveller heightfield drivers (formats.terragen /
+    formats.leveller — frmts/terragen + frmts/leveller analogs;
+    conformance-pinned in tests/test_heightfields.py at the quoted
+    checksums 1128 and 33441, plus the test_terragen_2 unscale-recovery
+    parity): one int-valued grid per nation row, EVEN keys through the
+    Terragen RAW-mode writer (SCAL 32, heightScale 2048 — band scale
+    exactly 1.0, bottom-up int16 body) and ODD keys through the
+    Leveller v7 writer (pixel-sized digital axes, float32 body,
+    em scale/base), reduced via gdal2xyz; the closed-form SQL pins the
+    row-order flips, the axis math, and the value sums."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import (
+        scan_leveller, scan_terragen, write_leveller, write_terragen,
+    )
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"h{k}",
+            bytearray(codecs.encode_raw(
+                (4.0 * k - 7 + np.arange(12, dtype=np.float64))
+                .reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(5 * k), 2.0, 0.0, 80.0 + k, 0.0, -2.0, 0, None,
+            1.0, 0.0,
+        )
+        for k in keys
+    ]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double, scale double, "
+        "offset double"
+    )
+    src = spark.createDataFrame(rows, schema).repartition(4)
+    kcol = F.col("image_id").substr(F.lit(2), F.lit(9)).cast("int")
+    ter = src.filter(kcol % 2 == 0)
+    lev = src.filter(kcol % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_hf_")
+    write_terragen(ter, os.path.join(tmp, "ter"), scal=32.0,
+                   height_scale=2048)
+    write_leveller(lev, os.path.join(tmp, "lev"))
+    back = scan_terragen(
+        spark, os.path.join(tmp, "ter", "*.ter")
+    ).unionByName(
+        scan_leveller(spark, os.path.join(tmp, "lev", "*.ter"))
+    )
+    sums = (
+        raster_to_xyz(back.drop("scale", "offset"), stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        back.select("image_id", "w", "h", "scale", "gt1")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_heightfield_roundtrip_sql():
+    # cell(i) = 4k - 7 + i, i in 0..11 -> sum = 48k - 84 + 66
+    # even keys (Terragen): gt1 = SCAL = 32, scale = 32*2048/65536 = 1
+    # odd keys (Leveller): gt1 = 2 (the axis), scale = 1
+    return (
+        "SELECT 'h' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(1.0 AS DOUBLE) AS scale, "
+        "CAST(CASE WHEN n_nationkey % 2 = 0 THEN 32.0 ELSE 2.0 END "
+        "AS DOUBLE) AS gt1, "
+        "CAST(48*n_nationkey - 18 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_gxf_roundtrip(spark, sf_dir):
     """Geosoft GXF driver round-trip (formats.gxf — frmts/gxf analog;
     conformance-pinned in tests/test_gxf.py on BOTH autotest fixtures
@@ -8690,6 +8774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "heightfield_roundtrip": q_heightfield_roundtrip,
         "gxf_roundtrip": q_gxf_roundtrip,
         "isg_grass_roundtrip": q_isg_grass_roundtrip,
         "ods_roundtrip": q_ods_roundtrip,
@@ -8852,6 +8937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heightfield_roundtrip": q_heightfield_roundtrip_sql(),
         "gxf_roundtrip": q_gxf_roundtrip_sql(),
         "isg_grass_roundtrip": q_isg_grass_roundtrip_sql(),
         "ods_roundtrip": q_ods_roundtrip_sql(),

@@ -180,3 +180,15 @@ from .aaigrid import (  # noqa: F401
     write_isg,
 )
 from .gxf import format_gxf, parse_gxf, scan_gxf, write_gxf  # noqa: F401
+from .terragen import (  # noqa: F401
+    format_terragen,
+    parse_terragen,
+    scan_terragen,
+    write_terragen,
+)
+from .leveller import (  # noqa: F401
+    format_leveller,
+    parse_leveller,
+    scan_leveller,
+    write_leveller,
+)
