@@ -8420,6 +8420,87 @@ def q_datum_shift_sql():
     )
 
 
+def q_pcraster_jdem_roundtrip(spark, sf_dir):
+    """PCRaster CSF + JDEM drivers (formats.pcraster / formats.jdem —
+    frmts/pcraster + frmts/jdem analogs; conformance-pinned in
+    tests/test_pcraster_jdem.py at the quoted checksums 4528 and 15,
+    incl. the ldd.map createcopy-parity rewrite): one grid per nation
+    row, EVEN keys through the CSF VS_SCALAR/REAL4 writer (MV as the
+    all-ones NaN bit pattern), ODD keys through the JDEM writer
+    (DMS-packed arc-second header, 0.1-m fixed-width records, mesh-code
+    and row-sequence checks enforced on read), reduced via gdal2xyz;
+    values are halves so BOTH the float32 cells and the tenth-of-a-
+    metre records are exact, and the closed-form SQL pins the georef
+    and the sums."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import (
+        scan_jdem, scan_pcraster, write_jdem, write_pcraster,
+    )
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"m{k}",
+            bytearray(codecs.encode_raw(
+                (2.0 * k + 0.5 * np.arange(12, dtype=np.float64))
+                .reshape(3, 4)
+            )),
+            4, 3, "raw",
+            130.0 + k, 0.25, 0.0, 40.0 + (k % 7), 0.0, -0.25, 0, None,
+        )
+        for k in keys
+    ]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double"
+    )
+    src = spark.createDataFrame(rows, schema).repartition(4)
+    kcol = F.col("image_id").substr(F.lit(2), F.lit(9)).cast("int")
+    pcr = src.filter(kcol % 2 == 0)
+    jd = src.filter(kcol % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_pj_")
+    write_pcraster(pcr, os.path.join(tmp, "pcr"))
+    write_jdem(jd, os.path.join(tmp, "jdem"))
+    back = scan_pcraster(
+        spark, os.path.join(tmp, "pcr", "*.map")
+    ).unionByName(
+        scan_jdem(spark, os.path.join(tmp, "jdem", "*.mem"))
+    )
+    sums = (
+        raster_to_xyz(back, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        back.select("image_id", "w", "h", "gt0", "gt3", "srid")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_pcraster_jdem_roundtrip_sql():
+    # cell(i) = 2k + 0.5*i, i in 0..11 -> sum = 24k + 0.5*66
+    return (
+        "SELECT 'm' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(130.0 + n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(40.0 + n_nationkey % 7 AS DOUBLE) AS gt3, "
+        "CAST(CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 4301 END "
+        "AS INT) AS srid, "
+        "CAST(24*n_nationkey + 33 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_heightfield_roundtrip(spark, sf_dir):
     """Terragen + Leveller heightfield drivers (formats.terragen /
     formats.leveller — frmts/terragen + frmts/leveller analogs;
@@ -8774,6 +8855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip,
         "heightfield_roundtrip": q_heightfield_roundtrip,
         "gxf_roundtrip": q_gxf_roundtrip,
         "isg_grass_roundtrip": q_isg_grass_roundtrip,
@@ -8937,6 +9019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip_sql(),
         "heightfield_roundtrip": q_heightfield_roundtrip_sql(),
         "gxf_roundtrip": q_gxf_roundtrip_sql(),
         "isg_grass_roundtrip": q_isg_grass_roundtrip_sql(),

@@ -192,3 +192,15 @@ from .leveller import (  # noqa: F401
     scan_leveller,
     write_leveller,
 )
+from .pcraster import (  # noqa: F401
+    format_pcraster,
+    parse_pcraster,
+    scan_pcraster,
+    write_pcraster,
+)
+from .jdem import (  # noqa: F401
+    format_jdem,
+    parse_jdem,
+    scan_jdem,
+    write_jdem,
+)
