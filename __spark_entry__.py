@@ -8420,6 +8420,82 @@ def q_datum_shift_sql():
     )
 
 
+def q_pds_roundtrip(spark, sf_dir):
+    """NASA PDS3 planetary driver (formats.pds — frmts/pds analog;
+    conformance-pinned in tests/test_pds.py on TWELVE autotest
+    fixture files at their quoted checksums — 47151/34962/1367/3418/
+    50938/14019/64740 — spanning attached, detached, byte-offset,
+    OBJECT=FILE, UNCOMPRESSED_FILE, and LINE_INTERLEAVED labels):
+    one float grid per nation row through the attached fixed-length-
+    record writer (SIMPLE CYLINDRICAL label whose projection offsets
+    invert the documented PDS3 default read pipeline) and the
+    one-task-per-label scan, reduced via gdal2xyz; the closed-form SQL
+    pins the record-pointer math, the offset pipeline, and the sums
+    (values are quarters — IEEE_REAL exact)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_pds, write_pds
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"p{k}",
+            bytearray(codecs.encode_raw(
+                (0.25 * np.arange(12, dtype=np.float64) - 3.0 * k)
+                .reshape(3, 4)
+            )),
+            4, 3, "raw",
+            -100.0 * k, 50.0, 0.0, 200.0 + k, 0.0, -50.0, 0, -999.0,
+        )
+        for k in keys
+    ]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double"
+    )
+    src = spark.createDataFrame(rows, schema).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_pds_")
+    write_pds(src, tmp)
+    imgs = scan_pds(spark, os.path.join(tmp, "*.img"))
+    sums = (
+        raster_to_xyz(imgs.drop("scale", "offset", "proj"), stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select(
+            "image_id", "w", "h",
+            F.round("gt0", 6).alias("gt0"),
+            F.round("gt3", 6).alias("gt3"),
+            "nodata", "proj",
+        )
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_pds_roundtrip_sql():
+    # cell(i) = 0.25*i - 3k, i in 0..11 -> sum = 0.25*66 - 36k
+    return (
+        "SELECT 'p' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "round(CAST(-100.0 * n_nationkey AS DOUBLE), 6) AS gt0, "
+        "round(CAST(200.0 + n_nationkey AS DOUBLE), 6) AS gt3, "
+        "CAST(-999.0 AS DOUBLE) AS nodata, "
+        "'SIMPLE_CYLINDRICAL|MARS' AS proj, "
+        "CAST(16.5 - 36*n_nationkey AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_pcraster_jdem_roundtrip(spark, sf_dir):
     """PCRaster CSF + JDEM drivers (formats.pcraster / formats.jdem —
     frmts/pcraster + frmts/jdem analogs; conformance-pinned in
@@ -8855,6 +8931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "pds_roundtrip": q_pds_roundtrip,
         "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip,
         "heightfield_roundtrip": q_heightfield_roundtrip,
         "gxf_roundtrip": q_gxf_roundtrip,
@@ -9019,6 +9096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pds_roundtrip": q_pds_roundtrip_sql(),
         "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip_sql(),
         "heightfield_roundtrip": q_heightfield_roundtrip_sql(),
         "gxf_roundtrip": q_gxf_roundtrip_sql(),

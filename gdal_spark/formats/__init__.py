@@ -204,3 +204,10 @@ from .jdem import (  # noqa: F401
     scan_jdem,
     write_jdem,
 )
+from .pds import (  # noqa: F401
+    format_pds,
+    parse_label as parse_pds_label,
+    parse_pds,
+    scan_pds,
+    write_pds,
+)
