@@ -8420,6 +8420,75 @@ def q_datum_shift_sql():
     )
 
 
+def q_isis3_roundtrip(spark, sf_dir):
+    """USGS ISIS3 cube driver (formats.isis3 — frmts/pds/isis3dataset
+    analog over the shared from-scratch PVL parser; conformance-pinned
+    in tests/test_isis3.py on SIX autotest fixtures — detached cs 9978,
+    TILE-format cs 42403 with the exact gt, the Format=GeoTIFF cube
+    decoded through the engine's own TIFF codec at the same cs 9978,
+    the quoted local-radius spheres to 1e-6, and the #1510 quoted-list
+    goldens): one float grid per nation row through the attached
+    BandSequential writer (65536-byte label region, StartByte 65537 —
+    ISIS's own layout) and the one-task-per-label scan, reduced via
+    gdal2xyz; fully closed-form SQL."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_isis3, write_isis3
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"c{k}",
+            bytearray(codecs.encode_raw(
+                (0.25 * np.arange(12, dtype=np.float64) + 7.0 * k)
+                .reshape(3, 4)
+            )),
+            4, 3, "raw",
+            10.0 * k, 2.5, 0.0, 500.0 + k, 0.0, -2.5, 0, None,
+        )
+        for k in keys
+    ]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double"
+    )
+    src = spark.createDataFrame(rows, schema).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_isis3_")
+    write_isis3(src, tmp)
+    imgs = scan_isis3(spark, os.path.join(tmp, "*.cub"))
+    sums = (
+        raster_to_xyz(imgs.drop("scale", "offset", "proj"), stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3", "proj")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_isis3_roundtrip_sql():
+    # cell(i) = 0.25*i + 7k, i in 0..11 -> sum = 16.5 + 84k
+    return (
+        "SELECT 'c' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(10.0 * n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(500.0 + n_nationkey AS DOUBLE) AS gt3, "
+        "'Equirectangular|Mars' AS proj, "
+        "CAST(16.5 + 84*n_nationkey AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_pds_roundtrip(spark, sf_dir):
     """NASA PDS3 planetary driver (formats.pds — frmts/pds analog;
     conformance-pinned in tests/test_pds.py on TWELVE autotest
@@ -8931,6 +9000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "isis3_roundtrip": q_isis3_roundtrip,
         "pds_roundtrip": q_pds_roundtrip,
         "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip,
         "heightfield_roundtrip": q_heightfield_roundtrip,
@@ -9096,6 +9166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "isis3_roundtrip": q_isis3_roundtrip_sql(),
         "pds_roundtrip": q_pds_roundtrip_sql(),
         "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip_sql(),
         "heightfield_roundtrip": q_heightfield_roundtrip_sql(),

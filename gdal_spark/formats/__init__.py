@@ -211,3 +211,9 @@ from .pds import (  # noqa: F401
     scan_pds,
     write_pds,
 )
+from .isis3 import (  # noqa: F401
+    format_isis3,
+    parse_isis3,
+    scan_isis3,
+    write_isis3,
+)
