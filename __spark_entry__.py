@@ -6096,6 +6096,80 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_tab_roundtrip(spark, sf_dir):
+    """MapInfo TAB binary driver round-trip (formats.tab —
+    ogr/ogrsf_frmts/mitab binary .map/.dat/.id analog, conformance-
+    pinned in tests against all_geoms.tab read bit-exact vs the
+    golden-pinned MIF parse, and all_possible_fields.tab's native
+    binary .dat slots): even supplier keys write SYMBOL point objects,
+    odd keys REGION rect polygons (coordinate blocks + section
+    headers), through the single-dataset sink and back via the
+    one-task-per-dataset distributed scan; x/y re-derive from the
+    re-read WKB centroid (rect centroid = corner + half-extent), so
+    the closed-form SQL only matches if object records, the chained
+    coordinate stream, the int-coordinate transform (scale 1e6,
+    quadrant 1), and the native .dat binary slots all round-trip."""
+    import os
+    import tempfile
+
+    from gdal_spark.formats import scan_tab, write_tab
+    from gdal_spark.sql import _st_centroid_x, _st_centroid_y
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    @F.pandas_udf("binary")
+    def geom_udf(ks: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from gdal_spark import geom
+
+        out = []
+        for kk, x, y in zip(ks, xs, ys):
+            if kk % 2 == 0:
+                out.append(geom.wkb_point(x, y))
+            else:
+                ring = np.array([[x, y], [x + 2.0, y], [x + 2.0, y + 1.0],
+                                 [x, y + 1.0], [x, y]])
+                out.append(geom.wkb_polygon([ring]))
+        return pd.Series(out)
+
+    x = (k * 37 % 640) * 0.5 - 180.0
+    y = (k * 41 % 340) * 0.5 - 89.0
+    src = s.orderBy(k).select(
+        geom_udf(k, x, y).alias("geometry"),
+        F.concat(F.lit("sup_"), k.cast("string")).alias("name"),
+        k.cast("long").alias("skey"),
+        ((k % 400) * 0.25).alias("acct"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_tab_")
+    path = os.path.join(tmp, "sup.tab")
+    write_tab(src, path)
+    out = scan_tab(spark, path)
+    return out.select(
+        F.col("skey"),
+        _st_centroid_x(F.col("geometry")).alias("cx"),
+        _st_centroid_y(F.col("geometry")).alias("cy"),
+        F.col("name"),
+        F.col("acct"),
+    ).orderBy("skey")
+
+
+def q_tab_roundtrip_sql():
+    return (
+        "SELECT CAST(s_suppkey AS BIGINT) AS skey, "
+        "CAST((s_suppkey * 37 % 640) * 0.5 - 180.0 "
+        "  + (CASE WHEN s_suppkey % 2 = 1 THEN 1.0 ELSE 0.0 END) "
+        "  AS DOUBLE) AS cx, "
+        "CAST((s_suppkey * 41 % 340) * 0.5 - 89.0 "
+        "  + (CASE WHEN s_suppkey % 2 = 1 THEN 0.5 ELSE 0.0 END) "
+        "  AS DOUBLE) AS cy, "
+        "'sup_' || CAST(s_suppkey AS VARCHAR) AS name, "
+        "CAST((s_suppkey % 400) * 0.25 AS DOUBLE) AS acct "
+        "FROM supplier ORDER BY skey"
+    )
+
+
 def q_mif_roundtrip_sql():
     return (
         "SELECT CAST(s_suppkey AS INT) AS skey, "
@@ -9000,6 +9074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "tab_roundtrip": q_tab_roundtrip,
         "isis3_roundtrip": q_isis3_roundtrip,
         "pds_roundtrip": q_pds_roundtrip,
         "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip,
@@ -9166,6 +9241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tab_roundtrip": q_tab_roundtrip_sql(),
         "isis3_roundtrip": q_isis3_roundtrip_sql(),
         "pds_roundtrip": q_pds_roundtrip_sql(),
         "pcraster_jdem_roundtrip": q_pcraster_jdem_roundtrip_sql(),

@@ -32,6 +32,7 @@ from .dted import format_dted, parse_dted, scan_dted, write_dted  # noqa: F401
 from .envi import format_envi, parse_envi, scan_envi, write_envi  # noqa: F401
 from .dxf import parse_dxf, scan_dxf  # noqa: F401
 from .mif import parse_mif, scan_mif, write_mif  # noqa: F401
+from .tab import read_tab, scan_tab, write_tab  # noqa: F401
 from .netcdf import (  # noqa: F401
     format_netcdf,
     netcdf_rasters,

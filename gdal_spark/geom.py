@@ -315,6 +315,9 @@ def geometry_to_wkt(g: Geometry) -> str:
         ) + ")"
     if g.kind == WKB_MULTILINESTRING:
         return "MULTILINESTRING (" + ", ".join(_wkt_ring(r) for r in g.parts) + ")"
+    if g.kind == WKB_GEOMETRYCOLLECTION:
+        return "GEOMETRYCOLLECTION (" + ", ".join(
+            geometry_to_wkt(sub) for sub in g.parts) + ")"
     raise ValueError(f"cannot serialize WKT kind {g.kind}")
 
 
