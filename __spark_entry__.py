@@ -6096,6 +6096,99 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_vicar_isis2_roundtrip(spark, sf_dir):
+    """NASA/JPL VICAR + USGS ISIS2 planetary driver round-trip
+    (formats.vicar / formats.isis2 — frmts/pds/vicardataset.cpp and
+    frmts/pds/isis2dataset.cpp analogs; conformance-pinned in
+    tests/test_vicar_isis2.py on 17 autotest fixtures incl. every
+    FORMAT/INTFMT/REALFMT combination, VAX floats, BASIC/BASIC2
+    compression at the reference's quoted checksums, and the
+    arvidson ISIS2 cube at checksum 382 + the gt golden): one
+    float32 grid per nation row, even keys through the DISTRIBUTED
+    task-per-row VICAR BSQ sink (label padded to a RECSIZE
+    multiple), odd keys through the ISIS2 attached-cube sink
+    (RECORD_BYTES-scaled ^QUBE pointer, MSB core), each read back by
+    its one-task-per-file scan, reduced via gdal2xyz. Closed-form
+    SQL pins both label formats' georef anchor math and the row
+    order."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import (
+        scan_isis2,
+        scan_vicar,
+        write_isis2,
+        write_vicar,
+    )
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_vicar_isis2_")
+
+    def rows_for(subset):
+        return [
+            (
+                f"n{k}",
+                bytearray(codecs.encode_raw(
+                    (float(k) + np.arange(12, dtype=np.float32))
+                    .reshape(3, 4)
+                )),
+                4, 3, "raw",
+                float(k * 2), 0.5, 0.0, 30.0, 0.0, -0.5, 0, None,
+            )
+            for k in subset
+        ]
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, "
+        "gt4 double, gt5 double, srid int, nodata double"
+    )
+    even = [k for k in keys if k % 2 == 0]
+    odd = [k for k in keys if k % 2 == 1]
+    parts = []
+    if even:
+        write_vicar(
+            spark.createDataFrame(rows_for(even), schema).repartition(4),
+            tmp)
+        parts.append(scan_vicar(spark, os.path.join(tmp, "*.vic")))
+    if odd:
+        write_isis2(
+            spark.createDataFrame(rows_for(odd), schema).repartition(4),
+            tmp)
+        parts.append(scan_isis2(spark, os.path.join(tmp, "*.cub")))
+    imgs = parts[0]
+    for p in parts[1:]:
+        imgs = imgs.unionByName(p)
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_vicar_isis2_roundtrip_sql():
+    # cell(y,x) = key + (0..11); sum = 12*key + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 2 AS DOUBLE) AS gt0, "
+        "CAST(30 AS DOUBLE) AS gt3, "
+        "CAST(12*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_tab_roundtrip(spark, sf_dir):
     """MapInfo TAB binary driver round-trip (formats.tab —
     ogr/ogrsf_frmts/mitab binary .map/.dat/.id analog, conformance-
@@ -9074,6 +9167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
         "isis3_roundtrip": q_isis3_roundtrip,
         "pds_roundtrip": q_pds_roundtrip,
@@ -9241,6 +9335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip_sql(),
         "tab_roundtrip": q_tab_roundtrip_sql(),
         "isis3_roundtrip": q_isis3_roundtrip_sql(),
         "pds_roundtrip": q_pds_roundtrip_sql(),

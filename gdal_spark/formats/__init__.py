@@ -218,3 +218,15 @@ from .isis3 import (  # noqa: F401
     scan_isis3,
     write_isis3,
 )
+from .vicar import (  # noqa: F401
+    format_vicar,
+    parse_vicar,
+    scan_vicar,
+    write_vicar,
+)
+from .isis2 import (  # noqa: F401
+    format_isis2,
+    parse_isis2,
+    scan_isis2,
+    write_isis2,
+)
