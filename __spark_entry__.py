@@ -6096,6 +6096,112 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_fits_ers_roundtrip(spark, sf_dir):
+    """FITS + ERMapper ERS driver round-trip (formats.fits /
+    formats.ers — frmts/fits/fitsdataset.cpp and
+    frmts/ers/ersdataset.cpp analogs; conformance-pinned in
+    tests/test_fits_ers.py on byte_merc.fits' quoted WCS gt golden,
+    the BZERO/BSCALE goldens, the multi-HDU walk set, srtm.ers at
+    checksum 64074 with the Stats metadata, ers_dem at 56588 with
+    the DMS + HeaderOffset georef, and the Int8 / lowercase-header
+    fixtures): one float32 grid per nation row, even keys through
+    the DISTRIBUTED task-per-row FITS sink (bottom-up big-endian
+    data, CAR WCS cards) and odd keys through the ERS sink (.ers
+    header + BIL companion), each read back by its
+    one-task-per-file scan, reduced via gdal2xyz. Closed-form SQL
+    pins both formats' georef inversion and the bottom-up/BIL
+    layout round-trips."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import (
+        scan_ers,
+        scan_fits,
+        write_ers,
+        write_fits,
+    )
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_fits_ers_")
+
+    def rows_for(subset):
+        return [
+            (
+                f"n{k}",
+                bytearray(codecs.encode_raw(
+                    (float(k) + np.arange(12, dtype=np.float32))
+                    .reshape(3, 4)
+                )),
+                4, 3, "raw",
+                float(k * 2), 0.5, 0.0, 30.0, 0.0, -0.5, 0, None,
+            )
+            for k in subset
+        ]
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, "
+        "gt4 double, gt5 double, srid int, nodata double"
+    )
+    even = [k for k in keys if k % 2 == 0]
+    odd = [k for k in keys if k % 2 == 1]
+    parts = []
+    if even:
+        write_fits(
+            spark.createDataFrame(rows_for(even), schema).repartition(4),
+            tmp)
+        parts.append(
+            scan_fits(spark, os.path.join(tmp, "*.fits"))
+            .select("image_id", "bytes", "w", "h", "fmt", "gt0", "gt1",
+                    "gt2", "gt3", "gt4", "gt5", "srid", "nodata"))
+    if odd:
+        write_ers(
+            spark.createDataFrame(rows_for(odd), schema).repartition(4),
+            tmp)
+        parts.append(
+            scan_ers(spark, os.path.join(tmp, "*.ers"))
+            .select("image_id", "bytes", "w", "h", "fmt", "gt0", "gt1",
+                    "gt2", "gt3", "gt4", "gt5", "srid", "nodata"))
+    imgs = parts[0]
+    for p in parts[1:]:
+        imgs = imgs.unionByName(p)
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select(
+            "image_id", "w", "h",
+            # the WCS radfac multiply/divide pair reconstructs the
+            # geotransform to ~1e-15 relative; report at a fixed
+            # 6-dp grain so the closed-form oracle compares exactly
+            F.round("gt0", 6).alias("gt0"),
+            F.round("gt3", 6).alias("gt3"),
+        )
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_fits_ers_roundtrip_sql():
+    # cell(y,x) = key + (0..11); sum = 12*key + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 2 AS DOUBLE) AS gt0, "
+        "CAST(30 AS DOUBLE) AS gt3, "
+        "CAST(12*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_vicar_isis2_roundtrip(spark, sf_dir):
     """NASA/JPL VICAR + USGS ISIS2 planetary driver round-trip
     (formats.vicar / formats.isis2 — frmts/pds/vicardataset.cpp and
@@ -9167,6 +9273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "fits_ers_roundtrip": q_fits_ers_roundtrip,
         "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
         "isis3_roundtrip": q_isis3_roundtrip,
@@ -9335,6 +9442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fits_ers_roundtrip": q_fits_ers_roundtrip_sql(),
         "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip_sql(),
         "tab_roundtrip": q_tab_roundtrip_sql(),
         "isis3_roundtrip": q_isis3_roundtrip_sql(),

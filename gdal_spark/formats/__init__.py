@@ -230,3 +230,15 @@ from .isis2 import (  # noqa: F401
     scan_isis2,
     write_isis2,
 )
+from .fits import (  # noqa: F401
+    format_fits,
+    parse_fits,
+    scan_fits,
+    write_fits,
+)
+from .ers import (  # noqa: F401
+    format_ers,
+    parse_ers,
+    scan_ers,
+    write_ers,
+)
