@@ -6096,6 +6096,105 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_gif_tga_roundtrip(spark, sf_dir):
+    """GIF + TGA codec/driver round-trip (formats.gif / formats.tga
+    — from-spec GIF89a LSB-first LZW and Truevision TGA 2.0;
+    conformance-pinned in tests/test_gif_tga.py on bug407.gif at the
+    reference's index checksum 57921, the byte.tif-ramp XMP GIF at
+    4672, and the full Truevision reference suite at the quoted
+    per-band checksums incl. ARGB1555 expansion and RLE runs
+    crossing scanlines): one uint8 ramp per nation row, even keys
+    through the DISTRIBUTED task-per-row GIF sink (our own LZW
+    encoder with deferred-width sync) and odd keys through the
+    RLE TGA sink (bottom-up order), each read back by its
+    one-task-per-file scan, reduced via gdal2xyz. Closed-form SQL
+    pins the LZW/RLE round-trips and both formats' row order."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import (
+        scan_gif,
+        scan_tga,
+        write_gif,
+        write_tga,
+    )
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_gif_tga_")
+
+    def rows_for(subset):
+        return [
+            (
+                f"n{k}",
+                bytearray(codecs.encode_raw(
+                    ((k * 7 + np.arange(12)) % 256)
+                    .astype(np.uint8).reshape(3, 4)
+                )),
+                4, 3, "raw",
+                0.0, 1.0, 0.0, 0.0, 0.0, -1.0, 0, None,
+            )
+            for k in subset
+        ]
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, "
+        "gt4 double, gt5 double, srid int, nodata double"
+    )
+    even = [k for k in keys if k % 2 == 0]
+    odd = [k for k in keys if k % 2 == 1]
+    parts = []
+    if even:
+        write_gif(
+            spark.createDataFrame(rows_for(even), schema).repartition(4),
+            tmp)
+        parts.append(
+            scan_gif(spark, os.path.join(tmp, "*.gif"))
+            .select("image_id", "bytes", "w", "h", "fmt"))
+    if odd:
+        write_tga(
+            spark.createDataFrame(rows_for(odd), schema).repartition(4),
+            tmp, rle=True)
+        parts.append(
+            scan_tga(spark, os.path.join(tmp, "*.tga"))
+            .select("image_id", "bytes", "w", "h", "fmt"))
+    imgs = parts[0]
+    for p in parts[1:]:
+        imgs = imgs.unionByName(p)
+    imgs = imgs.withColumns({
+        "gt0": F.lit(0.0), "gt1": F.lit(1.0), "gt2": F.lit(0.0),
+        "gt3": F.lit(0.0), "gt4": F.lit(0.0), "gt5": F.lit(-1.0),
+        "srid": F.lit(0), "nodata": F.lit(None).cast("double"),
+    })
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_gif_tga_roundtrip_sql():
+    # cell(y,x) = (7k + i) % 256 for i in 0..11; nation keys 0..24
+    # keep 7k+11 <= 179 < 256, so sum = 84k + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(84*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_fits_ers_roundtrip(spark, sf_dir):
     """FITS + ERMapper ERS driver round-trip (formats.fits /
     formats.ers — frmts/fits/fitsdataset.cpp and
@@ -9273,6 +9372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gif_tga_roundtrip": q_gif_tga_roundtrip,
         "fits_ers_roundtrip": q_fits_ers_roundtrip,
         "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
@@ -9442,6 +9542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gif_tga_roundtrip": q_gif_tga_roundtrip_sql(),
         "fits_ers_roundtrip": q_fits_ers_roundtrip_sql(),
         "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip_sql(),
         "tab_roundtrip": q_tab_roundtrip_sql(),

@@ -242,3 +242,17 @@ from .ers import (  # noqa: F401
     scan_ers,
     write_ers,
 )
+from .gif import (  # noqa: F401
+    decode_gif,
+    format_gif,
+    parse_gif,
+    scan_gif,
+    write_gif,
+)
+from .tga import (  # noqa: F401
+    decode_tga,
+    format_tga,
+    parse_tga,
+    scan_tga,
+    write_tga,
+)
