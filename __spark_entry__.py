@@ -6096,6 +6096,75 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_aig_roundtrip(spark, sf_dir):
+    """Esri Arc/Info Binary Grid coverage round-trip (formats.aig —
+    frmts/aigrid analog from the published AIG format description;
+    conformance-pinned in tests/test_aig.py on both autotest abc3x1
+    coverages at checksum 3 / Byte / nodata 255 with all eleven tile
+    types exercised on hand-built spec blocks): one int32 grid per
+    nation row through the DISTRIBUTED task-per-row coverage sink
+    (hdr/dblbnd/sta/index/data members, raw 0x20 blocks) and the
+    one-task-per-coverage scan (values >32767 keep the grids int32
+    through the sta.adf promotion rules), reduced via gdal2xyz.
+    Closed-form SQL pins the block index accounting, the bounds
+    georef math, and the min-add decode."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_aig, write_aig
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"cov{k}",
+            bytearray(codecs.encode_raw(
+                (100000 * k + np.arange(12, dtype=np.int64))
+                .astype(np.int32).reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(k * 2), 0.5, 0.0, 30.0, 0.0, -0.5, 0, None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_aig_")
+    write_aig(src, tmp)
+    imgs = scan_aig(spark, os.path.join(tmp, "cov*"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_aig_roundtrip_sql():
+    # cell(y,x) = 100000*key + (0..11); sum = 1200000*key + 66
+    return (
+        "SELECT 'cov' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 2 AS DOUBLE) AS gt0, "
+        "CAST(30 AS DOUBLE) AS gt3, "
+        "CAST(1200000*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_gif_tga_roundtrip(spark, sf_dir):
     """GIF + TGA codec/driver round-trip (formats.gif / formats.tga
     — from-spec GIF89a LSB-first LZW and Truevision TGA 2.0;
@@ -9372,6 +9441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "aig_roundtrip": q_aig_roundtrip,
         "gif_tga_roundtrip": q_gif_tga_roundtrip,
         "fits_ers_roundtrip": q_fits_ers_roundtrip,
         "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip,
@@ -9542,6 +9612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "aig_roundtrip": q_aig_roundtrip_sql(),
         "gif_tga_roundtrip": q_gif_tga_roundtrip_sql(),
         "fits_ers_roundtrip": q_fits_ers_roundtrip_sql(),
         "vicar_isis2_roundtrip": q_vicar_isis2_roundtrip_sql(),

@@ -256,3 +256,9 @@ from .tga import (  # noqa: F401
     scan_tga,
     write_tga,
 )
+from .aig import (  # noqa: F401
+    format_aig,
+    parse_aig,
+    scan_aig,
+    write_aig,
+)
