@@ -6096,6 +6096,83 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_gpkg_tiles_roundtrip(spark, sf_dir):
+    """GeoPackage raster tile pyramid round-trip
+    (formats.geopackage tile side — OGC 12-128r19 section 2.2,
+    ogr/ogrsf_frmts/gpkg raster analog; conformance-pinned in
+    tests/test_gpkg_tiles.py on the autotest byte.gpkg fixture:
+    content window = the byte.tif ramp at checksum 4672, custom
+    EPSG:26711 matrix): a z=3 Mercator tile set built one tile per
+    nation row (value = constant key), streamed through the
+    single-writer gpkg sink (spec tables, TMS->top-down row flip)
+    and read back by the rowid-range-partitioned tile scan. Per-tile
+    mean recovers each key; the closed-form SQL pins the row flip
+    (tile_row = 7 - ty) and the global-matrix georef."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats.geopackage import (
+        scan_geopackage_tiles,
+        write_geopackage_tiles,
+    )
+    from gdal_spark.grid import MercatorGrid
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (3, k % 8, (k * 3) % 8,
+         bytearray(codecs.encode_png(
+             np.full((256, 256), 10 + (k % 200), np.uint8))))
+        for k in keys
+        if k == min(kk for kk in keys
+                    if (kk % 8, (kk * 3) % 8) == (k % 8, (k * 3) % 8))
+    ]
+    tdf = spark.createDataFrame(rows, "z int, tx int, ty int, png binary")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="gdal_spark_gpkgt_"),
+                       "t.gpkg")
+    write_geopackage_tiles(tdf, tmp, table="cover")
+    back = scan_geopackage_tiles(spark, tmp)
+
+    @F.pandas_udf("double")
+    def mean_udf(bs: pd.Series) -> pd.Series:
+        from gdal_spark import codecs as C
+
+        out = []
+        for b in bs:
+            a = C.decode_image(bytes(b), "raw")
+            if a.ndim == 3:
+                a = a[:, :, 0]
+            out.append(float(a.mean()))
+        return pd.Series(out)
+
+    half = MercatorGrid().origin_shift
+    return back.select(
+        "image_id", "w", "h", "srid",
+        F.round((F.col("gt0") + F.lit(half)) / F.lit(2 * half / 8), 0)
+        .cast("int").alias("tx"),
+        mean_udf(F.col("bytes")).alias("mean_val"),
+    ).orderBy("image_id")
+
+
+def q_gpkg_tiles_roundtrip_sql():
+    # one tile per distinct (k%8, 3k%8) cell, keyed by the MINIMUM
+    # contributing nation key; tile_row = 7 - (3k % 8)
+    return (
+        "WITH cells AS (SELECT n_nationkey % 8 AS cx, "
+        "(n_nationkey * 3) % 8 AS cy, MIN(n_nationkey) AS k "
+        "FROM nation GROUP BY cx, cy) "
+        "SELECT 'cover/z3/' || cx || '/' || (7 - cy) AS image_id, "
+        "256 AS w, 256 AS h, 3857 AS srid, CAST(cx AS INT) AS tx, "
+        "CAST(10 + (k % 200) AS DOUBLE) AS mean_val "
+        "FROM cells ORDER BY image_id"
+    )
+
+
 def q_aig_roundtrip(spark, sf_dir):
     """Esri Arc/Info Binary Grid coverage round-trip (formats.aig —
     frmts/aigrid analog from the published AIG format description;
@@ -9441,6 +9518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "aig_roundtrip": q_aig_roundtrip,
         "gif_tga_roundtrip": q_gif_tga_roundtrip,
         "fits_ers_roundtrip": q_fits_ers_roundtrip,
@@ -9612,6 +9690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip_sql(),
         "aig_roundtrip": q_aig_roundtrip_sql(),
         "gif_tga_roundtrip": q_gif_tga_roundtrip_sql(),
         "fits_ers_roundtrip": q_fits_ers_roundtrip_sql(),

@@ -14,7 +14,13 @@ thread; reference: ogr/ogrsf_frmts/shape/, ogr/ogrsf_frmts/gpkg/).
 """
 
 from .shapefile import scan_shapefile, write_shapefile  # noqa: F401
-from .geopackage import scan_geopackage, write_geopackage  # noqa: F401
+from .geopackage import (  # noqa: F401
+    gpkg_raster_info,
+    scan_geopackage,
+    scan_geopackage_tiles,
+    write_geopackage,
+    write_geopackage_tiles,
+)
 from .geojson import (  # noqa: F401
     scan_geojson,
     scan_geojson_seq,
