@@ -6096,6 +6096,123 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_rawgrids_roundtrip(spark, sf_dir):
+    """Raw-header grid family round-trip (formats.rawgrids —
+    frmts/raw/{roipacdataset,byndataset,landataset,snodasdataset,
+    lcpdataset}.cpp analogs; conformance-pinned in
+    tests/test_rawgrids.py on srtm.dem cs 64074, both BYN fixtures
+    cs 64764, both fakelan fixtures cs 10, the SNODAS gt golden,
+    and both FARSITE landscapes at their 8 quoted per-band
+    checksums): one int16 grid per nation row rotating through FIVE
+    sinks by key % 5 — ROI_PAC .dem+.rsc, BYN (arcsecond grid),
+    Erdas LAN (BIL, center-anchored georef), SNODAS .hdr+.dat
+    (big-endian), FARSITE LCP (first of 5 pixel-interleaved bands)
+    — each read back by its one-task-per-file scan, reduced via
+    gdal2xyz. Closed-form SQL pins all five header layouts and
+    their georef conventions at once."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import rawgrids as R
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_rawgrids_")
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, "
+        "gt4 double, gt5 double, srid int, nodata double"
+    )
+
+    def rows_for(subset, nb=1):
+        out = []
+        for k in subset:
+            base = (100 * k + np.arange(12, dtype=np.int64)) \
+                .astype(np.int16).reshape(3, 4)
+            arr = base if nb == 1 else np.repeat(
+                base[:, :, None], nb, axis=2)
+            out.append((
+                f"n{k}", bytearray(codecs.encode_raw(arr)),
+                4, 3, "raw",
+                float(k), 0.25, 0.0, 30.0, 0.0, -0.25, 0, None,
+            ))
+        return out
+
+    groups = {m: [k for k in keys if k % 5 == m] for m in range(5)}
+    parts = []
+    if groups[0]:
+        R.write_roipac(spark.createDataFrame(
+            rows_for(groups[0]), schema).repartition(2), tmp)
+        parts.append(R.scan_roipac(spark, os.path.join(tmp, "*.dem")))
+    if groups[1]:
+        # 0.25-degree cells are exactly 900 arcseconds, so the BYN
+        # integer-arcsecond header holds the same georef verbatim
+        R.write_byn(spark.createDataFrame(
+            rows_for(groups[1]), schema).repartition(2), tmp)
+        parts.append(
+            R.scan_byn(spark, os.path.join(tmp, "*.byn"))
+            .withColumn("nodata", F.lit(None).cast("double")))
+    if groups[2]:
+        R.write_lan(spark.createDataFrame(
+            rows_for(groups[2]), schema).repartition(2), tmp)
+        parts.append(R.scan_lan(spark, os.path.join(tmp, "*.lan")))
+    if groups[3]:
+        R.write_snodas(spark.createDataFrame(
+            rows_for(groups[3]), schema).repartition(2), tmp)
+        parts.append(
+            R.scan_snodas(spark, os.path.join(tmp, "*.hdr"))
+            .withColumn("nodata", F.lit(None).cast("double")))
+    if groups[4]:
+        R.write_lcp(spark.createDataFrame(
+            rows_for(groups[4], nb=5), schema).repartition(2), tmp)
+        lcp = R.scan_lcp(spark, os.path.join(tmp, "*.lcp"))
+
+        @F.pandas_udf("binary")
+        def band0(bs: pd.Series) -> pd.Series:
+            from gdal_spark import codecs as C
+
+            return pd.Series([
+                bytearray(C.encode_raw(
+                    C.decode_image(bytes(b), "raw")[:, :, 0]))
+                for b in bs
+            ])
+
+        parts.append(lcp.withColumn("bytes", band0(F.col("bytes"))))
+    cols = ["image_id", "bytes", "w", "h", "fmt", "gt0", "gt1",
+            "gt2", "gt3", "gt4", "gt5", "srid", "nodata"]
+    imgs = parts[0].select(cols)
+    for p in parts[1:]:
+        imgs = imgs.unionByName(p.select(cols))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h",
+                    F.round("gt0", 6).alias("gt0"))
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_rawgrids_roundtrip_sql():
+    # cell(y,x) = 100k + (0..11); sum = 1200k + 66; gt0 = k except
+    # LAN (float32 header) where rounding still recovers k at 6 dp
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(1200*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_gpkg_tiles_roundtrip(spark, sf_dir):
     """GeoPackage raster tile pyramid round-trip
     (formats.geopackage tile side — OGC 12-128r19 section 2.2,
@@ -9518,6 +9635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "rawgrids_roundtrip": q_rawgrids_roundtrip,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "aig_roundtrip": q_aig_roundtrip,
         "gif_tga_roundtrip": q_gif_tga_roundtrip,
@@ -9690,6 +9808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rawgrids_roundtrip": q_rawgrids_roundtrip_sql(),
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip_sql(),
         "aig_roundtrip": q_aig_roundtrip_sql(),
         "gif_tga_roundtrip": q_gif_tga_roundtrip_sql(),

@@ -268,3 +268,25 @@ from .aig import (  # noqa: F401
     scan_aig,
     write_aig,
 )
+from .rawgrids import (  # noqa: F401
+    format_byn,
+    format_lan,
+    format_lcp,
+    format_roipac,
+    format_snodas,
+    parse_byn,
+    parse_lan,
+    parse_lcp,
+    parse_roipac,
+    parse_snodas,
+    scan_byn,
+    scan_lan,
+    scan_lcp,
+    scan_roipac,
+    scan_snodas,
+    write_byn,
+    write_lan,
+    write_lcp,
+    write_roipac,
+    write_snodas,
+)
