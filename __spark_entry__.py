@@ -6096,6 +6096,77 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_nitf_roundtrip(spark, sf_dir):
+    """NITF driver round-trip (formats.nitf — frmts/nitf analog
+    from the published MIL-STD-2500C; conformance-pinned in
+    tests/test_nitf.py on rgb.ntf band-3 cs 21349 + the
+    adjusted-IGEOLO gt golden, the three 1-bit NC/NM fixtures at cs
+    170, the NSIF header, the TEXT-segment golden, and the
+    header-only/C1 rejections): one uint8 grid per nation row on a
+    quarter-degree grid (which survives the 3-dp ICORDS=D corner
+    encoding exactly) through the DISTRIBUTED task-per-row
+    NITF02.10 sink and the one-task-per-file scan, reduced via
+    gdal2xyz. Closed-form SQL pins the fixed-field header
+    accounting, the center-anchored IGEOLO math, and the
+    big-endian block layout."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_nitf, write_nitf
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            bytearray(codecs.encode_raw(
+                ((k * 7 + np.arange(12)) % 200)
+                .astype(np.uint8).reshape(3, 4)
+            )),
+            4, 3, "raw",
+            float(k) + 0.25, 0.25, 0.0, 60.25, 0.0, -0.25, 0, None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_nitf_")
+    write_nitf(src, tmp)
+    imgs = scan_nitf(spark, os.path.join(tmp, "*.ntf"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0", "gt3")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_nitf_roundtrip_sql():
+    # cell = (7k + i) % 200 for i in 0..11; 7k+11 <= 179 for k <= 24
+    # so sum = 84k + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey + 0.25 AS DOUBLE) AS gt0, "
+        "CAST(60.25 AS DOUBLE) AS gt3, "
+        "CAST(84*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_rawgrids_roundtrip(spark, sf_dir):
     """Raw-header grid family round-trip (formats.rawgrids —
     frmts/raw/{roipacdataset,byndataset,landataset,snodasdataset,
@@ -9635,6 +9706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "nitf_roundtrip": q_nitf_roundtrip,
         "rawgrids_roundtrip": q_rawgrids_roundtrip,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "aig_roundtrip": q_aig_roundtrip,
@@ -9808,6 +9880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nitf_roundtrip": q_nitf_roundtrip_sql(),
         "rawgrids_roundtrip": q_rawgrids_roundtrip_sql(),
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip_sql(),
         "aig_roundtrip": q_aig_roundtrip_sql(),

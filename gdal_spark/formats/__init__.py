@@ -290,3 +290,10 @@ from .rawgrids import (  # noqa: F401
     write_roipac,
     write_snodas,
 )
+from .nitf import (  # noqa: F401
+    format_nitf,
+    nitf_texts,
+    parse_nitf,
+    scan_nitf,
+    write_nitf,
+)
