@@ -6096,6 +6096,139 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_rawgrids2_roundtrip(spark, sf_dir):
+    """Raw-header grid family II round-trip (formats.rawgrids2 —
+    frmts/raw/{mffdataset,pauxdataset,doq2dataset,eirdataset}.cpp +
+    frmts/ctg analogs; conformance-pinned in
+    tests/test_rawgrids2.py on bytemff cs 4672, the tiled MFF twin,
+    small16 band-2 cs 12816 under the Swapped-means-little-endian
+    convention, the DOQ2 row checksums + QUADRANGLE_NAME golden,
+    fake_grid_cell cs 21, fakeeir cs 1): one uint16 grid per nation
+    row rotating through FOUR sinks by key % 4 — Vexcel MFF
+    (letter-typed sibling band files), PCI PAux (.aux + raw),
+    USGS CTG (six-band 80-char records; band 0 carries the ramp),
+    Erdas Imagine Raw BIL — each read back by its
+    one-task-per-dataset scan, reduced via gdal2xyz."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import rawgrids2 as R2
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_rawgrids2_")
+    # MFF and EIR both use .hdr headers: keep each family in its
+    # own subdirectory so the scans' globs stay disjoint
+    for sub in ("mff", "paux", "ctg", "eir"):
+        os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, "
+        "gt4 double, gt5 double, srid int, nodata double"
+    )
+
+    def rows_for(subset, six=False):
+        out = []
+        for k in subset:
+            base = (100 * k + np.arange(12, dtype=np.int64)) \
+                .astype(np.uint16).reshape(3, 4)
+            if six:
+                arr = np.zeros((3, 4, 6), np.int32)
+                arr[:, :, 0] = base
+            else:
+                arr = base
+            out.append((
+                f"n{k}", bytearray(codecs.encode_raw(arr)),
+                4, 3, "raw",
+                float(k * 100), 25.0, 0.0, 3000.0, 0.0, -25.0,
+                0, None,
+            ))
+        return out
+
+    groups = {m: [k for k in keys if k % 4 == m] for m in range(4)}
+    parts = []
+    if groups[0]:
+        R2.write_mff(spark.createDataFrame(
+            rows_for(groups[0]), schema).repartition(2),
+            os.path.join(tmp, "mff"))
+        # MFF carries no geotransform: restore the georef columns
+        mff = R2.scan_mff(spark, os.path.join(tmp, "mff", "*.hdr"))
+        key = F.regexp_extract("image_id", "n(\\d+)", 1).cast("int")
+        parts.append(mff.withColumns({
+            "gt0": (key * 100).cast("double"),
+            "gt3": F.lit(3000.0),
+        }))
+    if groups[1]:
+        R2.write_paux(spark.createDataFrame(
+            rows_for(groups[1]), schema).repartition(2),
+            os.path.join(tmp, "paux"))
+        parts.append(R2.scan_paux(spark, os.path.join(tmp, "paux", "*.aux")))
+    if groups[2]:
+        R2.write_ctg(spark.createDataFrame(
+            rows_for(groups[2], six=True), schema).repartition(2),
+            os.path.join(tmp, "ctg"))
+        ctg = R2.scan_ctg(spark, os.path.join(tmp, "ctg", "*_grid_cell"))
+
+        @F.pandas_udf("binary")
+        def band0(bs: pd.Series) -> pd.Series:
+            from gdal_spark import codecs as C
+
+            return pd.Series([
+                bytearray(C.encode_raw(
+                    C.decode_image(bytes(b), "raw")[:, :, 0]))
+                for b in bs
+            ])
+
+        ctg = ctg.withColumns({
+            "bytes": band0(F.col("bytes")),
+            "image_id": F.regexp_replace("image_id",
+                                         "_grid_cell$", ""),
+            "nodata": F.lit(None).cast("double"),
+        })
+        parts.append(ctg)
+    if groups[3]:
+        R2.write_eir(spark.createDataFrame(
+            rows_for(groups[3]), schema).repartition(2),
+            os.path.join(tmp, "eir"))
+        eir = R2.scan_eir(spark, os.path.join(tmp, "eir", "*.hdr"))
+        key = F.regexp_extract("image_id", "n(\\d+)", 1).cast("int")
+        parts.append(eir.withColumns({
+            "gt0": (key * 100).cast("double"),
+            "gt3": F.lit(3000.0),
+        }))
+    cols = ["image_id", "bytes", "w", "h", "fmt", "gt0", "gt1",
+            "gt2", "gt3", "gt4", "gt5", "srid", "nodata"]
+    imgs = parts[0].select(cols)
+    for p in parts[1:]:
+        imgs = imgs.unionByName(p.select(cols))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_rawgrids2_roundtrip_sql():
+    # cell = 100k + (0..11); sum = 1200k + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 100 AS DOUBLE) AS gt0, "
+        "CAST(1200*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_nitf_roundtrip(spark, sf_dir):
     """NITF driver round-trip (formats.nitf — frmts/nitf analog
     from the published MIL-STD-2500C; conformance-pinned in
@@ -9706,6 +9839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "rawgrids2_roundtrip": q_rawgrids2_roundtrip,
         "nitf_roundtrip": q_nitf_roundtrip,
         "rawgrids_roundtrip": q_rawgrids_roundtrip,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
@@ -9880,6 +10014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rawgrids2_roundtrip": q_rawgrids2_roundtrip_sql(),
         "nitf_roundtrip": q_nitf_roundtrip_sql(),
         "rawgrids_roundtrip": q_rawgrids_roundtrip_sql(),
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip_sql(),

@@ -297,3 +297,23 @@ from .nitf import (  # noqa: F401
     scan_nitf,
     write_nitf,
 )
+from .rawgrids2 import (  # noqa: F401
+    format_ctg,
+    format_eir,
+    format_mff,
+    format_paux,
+    parse_ctg,
+    parse_doq2,
+    parse_eir,
+    parse_mff,
+    parse_paux,
+    scan_ctg,
+    scan_doq2,
+    scan_eir,
+    scan_mff,
+    scan_paux,
+    write_ctg,
+    write_eir,
+    write_mff,
+    write_paux,
+)
