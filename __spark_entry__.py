@@ -6096,6 +6096,92 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_dgn_read(spark, sf_dir):
+    """MicroStation DGN v7 read driver (formats.dgn —
+    ogr/ogrsf_frmts/dgn analog from the published ISFF description;
+    conformance-pinned in tests/test_dgn.py on smalltest.dgn's
+    text/circle/shape/line goldens incl. the exact quoted POLYGON
+    WKT and circle envelope): the distributed scan reads the
+    checked-in fixture (word-swapped DGN ints, VAX D-float TCB
+    origin + ellipse axes, arc stroking, complex-chain splicing)
+    and reports per-feature type/level/color/text plus the WKB
+    centroid. The oracle is a hand-written literal VALUES table
+    quoting the reference's own goldens — fully independent of the
+    engine."""
+    import os
+
+    from gdal_spark.formats import scan_dgn
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data", "dgn", "smalltest.dgn")
+    df = scan_dgn(spark, path)
+
+    @F.pandas_udf("double")
+    def mean_x(gs: pd.Series) -> pd.Series:
+        import struct as _s
+
+        out = []
+        for g in gs:
+            g = bytes(g)
+            t = _s.unpack_from("<I", g, 1)[0]
+            if t == 1:
+                pts = [_s.unpack_from("<dd", g, 5)]
+            elif t == 2:
+                n = _s.unpack_from("<I", g, 5)[0]
+                pts = [_s.unpack_from("<dd", g, 9 + 16 * k)
+                       for k in range(n)]
+            else:
+                n = _s.unpack_from("<I", g, 9)[0]
+                pts = [_s.unpack_from("<dd", g, 13 + 16 * k)
+                       for k in range(n)]
+            out.append(sum(p[0] for p in pts) / len(pts))
+        return pd.Series(out)
+
+    @F.pandas_udf("double")
+    def mean_y(gs: pd.Series) -> pd.Series:
+        import struct as _s
+
+        out = []
+        for g in gs:
+            g = bytes(g)
+            t = _s.unpack_from("<I", g, 1)[0]
+            if t == 1:
+                pts = [_s.unpack_from("<dd", g, 5)]
+            elif t == 2:
+                n = _s.unpack_from("<I", g, 5)[0]
+                pts = [_s.unpack_from("<dd", g, 9 + 16 * k)
+                       for k in range(n)]
+            else:
+                n = _s.unpack_from("<I", g, 9)[0]
+                pts = [_s.unpack_from("<dd", g, 13 + 16 * k)
+                       for k in range(n)]
+            out.append(sum(p[1] for p in pts) / len(pts))
+        return pd.Series(out)
+
+    return df.select(
+        "fid", "Type", "Level", "ColorIndex",
+        F.coalesce("Text", F.lit("")).alias("text"),
+        F.round(mean_x(F.col("geometry")), 4).alias("cx"),
+        F.round(mean_y(F.col("geometry")), 4).alias("cy"),
+    ).orderBy("fid")
+
+
+def q_dgn_read_sql():
+    # literal goldens (vertex means of the reference-pinned
+    # geometries): the text anchor POINT (0.7365 4.2198); the
+    # 73-point stroked circle; the quoted shape ring; the 2-point
+    # line's midpoint
+    return (
+        "SELECT * FROM (VALUES "
+        "(CAST(0 AS BIGINT), 17, 1, 0, 'Demo Text', 0.7365, 4.2198), "
+        "(CAST(1 AS BIGINT), 15, 2, 0, '', 5.0723, 4.5835), "
+        "(CAST(2 AS BIGINT), 6, 2, 83, '', 4.6461, 3.0285), "
+        "(CAST(3 AS BIGINT), 3, 2, 83, '', 2.5402, 5.8964)) "
+        "AS t(fid, Type, Level, ColorIndex, text, cx, cy) "
+        "ORDER BY fid"
+    )
+
+
 def q_rawgrids2_roundtrip(spark, sf_dir):
     """Raw-header grid family II round-trip (formats.rawgrids2 —
     frmts/raw/{mffdataset,pauxdataset,doq2dataset,eirdataset}.cpp +
@@ -9839,6 +9925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "dgn_read": q_dgn_read,
         "rawgrids2_roundtrip": q_rawgrids2_roundtrip,
         "nitf_roundtrip": q_nitf_roundtrip,
         "rawgrids_roundtrip": q_rawgrids_roundtrip,
@@ -10014,6 +10101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dgn_read": q_dgn_read_sql(),
         "rawgrids2_roundtrip": q_rawgrids2_roundtrip_sql(),
         "nitf_roundtrip": q_nitf_roundtrip_sql(),
         "rawgrids_roundtrip": q_rawgrids_roundtrip_sql(),

@@ -317,3 +317,4 @@ from .rawgrids2 import (  # noqa: F401
     write_mff,
     write_paux,
 )
+from .dgn import parse_dgn, scan_dgn  # noqa: F401
