@@ -6096,6 +6096,79 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_bsb_roundtrip(spark, sf_dir):
+    """BSB/KAP nautical chart driver round-trip (formats.bsb —
+    frmts/bsb analog from the published format description (expired
+    patent 5,727,090); conformance-pinned in tests/test_bsb.py on
+    rgbsmall.kap, its scanline-index twin, and the line-break
+    variant at the reference's index checksum 30321 — incl. the
+    nonzero-minus-one index downshift — plus GCP and truncation
+    fixtures): one uint8 chart per nation row through the
+    DISTRIBUTED task-per-row .kap sink (base-128 run encoding,
+    1-based file indices) and the one-task-per-file scan, reduced
+    via gdal2xyz. Closed-form SQL pins the RLE round-trip and the
+    index shift."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_bsb, write_bsb
+    from gdal_spark.formats.gif import _pal_str
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    pal = np.zeros((126, 3), np.uint8)
+    rows = [
+        (
+            f"n{k}",
+            bytearray(codecs.encode_raw(
+                ((k * 5 + np.arange(12)) % 126)
+                .astype(np.uint8).reshape(3, 4)
+            )),
+            4, 3, "raw",
+            0.0, 1.0, 0.0, 0.0, 0.0, -1.0, 4326, None, _pal_str(pal),
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double, palette string",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_bsb_")
+    write_bsb(src, tmp)
+    imgs = scan_bsb(spark, os.path.join(tmp, "*.kap"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_bsb_roundtrip_sql():
+    # cell = (5k + i) % 126 for i in 0..11; 5k+11 <= 131 wraps only
+    # for k >= 23: sum = 60k + 66 - 126 * #(i: 5k+i >= 126)
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(60*n_nationkey + 66 - 126 * ("
+        "SELECT COUNT(*) FROM (VALUES (0),(1),(2),(3),(4),(5),(6),"
+        "(7),(8),(9),(10),(11)) AS i(v) "
+        "WHERE 5*n_nationkey + i.v >= 126) AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_dgn_read(spark, sf_dir):
     """MicroStation DGN v7 read driver (formats.dgn —
     ogr/ogrsf_frmts/dgn analog from the published ISFF description;
@@ -9925,6 +9998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "bsb_roundtrip": q_bsb_roundtrip,
         "dgn_read": q_dgn_read,
         "rawgrids2_roundtrip": q_rawgrids2_roundtrip,
         "nitf_roundtrip": q_nitf_roundtrip,
@@ -10101,6 +10175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bsb_roundtrip": q_bsb_roundtrip_sql(),
         "dgn_read": q_dgn_read_sql(),
         "rawgrids2_roundtrip": q_rawgrids2_roundtrip_sql(),
         "nitf_roundtrip": q_nitf_roundtrip_sql(),

@@ -318,3 +318,9 @@ from .rawgrids2 import (  # noqa: F401
     write_paux,
 )
 from .dgn import parse_dgn, scan_dgn  # noqa: F401
+from .bsb import (  # noqa: F401
+    format_bsb,
+    parse_bsb,
+    scan_bsb,
+    write_bsb,
+)
