@@ -6096,6 +6096,94 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_isce_rraster_roundtrip(spark, sf_dir):
+    """ISCE2 + RRASTER driver round-trip (formats.iscerraster —
+    frmts/raw/{iscedataset,rrasterdataset}.cpp analogs;
+    conformance-pinned in tests/test_iscerraster.py on isce.slc's
+    CFLOAT checksum 350, byte_rraster at 4672 + the byte.tif gt
+    golden, and rgba_rraster's four quoted band checksums): one
+    int16 grid per nation row, even keys through the DISTRIBUTED
+    task-per-row ISCE sink (raw + XML properties companion, BIL)
+    and odd keys through the RRASTER sink (.grd ini header + .gri
+    twin, bounds-derived georef), each read back by its
+    one-task-per-dataset scan, reduced via gdal2xyz."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import iscerraster as IR
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_iscerr_")
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, "
+        "gt4 double, gt5 double, srid int, nodata double"
+    )
+
+    def rows_for(subset):
+        return [
+            (
+                f"n{k}",
+                bytearray(codecs.encode_raw(
+                    (100 * k + np.arange(12, dtype=np.int64))
+                    .astype(np.int16).reshape(3, 4)
+                )),
+                4, 3, "raw",
+                float(k), 0.25, 0.0, 30.0, 0.0, -0.25, 0, None,
+            )
+            for k in subset
+        ]
+
+    even = [k for k in keys if k % 2 == 0]
+    odd = [k for k in keys if k % 2 == 1]
+    parts = []
+    if even:
+        IR.write_isce(spark.createDataFrame(
+            rows_for(even), schema).repartition(2), tmp)
+        # ISCE carries no georef: restore the gt0 column
+        isce = IR.scan_isce(spark, os.path.join(tmp, "*.slc"))
+        key = F.regexp_extract("image_id", "n(\\d+)", 1).cast("int")
+        parts.append(isce.withColumn("gt0", key.cast("double")))
+    if odd:
+        IR.write_rraster(spark.createDataFrame(
+            rows_for(odd), schema).repartition(2), tmp)
+        parts.append(
+            IR.scan_rraster(spark, os.path.join(tmp, "*.grd")))
+    cols = ["image_id", "bytes", "w", "h", "fmt", "gt0", "gt1",
+            "gt2", "gt3", "gt4", "gt5", "srid", "nodata"]
+    imgs = parts[0].select(cols)
+    for p in parts[1:]:
+        imgs = imgs.unionByName(p.select(cols))
+    imgs = imgs.withColumn("nodata", F.lit(None).cast("double"))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_isce_rraster_roundtrip_sql():
+    # cell = 100k + (0..11); sum = 1200k + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(1200*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_bsb_roundtrip(spark, sf_dir):
     """BSB/KAP nautical chart driver round-trip (formats.bsb —
     frmts/bsb analog from the published format description (expired
@@ -9998,6 +10086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "isce_rraster_roundtrip": q_isce_rraster_roundtrip,
         "bsb_roundtrip": q_bsb_roundtrip,
         "dgn_read": q_dgn_read,
         "rawgrids2_roundtrip": q_rawgrids2_roundtrip,
@@ -10175,6 +10264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "isce_rraster_roundtrip": q_isce_rraster_roundtrip_sql(),
         "bsb_roundtrip": q_bsb_roundtrip_sql(),
         "dgn_read": q_dgn_read_sql(),
         "rawgrids2_roundtrip": q_rawgrids2_roundtrip_sql(),

@@ -324,3 +324,13 @@ from .bsb import (  # noqa: F401
     scan_bsb,
     write_bsb,
 )
+from .iscerraster import (  # noqa: F401
+    format_isce,
+    format_rraster,
+    parse_isce,
+    parse_rraster,
+    scan_isce,
+    scan_rraster,
+    write_isce,
+    write_rraster,
+)
