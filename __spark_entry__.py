@@ -6096,6 +6096,118 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_geodetic4_roundtrip(spark, sf_dir):
+    """Geodetic/GIS raw family IV round-trip (formats.geodetic4 —
+    frmts/ilwis, frmts/ngsgeoid, frmts/raw/loslasdataset.cpp,
+    frmts/sigdem analogs; conformance-pinned in
+    tests/test_geodetic4.py on LanduseSmall at checksum 2351 + the
+    corner georef, both NGSGEOID byte orders at 65534, and
+    wyhpgn.los at the quoted gt/statistics goldens): one grid per
+    nation row rotating through FOUR sinks by key % 4 — ILWIS
+    (.mpr/.mp#/.grf triplet), NGSGEOID (half-cell-centered binary
+    geoid), LOSLAS (record-structured NADCON grid, width 24),
+    SIGDEM (big-endian bottom-up scaled ints) — each read back by
+    its one-task-per-dataset scan, reduced via gdal2xyz. The
+    quarter-degree grid survives every format's georef convention
+    exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import geodetic4 as G4
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_geodetic4_")
+    for sub in ("ilwis", "ngs", "los", "sig"):
+        os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, "
+        "gt4 double, gt5 double, srid int, nodata double"
+    )
+
+    def rows_for(subset, w=4, h=3):
+        return [
+            (
+                f"n{k}",
+                bytearray(codecs.encode_raw(
+                    (float(k) + np.arange(w * h, dtype=np.float32) / 4)
+                    .astype(np.float32).reshape(h, w)
+                )),
+                w, h, "raw",
+                float(k), 0.25, 0.0, 30.0, 0.0, -0.25, 0, None,
+            )
+            for k in subset
+        ]
+
+    groups = {m: [k for k in keys if k % 4 == m] for m in range(4)}
+    parts = []
+    if groups[0]:
+        G4.write_ilwis(spark.createDataFrame(
+            rows_for(groups[0]), schema).repartition(2),
+            os.path.join(tmp, "ilwis"))
+        parts.append((G4.scan_ilwis(
+            spark, os.path.join(tmp, "ilwis", "*.mpr")), 4, 3))
+    if groups[1]:
+        G4.write_ngsgeoid(spark.createDataFrame(
+            rows_for(groups[1]), schema).repartition(2),
+            os.path.join(tmp, "ngs"))
+        parts.append((G4.scan_ngsgeoid(
+            spark, os.path.join(tmp, "ngs", "*.bin")), 4, 3))
+    if groups[2]:
+        # LOSLAS needs width >= 23 (the shared header record)
+        G4.write_loslas(spark.createDataFrame(
+            rows_for(groups[2], w=24, h=2), schema).repartition(2),
+            os.path.join(tmp, "los"))
+        parts.append((G4.scan_loslas(
+            spark, os.path.join(tmp, "los", "*.los")), 24, 2))
+    if groups[3]:
+        G4.write_sigdem(spark.createDataFrame(
+            rows_for(groups[3]), schema).repartition(2),
+            os.path.join(tmp, "sig"), scale=4.0)
+        parts.append((G4.scan_sigdem(
+            spark, os.path.join(tmp, "sig", "*.sdem")), 4, 3))
+    cols = ["image_id", "bytes", "w", "h", "fmt", "gt0", "gt1",
+            "gt2", "gt3", "gt4", "gt5", "srid", "nodata"]
+    imgs = None
+    for p, _w, _h in parts:
+        p = p.select(cols).withColumn(
+            "nodata", F.lit(None).cast("double"))
+        imgs = p if imgs is None else imgs.unionByName(p)
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h",
+                    F.round("gt0", 9).alias("gt0"))
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_geodetic4_roundtrip_sql():
+    # cell = k + i/4 over n cells (n = 12 normally, 48 for LOSLAS):
+    # sum = n*k + (n-1)*n/8
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, "
+        "CASE WHEN n_nationkey % 4 = 2 THEN 24 ELSE 4 END AS w, "
+        "CASE WHEN n_nationkey % 4 = 2 THEN 2 ELSE 3 END AS h, "
+        "CAST(n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(CASE WHEN n_nationkey % 4 = 2 "
+        "THEN 48*n_nationkey + 282 "
+        "ELSE 12*n_nationkey + 16.5 END AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_isce_rraster_roundtrip(spark, sf_dir):
     """ISCE2 + RRASTER driver round-trip (formats.iscerraster —
     frmts/raw/{iscedataset,rrasterdataset}.cpp analogs;
@@ -10086,6 +10198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "geodetic4_roundtrip": q_geodetic4_roundtrip,
         "isce_rraster_roundtrip": q_isce_rraster_roundtrip,
         "bsb_roundtrip": q_bsb_roundtrip,
         "dgn_read": q_dgn_read,
@@ -10264,6 +10377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "geodetic4_roundtrip": q_geodetic4_roundtrip_sql(),
         "isce_rraster_roundtrip": q_isce_rraster_roundtrip_sql(),
         "bsb_roundtrip": q_bsb_roundtrip_sql(),
         "dgn_read": q_dgn_read_sql(),

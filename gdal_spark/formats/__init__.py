@@ -334,3 +334,21 @@ from .iscerraster import (  # noqa: F401
     write_isce,
     write_rraster,
 )
+from .geodetic4 import (  # noqa: F401
+    format_ilwis,
+    format_loslas,
+    format_ngsgeoid,
+    format_sigdem,
+    parse_ilwis,
+    parse_loslas,
+    parse_ngsgeoid,
+    parse_sigdem,
+    scan_ilwis,
+    scan_loslas,
+    scan_ngsgeoid,
+    scan_sigdem,
+    write_ilwis,
+    write_loslas,
+    write_ngsgeoid,
+    write_sigdem,
+)
