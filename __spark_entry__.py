@@ -6096,6 +6096,87 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_ndf_roundtrip(spark, sf_dir):
+    """NLAPS NDF + EOSAT FAST Landsat drivers (formats.landsat —
+    frmts/raw/{ndfdataset,fastdataset}.cpp analogs; conformance-
+    pinned in tests/test_landsat.py on the LE7134052000500350 NDF
+    product at checksum 6510 + the quoted gt golden, the HPN FAST
+    product at 60323 with the metadata goldens, and the two-band
+    HTM product's band-2 row at 19110): one uint8 two-band grid
+    per nation row through the synthetic task-per-row NDF sink
+    (KEY=VALUE; header + BSQ band files, center-anchored
+    UPPER_LEFT_CORNER) and the one-task-per-header scan (band 1
+    reduced via gdal2xyz)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import scan_ndf, write_ndf
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = [
+        (
+            f"n{k}",
+            bytearray(codecs.encode_raw(np.stack([
+                ((k * 3 + np.arange(12)) % 200)
+                .astype(np.uint8).reshape(3, 4),
+                np.full((3, 4), k % 100, np.uint8),
+            ], axis=-1))),
+            4, 3, "raw",
+            float(k * 15), 15.0, 0.0, 4500.0, 0.0, -15.0, 0, None,
+        )
+        for k in keys
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, "
+        "gt5 double, srid int, nodata double",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_ndf_")
+    write_ndf(src, tmp)
+    imgs = scan_ndf(spark, os.path.join(tmp, "*.H1"))
+
+    @F.pandas_udf("binary")
+    def band0(bs: pd.Series) -> pd.Series:
+        from gdal_spark import codecs as C
+
+        return pd.Series([
+            bytearray(C.encode_raw(
+                C.decode_image(bytes(b), "raw")[:, :, 0]))
+            for b in bs
+        ])
+
+    imgs = imgs.withColumn("bytes", band0(F.col("bytes")))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h", "gt0")
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_ndf_roundtrip_sql():
+    # band 1 cell = (3k + i) % 200, i in 0..11; 3k+11 <= 83 < 200
+    # for k <= 24, so sum = 36k + 66
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey * 15 AS DOUBLE) AS gt0, "
+        "CAST(36*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_geodetic4_roundtrip(spark, sf_dir):
     """Geodetic/GIS raw family IV round-trip (formats.geodetic4 —
     frmts/ilwis, frmts/ngsgeoid, frmts/raw/loslasdataset.cpp,
@@ -10198,6 +10279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "ndf_roundtrip": q_ndf_roundtrip,
         "geodetic4_roundtrip": q_geodetic4_roundtrip,
         "isce_rraster_roundtrip": q_isce_rraster_roundtrip,
         "bsb_roundtrip": q_bsb_roundtrip,
@@ -10377,6 +10459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ndf_roundtrip": q_ndf_roundtrip_sql(),
         "geodetic4_roundtrip": q_geodetic4_roundtrip_sql(),
         "isce_rraster_roundtrip": q_isce_rraster_roundtrip_sql(),
         "bsb_roundtrip": q_bsb_roundtrip_sql(),

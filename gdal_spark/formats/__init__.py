@@ -352,3 +352,11 @@ from .geodetic4 import (  # noqa: F401
     write_ngsgeoid,
     write_sigdem,
 )
+from .landsat import (  # noqa: F401
+    format_ndf,
+    parse_fast,
+    parse_ndf,
+    scan_fast,
+    scan_ndf,
+    write_ndf,
+)
