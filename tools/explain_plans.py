@@ -829,6 +829,42 @@ def main():
             out,
         )
 
+    # 34. GeoPackage tile pyramid scan: the driver reads CATALOG rows
+    # only (tile matrix + rowid extent); tile blobs decode inside
+    # rowid-range-partitioned Arrow tasks — one fan-out, no row
+    # Python, no cartesian (round-5 raster-tiles shape)
+    with _tf.TemporaryDirectory() as td8:
+        import numpy as _np8
+
+        from gdal_spark import codecs as _c8
+        from gdal_spark.formats.geopackage import (
+            scan_geopackage_tiles,
+            write_geopackage_tiles,
+        )
+
+        t8 = spark.createDataFrame(
+            [(2, tx, ty, bytearray(_c8.encode_png(
+                _np8.full((256, 256), 7, _np8.uint8))))
+             for tx in range(2) for ty in range(2)],
+            "z int, tx int, ty int, png binary",
+        )
+        write_geopackage_tiles(t8, f"{td8}/t.gpkg", table="cover")
+        gdf = scan_geopackage_tiles(spark, f"{td8}/t.gpkg")
+        audit(
+            "gpkg_tile_scan_rowid_ranges",
+            gdf,
+            [
+                ("one_fanout_exchange",
+                 lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+                ("one_arrow_pass",
+                 lambda p: len(re.findall(r"\(\d+\) MapInPandas", p))
+                 == 1),
+                ("no_row_python", lambda p: "BatchEvalPython" not in p),
+                ("no_cartesian", lambda p: "CartesianProduct" not in p),
+            ],
+            out,
+        )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
