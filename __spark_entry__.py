@@ -6096,6 +6096,136 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_s57_read(spark, sf_dir):
+    """IHO S-57 ENC read driver (formats.iso8211 + formats.s57 —
+    ogr/ogrsf_frmts/s57 + frmts/iso8211 analogs from the published
+    ISO/IEC 8211:1994 and IHO S-57 ed. 3.1 standards;
+    conformance-pinned in tests/test_s57.py on the autotest cell
+    1B5X02NE.000's quoted goldens — exact COALNE/M_QUAL/SOUNDG WKTs,
+    13-layer counts, lexical-level-2 NATF, DSID update application,
+    the C.1.5.1 zero-record-length variant): the one-task-per-cell
+    scan parses the checked-in fixture and reports, per layer, the
+    feature count plus — for the three golden layers — the first
+    feature's RCID/OBJL/AGEN/LNAM and the vertex count + coordinate
+    sum of its assembled geometry. The oracle is a hand-written
+    literal VALUES table derived ONLY from the WKTs and layer table
+    quoted in autotest/ogr/ogr_s57.py — fully independent of the
+    engine."""
+    import os as _os
+    import struct as _s
+
+    from gdal_spark.formats import scan_s57
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "data", "s57", "1B5X02NE.000")
+    df = scan_s57(spark, path).filter(F.col("layer") != "DSID")
+
+    @F.pandas_udf("struct<nvert:int,csum:double>")
+    def vmetrics(gs: pd.Series) -> pd.DataFrame:
+        nv, cs = [], []
+        for g in gs:
+            if g is None:
+                nv.append(None)
+                cs.append(None)
+                continue
+            g = bytes(g)
+            t = _s.unpack_from("<I", g, 1)[0]
+            total, n = 0.0, 0
+            if t == 2:  # linestring
+                m = _s.unpack_from("<I", g, 5)[0]
+                for k in range(m):
+                    x, y = _s.unpack_from("<dd", g, 9 + 16 * k)
+                    total += x + y
+                n = m
+            elif t == 3:  # polygon: all rings
+                nr = _s.unpack_from("<I", g, 5)[0]
+                off = 9
+                for _ in range(nr):
+                    m = _s.unpack_from("<I", g, off)[0]
+                    for k in range(m):
+                        x, y = _s.unpack_from("<dd", g, off + 4 + 16 * k)
+                        total += x + y
+                    n += m
+                    off += 4 + 16 * m
+            elif t == 1004:  # multipoint z
+                m = _s.unpack_from("<I", g, 5)[0]
+                off = 9
+                for _ in range(m):
+                    x, y, z = _s.unpack_from("<ddd", g, off + 5)
+                    total += x + y + z
+                    off += 29
+                n = m
+            elif t == 1:
+                x, y = _s.unpack_from("<dd", g, 5)
+                total, n = x + y, 1
+            nv.append(n)
+            cs.append(total)
+        return pd.DataFrame({"nvert": pd.array(nv, dtype="Int32"),
+                             "csum": cs})
+
+    counts = df.groupBy("layer").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("layer").orderBy("rcid")
+    golden = (
+        df.filter(F.col("layer").isin("COALNE", "M_QUAL", "SOUNDG"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .withColumn("m", vmetrics("geometry"))
+        .select(
+            "layer",
+            F.col("rcid").alias("g_rcid"),
+            F.col("objl").alias("g_objl"),
+            F.col("agen").alias("g_agen"),
+            F.col("lnam").alias("g_lnam"),
+            F.col("m.nvert").alias("nvert"),
+            F.round(F.col("m.csum"), 6).alias("csum"),
+        )
+    )
+    return (
+        counts.join(golden, "layer", "left")
+        .select("layer", "n", "g_rcid", "g_objl", "g_agen",
+                # the autotest quotes LNAM only for COALNE
+                F.when(F.col("layer") == "COALNE",
+                       F.col("g_lnam")).alias("g_lnam"),
+                "nvert", "csum")
+        .orderBy("layer")
+    )
+
+
+def q_s57_read_sql():
+    # layer counts from the autotest layer_list; golden metrics
+    # computed from the quoted WKTs (vertex counts and coordinate
+    # sums of the exact published coordinates)
+    return (
+        "SELECT * FROM (VALUES "
+        "('COALNE', CAST(1 AS BIGINT), 1, 30, 65535, "
+        "'FFFF7F4F0FB002D3', 15, 427.222658), "
+        "('DEPARE', CAST(4 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('DEPCNT', CAST(4 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('LNDARE', CAST(1 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('LNDELV', CAST(2 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('M_COVR', CAST(1 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('M_NSYS', CAST(1 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('M_QUAL', CAST(1 AS BIGINT), 15, 308, 65535, NULL, "
+        "18, 512.706944), "
+        "('SBDARE', CAST(2 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('SLCONS', CAST(1 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('SLOTOP', CAST(1 AS BIGINT), NULL, NULL, NULL, NULL, "
+        "NULL, NULL), "
+        "('SOUNDG', CAST(2 AS BIGINT), 20, 129, 65535, NULL, "
+        "4, 116.740858)) "
+        "AS t(layer, n, g_rcid, g_objl, g_agen, g_lnam, nvert, csum) "
+        "ORDER BY layer"
+    )
+
+
 def q_ndf_roundtrip(spark, sf_dir):
     """NLAPS NDF + EOSAT FAST Landsat drivers (formats.landsat —
     frmts/raw/{ndfdataset,fastdataset}.cpp analogs; conformance-
@@ -10279,6 +10409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "s57_read": q_s57_read,
         "ndf_roundtrip": q_ndf_roundtrip,
         "geodetic4_roundtrip": q_geodetic4_roundtrip,
         "isce_rraster_roundtrip": q_isce_rraster_roundtrip,
@@ -10459,6 +10590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "s57_read": q_s57_read_sql(),
         "ndf_roundtrip": q_ndf_roundtrip_sql(),
         "geodetic4_roundtrip": q_geodetic4_roundtrip_sql(),
         "isce_rraster_roundtrip": q_isce_rraster_roundtrip_sql(),

@@ -360,3 +360,5 @@ from .landsat import (  # noqa: F401
     scan_ndf,
     write_ndf,
 )
+from .s57 import parse_s57, scan_s57  # noqa: F401
+from .iso8211 import read_iso8211  # noqa: F401
