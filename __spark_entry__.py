@@ -6096,6 +6096,116 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_grib_read(spark, sf_dir):
+    """WMO GRIB1/GRIB2 read driver (formats.grib — frmts/grib
+    degrib+g2clib analog from the published WMO FM 92 specs;
+    conformance-pinned in tests/test_grib.py on 17 autotest
+    fixtures): the one-task-per-message scan decodes the checked-in
+    fixtures — simple/complex/spatial-differencing/IEEE/PNG packing,
+    bitmaps, the degrib K->C normalization, ellipsoidal Snyder grid
+    anchoring — and reports (image_id, metric, value) rows. EVERY
+    oracle value is quoted from autotest/gdrivers/grib.py: the seven
+    published band checksums, the six published geotransform
+    origins (gt0/gt3 to 1e-3), and the ds.mint PDS time metadata
+    goldens. Fully independent of the engine."""
+    import os as _os
+    import struct as _s
+
+    from gdal_spark.formats import scan_grib
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "grib")
+    df = scan_grib(spark, _os.path.join(d, "*"))
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b))))) for b in bs])
+
+    cs_ids = [
+        "spatial_differencing_order_1.grb2#0",
+        "ieee754_single.grb2#0", "ieee754_double.grb2#0",
+        "simple_packing_nbits_zero_decimal_scaled.grb2#0",
+        "png_nbits_zero_decimal_scaled.grb2#0",
+        "MRMS_EchoTop_18_00.50_20161015-133230.grib2#0",
+        "CMC_rdwps_lake-erie_ICEC_SFC_0_latlon0.05x0.05_"
+        "2017111800_P000.grib2#0",
+    ]
+    gt_ids = [
+        "one_one.grib2#0", "mercator.grb2#0",
+        "lambert_conformal_conic.grb2#0",
+        "polar_stereographic.grb2#0", "albers_equal_area.grb2#0",
+        "lambert_azimuthal_equal_area.grb2#0",
+    ]
+    cs_rows = (
+        df.filter(F.col("image_id").isin(cs_ids))
+        .select("image_id", F.lit("checksum").alias("metric"),
+                cs_udf("bytes").alias("value"))
+    )
+    gt_rows = (
+        df.filter(F.col("image_id").isin(gt_ids))
+        .select("image_id",
+                F.explode(F.create_map(
+                    F.lit("gt0"), F.round(F.col("gt0"), 3),
+                    F.lit("gt3"), F.round(F.col("gt3"), 3),
+                )).alias("metric", "value"))
+    )
+    t_rows = (
+        df.filter(F.col("image_id") == "ds.mint.bin#0")
+        .select("image_id",
+                F.explode(F.create_map(
+                    F.lit("ref_time"),
+                    F.col("ref_time").cast("double"),
+                    F.lit("valid_time"),
+                    F.col("valid_time").cast("double"),
+                    F.lit("forecast_seconds"),
+                    F.col("forecast_seconds").cast("double"),
+                )).alias("metric", "value"))
+    )
+    return (cs_rows.unionByName(gt_rows).unionByName(t_rows)
+            .orderBy("image_id", "metric"))
+
+
+def q_grib_read_sql():
+    # every literal below is quoted from autotest/gdrivers/grib.py
+    rows = [
+        ("CMC_rdwps_lake-erie_ICEC_SFC_0_latlon0.05x0.05_"
+         "2017111800_P000.grib2#0", "checksum", 0.0),
+        ("MRMS_EchoTop_18_00.50_20161015-133230.grib2#0",
+         "checksum", 41854.0),
+        ("albers_equal_area.grb2#0", "gt0", 8974979.714),
+        ("albers_equal_area.grb2#0", "gt3", 6235686.525),
+        ("ds.mint.bin#0", "forecast_seconds", 68400.0),
+        ("ds.mint.bin#0", "ref_time", 1203613200.0),
+        ("ds.mint.bin#0", "valid_time", 1203681600.0),
+        ("ieee754_double.grb2#0", "checksum", 4727.0),
+        ("ieee754_single.grb2#0", "checksum", 4727.0),
+        ("lambert_azimuthal_equal_area.grb2#0", "gt0", -59384.011),
+        ("lambert_azimuthal_equal_area.grb2#0", "gt3", 44812.579),
+        ("lambert_conformal_conic.grb2#0", "gt0", 8974734.738),
+        ("lambert_conformal_conic.grb2#0", "gt3", 6235918.97),
+        ("mercator.grb2#0", "gt0", -13095853.598),
+        ("mercator.grb2#0", "gt3", 3991876.46),
+        ("one_one.grib2#0", "gt0", -114.25),
+        ("one_one.grib2#0", "gt3", 47.25),
+        ("png_nbits_zero_decimal_scaled.grb2#0", "checksum", 5.0),
+        ("polar_stereographic.grb2#0", "gt0", -5621962.073),
+        ("polar_stereographic.grb2#0", "gt3", 2943991.801),
+        ("simple_packing_nbits_zero_decimal_scaled.grb2#0",
+         "checksum", 5.0),
+        ("spatial_differencing_order_1.grb2#0", "checksum", 46650.0),
+    ]
+    vals = ", ".join(f"('{i}', '{m}', {v!r})" for i, m, v in rows)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            "AS t(image_id, metric, value) "
+            "ORDER BY image_id, metric")
+
+
 def q_s57_read(spark, sf_dir):
     """IHO S-57 ENC read driver (formats.iso8211 + formats.s57 —
     ogr/ogrsf_frmts/s57 + frmts/iso8211 analogs from the published
@@ -10409,6 +10519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "grib_read": q_grib_read,
         "s57_read": q_s57_read,
         "ndf_roundtrip": q_ndf_roundtrip,
         "geodetic4_roundtrip": q_geodetic4_roundtrip,
@@ -10590,6 +10701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "grib_read": q_grib_read_sql(),
         "s57_read": q_s57_read_sql(),
         "ndf_roundtrip": q_ndf_roundtrip_sql(),
         "geodetic4_roundtrip": q_geodetic4_roundtrip_sql(),

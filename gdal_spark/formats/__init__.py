@@ -362,3 +362,4 @@ from .landsat import (  # noqa: F401
 )
 from .s57 import parse_s57, scan_s57  # noqa: F401
 from .iso8211 import read_iso8211  # noqa: F401
+from .grib import index_grib, parse_grib, scan_grib  # noqa: F401
