@@ -6096,6 +6096,76 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_pcidsk_roundtrip(spark, sf_dir):
+    """PCIDSK .pix round-trip (formats.pcidsk — frmts/pcidsk/sdk
+    analog from the published PCIDSK Database File Format spec;
+    conformance-pinned in tests/test_pcidsk.py on the autotest
+    fixtures: utm.pix cs 39576 + the quoted UTM geotransform and
+    overview cs 8368, tile_v1.1/tile_v2 cs 49526 through BOTH tile
+    directory versions — v1 ASCII SysBMDir 8 KiB block chains and
+    v2 binary TileDir): one int16 grid per nation row written as a
+    BAND-interleaved .pix with a GEO PROJECTION segment, read back
+    by the one-task-per-file scan, reduced via gdal2xyz. Closed-form
+    SQL pins the 512-byte header layout, the 26-char ASCII-double
+    GEO transform and the little-endian band payload at once."""
+    import os as _os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats.pcidsk import scan_pcidsk, write_pcidsk
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation")
+        .select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_pcidsk_")
+    schema = ("image_id string, bytes binary, gt0 double, "
+              "gt1 double, gt2 double, gt3 double, gt4 double, "
+              "gt5 double")
+    rows = []
+    for k in keys:
+        arr = (100 * k + np.arange(12, dtype=np.int64)) \
+            .astype(np.int16).reshape(3, 4)
+        rows.append((f"n{k}", bytearray(codecs.encode_raw(arr)),
+                     float(k), 0.25, 0.0, 30.0, 0.0, -0.25))
+    write_pcidsk(
+        spark.createDataFrame(rows, schema).repartition(2), tmp)
+    back = scan_pcidsk(spark, _os.path.join(tmp, "*.pix"))
+    imgs = back.withColumn("nodata", F.lit(None).cast("double")) \
+        .withColumn("image_id",
+                    F.regexp_replace("image_id", "\\.pix#0$", ""))
+    sums = (
+        raster_to_xyz(
+            imgs.select("image_id", "bytes", "w", "h", "fmt", "gt0",
+                        "gt1", "gt2", "gt3", "gt4", "gt5", "srid",
+                        "nodata"),
+            stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id", "w", "h",
+                    F.round("gt0", 6).alias("gt0"))
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_pcidsk_roundtrip_sql():
+    # cell(y,x) = 100k + (0..11); sum = 1200k + 66; gt0 = k (26-char
+    # ASCII doubles in the GEO segment are exact)
+    return (
+        "SELECT 'n' || n_nationkey AS image_id, 4 AS w, 3 AS h, "
+        "CAST(n_nationkey AS DOUBLE) AS gt0, "
+        "CAST(1200*n_nationkey + 66 AS DOUBLE) AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_grib_read(spark, sf_dir):
     """WMO GRIB1/GRIB2 read driver (formats.grib — frmts/grib
     degrib+g2clib analog from the published WMO FM 92 specs;
@@ -10519,6 +10589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "pcidsk_roundtrip": q_pcidsk_roundtrip,
         "grib_read": q_grib_read,
         "s57_read": q_s57_read,
         "ndf_roundtrip": q_ndf_roundtrip,
@@ -10701,6 +10772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pcidsk_roundtrip": q_pcidsk_roundtrip_sql(),
         "grib_read": q_grib_read_sql(),
         "s57_read": q_s57_read_sql(),
         "ndf_roundtrip": q_ndf_roundtrip_sql(),

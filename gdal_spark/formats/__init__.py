@@ -363,3 +363,10 @@ from .landsat import (  # noqa: F401
 from .s57 import parse_s57, scan_s57  # noqa: F401
 from .iso8211 import read_iso8211  # noqa: F401
 from .grib import index_grib, parse_grib, scan_grib  # noqa: F401
+from .pcidsk import (  # noqa: F401
+    format_pcidsk,
+    parse_pcidsk,
+    pcidsk_overviews,
+    scan_pcidsk,
+    write_pcidsk,
+)
