@@ -6096,6 +6096,114 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_rawgrids3_roundtrip(spark, sf_dir):
+    """Raw-header grid family III round-trip (formats.rawgrids3 —
+    frmts/northwood + frmts/raw/{hkvdataset,gscdataset,
+    genbindataset,nsidcbindataset}.cpp analogs; conformance-pinned
+    in tests/test_rawgrids3.py on nwt_grd's ALL FOUR quoted band
+    checksums 28093/33690/20365/25856 incl. the derived createIP
+    color-map bands, nwt_grc cs 46760, bytemff2 cs 4672, the GenBin
+    500x1-window cs 5738, the NSIDC pixel golden and fakegsc cs 0):
+    one grid per nation row rotating through FOUR sinks by key % 4
+    — Vexcel MFF2 directory (uint16), GSC Geogrid (float32 Fortran
+    records), Generic Binary BIL (int16), NSIDC sea-ice bin (uint8)
+    — each read back by its one-task-per-dataset scan, reduced via
+    gdal2xyz. Closed-form SQL pins all four header layouts."""
+    import os as _os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import codecs
+    from gdal_spark.formats import rawgrids3 as R3
+    from gdal_spark.operators.translate import raster_to_xyz
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation")
+        .select("n_nationkey").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_rawgrids3_")
+    parts = []
+    groups = {m: [k for k in keys if k % 4 == m] for m in range(4)}
+    for k in groups[0]:
+        arr = (100 * k + np.arange(12)).astype(np.uint16) \
+            .reshape(3, 4)
+        R3.write_mff2(_os.path.join(tmp, f"n{k}"), [arr])
+    if groups[0]:
+        parts.append(
+            ("mff2", R3.scan_mff2(spark, _os.path.join(tmp, "n*"))))
+    for k in groups[1]:
+        arr = (100 * k + np.arange(12, dtype=np.float64)) \
+            .astype(np.float32).reshape(1, 12)
+        with open(_os.path.join(tmp, f"g{k}.gsc"), "wb") as f:
+            f.write(R3.format_gsc(
+                arr, (float(k), 0.25, 0.0, 30.0, 0.0, -0.25)))
+    if groups[1]:
+        parts.append(
+            ("gsc", R3.scan_gsc(spark, _os.path.join(tmp, "*.gsc"))))
+    for k in groups[2]:
+        arr = (100 * k + np.arange(12)).astype(np.int16) \
+            .reshape(3, 4)
+        R3.write_genbin(_os.path.join(tmp, f"b{k}.bil"), [arr],
+                        (float(k), 0.25, 0.0, 30.0, 0.0, -0.25))
+    if groups[2]:
+        parts.append(
+            ("genbin",
+             R3.scan_genbin(spark, _os.path.join(tmp, "*.bil"))))
+    for k in groups[3]:
+        arr = ((10 * (k % 20)) + np.arange(12)).astype(np.uint8) \
+            .reshape(3, 4)
+        with open(_os.path.join(tmp, f"i{k}.bin"), "wb") as f:
+            f.write(R3.format_nsidcbin(arr, south=False))
+    if groups[3]:
+        parts.append(
+            ("nsidc",
+             R3.scan_nsidcbin(spark, _os.path.join(tmp, "*.bin"))))
+    imgs = None
+    for _, p in parts:
+        p = p.select("image_id", "bytes", "w", "h", "fmt", "gt0",
+                     "gt1", "gt2", "gt3", "gt4", "gt5", "srid",
+                     F.lit(None).cast("double").alias("nodata"))
+        imgs = p if imgs is None else imgs.unionByName(p)
+    imgs = imgs.withColumn(
+        "image_id", F.regexp_replace("image_id",
+                                     "(\\.(gsc|bil|bin))?#0$", ""))
+    sums = (
+        raster_to_xyz(imgs, stride=1)
+        .groupBy("image_id")
+        .agg(F.sum("value").alias("sum_val"))
+    )
+    return (
+        imgs.select("image_id",
+                    F.round("gt0", 5).alias("gt0"))
+        .join(sums, "image_id")
+        .orderBy("image_id")
+    )
+
+
+def q_rawgrids3_roundtrip_sql():
+    # mff2 (k%4==0): no georef -> gt0 0, values 100k+0..11;
+    # gsc (1): gt0 = k (f32 exact for small ints);
+    # genbin (2): gt0 = k (cell-center header round-trips at 5 dp);
+    # nsidc (3): the published north-grid anchor, uint8 values
+    # 10*(k%20)+0..11
+    return (
+        "SELECT CASE n_nationkey % 4 "
+        "  WHEN 0 THEN 'n' WHEN 1 THEN 'g' WHEN 2 THEN 'b' "
+        "  ELSE 'i' END || n_nationkey AS image_id, "
+        "CASE n_nationkey % 4 "
+        "  WHEN 0 THEN 0.0 "
+        "  WHEN 3 THEN -3837500.0 "
+        "  ELSE CAST(n_nationkey AS DOUBLE) END AS gt0, "
+        "CASE n_nationkey % 4 "
+        "  WHEN 3 THEN CAST(120*(n_nationkey % 20) + 66 AS DOUBLE) "
+        "  ELSE CAST(1200*n_nationkey + 66 AS DOUBLE) END "
+        "  AS sum_val "
+        "FROM nation ORDER BY image_id"
+    )
+
+
 def q_pcidsk_roundtrip(spark, sf_dir):
     """PCIDSK .pix round-trip (formats.pcidsk — frmts/pcidsk/sdk
     analog from the published PCIDSK Database File Format spec;
@@ -10589,6 +10697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "rawgrids3_roundtrip": q_rawgrids3_roundtrip,
         "pcidsk_roundtrip": q_pcidsk_roundtrip,
         "grib_read": q_grib_read,
         "s57_read": q_s57_read,
@@ -10772,6 +10881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rawgrids3_roundtrip": q_rawgrids3_roundtrip_sql(),
         "pcidsk_roundtrip": q_pcidsk_roundtrip_sql(),
         "grib_read": q_grib_read_sql(),
         "s57_read": q_s57_read_sql(),

@@ -370,3 +370,4 @@ from .pcidsk import (  # noqa: F401
     scan_pcidsk,
     write_pcidsk,
 )
+from . import rawgrids3  # noqa: F401
