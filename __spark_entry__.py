@@ -6096,6 +6096,65 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_adrg_read(spark, sf_dir):
+    """NIMA ADRG read driver (formats.adrg over the from-scratch
+    ISO 8211 reader — frmts/adrg/adrgdataset.cpp analog from the
+    published MIL-A-89007 spec; conformance-pinned in
+    tests/test_adrg.py): the one-task-per-GEN scan reads the three
+    checked-in autotest products and reports band-1 checksums and
+    the polar-zone geotransform anchors. Every oracle literal is
+    quoted from autotest/gdrivers/adrg.py (band-1 cs 62833, the
+    ZNA9/ZNA18 azimuthal-equidistant gt goldens)."""
+    import os as _os
+
+    from gdal_spark.formats.adrg import scan_adrg
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "adrg")
+    df = scan_adrg(spark, _os.path.join(d, "*", "ABCDEF01.GEN"))
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b))))) for b in bs])
+
+    b0 = df.filter(F.col("band") == 0)
+    cs_rows = (
+        b0.filter(F.col("zna").isin(1,))
+        .select(F.lit("SMALL_ADRG").alias("dataset"),
+                F.lit("checksum").alias("metric"),
+                cs_udf("bytes").alias("value"))
+    )
+    gt_rows = (
+        b0.filter(F.col("zna").isin(9, 18))
+        .select(F.concat(F.lit("ZNA"),
+                         F.col("zna").cast("string")).alias("dataset"),
+                F.explode(F.create_map(
+                    F.lit("gt0"), F.round(F.col("gt0"), 5),
+                    F.lit("gt3"), F.round(F.col("gt3"), 5),
+                )).alias("metric", "value"))
+    )
+    return cs_rows.unionByName(gt_rows).orderBy("dataset", "metric")
+
+
+def q_adrg_read_sql():
+    # literals quoted from autotest/gdrivers/adrg.py
+    return (
+        "SELECT * FROM (VALUES "
+        "('SMALL_ADRG', 'checksum', 62833.0), "
+        "('ZNA18', 'gt0', -307675.73602), "
+        "('ZNA18', 'gt3', 179477.50511), "
+        "('ZNA9', 'gt0', -307675.73602), "
+        "('ZNA9', 'gt3', -179477.50511)) "
+        "AS t(dataset, metric, value) ORDER BY dataset, metric"
+    )
+
+
 def q_rawgrids3_roundtrip(spark, sf_dir):
     """Raw-header grid family III round-trip (formats.rawgrids3 —
     frmts/northwood + frmts/raw/{hkvdataset,gscdataset,
@@ -10697,6 +10756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "adrg_read": q_adrg_read,
         "rawgrids3_roundtrip": q_rawgrids3_roundtrip,
         "pcidsk_roundtrip": q_pcidsk_roundtrip,
         "grib_read": q_grib_read,
@@ -10881,6 +10941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "adrg_read": q_adrg_read_sql(),
         "rawgrids3_roundtrip": q_rawgrids3_roundtrip_sql(),
         "pcidsk_roundtrip": q_pcidsk_roundtrip_sql(),
         "grib_read": q_grib_read_sql(),

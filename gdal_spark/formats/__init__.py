@@ -371,3 +371,4 @@ from .pcidsk import (  # noqa: F401
     write_pcidsk,
 )
 from . import rawgrids3  # noqa: F401
+from .adrg import parse_adrg, parse_gen, scan_adrg  # noqa: F401
