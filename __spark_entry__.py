@@ -6096,6 +6096,62 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_iris_read(spark, sf_dir):
+    """Vaisala Sigmet IRIS radar driver (formats.iris —
+    frmts/iris/irisdataset.cpp analog from the published IRIS
+    Programmer's Manual; conformance-pinned in tests/test_iris.py):
+    the scan decodes both checked-in fixtures (1-byte dBZ
+    conversion, bottom-up rows, Vincenty+Mercator grid anchoring)
+    and reports checksums plus the real product's geotransform
+    origin/cell rounded to the 1e-5-relative precision the
+    reference's own test uses. Every oracle literal is quoted from
+    autotest/gdrivers/iris.py."""
+    import os as _os
+
+    from gdal_spark.formats.iris import scan_iris
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "iris")
+    df = scan_iris(spark, _os.path.join(d, "*.dat"))
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b))))) for b in bs])
+
+    cs_rows = df.select(
+        F.col("source").alias("dataset"),
+        F.lit("checksum").alias("metric"),
+        cs_udf("bytes").alias("value"))
+    gt_rows = (
+        df.filter(F.col("source") == "iristest.dat")
+        .select(F.col("source").alias("dataset"),
+                F.explode(F.create_map(
+                    F.lit("gt1"), F.round(F.col("gt1"), 3),
+                    F.lit("gt5"), F.round(F.col("gt5"), 3),
+                )).alias("metric", "value"))
+    )
+    return cs_rows.unionByName(gt_rows).orderBy("dataset", "metric")
+
+
+def q_iris_read_sql():
+    # literals quoted from autotest/gdrivers/iris.py (cell sizes to
+    # 3 dp — well inside the reference's own 1e-5 relative gate)
+    return (
+        "SELECT * FROM (VALUES "
+        "('fakeiris.dat', 'checksum', 65532.0), "
+        "('iristest.dat', 'checksum', 52872.0), "
+        "('iristest.dat', 'gt1', 1370.426), "
+        "('iristest.dat', 'gt5', -1357.65)) "
+        "AS t(dataset, metric, value) ORDER BY dataset, metric"
+    )
+
+
 def q_adrg_read(spark, sf_dir):
     """NIMA ADRG read driver (formats.adrg over the from-scratch
     ISO 8211 reader — frmts/adrg/adrgdataset.cpp analog from the
@@ -10756,6 +10812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "iris_read": q_iris_read,
         "adrg_read": q_adrg_read,
         "rawgrids3_roundtrip": q_rawgrids3_roundtrip,
         "pcidsk_roundtrip": q_pcidsk_roundtrip,
@@ -10941,6 +10998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "iris_read": q_iris_read_sql(),
         "adrg_read": q_adrg_read_sql(),
         "rawgrids3_roundtrip": q_rawgrids3_roundtrip_sql(),
         "pcidsk_roundtrip": q_pcidsk_roundtrip_sql(),

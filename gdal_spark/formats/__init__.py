@@ -372,3 +372,4 @@ from .pcidsk import (  # noqa: F401
 )
 from . import rawgrids3  # noqa: F401
 from .adrg import parse_adrg, parse_gen, scan_adrg  # noqa: F401
+from .iris import parse_iris, scan_iris  # noqa: F401
