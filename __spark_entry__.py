@@ -6096,6 +6096,50 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_dds_read(spark, sf_dir):
+    """DirectDraw Surface driver (formats.dds — frmts/dds analog
+    from the published DDS_HEADER + S3TC specs; conformance-pinned
+    in tests/test_dds.py): the scan decodes the checked-in
+    uncompressed autotest fixture and reports per-band checksums.
+    The autotest contract is band-for-band EQUALITY with
+    stefan_full_rgba.tif; the oracle literals are those TIFF
+    checksums as decoded by the separately conformance-pinned gtiff
+    driver (12603/58561/36064/10807)."""
+    import os as _os
+
+    from gdal_spark.formats.dds import scan_dds
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "dds")
+    df = scan_dds(spark, _os.path.join(d, "*.dds"))
+
+    @F.pandas_udf("array<double>")
+    def cs4(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        out = []
+        for b in bs:
+            a = _np.asarray(_dr(bytes(b)))
+            out.append([float(_cs(a[:, :, i])) for i in range(4)])
+        return pd.Series(out)
+
+    return (df.select("source", F.posexplode(cs4("bytes"))
+                      .alias("band", "checksum"))
+            .orderBy("source", "band"))
+
+
+def q_dds_read_sql():
+    return (
+        "SELECT 'stefan_full_rgba_no_compression.dds' AS source, "
+        "band, checksum FROM (VALUES "
+        "(0, 12603.0), (1, 58561.0), (2, 36064.0), (3, 10807.0)) "
+        "AS t(band, checksum) ORDER BY source, band"
+    )
+
+
 def q_iris_read(spark, sf_dir):
     """Vaisala Sigmet IRIS radar driver (formats.iris —
     frmts/iris/irisdataset.cpp analog from the published IRIS
@@ -10812,6 +10856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "dds_read": q_dds_read,
         "iris_read": q_iris_read,
         "adrg_read": q_adrg_read,
         "rawgrids3_roundtrip": q_rawgrids3_roundtrip,
@@ -10998,6 +11043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dds_read": q_dds_read_sql(),
         "iris_read": q_iris_read_sql(),
         "adrg_read": q_adrg_read_sql(),
         "rawgrids3_roundtrip": q_rawgrids3_roundtrip_sql(),

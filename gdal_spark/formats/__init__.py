@@ -373,3 +373,4 @@ from .pcidsk import (  # noqa: F401
 from . import rawgrids3  # noqa: F401
 from .adrg import parse_adrg, parse_gen, scan_adrg  # noqa: F401
 from .iris import parse_iris, scan_iris  # noqa: F401
+from .dds import format_dds, parse_dds, scan_dds  # noqa: F401
