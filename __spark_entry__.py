@@ -6096,6 +6096,54 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_srp_read(spark, sf_dir):
+    """NGA SRP (USRP) driver (formats.srp over the ISO 8211 reader
+    — frmts/adrg/srpdataset.cpp analog from the published
+    MIL-PRF-89038 spec; conformance-pinned in tests/test_srp.py):
+    the scan reads the FKUSRP01 product in all THREE PCB
+    compression modes (raw / nibble-RLE / byte-RLE) and reports
+    checksum + the UTM grid anchors. Every oracle literal is quoted
+    from autotest/gdrivers/srp.py (cs 24576, gt (500000, 5, 0,
+    5000000, 0, -5), EPSG 32617)."""
+    import os as _os
+
+    from gdal_spark.formats.srp import scan_srp
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "srp")
+    df = scan_srp(spark, _os.path.join(d, "*", "FKUSRP01.GEN"))
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b))))) for b in bs])
+
+    return (df.select(
+        F.row_number().over(
+            Window.orderBy("gt0")).alias("_rk"),
+        cs_udf("bytes").alias("checksum"),
+        "gt0", "gt1", "gt3", "gt5",
+        F.col("srid").cast("int").alias("srid"))
+        .drop("_rk")
+        .orderBy("checksum")
+        .limit(3))
+
+
+def q_srp_read_sql():
+    return (
+        "SELECT * FROM (VALUES "
+        "(24576.0, 500000.0, 5.0, 5000000.0, -5.0, 32617), "
+        "(24576.0, 500000.0, 5.0, 5000000.0, -5.0, 32617), "
+        "(24576.0, 500000.0, 5.0, 5000000.0, -5.0, 32617)) "
+        "AS t(checksum, gt0, gt1, gt3, gt5, srid)"
+    )
+
+
 def q_dds_read(spark, sf_dir):
     """DirectDraw Surface driver (formats.dds — frmts/dds analog
     from the published DDS_HEADER + S3TC specs; conformance-pinned
@@ -10856,6 +10904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "srp_read": q_srp_read,
         "dds_read": q_dds_read,
         "iris_read": q_iris_read,
         "adrg_read": q_adrg_read,
@@ -11043,6 +11092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "srp_read": q_srp_read_sql(),
         "dds_read": q_dds_read_sql(),
         "iris_read": q_iris_read_sql(),
         "adrg_read": q_adrg_read_sql(),
