@@ -6096,6 +6096,54 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_dimap_til_read(spark, sf_dir):
+    """DIMAP v1/v2 + EarthWatch TIL composite products
+    (formats.dimap — frmts/dimap + frmts/til analogs over the
+    engine's gtiff and VRT drivers; conformance-pinned in
+    tests/test_dimap.py): the scans assemble the checked-in bundle
+    (R1C1+R2C1 component mosaic) and TIL products and report
+    checksums + layout. Oracle literals quoted from the autotests
+    (bundle band-1 cs 7024 at 20x30x4; TIL cs 4672, satId WV03)."""
+    import os as _os
+
+    from gdal_spark.formats.dimap import scan_dimap, scan_til
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data")
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b))))) for b in bs])
+
+    dim = (scan_dimap(spark, _os.path.join(d, "dimap2", "bundle"))
+           .filter(F.col("band") == 0)
+           .select(F.lit("dimap2_bundle").alias("dataset"),
+                   cs_udf("bytes").alias("checksum"),
+                   "w", "h", F.col("nbands").alias("extra")))
+    til = (scan_til(spark, _os.path.join(d, "til", "*.til"))
+           .select(F.lit("til").alias("dataset"),
+                   cs_udf("bytes").alias("checksum"),
+                   "w", "h",
+                   F.when(F.col("sat_id") == "WV03", 1)
+                   .otherwise(0).alias("extra")))
+    return dim.unionByName(til).orderBy("dataset")
+
+
+def q_dimap_til_read_sql():
+    return (
+        "SELECT * FROM (VALUES "
+        "('dimap2_bundle', 7024.0, 20, 30, 4), "
+        "('til', 4672.0, 20, 20, 1)) "
+        "AS t(dataset, checksum, w, h, extra) ORDER BY dataset"
+    )
+
+
 def q_srp_read(spark, sf_dir):
     """NGA SRP (USRP) driver (formats.srp over the ISO 8211 reader
     — frmts/adrg/srpdataset.cpp analog from the published
@@ -10904,6 +10952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "dimap_til_read": q_dimap_til_read,
         "srp_read": q_srp_read,
         "dds_read": q_dds_read,
         "iris_read": q_iris_read,
@@ -11092,6 +11141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dimap_til_read": q_dimap_til_read_sql(),
         "srp_read": q_srp_read_sql(),
         "dds_read": q_dds_read_sql(),
         "iris_read": q_iris_read_sql(),
