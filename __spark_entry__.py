@@ -6096,6 +6096,100 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_s57_roundtrip(spark, sf_dir):
+    """IHO S-57 ENC WRITER round-trip (formats.s57 write_s57 over
+    the from-scratch ISO 8211 writer — the reference's S57
+    CreateDataSource analog; conformance-pinned in
+    tests/test_s57.py TestS57Writer, which re-runs the reader's
+    quoted 1B5X02NE goldens on a cell our writer re-emitted,
+    mirroring autotest test_ogr_s57_write_1): one BOYLAT point
+    feature per nation row (BOYSHP attribute = key % 5) plus one
+    DEPARE square polygon per even key, written into a single ENC
+    cell, read back by the one-task-per-cell scan, reduced to
+    per-feature centroids and ring sizes. Closed-form SQL replays
+    the COMF quantization (1e7 rounding is exact at 6 dp)."""
+    import os as _os
+    import struct as _s
+    import tempfile
+
+    from gdal_spark.formats.s57 import scan_s57, write_s57
+
+    keys = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation")
+        .select("n_nationkey").collect()
+    ]
+    feats = []
+    for k in keys:
+        x, y = k * 0.5 + 0.25, 30.0 - k * 0.25
+        feats.append({
+            "layer": "BOYLAT", "rcid": k,
+            "attrs": {"BOYSHP": str(k % 5 + 1)},
+            "wkb": (_s.pack("<BI", 1, 1) + _s.pack("<dd", x, y)),
+        })
+        if k % 2 == 0:
+            ring = [(x, y), (x + 0.125, y), (x + 0.125, y + 0.125),
+                    (x, y + 0.125), (x, y)]
+            body = _s.pack("<I", 1) + _s.pack("<I", len(ring)) + \
+                b"".join(_s.pack("<dd", px, py) for px, py in ring)
+            feats.append({"layer": "DEPARE", "rcid": 1000 + k,
+                          "attrs": {"DRVAL1": str(k)},
+                          "wkb": _s.pack("<BI", 1, 3) + body})
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_s57w_")
+    path = _os.path.join(tmp, "SYNTH01.000")
+    write_s57(feats, path)
+    df = scan_s57(spark, path).filter(F.col("layer") != "DSID")
+
+    @F.pandas_udf("struct<cx:double,cy:double,nvert:int>")
+    def centroid(gs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for g in gs:
+            g = bytes(g)
+            t = _s.unpack_from("<I", g, 1)[0]
+            if t == 1:
+                x, y = _s.unpack_from("<dd", g, 5)
+                rows.append((x, y, 1))
+            else:
+                m = _s.unpack_from("<I", g, 9)[0]
+                pts = [_s.unpack_from("<dd", g, 13 + 16 * j)
+                       for j in range(m)]
+                rows.append((sum(p[0] for p in pts) / m,
+                             sum(p[1] for p in pts) / m, m))
+        return pd.DataFrame(rows, columns=["cx", "cy", "nvert"])
+
+    return (df.withColumn("c", centroid("geometry"))
+            .select("layer", F.col("rcid"),
+                    F.element_at(F.col("attributes"),
+                                 F.when(F.col("layer") == "BOYLAT",
+                                        "BOYSHP")
+                                 .otherwise("DRVAL1")).alias("attr"),
+                    F.round("c.cx", 6).alias("cx"),
+                    F.round("c.cy", 6).alias("cy"),
+                    F.col("c.nvert").alias("nvert"))
+            .orderBy("layer", "rcid"))
+
+
+def q_s57_roundtrip_sql():
+    # point centroids at (k/2+0.25, 30-k/4); polygon ring vertex
+    # mean over [p0,p1,p2,p3,p0] (closing vertex double-counted):
+    # two vertices carry +0.125 in each axis -> +0.25/5 = +0.05
+    return (
+        "SELECT * FROM ("
+        "SELECT 'BOYLAT' AS layer, n_nationkey AS rcid, "
+        "CAST(n_nationkey % 5 + 1 AS VARCHAR) AS attr, "
+        "ROUND(n_nationkey * 0.5 + 0.25, 6) AS cx, "
+        "ROUND(30.0 - n_nationkey * 0.25, 6) AS cy, 1 AS nvert "
+        "FROM nation "
+        "UNION ALL "
+        "SELECT 'DEPARE', 1000 + n_nationkey, "
+        "CAST(n_nationkey AS VARCHAR), "
+        "ROUND(n_nationkey * 0.5 + 0.25 + 0.05, 6), "
+        "ROUND(30.0 - n_nationkey * 0.25 + 0.05, 6), 5 "
+        "FROM nation WHERE n_nationkey % 2 = 0"
+        ") ORDER BY layer, rcid"
+    )
+
+
 def q_dimap_til_read(spark, sf_dir):
     """DIMAP v1/v2 + EarthWatch TIL composite products
     (formats.dimap — frmts/dimap + frmts/til analogs over the
@@ -10952,6 +11046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "s57_roundtrip": q_s57_roundtrip,
         "dimap_til_read": q_dimap_til_read,
         "srp_read": q_srp_read,
         "dds_read": q_dds_read,
@@ -11141,6 +11236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "s57_roundtrip": q_s57_roundtrip_sql(),
         "dimap_til_read": q_dimap_til_read_sql(),
         "srp_read": q_srp_read_sql(),
         "dds_read": q_dds_read_sql(),

@@ -475,3 +475,294 @@ def scan_s57(spark, path_glob: str, apply_updates: bool = True):
                                "geometry", "source"])
 
     return tdf.mapInPandas(read_cells, S57_SCHEMA)
+
+
+# ------------------------------------------------------------- writer
+# S-57 data descriptive field model (IHO S-57 Part 3 field tables),
+# matching what the reader's DDR parse expects
+def _writer_specs():
+    from .iso8211_writer import FieldSpec
+
+    return [
+        FieldSpec("0001", "ISO/IEC 8211 Record Identifier", [],
+                  "(b12)", controls="0500;&   "),
+        FieldSpec("DSID", "Data set identification field",
+                  ["RCNM", "RCID", "EXPP", "INTU", "DSNM", "EDTN",
+                   "UPDN", "UADT", "ISDT", "STED", "PRSP", "PSDN",
+                   "PRED", "PROF", "AGEN", "COMT"],
+                  "(b11,b14,2b11,3A,2A(8),R(4),b11,2A,b11,b12,A)"),
+        FieldSpec("DSSI", "Data set structure information field",
+                  ["DSTR", "AALL", "NALL", "NOMR", "NOCR", "NOGR",
+                   "NOLR", "NOIN", "NOCN", "NOED", "NOFA"],
+                  "(3b11,8b14)"),
+        FieldSpec("DSPM", "Data set parameter field",
+                  ["RCNM", "RCID", "HDAT", "VDAT", "SDAT", "CSCL",
+                   "DUNI", "HUNI", "PUNI", "COUN", "COMF", "SOMF",
+                   "COMT"],
+                  "(b11,b14,3b11,b14,4b11,2b14,A)"),
+        FieldSpec("VRID", "Vector record identifier field",
+                  ["RCNM", "RCID", "RVER", "RUIN"],
+                  "(b11,b14,b12,b11)"),
+        FieldSpec("SG2D", "2-D coordinate field",
+                  ["YCOO", "XCOO"], "(2b24)", repeating=True),
+        FieldSpec("SG3D", "3-D coordinate field",
+                  ["YCOO", "XCOO", "VE3D"], "(3b24)",
+                  repeating=True),
+        FieldSpec("VRPT", "Vector record pointer field",
+                  ["NAME", "ORNT", "USAG", "TOPI", "MASK"],
+                  "(B(40),4b11)", repeating=True),
+        FieldSpec("FRID", "Feature record identifier field",
+                  ["RCNM", "RCID", "PRIM", "GRUP", "OBJL", "RVER",
+                   "RUIN"],
+                  "(b11,b14,2b11,2b12,b11)"),
+        FieldSpec("FOID", "Feature object identifier field",
+                  ["AGEN", "FIDN", "FIDS"], "(b12,b14,b12)"),
+        FieldSpec("ATTF", "Feature record attribute field",
+                  ["ATTL", "ATVL"], "(b12,A)", repeating=True),
+        FieldSpec("FSPT", "Feature record to spatial record "
+                  "pointer field",
+                  ["NAME", "ORNT", "USAG", "MASK"],
+                  "(B(40),3b11)", repeating=True),
+    ]
+
+
+_WRITER_TREE = [("0001", "DSID"), ("DSID", "DSSI"),
+                ("0001", "DSPM"), ("0001", "VRID"),
+                ("VRID", "SG2D"), ("VRID", "SG3D"),
+                ("VRID", "VRPT"), ("0001", "FRID"),
+                ("FRID", "FOID"), ("FRID", "ATTF"),
+                ("FRID", "FSPT")]
+
+_ACRONYM_TO_OBJL = {v: k for k, v in OBJECT_CLASSES.items()}
+_ACRONYM_TO_ATTL = {v: k for k, v in ATTRIBUTES.items()}
+
+
+def _name_bytes(rcnm: int, rcid: int) -> bytes:
+    return bytes([rcnm]) + struct.pack("<I", rcid)
+
+
+class _CellWriter:
+    def __init__(self, dsnm, comf, somf, agen=550):
+        self.dsnm = dsnm
+        self.comf = comf
+        self.somf = somf
+        self.agen = agen
+        self.vectors = []    # (rcnm, rcid, fields)
+        self.features = []
+        self.rcid = {110: 0, 120: 0, 130: 0}
+        self.frid = 0
+        self.fidn = 0
+
+    def _coord2(self, x, y):
+        return {"YCOO": int(round(y * self.comf)),
+                "XCOO": int(round(x * self.comf))}
+
+    def add_node(self, pts2=None, pts3=None, connected=False):
+        rcnm = 120 if connected else 110
+        self.rcid[rcnm] += 1
+        rcid = self.rcid[rcnm]
+        fields = []
+        if pts3:
+            fields.append(("SG3D", [dict(self._coord2(x, y),
+                                         VE3D=int(round(z *
+                                                        self.somf)))
+                                    for x, y, z in pts3]))
+        elif pts2:
+            fields.append(("SG2D", [self._coord2(x, y)
+                                    for x, y in pts2]))
+        self.vectors.append((rcnm, rcid, fields))
+        return rcnm, rcid
+
+    def add_edge(self, pts):
+        """Full point list -> begin/end connected nodes + edge."""
+        begin = self.add_node(pts2=[pts[0]], connected=True)
+        if pts[-1] == pts[0]:
+            end = begin
+        else:
+            end = self.add_node(pts2=[pts[-1]], connected=True)
+        self.rcid[130] += 1
+        rcid = self.rcid[130]
+        fields = [("VRPT", [
+            {"NAME": _name_bytes(*begin), "ORNT": 255, "USAG": 255,
+             "TOPI": 1, "MASK": 255},
+            {"NAME": _name_bytes(*end), "ORNT": 255, "USAG": 255,
+             "TOPI": 2, "MASK": 255},
+        ])]
+        interior = pts[1:-1]
+        if interior:
+            fields.append(("SG2D", [self._coord2(x, y)
+                                    for x, y in interior]))
+        self.vectors.append((130, rcid, fields))
+        return 130, rcid
+
+    def add_feature(self, acronym, prim, attrs, fspt, grup=1,
+                    rcid=None):
+        self.frid += 1
+        self.fidn += 1
+        objl = _ACRONYM_TO_OBJL.get(acronym, 0)
+        attf = []
+        for k, v in (attrs or {}).items():
+            code = _ACRONYM_TO_ATTL.get(k)
+            if code is not None:
+                attf.append({"ATTL": code, "ATVL": str(v)})
+        self.features.append({
+            "rcid": rcid if rcid is not None else self.frid,
+            "prim": prim, "grup": grup, "objl": objl,
+            "attf": attf, "fspt": fspt,
+        })
+
+    def serialize(self) -> bytes:
+        from .iso8211_writer import (
+            build_ddr,
+            build_dr,
+            encode_subfields,
+        )
+
+        specs = {s.tag: s for s in _writer_specs()}
+        out = bytearray(build_ddr(list(specs.values()),
+                                  _WRITER_TREE))
+        recid = 0
+
+        def rec(fields):
+            nonlocal recid
+            recid += 1
+            data = [("0001", encode_subfields(
+                specs["0001"], [{"0001": recid}]))]
+            for tag, groups in fields:
+                data.append((tag, encode_subfields(specs[tag],
+                                                   groups)))
+            return build_dr(data)
+
+        nin = sum(1 for r, _, _ in self.vectors if r == 110)
+        ncn = sum(1 for r, _, _ in self.vectors if r == 120)
+        ned = sum(1 for r, _, _ in self.vectors if r == 130)
+        out += rec([
+            ("DSID", [{"RCNM": 10, "RCID": 1, "EXPP": 1, "INTU": 4,
+                       "DSNM": self.dsnm, "EDTN": "1", "UPDN": "0",
+                       "UADT": "20260101", "ISDT": "20260101",
+                       "STED": "03.1", "PRSP": 1, "PSDN": "",
+                       "PRED": "2.0", "PROF": 1,
+                       "AGEN": self.agen, "COMT": ""}]),
+            ("DSSI", [{"DSTR": 2, "AALL": 1, "NALL": 1,
+                       "NOMR": len(self.features), "NOCR": 0,
+                       "NOGR": len(self.features), "NOLR": 0,
+                       "NOIN": nin, "NOCN": ncn, "NOED": ned,
+                       "NOFA": 0}]),
+        ])
+        out += rec([
+            ("DSPM", [{"RCNM": 20, "RCID": 1, "HDAT": 2,
+                       "VDAT": 17, "SDAT": 23, "CSCL": 25000,
+                       "DUNI": 1, "HUNI": 1, "PUNI": 1, "COUN": 1,
+                       "COMF": self.comf, "SOMF": self.somf,
+                       "COMT": ""}]),
+        ])
+        for rcnm, rcid, fields in self.vectors:
+            out += rec([("VRID", [{"RCNM": rcnm, "RCID": rcid,
+                                   "RVER": 1, "RUIN": 1}])] +
+                       fields)
+        for ft in self.features:
+            fields = [
+                ("FRID", [{"RCNM": 100, "RCID": ft["rcid"],
+                           "PRIM": ft["prim"],
+                           "GRUP": ft["grup"],
+                           "OBJL": ft["objl"], "RVER": 1,
+                           "RUIN": 1}]),
+                ("FOID", [{"AGEN": self.agen,
+                           "FIDN": 0x10000 + ft["rcid"],
+                           "FIDS": ft["rcid"]}]),
+            ]
+            if ft["attf"]:
+                fields.append(("ATTF", ft["attf"]))
+            if ft["fspt"]:
+                fields.append(("FSPT", ft["fspt"]))
+            out += rec(fields)
+        return bytes(out)
+
+
+def _wkb_coords(wkb: bytes):
+    """Parse the writer-supported WKB subset -> (kind, parts)."""
+    t = struct.unpack_from("<I", wkb, 1)[0]
+    if t == 1:
+        return "point", [struct.unpack_from("<dd", wkb, 5)]
+    if t == 2:
+        n = struct.unpack_from("<I", wkb, 5)[0]
+        return "line", [[struct.unpack_from("<dd", wkb, 9 + 16 * k)
+                         for k in range(n)]]
+    if t == 5:
+        n = struct.unpack_from("<I", wkb, 5)[0]
+        off = 9
+        parts = []
+        for _ in range(n):
+            m = struct.unpack_from("<I", wkb, off + 5)[0]
+            parts.append([struct.unpack_from("<dd", wkb,
+                                             off + 9 + 16 * k)
+                          for k in range(m)])
+            off += 9 + 16 * m
+        return "line", parts
+    if t == 3:
+        nr = struct.unpack_from("<I", wkb, 5)[0]
+        off = 9
+        rings = []
+        for _ in range(nr):
+            m = struct.unpack_from("<I", wkb, off)[0]
+            rings.append([struct.unpack_from("<dd", wkb,
+                                             off + 4 + 16 * k)
+                          for k in range(m)])
+            off += 4 + 16 * m
+        return "area", rings
+    if t == 1004:
+        n = struct.unpack_from("<I", wkb, 5)[0]
+        pts = []
+        off = 9
+        for _ in range(n):
+            pts.append(struct.unpack_from("<ddd", wkb, off + 5))
+            off += 29
+        return "soundings", [pts]
+    raise ValueError(f"S57 writer: unsupported WKB type {t}")
+
+
+def write_s57(features, path: str, dsnm=None, comf=10000000,
+              somf=10, agen=550):
+    """Feature dicts (layer, prim hint ignored — derived from WKB,
+    attrs dict, wkb) -> one .000 ENC cell at `path` (the writer's
+    simple topology: one edge per linestring/ring, unshared
+    endpoint nodes, the reference's RETURN_PRIMITIVES=ON shape)."""
+    path = local_path(path)
+    w = _CellWriter(dsnm or os.path.basename(path), comf, somf,
+                    agen)
+    for ft in features:
+        kind, parts = _wkb_coords(ft["wkb"])
+        attrs = ft.get("attrs") or {}
+        if kind == "point":
+            node = w.add_node(pts2=parts)
+            fspt = [{"NAME": _name_bytes(*node), "ORNT": 255,
+                     "USAG": 255, "MASK": 255}]
+            w.add_feature(ft["layer"], 1, attrs, fspt,
+                          rcid=ft.get("rcid"))
+        elif kind == "soundings":
+            node = w.add_node(pts3=parts[0])
+            fspt = [{"NAME": _name_bytes(*node), "ORNT": 255,
+                     "USAG": 255, "MASK": 255}]
+            w.add_feature(ft["layer"], 1, attrs, fspt,
+                          rcid=ft.get("rcid"))
+        elif kind == "line":
+            fspt = []
+            for pts in parts:
+                edge = w.add_edge(pts)
+                fspt.append({"NAME": _name_bytes(*edge), "ORNT": 1,
+                             "USAG": 255, "MASK": 255})
+            w.add_feature(ft["layer"], 2, attrs, fspt,
+                          rcid=ft.get("rcid"))
+        else:  # area
+            fspt = []
+            for ri, ring in enumerate(parts):
+                edge = w.add_edge(ring)
+                fspt.append({"NAME": _name_bytes(*edge), "ORNT": 1,
+                             "USAG": 1 if ri == 0 else 2,
+                             "MASK": 255})
+            w.add_feature(ft["layer"], 3, attrs, fspt,
+                          rcid=ft.get("rcid"))
+    buf = w.serialize()
+    with open(path, "wb") as f:
+        f.write(buf)
+    return buf

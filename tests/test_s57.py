@@ -237,3 +237,61 @@ class TestS57Scan:
         df = scan_s57(spark, os.path.join(DATA, "fake_s57_update_dsid.000"))
         r = df.collect()[0]
         assert r.attributes["UPDN"] == "1"
+
+
+class TestS57Writer:
+    """Mirrors the reference's test_ogr_s57_write_1 contract: copy
+    every feature of 1B5X02NE.000 into a new cell, then re-run the
+    reader goldens against the copy."""
+
+    @pytest.fixture(scope="class")
+    def rewritten(self, tmp_path_factory, cell):
+        from gdal_spark.formats.s57 import write_s57
+
+        _, feats = cell
+        out = str(tmp_path_factory.mktemp("s57w") / "copy.000")
+        write_s57(
+            [{"layer": f["layer"], "attrs": f["attrs"],
+              "wkb": f["wkb"], "rcid": f["rcid"]}
+             for f in feats if f["wkb"] is not None],
+            out, comf=500000, somf=10)
+        with open(out, "rb") as f:
+            return parse_s57(f.read())
+
+    def test_layer_counts_survive(self, rewritten):
+        _, feats = rewritten
+        assert Counter(f["layer"] for f in feats) == \
+            TestS57Layers.EXPECTED
+
+    def test_coalne_golden_survives(self, rewritten):
+        _, feats = rewritten
+        f = [x for x in feats if x["layer"] == "COALNE"][0]
+        pts, _ = _line_pts(f["wkb"])
+        assert len(pts) == 15
+        assert abs(pts[0][0] - 60.976834) < 1e-8
+        assert abs(pts[-1][1] + 32.498666) < 1e-8
+
+    def test_m_qual_ring_survives(self, rewritten):
+        _, feats = rewritten
+        f = [x for x in feats if x["layer"] == "M_QUAL"][0]
+        assert struct.unpack_from("<I", f["wkb"], 1)[0] == 3
+        assert struct.unpack_from("<I", f["wkb"], 9)[0] == 18
+
+    def test_soundg_survives(self, rewritten):
+        _, feats = rewritten
+        f = [x for x in feats if x["layer"] == "SOUNDG"
+             and x["attrs"].get("QUASOU") == "1"][0]
+        w = f["wkb"]
+        assert struct.unpack_from("<I", w, 1)[0] == 1004
+        zs = []
+        off = 9
+        for _ in range(struct.unpack_from("<I", w, 5)[0]):
+            zs.append(struct.unpack_from("<ddd", w, off + 5)[2])
+            off += 29
+        assert sorted(zs) == [-3.2, 1.2, 1.4, 3.4]
+
+    def test_ddr_reparses(self, rewritten):
+        info, _ = rewritten
+        assert info["COMF"] == 500000.0
+        assert info["SOMF"] == 10.0
+        assert info["EDTN"] == "1"
