@@ -6096,6 +6096,63 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_rmf_pds4_read(spark, sf_dir):
+    """RMF (.rsw/.mtw) + PDS4 drivers (formats.rmf, formats.pds4 —
+    frmts/rmf + frmts/pds/pds4dataset.cpp analogs from the
+    published formats; conformance-pinned in tests/test_rmf_pds4.py
+    on ALL ELEVEN quoted RMF checksums incl. the from-scratch
+    hash-table LZW and the PDS4 label quartet): the scans read the
+    checked-in fixtures and report per-band checksums. Oracle
+    literals are quoted from the autotests, except big-endian
+    bands 2-3 (only band 1 is quoted; 8480/4195 are regression
+    pins of the byte-swap path)."""
+    import os as _os
+
+    from gdal_spark.formats.pds4 import scan_pds4
+    from gdal_spark.formats.rmf import scan_rmf
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data")
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b))))) for b in bs])
+
+    rmf = (scan_rmf(spark, _os.path.join(d, "rmf", "*.*"))
+           .select("image_id", cs_udf("bytes").alias("checksum")))
+    pds = (scan_pds4(spark, _os.path.join(d, "pds4", "*.xml"))
+           .select("image_id", cs_udf("bytes").alias("checksum")))
+    return rmf.unionByName(pds).orderBy("image_id")
+
+
+def q_rmf_pds4_read_sql():
+    rows = [
+        ("1bit.rsw#0", 34325.0), ("4bit-lzw.rsw#0", 55221.0),
+        ("4bit.rsw#0", 55221.0), ("big-endian.rsw#0", 7782.0),
+        ("big-endian.rsw#1", 8480.0), ("big-endian.rsw#2", 4195.0),
+        ("byte-lzw.rsw#0", 40503.0), ("byte.rsw#0", 4672.0),
+        ("byte_pds4_cart_1700.xml#0", 4672.0),
+        ("byte_pds4_cart_1b00.xml#0", 4672.0),
+        ("byte_pds4_cart_1d00_1933.xml#0", 4672.0),
+        ("byte_pds4_cart_1g00_1950.xml#0", 4672.0),
+        ("float64.mtw#0", 4672.0),
+        ("rgbsmall-lzw.rsw#0", 40503.0),
+        ("rgbsmall-lzw.rsw#1", 41429.0),
+        ("rgbsmall-lzw.rsw#2", 40238.0),
+        ("rgbsmall.rsw#0", 21212.0), ("rgbsmall.rsw#1", 21053.0),
+        ("rgbsmall.rsw#2", 21349.0),
+    ]
+    vals = ", ".join(f"('{i}', {v!r})" for i, v in rows)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            "AS t(image_id, checksum) ORDER BY image_id")
+
+
 def q_s57_roundtrip(spark, sf_dir):
     """IHO S-57 ENC WRITER round-trip (formats.s57 write_s57 over
     the from-scratch ISO 8211 writer — the reference's S57
@@ -11046,6 +11103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "rmf_pds4_read": q_rmf_pds4_read,
         "s57_roundtrip": q_s57_roundtrip,
         "dimap_til_read": q_dimap_til_read,
         "srp_read": q_srp_read,
@@ -11236,6 +11294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rmf_pds4_read": q_rmf_pds4_read_sql(),
         "s57_roundtrip": q_s57_roundtrip_sql(),
         "dimap_til_read": q_dimap_til_read_sql(),
         "srp_read": q_srp_read_sql(),

@@ -376,3 +376,5 @@ from .iris import parse_iris, scan_iris  # noqa: F401
 from .dds import format_dds, parse_dds, scan_dds  # noqa: F401
 from .srp import parse_srp, parse_srp_gen, parse_srp_qal, scan_srp  # noqa: F401
 from .dimap import read_dimap, read_til, scan_dimap, scan_til  # noqa: F401
+from .rmf import parse_rmf, scan_rmf  # noqa: F401
+from .pds4 import read_pds4, scan_pds4  # noqa: F401
