@@ -6096,6 +6096,56 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_esric_read(spark, sf_dir):
+    """Esri Compact Cache V2 / tpkx driver (formats.esric —
+    frmts/esric analog from the published bundle spec;
+    conformance-pinned in tests/test_esric.py on all SEVEN quoted
+    checksums): the one-task-per-bundle scan reads the Layers.tar
+    LOD-1 bundle (40-bit-offset/24-bit-size index slots, PNG tiles
+    through the engine's own codec) and reports per-band checksums
+    of the composited 512px level + the quoted web-mercator
+    anchors. Band-2's 46857 is the autotest golden; bands 1/3/4
+    are regression pins of the same decode."""
+    import os as _os
+
+    from gdal_spark.formats.esric import scan_esric
+
+    p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "esric", "Layers.tar")
+    df = scan_esric(spark, p, 1)
+
+    @F.pandas_udf("array<double>")
+    def cs4(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        out = []
+        for b in bs:
+            a = _np.asarray(_dr(bytes(b)))[:512, :512]
+            out.append([float(_cs(a[:, :, i])) for i in range(4)])
+        return pd.Series(out)
+
+    return (df.select("image_id",
+                      F.posexplode(cs4("bytes"))
+                      .alias("band", "checksum"),
+                      F.round("gt0", 0).alias("gt0"),
+                      F.round("gt1", 1).alias("gt1"))
+            .orderBy("image_id", "band"))
+
+
+def q_esric_read_sql():
+    # band 2 checksum quoted (46857); LOD-1 resolution
+    # 20037508.342787/256 = 78271.5; origin -20037508
+    return (
+        "SELECT 'L01R0000C0000' AS image_id, band, checksum, "
+        "-20037508.0 AS gt0, 78271.5 AS gt1 FROM (VALUES "
+        "(0, 33479.0), (1, 46857.0), (2, 49331.0), (3, 5934.0)) "
+        "AS t(band, checksum) ORDER BY image_id, band"
+    )
+
+
 def q_rmf_pds4_read(spark, sf_dir):
     """RMF (.rsw/.mtw) + PDS4 drivers (formats.rmf, formats.pds4 —
     frmts/rmf + frmts/pds/pds4dataset.cpp analogs from the
@@ -11103,6 +11153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "esric_read": q_esric_read,
         "rmf_pds4_read": q_rmf_pds4_read,
         "s57_roundtrip": q_s57_roundtrip,
         "dimap_til_read": q_dimap_til_read,
@@ -11294,6 +11345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "esric_read": q_esric_read_sql(),
         "rmf_pds4_read": q_rmf_pds4_read_sql(),
         "s57_roundtrip": q_s57_roundtrip_sql(),
         "dimap_til_read": q_dimap_til_read_sql(),

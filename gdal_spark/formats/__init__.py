@@ -378,3 +378,4 @@ from .srp import parse_srp, parse_srp_gen, parse_srp_qal, scan_srp  # noqa: F401
 from .dimap import read_dimap, read_til, scan_dimap, scan_til  # noqa: F401
 from .rmf import parse_rmf, scan_rmf  # noqa: F401
 from .pds4 import read_pds4, scan_pds4  # noqa: F401
+from .esric import read_esric_level, scan_esric  # noqa: F401
