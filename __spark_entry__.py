@@ -6096,6 +6096,50 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_mrf_read(spark, sf_dir):
+    """Esri/NASA MRF driver (formats.mrf — frmts/mrf analog from
+    the published MRF spec + the public LERC v1 codestream;
+    conformance-pinned in tests/test_mrf.py): the scan decodes the
+    byte dataset through six page codecs and reports checksums.
+    NONE/PNG/DEFLATE/TIF/LERC-v1 all land the byte.tif golden 4672
+    (LERC v1 via the from-scratch CntZImage decoder); the lossy
+    JPEG variant is regression-pinned at 4658."""
+    import os as _os
+
+    from gdal_spark.formats.mrf import scan_mrf
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "mrf")
+    df = scan_mrf(spark, _os.path.join(d, "*", "byte.mrf"))
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b))))) for b in bs])
+
+    return (df.select("image_id", cs_udf("bytes").alias("checksum"),
+                      F.round("gt0", 0).alias("gt0"))
+            .orderBy("image_id"))
+
+
+def q_mrf_read_sql():
+    return (
+        "SELECT * FROM (VALUES "
+        "('deflate/byte.mrf', 4672.0, 440720.0), "
+        "('jpeg/byte.mrf', 4658.0, 440720.0), "
+        "('lerc_v1/byte.mrf', 4672.0, 440720.0), "
+        "('none/byte.mrf', 4672.0, 440720.0), "
+        "('png/byte.mrf', 4672.0, 440720.0), "
+        "('tif/byte.mrf', 4672.0, 440720.0)) "
+        "AS t(image_id, checksum, gt0) ORDER BY image_id"
+    )
+
+
 def q_esric_read(spark, sf_dir):
     """Esri Compact Cache V2 / tpkx driver (formats.esric —
     frmts/esric analog from the published bundle spec;
@@ -11153,6 +11197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "mrf_read": q_mrf_read,
         "esric_read": q_esric_read,
         "rmf_pds4_read": q_rmf_pds4_read,
         "s57_roundtrip": q_s57_roundtrip,
@@ -11345,6 +11390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mrf_read": q_mrf_read_sql(),
         "esric_read": q_esric_read_sql(),
         "rmf_pds4_read": q_rmf_pds4_read_sql(),
         "s57_roundtrip": q_s57_roundtrip_sql(),
