@@ -592,3 +592,52 @@ def scan_nsidcbin(spark, path_glob):
         return [(arr, gt, None)]
 
     return _scan(spark, _glob(path_glob), reader)
+
+
+# ----------------------------------------------------------- NOAA_B
+def parse_noaa_b(buf: bytes):
+    """NOAA .b geoid grid (frmts/raw/noaabdataset.cpp analog):
+    Fortran-record layout — a 4-byte record marker, a 44-byte
+    header (SW lat/lon, delta lat/lon as f64; rows/cols/kind as
+    i32, either endianness, auto-detected), a 4-byte trailer, then
+    bottom-up rows each wrapped in 4-byte markers; kind 0 = int32,
+    1 = float32, else int16; georef from the SW cell center."""
+    import struct as _s
+
+    for be in (False, True):
+        e = ">" if be else "<"
+        try:
+            sw_lat, sw_lon, dlat, dlon = _s.unpack_from(
+                e + "dddd", buf, 4)
+            rows, cols, kind = _s.unpack_from(e + "iii", buf, 36)
+        except _s.error:
+            continue
+        if not (abs(sw_lat) <= 90 and abs(sw_lon) <= 360 and
+                0 < rows < 100000 and 0 < cols < 100000 and
+                0 < dlat <= 90 and 0 < dlon <= 90 and
+                sw_lat + (rows - 1) * dlat <= 90):
+            continue
+        dt = np.dtype({0: e + "i4", 1: e + "f4"}.get(kind, e + "i2"))
+        line = 4 + cols * dt.itemsize + 4
+        start = 4 + 44 + 4
+        if start + rows * line > len(buf) + 8:
+            continue
+        out = np.empty((rows, cols), dt.newbyteorder("="))
+        for r in range(rows):
+            off = start + (rows - 1 - r) * line + 4
+            out[r] = np.frombuffer(buf, dt, count=cols, offset=off)
+        lon0 = sw_lon - 360 if sw_lon > 180 else sw_lon
+        gt = (lon0 - dlon / 2,
+              dlon, 0.0,
+              sw_lat + (rows - 1) * dlat + dlat / 2, 0.0, -dlat)
+        return out, gt, {"kind": int(kind), "big_endian": be}
+    raise ValueError("NOAA_B: not a .b geoid grid")
+
+
+def scan_noaa_b(spark, path_glob):
+    def reader(path):
+        with open(path, "rb") as f:
+            arr, gt, info = parse_noaa_b(f.read())
+        return [(arr, gt, None)]
+
+    return _scan(spark, _glob(path_glob), reader)

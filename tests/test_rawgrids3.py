@@ -160,3 +160,20 @@ class TestScan:
         r = nsidc.collect()[0]
         arr = codecs.decode_raw(bytes(r.bytes))
         assert arr[44, 60] == 27
+
+
+class TestNoaaB:
+    """Quoted goldens from autotest/gdrivers/noaa_b.py: checksum 3
+    in BOTH byte orders, kind 1 (float32), the SW-center-anchored
+    georef."""
+
+    @pytest.mark.parametrize("name,be", [("test.b", True),
+                                         ("test_little_endian.b",
+                                          False)])
+    def test_both_endians(self, name, be):
+        with open(os.path.join(DATA, "noaa_b", name), "rb") as f:
+            arr, gt, info = R3.parse_noaa_b(f.read())
+        assert gdal_checksum(arr) == 3
+        assert info["big_endian"] is be
+        assert info["kind"] == 1
+        assert gt == (1.75, 0.5, 0.0, 49.25, 0.0, -0.5)
