@@ -865,6 +865,51 @@ def main():
             out,
         )
 
+    # 35. GRIB scan: the driver indexes messages from fixed-size
+    # section-0 headers only; each message decodes in its own Arrow
+    # task (round-5 wave-4 driver-zoo shape) — one fan-out, no row
+    # Python, no cartesian
+    from gdal_spark.formats.grib import scan_grib
+
+    gribdf = scan_grib(
+        spark, "/root/repo/tests/data/grib/ds.mint.bin")
+    audit(
+        "grib_scan_task_per_message",
+        gribdf,
+        [
+            ("one_fanout_exchange",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+            ("one_arrow_pass",
+             lambda p: len(re.findall(r"\(\d+\) MapInPandas", p))
+             == 1),
+            ("no_row_python", lambda p: "BatchEvalPython" not in p),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
+    # 36. Esri Compact Cache scan: the driver plans one task per
+    # 128x128-tile bundle; bundle index decode + PNG/JPEG tile
+    # decode run inside the task
+    from gdal_spark.formats.esric import scan_esric
+
+    esdf = scan_esric(spark, "/root/repo/tests/data/esric/Layers.tar",
+                      1)
+    audit(
+        "esric_scan_task_per_bundle",
+        esdf,
+        [
+            ("one_fanout_exchange",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+            ("one_arrow_pass",
+             lambda p: len(re.findall(r"\(\d+\) MapInPandas", p))
+             == 1),
+            ("no_row_python", lambda p: "BatchEvalPython" not in p),
+            ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+        out,
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (.explain formatted)\n\n")
         for name, checks, plan in out:
