@@ -6096,6 +6096,54 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_stacta_read(spark, sf_dir):
+    """STACTA driver (formats.stacta — frmts/stacta analog from
+    the published STAC tiled-assets extension; conformance-pinned
+    in tests/test_stacta.py on the reference's own
+    byte-equality-with-a-VRT-of-tiles contract): the
+    one-task-per-tile scan reads the checked-in item and reports
+    per-tile checksums + the quoted geotransform anchors (-180 /
+    0 at 0.17578125 deg cells). Checksums are of the same GeoTIFF
+    tiles the reference's contract composes (decoded by the
+    conformance-pinned gtiff driver)."""
+    import os as _os
+
+    from gdal_spark.formats.stacta import scan_stacta
+
+    p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "stacta", "test.json")
+    df = scan_stacta(spark, p)
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b)))[:, :, 0]))
+             for b in bs])
+
+    return (df.select("image_id", cs_udf("bytes").alias("checksum"),
+                      F.round("gt0", 6).alias("gt0"),
+                      F.round("gt1", 8).alias("gt1"),
+                      "nodata")
+            .orderBy("image_id"))
+
+
+def q_stacta_read_sql():
+    # gt anchors quoted from autotest/gdrivers/stacta.py; band-1
+    # checksums are stable values of the two contract tiles
+    return (
+        "SELECT * FROM (VALUES "
+        "('2/0/0', 17903.0, -180.0, 0.17578125, 0.0), "
+        "('2/0/1', 65507.0, 0.0, 0.17578125, 0.0)) "
+        "AS t(image_id, checksum, gt0, gt1, nodata) "
+        "ORDER BY image_id"
+    )
+
+
 def q_mrf_read(spark, sf_dir):
     """Esri/NASA MRF driver (formats.mrf — frmts/mrf analog from
     the published MRF spec + the public LERC v1 codestream;
@@ -11197,6 +11245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "stacta_read": q_stacta_read,
         "mrf_read": q_mrf_read,
         "esric_read": q_esric_read,
         "rmf_pds4_read": q_rmf_pds4_read,
@@ -11390,6 +11439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stacta_read": q_stacta_read_sql(),
         "mrf_read": q_mrf_read_sql(),
         "esric_read": q_esric_read_sql(),
         "rmf_pds4_read": q_rmf_pds4_read_sql(),

@@ -380,3 +380,4 @@ from .rmf import parse_rmf, scan_rmf  # noqa: F401
 from .pds4 import read_pds4, scan_pds4  # noqa: F401
 from .esric import read_esric_level, scan_esric  # noqa: F401
 from .mrf import decode_lerc1, read_mrf, scan_mrf  # noqa: F401
+from .stacta import read_stacta, scan_stacta  # noqa: F401
