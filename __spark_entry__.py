@@ -6096,6 +6096,49 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_gti_read(spark, sf_dir):
+    """GDAL Raster Tile Index driver (formats.gti — frmts/gti
+    analog from the published GTI spec; conformance-pinned in
+    tests/test_gti.py on the reference's mosaic==VRT-of-sources
+    contract, byte-identical tile placement): the
+    one-task-per-referenced-raster scan reads the checked-in
+    GeoPackage index and reports per-tile checksums + georef
+    anchors (both contract tiles at cs 29783, rounded 1e-4-degree
+    anchors)."""
+    import os as _os
+
+    from gdal_spark.formats.gti import scan_gti
+
+    p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "gti", "tile-001.gti.gpkg")
+    df = scan_gti(spark, p)
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b)))[:, :, 0]))
+             for b in bs])
+
+    return (df.select("image_id", cs_udf("bytes").alias("checksum"),
+                      F.round("gt0", 4).alias("gt0"),
+                      F.round("gt3", 4).alias("gt3"))
+            .orderBy("image_id"))
+
+
+def q_gti_read_sql():
+    return (
+        "SELECT * FROM (VALUES "
+        "('tile-001-000.tif', 29783.0, -112.5982, 32.7261), "
+        "('tile-001-001.tif', 29783.0, -112.5982, 26.8389)) "
+        "AS t(image_id, checksum, gt0, gt3) ORDER BY image_id"
+    )
+
+
 def q_stacta_read(spark, sf_dir):
     """STACTA driver (formats.stacta — frmts/stacta analog from
     the published STAC tiled-assets extension; conformance-pinned
@@ -11245,6 +11288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "gti_read": q_gti_read,
         "stacta_read": q_stacta_read,
         "mrf_read": q_mrf_read,
         "esric_read": q_esric_read,
@@ -11439,6 +11483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gti_read": q_gti_read_sql(),
         "stacta_read": q_stacta_read_sql(),
         "mrf_read": q_mrf_read_sql(),
         "esric_read": q_esric_read_sql(),
