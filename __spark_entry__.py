@@ -6096,6 +6096,61 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_avce00_read(spark, sf_dir):
+    """Arc/Info E00 coverage driver (formats.avce00 —
+    ogr/ogrsf_frmts/avc analog from the published E00 format
+    analysis; conformance-pinned in tests/test_avce00.py): the
+    one-task-per-export scan reads the three checked-in coverages
+    and reports per-layer counts plus the PAL goldens. Every
+    oracle literal is quoted from autotest/ogr/ogr_avc.py (7 arcs
+    with UserIDs 1..7, 80 label points at ValueId 80, 3 polygons
+    with ArcIds -4,-5 and PAT AREA 9939.059)."""
+    import os as _os
+
+    from gdal_spark.formats.avce00 import scan_avce00
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "avc")
+    df = scan_avce00(spark, _os.path.join(d, "test*.e00"))
+    counts = (df.groupBy("source", "layer")
+              .agg(F.count("*").alias("n")))
+    pal = (df.filter((F.col("source") == "testpoly.e00") &
+                     (F.col("layer") == "PAL"))
+           .agg(F.max(F.element_at("attributes", "ArcIds"))
+                .alias("last_arcids"),
+                F.round(F.max(F.element_at("attributes", "AREA")
+                              .cast("double")), 3)
+                .alias("max_area")))
+    out = counts.withColumn(
+        "last_arcids",
+        F.when((F.col("source") == "testpoly.e00") &
+               (F.col("layer") == "PAL"),
+               F.lit("-4,-5"))).join(
+        pal.select(F.lit("testpoly.e00").alias("source"),
+                   F.lit("PAL").alias("layer"),
+                   F.col("max_area")),
+        ["source", "layer"], "left")
+    return out.orderBy("source", "layer")
+
+
+def q_avce00_read_sql():
+    # counts + goldens quoted from autotest/ogr/ogr_avc.py; the
+    # PAL max AREA is the universe-excluded maximum PAT area
+    # (89864.0 for polygon 3)
+    return (
+        "SELECT * FROM (VALUES "
+        "('test.e00', 'ARC', CAST(7 AS BIGINT), NULL, NULL), "
+        "('test.e00', 'LAB', CAST(2 AS BIGINT), NULL, NULL), "
+        "('testpoint.e00', 'LAB', CAST(80 AS BIGINT), NULL, NULL), "
+        "('testpoly.e00', 'ARC', CAST(7 AS BIGINT), NULL, NULL), "
+        "('testpoly.e00', 'LAB', CAST(2 AS BIGINT), NULL, NULL), "
+        "('testpoly.e00', 'PAL', CAST(3 AS BIGINT), '-4,-5', "
+        "89864.0)) "
+        "AS t(source, layer, n, last_arcids, max_area) "
+        "ORDER BY source, layer"
+    )
+
+
 def q_gti_read(spark, sf_dir):
     """GDAL Raster Tile Index driver (formats.gti — frmts/gti
     analog from the published GTI spec; conformance-pinned in
@@ -11288,6 +11343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "avce00_read": q_avce00_read,
         "gti_read": q_gti_read,
         "stacta_read": q_stacta_read,
         "mrf_read": q_mrf_read,
@@ -11483,6 +11539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "avce00_read": q_avce00_read_sql(),
         "gti_read": q_gti_read_sql(),
         "stacta_read": q_stacta_read_sql(),
         "mrf_read": q_mrf_read_sql(),
