@@ -6096,6 +6096,47 @@ def q_mif_roundtrip(spark, sf_dir):
     ).orderBy("skey")
 
 
+def q_ceos_read(spark, sf_dir):
+    """Generic CEOS driver (formats.ceos — frmts/ceos/ceosopen.c
+    analog from the published CEOS superstructure; conformance-
+    pinned in tests/test_ceos.py on the quoted band-4
+    5932x3-window checksum 9956 through little-endian record
+    prefixes): the scan reads the truncated IRS transfer and
+    reports the quoted-window checksum per band (band 4's 9956 is
+    the autotest golden; 1-3 are regression pins)."""
+    import os as _os
+
+    from gdal_spark.formats.ceos import scan_ceos
+
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "data", "ceos")
+    df = scan_ceos(spark, _os.path.join(d, "*.L-3"), max_lines=3)
+
+    @F.pandas_udf("double")
+    def cs_udf(bs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        from gdal_spark.checksum import gdal_checksum as _cs
+        from gdal_spark.codecs import decode_raw as _dr
+
+        return pd.Series(
+            [float(_cs(_np.asarray(_dr(bytes(b)))[:3, :5932]))
+             for b in bs])
+
+    return (df.select("band", cs_udf("bytes").alias("checksum"),
+                      "declared_lines")
+            .orderBy("band"))
+
+
+def q_ceos_read_sql():
+    return (
+        "SELECT * FROM (VALUES "
+        "(1, 23994.0, 5936), (2, 31629.0, 5936), "
+        "(3, 8354.0, 5936), (4, 9956.0, 5936)) "
+        "AS t(band, checksum, declared_lines) ORDER BY band"
+    )
+
+
 def q_avce00_read(spark, sf_dir):
     """Arc/Info E00 coverage driver (formats.avce00 —
     ogr/ogrsf_frmts/avc analog from the published E00 format
@@ -11343,6 +11384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotate per round if the cap persists."""
     return {
         # --- round-5 additions (standing rule: new entries go FIRST) ---
+        "ceos_read": q_ceos_read,
         "avce00_read": q_avce00_read,
         "gti_read": q_gti_read,
         "stacta_read": q_stacta_read,
@@ -11539,6 +11581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ceos_read": q_ceos_read_sql(),
         "avce00_read": q_avce00_read_sql(),
         "gti_read": q_gti_read_sql(),
         "stacta_read": q_stacta_read_sql(),

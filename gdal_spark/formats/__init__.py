@@ -383,3 +383,4 @@ from .mrf import decode_lerc1, read_mrf, scan_mrf  # noqa: F401
 from .stacta import read_stacta, scan_stacta  # noqa: F401
 from .gti import gti_locations, read_gti, scan_gti  # noqa: F401
 from .avce00 import e00_features, parse_e00, scan_avce00  # noqa: F401
+from .ceos import parse_ceos_header, read_ceos_window, scan_ceos  # noqa: F401
